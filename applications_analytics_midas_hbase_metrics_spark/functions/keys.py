@@ -1,0 +1,176 @@
+"""Row-key / salt-bucket primitives — the one place the reference has
+semantics Spark does not ship built-in.
+
+Parity targets (citations into /root/reference):
+- Salt: ``abs(javaHash(key)) % 24`` where ``javaHash`` is Java
+  ``String.hashCode`` re-implemented over the key's UTF-8 *bytes*
+  (``31*h + b`` with int32 wraparound), Utils.scala:82-96 (bucket count 24
+  at Utils.scala:93, applied at Utils.scala:62-64).
+- Row key: null-byte-joined composite business key via ``concat_ws``
+  (Utils.scala:212-214, 548-551) and the dynamic expression builders
+  ``getExprWs``/``getExpr`` (Utils.scala:607-624).
+- Trailing-empty-preserving split, hand-rolled in the reference because
+  Java ``String.split`` drops trailing empties (Utils.scala:853-876);
+  Spark SQL's three-arg ``split(col, pat, -1)`` already has the right
+  semantics.
+
+Implementation note (Spark-first): the salt hash is expressed with
+built-in higher-order functions over the UTF-8 bytes of the key —
+``encode → per-byte conv(hex) → aggregate`` — so it stays inside
+whole-stage codegen on the JVM; no Python worker is involved.  A
+pandas-UDF variant is kept for cross-checking and as the template for
+hashes that genuinely need Python.  All arithmetic is done in BIGINT
+with an explicit ``% 2^32`` per step, so it is correct with or without
+ANSI mode (no silent overflow relied upon).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType
+
+#: Delimiter constants (Utils.scala:31-33).
+DELIM = "\x00"
+DELIM_COMMA = ","
+NULL_BYTE_REPLACE_STR = "<NB>"
+
+#: Salt bucket count (Utils.scala:93).
+SALT_BUCKETS = 24
+
+_TWO_32 = 4_294_967_296
+_TWO_31 = 2_147_483_648
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (used by tests and the pandas UDF).
+# ---------------------------------------------------------------------------
+
+def java_hash_py(s: str) -> int:
+    """Java ``String.hashCode`` semantics over UTF-8 bytes (Utils.scala:82-92)."""
+    h = 0
+    for b in s.encode("utf-8"):
+        if b > 127:
+            b -= 256  # Java bytes are signed
+        h = 31 * h + b
+        h = ((h + _TWO_31) % _TWO_32) - _TWO_31  # int32 wraparound
+    return h
+
+
+def salt_py(s: str, buckets: int = SALT_BUCKETS) -> int:
+    """``abs(hash) % buckets`` with Java semantics (Utils.scala:93-95):
+    ``abs(Integer.MIN_VALUE)`` stays negative and ``%`` keeps the sign of
+    the dividend."""
+    h = java_hash_py(s)
+    a = h if h == -_TWO_31 else abs(h)
+    if a >= 0:
+        return a % buckets
+    return -((-a) % buckets)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side implementation (the hot path — stays in codegen, no Python).
+# ---------------------------------------------------------------------------
+
+def java_hash(col: Column | str) -> Column:
+    """Java-hash of a string column, computed entirely with built-in SQL
+    expressions over the UTF-8 bytes: ``encode(col,'UTF-8')`` then per-byte
+    ``conv(hex(substring(bin,i,1)),16,10)`` folded with
+    ``(acc*31 + signed_byte) mod 2^32``."""
+    c = F.col(col) if isinstance(col, str) else col
+    bin_col = F.encode(c, "UTF-8")
+    idx = F.sequence(F.lit(1), F.length(bin_col))
+    unsigned = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: (
+            acc * F.lit(31)
+            + _signed_byte(F.substring(bin_col, i, 1))
+            + F.lit(_TWO_32)  # keep non-negative before the mod
+        ) % F.lit(_TWO_32),
+    )
+    signed = (
+        F.when(unsigned >= F.lit(_TWO_31), unsigned - F.lit(_TWO_32))
+        .otherwise(unsigned)
+        .cast("int")
+    )
+    # sequence(1, 0) would DESCEND, not produce an empty array — guard "".
+    return F.when(F.length(bin_col) == 0, F.lit(0)).otherwise(signed)
+
+
+def _signed_byte(one_byte_bin: Column) -> Column:
+    u = F.conv(F.hex(one_byte_bin), 16, 10).cast("long")
+    return F.when(u > 127, u - 256).otherwise(u)
+
+
+def salt_bucket(col: Column | str, buckets: int = SALT_BUCKETS) -> Column:
+    """Salt-bucket column (tinyint), exact reference parity
+    (Utils.scala:62-64, 82-96).  Negative-hash edge cases follow Java
+    ``abs``/``%`` semantics like :func:`salt_py`."""
+    h = java_hash(col).cast("long")
+    a = F.when(h == F.lit(-_TWO_31), h).otherwise(F.abs(h))
+    rem = F.when(a >= 0, a % F.lit(buckets)).otherwise(-((-a) % F.lit(buckets)))
+    return rem.cast("tinyint")
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF variant (cross-check / template; NOT the default path).
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(ByteType())
+def salt_bucket_udf(keys: pd.Series) -> pd.Series:
+    """Arrow-batched parity implementation of :func:`salt_bucket` —
+    kept for differential testing of the JVM expression and as the
+    pattern for genuinely Python-only hashes."""
+    return keys.map(lambda s: salt_py(s) if s is not None else None).astype("Int8")
+
+
+# ---------------------------------------------------------------------------
+# Key construction / decomposition.
+# ---------------------------------------------------------------------------
+
+def row_key(*cols: Column | str, delim: str = DELIM) -> Column:
+    """Null-byte-joined composite key (Utils.scala:212-214; the dynamic
+    ``getExprWs`` builder, Utils.scala:616-624)."""
+    cast = [(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols]
+    return F.concat_ws(delim, *cast)
+
+
+def split_preserve(col: Column | str, delim: str = DELIM) -> Column:
+    """Split preserving trailing empty fields — the semantics the reference
+    hand-rolled in ``getSplitsFromString`` (Utils.scala:853-876).  Spark's
+    3-arg split with ``limit=-1`` is exactly that."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, re.escape(delim), -1)
+
+
+def expr_ws(*col_names: str, delim: str = DELIM) -> Column:
+    """Parity with ``getExprWs`` (Utils.scala:616-624): build a
+    ``concat_ws`` over named columns from a dynamic column list."""
+    return row_key(*col_names, delim=delim)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side helper: the same salt as ANSI SQL DuckDB can evaluate.
+# ---------------------------------------------------------------------------
+
+def duckdb_salt_sql(key_expr: str, buckets: int = SALT_BUCKETS) -> str:
+    """DuckDB SQL expression computing :func:`salt_py` of ``key_expr``.
+
+    Character codepoints equal UTF-8 bytes for ASCII keys, which is what
+    the synthetic tables produce; the harness compares this against the
+    byte-exact Spark implementation.
+    """
+    h_unsigned = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(split({key_expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        "(acc, x) -> (acc * 31 + x) % 4294967296)"
+    )
+    h_signed = (
+        f"(CASE WHEN {h_unsigned} >= 2147483648 "
+        f"THEN {h_unsigned} - 4294967296 ELSE {h_unsigned} END)"
+    )
+    return f"CAST(abs({h_signed}) % {buckets} AS TINYINT)"

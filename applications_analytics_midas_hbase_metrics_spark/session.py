@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the local[N] harness but configured the
+way a 1000-executor cluster job would be: AQE on (runtime coalescing, skew
+join handling), Arrow for the few pandas-UDF boundaries, UTC session time
+zone so results are comparable with a UTC-naive oracle (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "midas-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (harness contract) else ``*``.
+    ``shuffle_partitions`` defaults to the core count: on local mode a
+    shuffle is disk-through on one host, so 200 partitions (the Spark
+    default) only adds task-scheduling overhead; on a real cluster the
+    caller passes ~2-3x total cores.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+        shuffle_partitions = max(4, int(n))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,110 @@
+"""Salt/row-key parity tests (SURVEY.md §2.8-2.9, hard part #1).
+
+Golden values are Java ``String.hashCode`` semantics over UTF-8 bytes
+(reference Utils.scala:82-96): ``h = 31*h + b`` with int32 wraparound,
+then ``abs(h) % 24`` with Java's sign rules.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.functions import keys as K
+
+# Hand-checked against java.lang.String#hashCode.
+GOLDEN_HASH = {
+    "": 0,
+    "a": 97,
+    "ab": 3105,
+    "hello": 99162322,
+    "IF123456": 1822426560,
+    "polygenelubricants": -2147483648,  # famously Integer.MIN_VALUE
+}
+
+CASES = [
+    "",
+    "a",
+    "ab",
+    "hello",
+    "IF123456",
+    "polygenelubricants",
+    "Lot1\x0012\x003\x004",
+    "ünïcode",
+    "x" * 500,
+    "trailing\x00",
+    "\x00leading",
+]
+
+
+def test_java_hash_py_golden():
+    for s, h in GOLDEN_HASH.items():
+        assert K.java_hash_py(s) == h, s
+
+
+def test_salt_py_range():
+    # All buckets non-negative except the Integer.MIN_VALUE hash edge.
+    for s in CASES:
+        assert -K.SALT_BUCKETS < K.salt_py(s) < K.SALT_BUCKETS
+        if K.java_hash_py(s) != -2147483648:
+            assert K.salt_py(s) >= 0
+
+
+def test_salt_py_min_value_edge():
+    # Java: abs(Integer.MIN_VALUE) == Integer.MIN_VALUE (still negative),
+    # and % keeps the dividend's sign → the reference's salt is -8 here
+    # (Utils.scala:93-95).  We reproduce, bug-for-bug, for key parity.
+    assert K.salt_py("polygenelubricants") == -(2147483648 % 24)
+
+
+def test_jvm_expr_matches_python(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], ["k"])
+    rows = df.select(
+        "k",
+        K.java_hash("k").alias("h"),
+        K.salt_bucket("k").alias("s"),
+        K.salt_bucket_udf("k").alias("su"),
+    ).collect()
+    for r in rows:
+        assert r.h == K.java_hash_py(r.k), repr(r.k)
+        assert r.s == K.salt_py(r.k), repr(r.k)
+        assert r.su == K.salt_py(r.k), repr(r.k)
+
+
+def test_duckdb_salt_sql_matches():
+    con = duckdb.connect()
+    for s in ["a", "hello", "IF123456", "L1", "x" * 40]:
+        got = con.execute("SELECT " + K.duckdb_salt_sql(repr(s))).fetchone()[0]
+        assert got == K.salt_py(s), s
+
+
+def test_row_key_and_split_roundtrip(spark):
+    df = spark.createDataFrame([("L1", 202233, 7, 42)], ["a", "b", "c", "d"])
+    out = df.select(
+        K.row_key("a", "b", "c", "d").alias("rk")
+    ).select(K.split_preserve("rk").alias("parts")).first()
+    assert out.parts == ["L1", "202233", "7", "42"]
+
+
+def test_split_preserves_trailing_empties(spark):
+    # The reference hand-rolled getSplitsFromString for exactly this
+    # (Utils.scala:853-876).
+    df = spark.createDataFrame([("a\x00b\x00\x00",)], ["v"])
+    out = df.select(K.split_preserve("v").alias("p")).first()
+    assert out.p == ["a", "b", "", ""]
+
+
+def test_salt_distribution_on_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rk = K.row_key("l_returnflag", "l_linestatus", "l_orderkey")
+    dist = (
+        li.select(K.salt_bucket(rk).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    buckets = {r.s for r in dist}
+    assert buckets <= set(range(K.SALT_BUCKETS))
+    # Hash salting should touch most buckets even at sf0.001.
+    assert len(buckets) >= 20
