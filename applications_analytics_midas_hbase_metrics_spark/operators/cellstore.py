@@ -1,0 +1,201 @@
+"""The cell store — Spark-first re-expression of the reference's HBase
+sparse wide table (SURVEY.md §1.1).
+
+Reference model (citations into /root/reference):
+  cell = (saltByte ++ rowKey, family "0", qualifier, group-concat blob)
+  - write path: sort → group → concat → salted Put (Utils.scala:49-80)
+  - flagship agg: groupBy(rowKey, columnName).agg(collect_list, max)
+    (Utils.scala:225-227, 561-563)
+  - read-back: prefix-filtered Scan (MetricDetails.scala:99-149) and
+    batched point gets / bulkGet (Utils.scala:288-369, 411-470)
+  - decode: split rowKey/value on delimiters + explode
+    (Utils.scala:346-365, 377-402)
+
+Spark-first design decisions (deviations documented):
+  * Storage is Parquet partitioned by the salt bucket — partition pruning
+    plays the role HBase region pruning played; Parquet row-group min/max
+    stats + predicate pushdown play the PrefixFilter role.
+  * The value blob is a first-class ``array<string>`` column, not the
+    reference's ``"count\\x00v1\\nv2…"`` string: Spark already carries the
+    count as ``size(values)`` and an array survives predicate pushdown,
+    explode, and Arrow transfers without re-parsing.  ``encode_blob`` /
+    ``decode_blob`` reproduce the exact reference byte format at the
+    storage boundary when external parity is required (Utils.scala:56,
+    325-326).
+  * ``collect_list`` order is partition-dependent, so values are
+    ``array_sort``-ed after collection — the reference sorts driver-side
+    before concatenation for the same reason (Utils.scala:53).  This makes
+    results deterministic and oracle-comparable.
+  * bulkGet(batch=1000) becomes an equi-join on (row_key, col_name):
+    broadcast-hash when the key side is small, sort-merge otherwise —
+    Catalyst + AQE pick; at 100 TB a shuffle-hash/sort-merge join with
+    both sides bucketed by row_key avoids re-shuffling the big cell side.
+
+Scale notes (100 TB): 24 salt partitions is the *reference's* constant;
+``write_cells`` also accepts ``extra_partition_cols`` so a real deployment
+partitions by (date, salt) and sizes files via
+``spark.sql.files.maxRecordsPerFile``.  No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import DELIM, SALT_BUCKETS, row_key, salt_bucket, split_preserve
+
+#: HBase column-family constant — always "0" in the reference
+#: (Utils.scala:65, MetricDetails.scala:107-114). Kept for blob parity only.
+COLUMN_FAMILY = "0"
+
+NEWLINE = "\n"
+
+
+# ---------------------------------------------------------------------------
+# Encode: relational → cells (the flagship aggregation, Utils.scala:203-234)
+# ---------------------------------------------------------------------------
+
+def to_cells(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    col_name: str | Column,
+    value_cols: Sequence[str],
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Reshape a relational DataFrame into the cell model.
+
+    Equivalent of MUPR_fileToDataFrame's tail (Utils.scala:203-234):
+      Value   = concat_ws(\\x00, value_cols)          (203-211)
+      row_key = concat_ws(\\x00, key_cols)            (212-214)
+      salt    = javaHash(row_key) % 24                (62-64, 82-96)
+      groupBy(row_key, col_name).agg(collect_list(Value), max(salt))
+                                                      (225-227)
+
+    One hash-aggregate exchange; partial aggregation (map-side combine)
+    is automatic.  Values are sorted post-collection for determinism
+    (reference sorts pre-group at Utils.scala:53).
+    """
+    name_col = F.col(col_name) if isinstance(col_name, str) else col_name
+    shaped = df.select(
+        row_key(*key_cols).alias("row_key"),
+        name_col.cast("string").alias("col_name"),
+        row_key(*value_cols).alias("cell_value"),
+    )
+    return (
+        shaped.withColumn("salt", salt_bucket(F.col("row_key"), buckets))
+        .groupBy("row_key", "col_name")
+        .agg(
+            F.array_sort(F.collect_list("cell_value")).alias("values"),
+            F.max("salt").alias("salt"),
+        )
+    )
+
+
+def encode_blob(values: Column | str) -> Column:
+    """Exact reference blob format: ``count \\x00 v1\\nv2\\n…``
+    (write side Utils.scala:56: ``length + DELIM + values.mkString("\\n")``)."""
+    c = F.col(values) if isinstance(values, str) else values
+    return F.concat(F.size(c).cast("string"), F.lit(DELIM), F.array_join(c, NEWLINE))
+
+
+def decode_blob(blob: Column | str) -> Column:
+    """Inverse of :func:`encode_blob`: strip the leading count (substring
+    after the first \\x00 — Utils.scala:325-326) and split the rest on
+    newlines."""
+    c = F.col(blob) if isinstance(blob, str) else blob
+    body = F.substr(c, F.instr(c, DELIM) + F.lit(1))
+    return F.split(body, NEWLINE, -1)
+
+
+# ---------------------------------------------------------------------------
+# Storage boundary (replaces pushtoDB/BufferedMutator, Utils.scala:49-106)
+# ---------------------------------------------------------------------------
+
+def write_cells(
+    cells: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    extra_partition_cols: Sequence[str] = (),
+) -> None:
+    """Persist the cell store as Parquet partitioned by salt.
+
+    The salt partitioning is the scale story: like HBase's salted region
+    split (Utils.scala:62-64), it spreads hot sequential keys; readers
+    that know the salt of a key prune 23/24 of the data before I/O.
+    """
+    (
+        cells.write.mode(mode)
+        .partitionBy(*extra_partition_cols, "salt")
+        .parquet(path)
+    )
+
+
+def read_cells(
+    spark: SparkSession,
+    path: str,
+    prefix: str | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Scan with prefix filter + qualifier projection — the Spark version of
+    ``Scan().setFilter(PrefixFilter(..)).addColumn(..)`` (MetricDetails.scala:
+    99-117).  ``startswith`` reaches the Parquet reader as a pushed filter
+    (StringStartsWith); ``col_name isin`` prunes qualifiers; unused columns
+    never leave the footer (column pruning)."""
+    df = spark.read.parquet(path)
+    if prefix is not None:
+        df = df.filter(F.col("row_key").startswith(prefix))
+    if columns is not None:
+        df = df.filter(F.col("col_name").isin(list(columns)))
+    return df
+
+
+def lookup_cells(
+    cells: DataFrame,
+    keys: DataFrame,
+    broadcast_keys: bool | None = None,
+) -> DataFrame:
+    """Batched point-get as an equi-join (replaces bulkGet,
+    Utils.scala:288-369 / 411-470).
+
+    ``keys`` must carry ``row_key`` and optionally ``col_name``.  With a
+    small key side we broadcast it (no shuffle of the 100 TB cell store —
+    the moral equivalent of batching 1000 Gets per RPC); otherwise Catalyst
+    picks sort-merge and AQE may convert back to broadcast at runtime.
+    """
+    on = ["row_key"] + (["col_name"] if "col_name" in keys.columns else [])
+    if broadcast_keys is None:
+        broadcast_keys = True
+    right = F.broadcast(keys) if broadcast_keys else keys
+    return cells.join(right, on=on, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Decode: cells → relational (Utils.scala:346-365, 377-402)
+# ---------------------------------------------------------------------------
+
+def decode_cells(
+    cells: DataFrame,
+    key_names: Sequence[str],
+    value_names: Sequence[str],
+) -> DataFrame:
+    """Blob → relational: split row_key into named key fields, explode the
+    values array to one row per measurement, split each measurement tuple
+    into named fields (``hbaseDataFrameSplit``, Utils.scala:377-402).
+
+    All trailing-empty-safe (three-arg split, SURVEY.md hard part #3).
+    """
+    key_parts = split_preserve("row_key")
+    out = cells.select(
+        "row_key",
+        "col_name",
+        *[key_parts.getItem(i).alias(n) for i, n in enumerate(key_names)],
+        F.explode("values").alias("_v"),
+    )
+    val_parts = split_preserve("_v")
+    return out.select(
+        *key_names,
+        "col_name",
+        *[val_parts.getItem(i).alias(n) for i, n in enumerate(value_names)],
+    )
