@@ -33,6 +33,13 @@ def load(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def final_plan(df) -> str:
+    """Materialize the DataFrame so AQE finishes re-planning, then return
+    the final physical plan string."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb
