@@ -1,0 +1,543 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 (and the
+training-data-pipeline extensions) as a (spark, sf_dir) -> DataFrame
+callable plus a DuckDB oracle SQL string.
+
+Conventions keeping the differential harness byte-stable:
+  * Every computed column is aliased identically in Spark and SQL.
+  * Money aggregates go through exact DECIMAL(18,2) sums and are cast to
+    DOUBLE only at the end — one deterministic rounding, identical in
+    both engines regardless of partial-aggregation order.
+  * Counts/sizes are cast to BIGINT (Spark size() is int, DuckDB count()
+    is hugeint — both normalized).
+  * Group-concat arrays are sorted (binary collation in both engines)
+    before joining.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import DELIM, duckdb_salt_sql, row_key, salt_bucket
+from ..operators import cellstore as CS
+from ..operators import logs as LOGS
+from ..operators import validate as V
+from ..sources import ingest as I
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+#: DuckDB fragment for chr(0); Spark literals use the python "\x00".
+CHR0 = "chr(0)"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) read as long (see session.py) → truncate to
+        # micros exactly like DuckDB's parquet reader does
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.5 A1 — the flagship group-concat cell build (Utils.scala:225-227)
+# ---------------------------------------------------------------------------
+
+_CELLS_SQL = f"""
+    SELECT concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+           CAST(l_partkey AS VARCHAR) AS col_name,
+           string_agg(concat_ws({CHR0}, l_linenumber, l_suppkey), e'\\n'
+                      ORDER BY concat_ws({CHR0}, l_linenumber, l_suppkey)) AS vals,
+           CAST(count(*) AS BIGINT) AS n_vals
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "cell_build",
+    oracle=f"""
+    SELECT row_key, col_name, vals, n_vals,
+           {duckdb_salt_sql('row_key')} AS salt
+    FROM ({_CELLS_SQL})
+    """,
+)
+def q_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    return cells.select(
+        "row_key",
+        "col_name",
+        F.array_join("values", "\n").alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+        "salt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell decode round-trip (Utils.scala:377-402): parse back == original
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cell_decode",
+    oracle=f"""
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+           CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+           CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+           CAST(l_partkey AS VARCHAR) AS col_name,
+           CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+           CAST(l_suppkey AS VARCHAR) AS l_suppkey
+    FROM lineitem
+    """,
+)
+def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    return CS.decode_cells(
+        cells,
+        key_names=["l_returnflag", "l_linestatus", "l_orderkey"],
+        value_names=["l_linenumber", "l_suppkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S6 / §2.3 P8+P9 — prefix scan with pushdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cell_prefix_scan",
+    oracle=f"""
+    SELECT row_key, col_name, vals, n_vals
+    FROM ({_CELLS_SQL})
+    WHERE starts_with(row_key, 'R' || {CHR0} || 'F')
+    """,
+)
+def q_cell_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    return cells.filter(F.col("row_key").startswith("R\x00F")).select(
+        "row_key",
+        "col_name",
+        F.array_join("values", "\n").alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S7/S8, §2.4 J2 — bulkGet as an equi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cell_lookup",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    keys AS (
+        SELECT concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 400 = 0
+    )
+    SELECT DISTINCT c.row_key, c.col_name, c.vals, c.n_vals
+    FROM cells c JOIN keys k
+      ON c.row_key = k.row_key AND c.col_name = k.col_name
+    """,
+)
+def q_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    keys = (
+        li.filter(F.col("l_orderkey") % 400 == 0)
+        .select(
+            row_key("l_returnflag", "l_linestatus", "l_orderkey").alias("row_key"),
+            F.col("l_partkey").cast("string").alias("col_name"),
+        )
+        .distinct()
+    )
+    got = CS.lookup_cells(cells, keys)
+    return got.select(
+        "row_key",
+        "col_name",
+        F.array_join("values", "\n").alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.4 J1 — broadcast metadata enrichment, star-join rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "meta_enrich",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_meta_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    # dims broadcast: the fact table never shuffles for the joins,
+    # only for the final rollup
+    dims = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(dims, li.l_orderkey == dims.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 J3 — validation diff (file vs perturbed store)
+# ---------------------------------------------------------------------------
+
+_FILE_SIDE_SQL = f"""
+    SELECT concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+           CAST(l_partkey AS VARCHAR) AS col_name,
+           string_agg(concat_ws({CHR0}, l_linenumber, l_suppkey), e'\\n'
+                      ORDER BY concat_ws({CHR0}, l_linenumber, l_suppkey)) AS vals
+    FROM lineitem GROUP BY 1, 2
+"""
+
+# Perturbation: drop cells of orders % 51 = 0, corrupt values of % 17 = 0.
+_TABLE_SIDE_SQL = f"""
+    SELECT row_key, col_name,
+           CASE WHEN CAST(split_part(row_key, {CHR0}, 3) AS BIGINT) % 17 = 0
+                THEN 'CORRUPTED' ELSE vals END AS vals
+    FROM ({_FILE_SIDE_SQL})
+    WHERE CAST(split_part(row_key, {CHR0}, 3) AS BIGINT) % 51 != 0
+"""
+
+
+@register(
+    "validation_diff",
+    oracle=f"""
+    WITH f AS ({_FILE_SIDE_SQL}), s AS ({_TABLE_SIDE_SQL})
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT CASE
+            WHEN f.row_key IS NULL THEN 'missing_in_file'
+            WHEN s.row_key IS NULL THEN 'missing_in_table'
+            WHEN f.vals = s.vals THEN 'match'
+            ELSE 'mismatch' END AS verdict
+        FROM f FULL OUTER JOIN s
+          ON f.row_key = s.row_key AND f.col_name = s.col_name
+    ) GROUP BY verdict
+    """,
+)
+def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
+    okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
+    table_side = cells.filter(okey % 51 != 0).withColumn(
+        "vals",
+        F.when(okey % 17 == 0, F.lit("CORRUPTED")).otherwise(F.col("vals")),
+    )
+    diff = V.compare_cells(cells, table_side, value_col="vals")
+    return V.validation_summary(diff)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 F7 — log extraction (MetricDetails.scala:21-64)
+# ---------------------------------------------------------------------------
+
+_LOG_LINE_SQL = """
+    SELECT concat('26/08/13 INFO Client: the spark submit job is ',
+                  CASE WHEN o_orderstatus = 'F' THEN 'failed' ELSE 'successful' END,
+                  ' for ', CAST(o_orderkey + 10000000 AS VARCHAR),
+                  ' with code ', CAST(o_orderkey % 256 AS VARCHAR)) AS value
+    FROM orders
+"""
+
+
+@register(
+    "log_extract",
+    oracle=f"""
+    WITH logs AS ({_LOG_LINE_SQL})
+    SELECT regexp_extract(value, '([0-9]{{6,12}})', 1) AS job_seq_key,
+           CASE WHEN value LIKE '%successful%' THEN 'successful' ELSE 'failed' END
+               AS job_status,
+           split_part(regexp_extract(value, '([a-zA-Z]{{4,5}} [0-9]{{1,3}})', 1), ' ', 2)
+               AS exit_code
+    FROM logs
+    WHERE contains(value, 'spark submit job is ')
+      AND (contains(value, 'successful') OR contains(value, 'failed'))
+    """,
+)
+def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat(
+            F.lit("26/08/13 INFO Client: the spark submit job is "),
+            F.when(F.col("o_orderstatus") == "F", F.lit("failed")).otherwise(
+                F.lit("successful")
+            ),
+            F.lit(" for "),
+            (F.col("o_orderkey") + 10000000).cast("string"),
+            F.lit(" with code "),
+            (F.col("o_orderkey") % 256).cast("string"),
+        ).alias("value")
+    )
+    return LOGS.extract_job_status(lines)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 F13 — MUCR variable-arity parse vs relational ground truth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mucr_parse",
+    oracle="""
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS Unit_Testing_Seq_Key,
+           CAST(count(*) OVER (PARTITION BY o.o_orderkey) AS VARCHAR)
+               AS number_of_counters,
+           CAST(l.l_partkey AS VARCHAR) AS Unit_Counter_ID,
+           CAST(l.l_linenumber AS VARCHAR) AS Repeating_Counter_Occurrences,
+           CAST(l.l_suppkey AS VARCHAR) AS Unit_Counter_Seq_Num
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_mucr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build MUCR-format lines from the synthetic tables, then prove the
+    # higher-order-function parser inverts them exactly.
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    triples = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.concat_ws(
+                    DELIM, "l_partkey", "l_linenumber", "l_suppkey"
+                )
+            )
+        ).alias("triples")
+    )
+    lines = orders.join(triples, orders.o_orderkey == triples.l_orderkey).select(
+        F.concat_ws(
+            DELIM,
+            F.col("o_orderkey").cast("string"),
+            F.lit("1"),
+            F.lit("prog"),
+            F.lit("P"),
+            F.lit("SUB"),
+            F.size("triples").cast("string"),
+            F.array_join("triples", DELIM),
+        ).alias("value")
+    )
+    parsed = I.parse_mucr_lines(lines)
+    return parsed.select(
+        "Unit_Testing_Seq_Key",
+        "number_of_counters",
+        "Unit_Counter_ID",
+        "Repeating_Counter_Occurrences",
+        "Unit_Counter_Seq_Num",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 R2/U2 — salt distribution (the custom hash at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salt_distribution",
+    oracle=f"""
+    SELECT {duckdb_salt_sql(f"concat_ws({CHR0}, c_mktsegment, c_custkey)")} AS salt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.select(salt_bucket(row_key("c_mktsegment", "c_custkey")).alias("salt"))
+        .groupBy("salt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blob codec parity (Utils.scala:56 write format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blob_codec",
+    oracle=f"""
+    SELECT row_key, col_name,
+           CAST(n_vals AS VARCHAR) || {CHR0} || vals AS blob
+    FROM ({_CELLS_SQL})
+    """,
+)
+def q_blob_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    return cells.select(
+        "row_key", "col_name", CS.encode_blob("values").alias("blob")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 P2/P5/P6, §2.6 O2/O3 — filter + projection + top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Status-table prefix scan (MetricDetails.scala:99-117)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "job_status_scan",
+    oracle="""
+    WITH cells AS (
+        SELECT 'IF' || CAST(o_orderkey AS VARCHAR) AS row_key,
+               'LOADSTATUS' AS col_name,
+               o_orderstatus AS value
+        FROM orders
+        UNION ALL
+        SELECT 'IF' || CAST(o_orderkey AS VARCHAR), 'MESSAGE', o_orderpriority
+        FROM orders
+    )
+    SELECT row_key, col_name, value FROM cells
+    WHERE starts_with(row_key, 'IF10') AND col_name IN ('LOADSTATUS','MESSAGE')
+    """,
+)
+def q_job_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    key = F.concat(F.lit("IF"), F.col("o_orderkey").cast("string"))
+    cells = orders.select(
+        key.alias("row_key"),
+        F.lit("LOADSTATUS").alias("col_name"),
+        F.col("o_orderstatus").alias("value"),
+    ).union(
+        orders.select(
+            key.alias("row_key"),
+            F.lit("MESSAGE").alias("col_name"),
+            F.col("o_orderpriority").alias("value"),
+        )
+    )
+    return cells.filter(
+        F.col("row_key").startswith("IF10")
+        & F.col("col_name").isin(["LOADSTATUS", "MESSAGE"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 U1 — k=v detail parsing (plus JSON props, the modern variant)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )

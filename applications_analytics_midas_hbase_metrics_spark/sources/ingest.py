@@ -85,6 +85,11 @@ def read_trigger(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_mucr(spark: SparkSession, path: str) -> DataFrame:
+    """MUCR file scan + variable-arity parse (Utils.scala:486-536)."""
+    return parse_mucr_lines(spark.read.text(path))
+
+
+def parse_mucr_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     """MUCR variable-arity parse, fully JVM-side.
 
     Reference algorithm (Utils.scala:504-536): split the line on \\x00,
@@ -94,11 +99,10 @@ def read_mucr(spark: SparkSession, path: str) -> DataFrame:
 
     Here: three-arg split (trailing-empty safe) → ``transform(sequence(...))``
     builds the struct array → ``explode``.  Malformed rows where the tail
-    length disagrees with ``number_of_counters`` are dropped and counted
+    length disagrees with ``number_of_counters`` are dropped
     (the reference would throw, SURVEY.md hard part #5).
     """
-    lines = spark.read.text(path)
-    parts = F.split(F.col("value"), DELIM, -1)
+    parts = F.split(F.col(line_col), DELIM, -1)
     df = lines.select(
         *[parts.getItem(i).alias(n) for i, n in enumerate(MUCR_FIXED)],
         F.slice(parts, len(MUCR_FIXED) + 1, F.size(parts) - len(MUCR_FIXED)).alias(
