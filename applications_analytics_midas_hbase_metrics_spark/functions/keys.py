@@ -157,8 +157,9 @@ def expr_ws(*col_names: str, delim: str = DELIM) -> Column:
 # Oracle-side helper: the same salt as ANSI SQL DuckDB can evaluate.
 # ---------------------------------------------------------------------------
 
-def duckdb_salt_sql(key_expr: str, buckets: int = SALT_BUCKETS) -> str:
-    """DuckDB SQL expression computing :func:`salt_py` of ``key_expr``.
+def duckdb_java_hash_sql(key_expr: str) -> str:
+    """DuckDB SQL expression computing :func:`java_hash_py` of ``key_expr``
+    (signed int32 result as BIGINT).
 
     Character codepoints equal UTF-8 bytes for ASCII keys, which is what
     the synthetic tables produce; the harness compares this against the
@@ -169,8 +170,12 @@ def duckdb_salt_sql(key_expr: str, buckets: int = SALT_BUCKETS) -> str:
         f"list_transform(split({key_expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
         "(acc, x) -> (acc * 31 + x) % 4294967296)"
     )
-    h_signed = (
+    return (
         f"(CASE WHEN {h_unsigned} >= 2147483648 "
         f"THEN {h_unsigned} - 4294967296 ELSE {h_unsigned} END)"
     )
-    return f"CAST(abs({h_signed}) % {buckets} AS TINYINT)"
+
+
+def duckdb_salt_sql(key_expr: str, buckets: int = SALT_BUCKETS) -> str:
+    """DuckDB SQL expression computing :func:`salt_py` of ``key_expr``."""
+    return f"CAST(abs({duckdb_java_hash_sql(key_expr)}) % {buckets} AS TINYINT)"

@@ -1,0 +1,403 @@
+"""Deduplication operators for large-scale training-data pipelines —
+extensions beyond the reference surface (BASELINE.json north star;
+SURVEY.md §7 phase 7).
+
+All operators are pure DataFrame compositions (no Python in the hot
+path):
+
+  * exact duplicates        — hash group-by on normalized content
+  * MinHash + LSH           — shingle → minhash signature → banded
+                              bucket join → exact-Jaccard verification
+  * SimHash                 — 64-bit sign-aggregated fingerprint, built
+                              on the Java-hash so an external SQL engine
+                              can reproduce it bit-for-bit
+  * n-gram Jaccard          — character-n-gram set similarity
+  * embedding near-dup      — cosine over `array<float>` with
+                              hyperplane-LSH bucketing as the scale path
+
+Scale design: every candidate-generation step is a shuffle on a
+*bucket key* (band hash / signature / simhash prefix), never an O(n²)
+cross join; the quadratic step only runs inside buckets.  The exact
+verification joins are shuffle-on-doc_id.  At 100 TB the shingle/
+signature build is embarrassingly parallel and AQE handles bucket skew
+(hot bands from boilerplate text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.keys import java_hash
+
+# Mersenne prime for the affine minhash permutations (universal hashing).
+_MH_PRIME = 2_147_483_647
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared)
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens; empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as space-joined strings.  Documents
+    shorter than k tokens get their whole text as the single shingle."""
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the lower-cased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    ln = F.length(low)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)),
+        lambda i: F.substring(low, i, n).cast("string"),
+    )
+    return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(low)))
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup — hash group-by
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical content: (content_hash, n_copies, keep_id,
+    dup_ids).  One shuffle on the 256-bit content hash; the texts
+    themselves never shuffle (map-side hash first) — at 100 TB this moves
+    ~40 bytes/doc, not documents."""
+    h = F.sha2(F.col(content_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).cast("bigint").alias("id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("id").alias("keep_id"),
+            F.array_sort(F.collect_list("id")).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each identical-content group."""
+    w_key = F.sha2(F.col(content_col), 256)
+    ranked = df.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy(w_key).orderBy(F.col(id_col))),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint>: for permutation j,
+    ``min over shingles of (a_j * xxhash64(s) + b_j) mod p``.
+
+    The a/b constants are fixed odd/even sequences, so the signature is
+    deterministic across runs and partitions.  Entirely JVM-side
+    (xxhash64 + higher-order functions)."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the HOF arity
+        # (PySpark counts every positional parameter as a lambda argument)
+        return lambda h: F.pmod(a * F.pmod(h, _MH_PRIME) + b, _MH_PRIME)
+
+    sigs = []
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 2654435761 * (j + 1) % _MH_PRIME
+        sigs.append(F.array_min(F.transform(base, perm(a, b))))
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, rows_per_band: int = 2) -> Column:
+    """Array of (band_id, band_hash) structs — hashing ``rows_per_band``
+    consecutive signature entries per band."""
+    n_bands = F.size(signature) / rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), n_bands.cast("int") - 1),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape: shingle+sign map-side → explode bands → shuffle on
+    (band_id, band_hash) → per-bucket self-join (candidates) → distinct →
+    exact-Jaccard verify via two shuffle joins back to the shingle sets.
+    With r=2, b=32 the probability of missing an s=0.7 pair is
+    (1-0.49)^32 ≈ 1e-9; candidates are verified exactly, so false
+    positives are filtered, making the output equal to the brute-force
+    answer (which is what the DuckDB oracle computes)."""
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        word_shingles(tokens(text_col), shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    bands = sig.select(
+        "id", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
+    ).select("id", "band.band_id", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash — Java-hash based so external engines can reproduce it
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Sign-aggregated fingerprint over *distinct* token Java-hashes.
+
+    For each bit b: count tokens whose hash has bit b set; the
+    fingerprint has bit b set iff that count exceeds half the token
+    count.  Uses the 32-bit Java hash (functions.keys.java_hash), so a
+    SQL oracle can reproduce the value exactly; returns BIGINT.
+
+    Implementation is explode → per-token hash → 32 conditional sums in
+    one hash-aggregate.  (Not `transform(tokens, java_hash)`: PySpark
+    names every lambda variable x/y/z, so nesting java_hash's internal
+    `aggregate` inside another HOF lambda silently shadows the outer
+    variable — an engine-level footgun; the explode form is also the
+    shape that scales, since the per-doc work becomes map-side partial
+    aggregation instead of one giant expression tree.)
+
+    Documents with zero tokens produce no row (no content → no
+    fingerprint)."""
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    hashed = toks.select("id", java_hash("tok").cast("bigint").alias("h"))
+    aggs = [F.count("*").alias("n")]
+    for b in range(bits):
+        mask = 1 << b
+        aggs.append(
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+            ).alias(f"v{b}")
+        )
+    votes = hashed.groupBy("id").agg(*aggs)
+    total = F.lit(0).cast("bigint")
+    for b in range(bits):
+        total = total + F.when(
+            F.col(f"v{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("id", total.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming, candidate-blocked on
+    the top ``prefix_bits`` of the fingerprint (at scale: multi-table
+    simhash blocking; here one prefix block keeps it one shuffle)."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    block = F.shiftright(F.col("simhash"), bits - prefix_bits)
+    fp = fp.withColumn("block", block)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Character-n-gram Jaccard for an explicit pair relation ``on``
+    (e.g. consecutive ids, or candidate pairs from another blocker)."""
+    l = left.select(
+        F.col(id_col).cast("bigint").alias("id_a"),
+        char_ngrams(text_col, n).alias("ng_a"),
+    )
+    r = right.select(
+        F.col(id_col).cast("bigint").alias("id_b"),
+        char_ngrams(text_col, n).alias("ng_b"),
+    )
+    return (
+        l.join(r, on)
+        .withColumn("jaccard", F.round(_jaccard(F.col("ng_a"), F.col("ng_b")), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product — same operation order as the SQL
+    oracle's list_reduce, so doubles agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Cosine near-dup pairs via hyperplane-LSH blocking + exact verify.
+
+    Candidates share the full ``num_planes``-bit hyperplane signature —
+    a (near-)duplicate pair (cos >= 0.95, angle <= 18°) flips any one
+    plane with p = angle/pi ≈ 0.1, so we also join on signatures at
+    Hamming distance <= 1 (signature ∪ one-bit-flips), giving recall
+    ≈ 1-(1-(1-p)^16-16p(1-p)^15) ≈ 0.99995 for the verify step to
+    finish exactly.  The hyperplanes are deterministic pseudo-random
+    unit-free directions derived from xxhash64(plane, dim)."""
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    )
+
+    # Plane p is built per-Python-loop (p is a literal) so no HOF lambda
+    # nests inside another — see simhash_fingerprints for why that matters.
+    def plane_projection(p: int) -> Column:
+        def component(d: Column) -> Column:
+            h = F.xxhash64(F.concat_ws("_", F.lit(str(p)), d.cast("string")))
+            return (F.pmod(h, F.lit(2000003)).cast("double") / 1000001.5) - 1.0
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("v"), d + 1).cast("double") * component(d),
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        sig = sig + F.when(
+            plane_projection(p) >= 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    signed = base.withColumn("sig", sig)
+
+    # bucket keys: the signature itself plus every one-bit flip
+    probes = F.array(
+        F.col("sig"),
+        *[
+            F.col("sig").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(num_planes)
+        ],
+    )
+    exploded = signed.select("id", F.explode(probes).alias("bucket"))
+    a = exploded.alias("a")
+    b = signed.select("id", "sig").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base
+    verified = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+    return verified

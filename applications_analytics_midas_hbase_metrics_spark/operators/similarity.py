@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>) — the ANN
+surface of the training-data pipeline extensions (SURVEY.md §7 phase 7).
+
+Two paths:
+  * brute-force top-k — exact; query set broadcast against the corpus,
+    one shuffle for the per-query top-k.  Right answer at any scale
+    where (|queries| × |corpus|) dot products are affordable.
+  * IVF (inverted-file) top-k — the scale path: corpus is assigned to
+    the nearest of C centroids (built once, offline here via
+    deterministic seeding + one Lloyd step), queries probe the
+    ``nprobe`` nearest centroid lists only, cutting the scanned corpus
+    to ~nprobe/C.  All DataFrame ops; the centroid table broadcasts.
+
+Dot products use a strict left-fold (same order as the SQL oracle's
+list_reduce) so doubles agree bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.  ``queries`` is broadcast (small by
+    construction); ranking ties break on corpus id so output is total-
+    ordered and oracle-comparable."""
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _assign_nearest(df: DataFrame, centroids: DataFrame, vec: str, out: str) -> DataFrame:
+    """Assign each row to its nearest centroid by cosine (broadcast join +
+    per-row argmax over the exploded centroid set)."""
+    scored = df.join(F.broadcast(centroids), how="cross").withColumn(
+        "_sim", cosine(F.col(vec), F.col("centroid"))
+    )
+    w = Window.partitionBy(df.columns[0]).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_sim", "_r", "centroid")
+        .withColumnRenamed("centroid_id", out)
+    )
+
+
+def build_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_steps: int = 1,
+) -> DataFrame:
+    """Deterministic IVF codebook: seed with the ``num_centroids`` rows of
+    lowest id (reproducible, no RNG), then ``lloyd_steps`` rounds of
+    assign + mean.  Returns (centroid_id, centroid array<double>).
+
+    At 100 TB you'd train on a sample and persist the codebook; the
+    training cost here is one broadcast join per Lloyd step."""
+    base = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    w = Window.orderBy("id")
+    seeds = (
+        base.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= num_centroids)
+        .select((F.col("_r") - 1).cast("int").alias("centroid_id"), F.col("v").alias("centroid"))
+    )
+    cents = seeds
+    for _ in range(lloyd_steps):
+        assigned = _assign_nearest(
+            base.select("id", "v"), cents, vec="v", out="cid"
+        )
+        # element-wise mean via posexplode: two shuffles on small keys,
+        # no giant per-group array expressions — this is the shape that
+        # survives 100 TB corpora (per-(centroid, dim) partial means)
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                F.col("cid").cast("int").alias("centroid_id"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-approximate cosine top-k: corpus rows are searched only when
+    their centroid is among the query's ``nprobe`` nearest centroids.
+    Same output schema as brute_force_topk."""
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
+    )
+    c_assigned = _assign_nearest(c, centroids, vec="cv", out="list_id")
+
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_scored = q.join(F.broadcast(centroids), how="cross").withColumn(
+        "_sim", cosine(F.col("qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    q_probes = (
+        q_scored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+    )
+
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting (SURVEY.md §7 phase 7).
+
+Everything is built-in-expression-only (no UDFs) and reproducible in an
+external SQL engine, so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.keys import java_hash
+from .dedup import tokens
+
+#: Tiny stopword profiles for the n-gram/stopword language heuristic.
+#: Deliberately small and fixed: the point is deterministic, scalable
+#: scoring, not linguistic accuracy.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+#: BPE-ish token pattern: word pieces, digits, or single punctuation.
+TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def lang_scores(text_col: Column | str) -> Column:
+    """Map of language → stopword-hit fraction of tokens."""
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    entries = [
+        F.struct(
+            F.lit(lang).alias("key"),
+            (_count_in(toks, sw).cast("double") / n).alias("value"),
+        )
+        for lang, sw in LANG_PROFILES.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in a fixed word set.  ``Column.isin`` is not
+    supported on lambda variables, so membership is array_contains
+    against a literal array."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def identify_language(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, lang_score): argmax over the profile scores,
+    ties broken by language code so the result is total-ordered."""
+    scores = [
+        (lang, F.col("scores").getItem(lang)) for lang in sorted(LANG_PROFILES)
+    ]
+    best = scores[0][1]
+    best_lang = F.lit(scores[0][0])
+    for lang, s in scores[1:]:
+        is_better = s > best
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best = F.when(is_better, s).otherwise(best)
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            lang_scores(text_col).alias("scores"),
+        )
+        .select(
+            "id",
+            best_lang.alias("predicted_lang"),
+            F.round(best, 6).alias("lang_score"),
+        )
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + composite score:
+    n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    quality_score.  All arithmetic in deterministic double ops."""
+    toks = tokens(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    safe_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    safe_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    mean_token_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        .cast("double")
+        / safe_tokens
+    )
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+    punct_ratio = punct / safe_chars
+    en_sw = LANG_PROFILES["en"]
+    stop_ratio = _count_in(toks, en_sw).cast("double") / safe_tokens
+    # monotone, bounded composite: favors mid-length docs with some
+    # stopword mass and little punctuation noise
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_token_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens): whitespace token count and a BPE-ish
+    regex token count (word pieces / digits / punctuation)."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.size(tokens(text_col)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("bigint").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 32-bit rolling-hash fingerprint of the normalized
+    text (lower-case, collapsed whitespace) — the Java polynomial hash,
+    reproducible in any SQL engine (functions.keys)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        java_hash(normalized).cast("bigint").alias("fingerprint"),
+    )

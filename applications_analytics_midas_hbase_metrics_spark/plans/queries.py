@@ -541,3 +541,8 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
         )
     )
+
+
+# Extension queries (dedup / similarity / text / multimodal / windows)
+# register themselves on import.
+from . import queries_ext  # noqa: E402, F401  (registry side-effect)

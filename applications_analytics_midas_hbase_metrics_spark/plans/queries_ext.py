@@ -1,0 +1,474 @@
+"""Training-data-pipeline extension queries (dedup, similarity search,
+text analysis, multimodal, event windows) with DuckDB oracles.
+
+Corpus constructions (duplicated docs, truncated near-dups, perturbed
+embeddings) are built identically in Spark and in the oracle SQL so the
+differential harness checks the *operator*, not the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import duckdb_java_hash_sql
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import text as T
+from ..streaming import windows as W
+from .queries import register, t
+
+# ---------------------------------------------------------------------------
+# Shared corpus builders
+# ---------------------------------------------------------------------------
+
+#: DuckDB tokens fragment (lower-cased, empties removed) — matches
+#: operators.dedup.tokens.
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk != '')"
+)
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (+100000) ∪ second copies of doc_id%5==0
+    (+200000): known duplicate groups of size 2 and 3."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    c2 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.union(c1).union(c2)
+
+
+_DUP_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 100000, text FROM documents
+    UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 70%-token-prefix copies (+100000): true near-dup pairs
+    with word-shingle Jaccard ≈ 0.7."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = D.tokens("text")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.ceil(F.size(toks) * 0.7).cast("int")), " "
+    )
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
+    return docs.union(copies)
+
+
+_NEARDUP_DOCS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(({_TOKS})[1:CAST(ceil(len({_TOKS}) * 0.7) AS INT)], ' ')
+    FROM documents
+"""
+
+#: DuckDB distinct word-3-shingles fragment over alias ``tks``.
+_SHINGLES_SQL = """
+    list_distinct(CASE WHEN len(tks) >= 3
+        THEN list_transform(range(1, len(tks) - 1),
+                            i -> array_to_string(tks[i:i+2], ' '))
+        ELSE [array_to_string(tks, ' ')] END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUP_DOCS_SQL})
+    SELECT sha256(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_docs(spark, sf_dir)
+    return D.exact_duplicates(corpus).select("content_hash", "n_copies", "keep_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: MinHash + LSH with exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS tks FROM corpus)
+        WHERE len(tks) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.shingles), len(b.shingles))
+         >= 0.5 * greatest(len(a.shingles), len(b.shingles))
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_docs(spark, sf_dir)
+    return D.minhash_near_duplicates(corpus, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: SimHash fingerprints (bit-exact cross-engine)
+# ---------------------------------------------------------------------------
+
+_TOK_HASHES_SQL = f"""
+    SELECT doc_id,
+           list_transform(list_distinct({_TOKS}),
+                          tk -> {duckdb_java_hash_sql('tk')}) AS hs,
+           len(list_distinct({_TOKS})) AS n
+    FROM documents
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 <> 0)) > n
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+               AS simhash
+    FROM ({_TOK_HASHES_SQL})
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: n-gram Jaccard (consecutive-id pair relation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram",
+    oracle="""
+    WITH ng AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN length(lower(text)) >= 5
+                   THEN list_transform(range(1, length(lower(text)) - 3),
+                                       i -> substr(lower(text), CAST(i AS INT), 5))
+                   ELSE [lower(text)] END) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pair_on = F.col("id_b") == F.col("id_a") + 1
+    return D.ngram_jaccard_pairs(docs, docs, pair_on, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 5: embedding cosine near-dup (LSH-blocked, exact-verified)
+# ---------------------------------------------------------------------------
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_PERT_EMB_SQL = f"""
+    SELECT vec_id, {_EMB_D} AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_prepend(({_EMB_D})[1] * 1.01, ({_EMB_D})[2:])
+    FROM embeddings
+"""
+
+#: strict left-fold dot product over alias pairs (matches dedup._dot)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH corpus AS ({_PERT_EMB_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.95
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
+        ).alias("embedding"),
+    )
+    corpus = base.union(pert)
+    return D.embedding_near_duplicates(corpus, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force top-k (exact) + IVF (scale path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+    q AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings WHERE vec_id < 10)
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round({_cos_sql('q.v', 'c.v')}, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id) AS INT) AS rank
+    FROM q JOIN c ON c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@register("ann_ivf")  # approximate by design → rows-only check
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.build_ivf_centroids(emb, num_centroids=16)
+    return SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"round(CAST(len(list_filter(tks, tk -> tk IN "
+    f"({', '.join(repr(w) for w in sw)}))) AS DOUBLE)"
+    f" / greatest(len(tks), 1), 12) AS s_{lang}"
+    for lang, sw in T.LANG_PROFILES.items()
+)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_LANG_SCORES_SQL}
+        FROM (SELECT doc_id, {_TOKS} AS tks FROM documents)
+    )
+    SELECT doc_id AS id,
+           CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           round(best, 6) AS lang_score
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return T.identify_language(docs)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS} AS tks,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(tks) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(tks, tk -> length(tk))) AS DOUBLE)
+                 / greatest(len(tks), 1), 6) AS mean_token_len,
+           round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6)
+               AS punct_ratio,
+           round(CAST(len(list_filter(tks, tk -> tk IN
+                 ('the','a','of','and','to','in','is','that','it','for')))
+                 AS DOUBLE) / greatest(len(tks), 1), 6) AS stopword_ratio,
+           round(
+             least(CAST(len(tks) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least((CAST(len(list_filter(tks, tk -> tk IN
+                 ('the','a','of','and','to','in','is','that','it','for')))
+                 AS DOUBLE) / greatest(len(tks), 1)) * 5.0, 1.0) * 0.4
+             + (1.0 - least((CAST(n_punct AS DOUBLE)
+                 / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2, 6)
+               AS quality_score
+    FROM base
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return T.quality_features(docs)
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return T.token_counts(docs)
+
+
+_NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_FP_HASH_SQL = duckdb_java_hash_sql(_NORM_TEXT_SQL)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST({_FP_HASH_SQL} AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return T.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched mapInPandas with stubbed decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS id, 'image' AS modality,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INT) AS width,
+           CAST(strlen(text) % 480 + 1 AS INT) AS height,
+           round(CAST(list_sum(list_transform(split(text, ''), ch -> ord(ch)))
+                 AS DOUBLE) / strlen(text), 6) AS mean_byte,
+           'ok' AS feature_ok
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    mm = MM.attach_binary_payload(docs, source_col="text", id_col="doc_id")
+    return MM.extract_features(mm)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream windows (batch expressions — identical ones drive streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return W.tumbling_counts(ev, "1 hour")
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS window_start
+        FROM events
+    ) GROUP BY 1
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return W.sliding_counts(ev, "1 hour", "30 minutes")
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return W.session_aggregate(ev, "30 minutes")
+
+
+@register(
+    "window_user_activity",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(gap_s), 6) AS avg_gap_s,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) AS active_span_s
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return W.user_activity_features(ev)

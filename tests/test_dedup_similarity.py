@@ -1,0 +1,128 @@
+"""Dedup + similarity operator tests (training-data pipeline extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.operators import dedup as D
+from applications_analytics_midas_hbase_metrics_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy"),      # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("A  b C",)], ["text"])
+    out = df.select(
+        D.tokens("text").alias("t"),
+        D.word_shingles(D.tokens("text"), 2).alias("s2"),
+        D.word_shingles(D.tokens("text"), 5).alias("s5"),
+    ).first()
+    assert out.t == ["a", "b", "c"]
+    assert out.s2 == ["a b", "b c"]
+    assert out.s5 == ["a b c"]  # shorter than k -> whole text
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2 and groups[0].keep_id == 1
+    kept = D.drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = D.minhash_near_duplicates(docs, threshold=0.3, shingle_k=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_exact_dup_has_jaccard_one(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_duplicates(docs, threshold=0.3, shingle_k=2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_identical_and_distant(docs):
+    fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    assert fps[1] != fps[4]
+    assert 5 not in fps  # empty doc -> no fingerprint
+    pairs = D.simhash_near_duplicates(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert (1, 2, 0) in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzzzzz")], ["doc_id", "text"]
+    )
+    out = D.ngram_jaccard_pairs(
+        df, df, F.col("id_b") == F.col("id_a") + 1, n=3
+    ).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert j[(1, 2)] == 1.0
+    assert j[(2, 3)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_embedding_near_duplicates_finds_perturbed(spark, embeddings):
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.limit(50).select("vec_id", vd.alias("embedding"))
+    pert = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
+    )
+    pairs = D.embedding_near_duplicates(base.union(pert), threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    base_ids = [r.vec_id for r in base.collect()]
+    for i in base_ids:
+        assert (i, i + 1000) in got  # every perturbed copy found
+    # scaling a vector keeps cosine == 1
+    sample = pairs.filter(F.col("id_a") == base_ids[0]).first()
+    assert sample.cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_brute_force_topk_self_excluded_and_ranked(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(embeddings, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r.corpus_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for ranked in by_q.values():
+        ranked.sort()
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_recall_vs_brute_force(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(embeddings, q, k=5)
+    cents = SIM.build_ivf_centroids(embeddings, num_centroids=8)
+    approx = SIM.ivf_topk(embeddings, q, cents, k=5, nprobe=4)
+    b = {(r.query_id, r.corpus_id) for r in brute.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -1,0 +1,88 @@
+"""Text analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.functions.keys import java_hash_py
+from applications_analytics_midas_hbase_metrics_spark.operators import multimodal as MM
+from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a good day for the cat"),
+        (2, "der Hund ist nicht ein Tier und das ist gut"),
+        (3, "!!! ??? ... ###"),
+        (4, "le chat est sur la table et il est pour les chats"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_identify_language(docs):
+    got = {r.id: r.predicted_lang for r in T.identify_language(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[4] == "fr"
+
+
+def test_quality_features(docs):
+    rows = {r.id: r for r in T.quality_features(docs).collect()}
+    good, punct = rows[1], rows[3]
+    assert good.stopword_ratio > 0.2
+    assert punct.punct_ratio > 0.5
+    assert good.quality_score > punct.quality_score
+    assert rows[1].n_tokens == 15
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], ["doc_id", "text"])
+    r = T.token_counts(df).first()
+    assert r.ws_tokens == 4
+    # hello, world, ',', 4, 2, times, '!' -> 7
+    assert r.bpe_tokens == 7
+
+
+def test_fingerprint_matches_python_hash(spark):
+    df = spark.createDataFrame([(1, "Some  Text\nHere")], ["doc_id", "text"])
+    r = T.fingerprint(df).first()
+    assert r.fingerprint == java_hash_py("some text here")
+
+
+def test_multimodal_feature_extraction(docs):
+    mm = MM.attach_binary_payload(docs, "text", "doc_id")
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = {r.id: r for r in MM.extract_features(mm).collect()}
+    assert all(r.feature_ok == "ok" for r in feats.values())
+    r1 = feats[1]
+    text1 = "the cat sat on the mat and it is a good day for the cat"
+    assert r1.n_bytes == len(text1.encode())
+    assert r1.mean_byte == pytest.approx(
+        sum(text1.encode()) / len(text1.encode()), abs=1e-6
+    )
+    assert 1 <= r1.width <= 640 and 1 <= r1.height <= 480
+
+
+def test_multimodal_error_isolation(spark):
+    # empty payload must produce an error row, not kill the task
+    df = spark.createDataFrame([(1, ""), (2, "ok")], ["doc_id", "text"])
+    mm = MM.attach_binary_payload(df, "text", "doc_id")
+    rows = {r.id: r for r in MM.extract_features(mm).collect()}
+    assert rows[1].feature_ok.startswith("error:")
+    assert rows[2].feature_ok == "ok"
+
+
+def test_sample_frames_stride(spark):
+    df = spark.createDataFrame([(1, "x" * 300)], ["doc_id", "text"])
+    mm = MM.attach_binary_payload(df, "text", "doc_id")
+    frames = MM.sample_frames(mm, every_n_bytes=64, max_frames=8).collect()
+    assert len(frames) == 4  # 300 // 64
+    assert all(len(f.frame) <= 64 for f in frames)
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2, 3]
+
+
+def test_decode_image_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_real(b"\x89PNG")
