@@ -77,13 +77,25 @@ def salt_py(s: str, buckets: int = SALT_BUCKETS) -> int:
 
 def java_hash(col: Column | str) -> Column:
     """Java-hash of a string column, computed entirely with built-in SQL
-    expressions over the UTF-8 bytes: ``encode(col,'UTF-8')`` then per-byte
-    ``conv(hex(substring(bin,i,1)),16,10)`` folded with
-    ``(acc*31 + signed_byte) mod 2^32``."""
+    expressions (stays in whole-stage codegen).
+
+    Fast path (the common case — every key the reference builds is
+    ASCII): fold ``ascii(char)`` over ``split(col, '')`` — codepoint ==
+    UTF-8 byte below 0x80.  Slow path for non-ASCII strings: per-byte
+    ``conv(hex(substring(encode(col),i,1)),16,10)``.  CASE WHEN picks the
+    branch per row, so unicode keys still hash byte-exactly."""
     c = F.col(col) if isinstance(col, str) else col
     bin_col = F.encode(c, "UTF-8")
+    is_ascii = F.length(bin_col) == F.length(c)
+
+    ascii_unsigned = F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(_TWO_32),
+    )
+
     idx = F.sequence(F.lit(1), F.length(bin_col))
-    unsigned = F.aggregate(
+    byte_unsigned = F.aggregate(
         idx,
         F.lit(0).cast("long"),
         lambda acc, i: (
@@ -92,13 +104,14 @@ def java_hash(col: Column | str) -> Column:
             + F.lit(_TWO_32)  # keep non-negative before the mod
         ) % F.lit(_TWO_32),
     )
+    unsigned = F.when(is_ascii, ascii_unsigned).otherwise(byte_unsigned)
     signed = (
         F.when(unsigned >= F.lit(_TWO_31), unsigned - F.lit(_TWO_32))
         .otherwise(unsigned)
         .cast("int")
     )
     # sequence(1, 0) would DESCEND, not produce an empty array — guard "".
-    return F.when(F.length(bin_col) == 0, F.lit(0)).otherwise(signed)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(signed)
 
 
 def _signed_byte(one_byte_bin: Column) -> Column:

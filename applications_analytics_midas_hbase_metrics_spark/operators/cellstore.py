@@ -83,13 +83,15 @@ def to_cells(
         name_col.cast("string").alias("col_name"),
         row_key(*value_cols).alias("cell_value"),
     )
+    # Salt is a function of row_key alone, so compute it AFTER the
+    # aggregation: once per group (not per input row, like the
+    # reference's per-row UDF + max() piggyback at Utils.scala:215-227),
+    # and in the post-shuffle stage where parallelism is the partition
+    # count rather than the input-file split count.
     return (
-        shaped.withColumn("salt", salt_bucket(F.col("row_key"), buckets))
-        .groupBy("row_key", "col_name")
-        .agg(
-            F.array_sort(F.collect_list("cell_value")).alias("values"),
-            F.max("salt").alias("salt"),
-        )
+        shaped.groupBy("row_key", "col_name")
+        .agg(F.array_sort(F.collect_list("cell_value")).alias("values"))
+        .withColumn("salt", salt_bucket(F.col("row_key"), buckets))
     )
 
 

@@ -179,7 +179,32 @@ def minhash_near_duplicates(
         F.col(id_col).cast("bigint").alias("id"),
         word_shingles(tokens(text_col), shingle_k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # The shingle table is consumed three times (signature build + both
+    # sides of the verification join); persist it so shingling — the
+    # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
+    # corpora that outgrow executor memory.
+    base = base.persist()
+    # Signatures via explode + 64 min-aggregates: each shingle is hashed
+    # exactly once and the mins fold map-side (partial aggregation), so
+    # the cost is O(shingles × num_hashes) arithmetic in codegen — the
+    # shape that survives a 100 TB corpus.  The per-row expression form
+    # (64 × transform+array_min over the array) re-evaluates the shingle
+    # hash per permutation and builds 64 intermediate arrays per row.
+    hashed = base.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(_MH_PRIME)).alias("h")
+    )
+    mins = []
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 2654435761 * (j + 1) % _MH_PRIME
+        mins.append(
+            F.min(F.pmod(a * F.col("h") + b, F.lit(_MH_PRIME))).alias(f"m{j}")
+        )
+    sig = (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"))
+    )
     bands = sig.select(
         "id", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
     ).select("id", "band.band_id", "band.band_hash")

@@ -54,6 +54,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread: the synthetic tables are single-row-group parquet
+    files (unsplittable → one scan task), so expression-heavy map stages
+    would run single-threaded.  One cheap round-robin shuffle up front
+    unlocks full-core parallelism — the standard small-hot-input fix; on
+    a real multi-file 100 TB table the scan parallelizes by itself and
+    this repartition is unnecessary."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 A1 — the flagship group-concat cell build (Utils.scala:225-227)
 # ---------------------------------------------------------------------------
@@ -365,8 +377,9 @@ def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mucr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Build MUCR-format lines from the synthetic tables, then prove the
-    # higher-order-function parser inverts them exactly.
-    orders = t(spark, sf_dir, "orders")
+    # higher-order-function parser inverts them exactly.  (lineitem's
+    # l_orderkey ⊆ orders, so grouping lineitem alone is relationally
+    # identical to the oracle's orders⋈lineitem — no join needed.)
     li = t(spark, sf_dir, "lineitem")
     triples = li.groupBy("l_orderkey").agg(
         F.array_sort(
@@ -377,10 +390,10 @@ def q_mucr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("triples")
     )
-    lines = orders.join(triples, orders.o_orderkey == triples.l_orderkey).select(
+    lines = triples.select(
         F.concat_ws(
             DELIM,
-            F.col("o_orderkey").cast("string"),
+            F.col("l_orderkey").cast("string"),
             F.lit("1"),
             F.lit("prog"),
             F.lit("P"),

@@ -30,6 +30,14 @@ _TOKS = (
 )
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The synthetic doc/embedding tables are single parquet files → 1-2
+    input partitions, which serializes the CPU-heavy shingle/signature
+    stages.  Spread to the session's core count — the same fix a real
+    job applies to small hot inputs before expression-heavy stages."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (+100000) ∪ second copies of doc_id%5==0
     (+200000): known duplicate groups of size 2 and 3."""
@@ -38,7 +46,7 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    return docs.union(c1).union(c2)
+    return _spread(spark, docs.union(c1).union(c2))
 
 
 _DUP_DOCS_SQL = """
@@ -57,7 +65,7 @@ def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 1, F.ceil(F.size(toks) * 0.7).cast("int")), " "
     )
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
-    return docs.union(copies)
+    return _spread(spark, docs.union(copies))
 
 
 _NEARDUP_DOCS_SQL = f"""
@@ -154,7 +162,7 @@ _TOK_HASHES_SQL = f"""
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     return D.simhash_fingerprints(docs)
 
 
@@ -182,7 +190,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     pair_on = F.col("id_b") == F.col("id_a") + 1
     return D.ngram_jaccard_pairs(docs, docs, pair_on, n=5)
 
@@ -226,7 +234,7 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), vd.alias("embedding"))
     pert = emb.select(
@@ -258,14 +266,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.brute_force_topk(emb, queries, k=10)
 
 
 @register("ann_ivf")  # approximate by design → rows-only check
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     cents = SIM.build_ivf_centroids(emb, num_centroids=16)
     return SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4)
@@ -299,7 +307,7 @@ _LANG_SCORES_SQL = ",\n".join(
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.identify_language(docs)
 
 
@@ -333,7 +341,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.quality_features(docs)
 
 
@@ -348,7 +356,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.token_counts(docs)
 
 
@@ -365,7 +373,7 @@ _FP_HASH_SQL = duckdb_java_hash_sql(_NORM_TEXT_SQL)
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.fingerprint(docs)
 
 
@@ -388,7 +396,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
     mm = MM.attach_binary_payload(docs, source_col="text", id_col="doc_id")
     return MM.extract_features(mm)
 

@@ -24,6 +24,17 @@ def get_spark(
     default) only adds task-scheduling overhead; on a real cluster the
     caller passes ~2-3x total cores.
     """
+    # Python workers (pandas UDFs / mapInPandas) import this package by
+    # module name; make sure the repo root reaches their PYTHONPATH even
+    # when the driver script runs from elsewhere (sys.path edits on the
+    # driver don't propagate to executor Python processes).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
