@@ -178,9 +178,12 @@ def duckdb_java_hash_sql(key_expr: str) -> str:
     the synthetic tables produce; the harness compares this against the
     byte-exact Spark implementation.
     """
+    # list_filter: DuckDB split('','') yields [''] and ord('') is -1,
+    # which would corrupt the fold for empty strings.
     h_unsigned = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(split({key_expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"list_transform(list_filter(split({key_expr}, ''), c -> c != ''), "
+        "c -> CAST(ord(c) AS BIGINT))), "
         "(acc, x) -> (acc * 31 + x) % 4294967296)"
     )
     return (

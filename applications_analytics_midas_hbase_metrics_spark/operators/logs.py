@@ -51,6 +51,17 @@ def extract_job_status(log_df: DataFrame, line_col: str = "value") -> DataFrame:
     )
 
 
+def timestamped_log_name(df: DataFrame, prefix: str = "testlog", ts_col: str = "ts") -> DataFrame:
+    """Log-file naming with the reference's timestamp format
+    ``yyyy-MM-dd-H_mm_ss`` (Utils.scala:646) as a column op."""
+    return df.withColumn(
+        "log_name",
+        F.concat(
+            F.lit(prefix + "_"), F.date_format(F.col(ts_col), "yyyy-MM-dd-H_mm_ss")
+        ),
+    )
+
+
 def job_status_scan(cells: DataFrame, job_seq_key: str) -> DataFrame:
     """The MDS_METRIC prefix scan (MetricDetails.scala:99-117): row keys
     ``IF{job_seq_key}…``, projected status qualifiers.  On the Parquet cell

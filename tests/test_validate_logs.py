@@ -74,6 +74,14 @@ def test_extract_job_status_missing_defaults(spark):
     assert r.exit_code == L.MISSING_EXIT
 
 
+def test_timestamped_log_name(spark):
+    df = spark.createDataFrame([("2024-03-05 07:08:09",)], ["ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = L.timestamped_log_name(df, prefix="runTestRunner").first()
+    assert r.log_name == "runTestRunner_2024-03-05-7_08_09"
+
+
 def test_job_status_scan_prefix(spark):
     cells = spark.createDataFrame(
         [
