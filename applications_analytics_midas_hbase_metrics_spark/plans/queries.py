@@ -45,7 +45,36 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _prepare_session(spark: SparkSession) -> None:
+    """Make any caller-provided session (the driver constructs its own)
+    able to run the registry: nanos-timestamp parquet compat, UTC
+    timestamps so collected datetimes match a UTC-naive oracle, and the
+    package shipped to Python workers for the mapInPandas paths.  All
+    runtime-settable; idempotent and cheap."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not getattr(spark, "_midas_pyfiles_shipped", False):
+        import os
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(
+            tempfile.mkdtemp(prefix="midas_pkg_"), "applications_analytics_midas_hbase_metrics_spark.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, root))
+        spark.sparkContext.addPyFile(zpath)
+        spark._midas_pyfiles_shipped = True  # type: ignore[attr-defined]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # TIMESTAMP(NANOS) read as long (see session.py) → truncate to
