@@ -585,6 +585,7 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Extension queries (dedup / similarity / text / multimodal / windows)
-# register themselves on import.
+# Extension queries (dedup / similarity / text / multimodal / windows /
+# analytics) register themselves on import.
 from . import queries_ext  # noqa: E402, F401  (registry side-effect)
+from . import queries_analytics  # noqa: E402, F401  (registry side-effect)

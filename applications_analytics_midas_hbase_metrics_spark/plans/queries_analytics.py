@@ -1,0 +1,196 @@
+"""Analytics-surface queries beyond the reference: as-of join, skew-salted
+aggregation, rollup, ranking windows, set operations.  All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import joins as J
+from .queries import register, t
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click joined to the user's most recent prior error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), errors AS (
+        SELECT user_id, ts, event_id AS err_id, value AS err_value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.event_id,
+           e.err_id AS right_err_id,
+           e.err_value AS right_err_value
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = J.asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["err_id", "err_value"],
+        how="left",
+    )
+    return out.select("user_id", "event_id", "right_err_id", "right_err_value")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted two-phase aggregation (result == plain groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           max(l_quantity) AS qty_max
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = J.salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "price_sum": ("sum", F.col("l_extendedprice").cast("decimal(18,2)")),
+            "qty_max": ("max", F.col("l_quantity")),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("price_sum").cast("double").alias("price_sum"),
+        "qty_max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (subtotals + grand total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window functions (row_number / rank / dense_rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+               AS INT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC) AS INT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 5
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = t(spark, sf_dir, "customer")
+    w_rn = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_rn).cast("int").alias("rn"),
+            F.rank().over(w_rank).cast("int").alias("rnk"),
+            F.dense_rank().over(w_rank).cast("int").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union all / intersect / except
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_nationkey FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT c_nationkey FROM customer
+               WHERE c_mktsegment = 'MACHINERY')
+    SELECT 'both' AS tag, c_nationkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_a', c_nationkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_b', c_nationkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    return (
+        a.intersect(b).select(F.lit("both").alias("tag"), "c_nationkey")
+        .unionAll(a.exceptAll(a.intersect(b)).select(F.lit("only_a").alias("tag"), "c_nationkey"))
+        .unionAll(b.exceptAll(a.intersect(b)).select(F.lit("only_b").alias("tag"), "c_nationkey"))
+    )
