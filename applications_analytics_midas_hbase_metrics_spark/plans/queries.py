@@ -589,3 +589,4 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics) register themselves on import.
 from . import queries_ext  # noqa: E402, F401  (registry side-effect)
 from . import queries_analytics  # noqa: E402, F401  (registry side-effect)
+from . import queries_stats  # noqa: E402, F401  (registry side-effect)

@@ -70,6 +70,18 @@ def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     assert s == p
 
 
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    r = (
+        li.agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+            F.count_distinct("l_partkey").alias("e"),
+        )
+        .first()
+    )
+    assert abs(r.a - r.e) / r.e < 0.1  # well within 5 sigma of rsd=0.02
+
+
 def test_salted_agg_spreads_hot_key(spark):
     # one key, many rows: phase 1 must produce multiple partial groups
     df = spark.range(0, 10000).select(
