@@ -162,7 +162,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 128,
     rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -171,14 +171,19 @@ def minhash_near_duplicates(
     Plan shape: shingle+sign map-side → explode bands → shuffle on
     (band_id, band_hash) → per-bucket self-join (candidates) → distinct →
     exact-Jaccard verify via two shuffle joins back to the shingle sets.
-    With r=2, b=32 the probability of missing an s=0.7 pair is
-    (1-0.49)^32 ≈ 1e-9; candidates are verified exactly, so false
-    positives are filtered, making the output equal to the brute-force
-    answer (which is what the DuckDB oracle computes)."""
-    base = df.select(
+    Candidates are verified exactly, so false positives are filtered and
+    the output equals the brute-force answer (what the DuckDB oracle
+    computes) up to LSH recall.  Banding is sized so recall failures are
+    negligible even AT the threshold: with r=2, b=64 a pair at s=0.5 is
+    missed with (1-0.25)^64 ≈ 1e-8 — not just the easy s=0.7 pairs."""
+    # Pre-filter on the raw text (cheap) rather than post-filtering on
+    # size(shingles): a filter on the computed column would evaluate the
+    # whole shingle expression twice — once in the Filter operator, once
+    # in the Project (no CSE across physical operators).
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).cast("bigint").alias("id"),
         word_shingles(tokens(text_col), shingle_k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     # The shingle table is consumed three times (signature build + both
     # sides of the verification join); persist it so shingling — the
     # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
