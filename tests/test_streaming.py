@@ -52,6 +52,69 @@ def test_user_activity_features(events):
     assert r.n_events > 0 and r.active_span_s >= 0
 
 
+def test_stateful_running_totals_equal_batch(spark, events, tmp_path):
+    from applications_analytics_midas_hbase_metrics_spark.streaming import stateful as S
+
+    src = str(tmp_path / "events_state_src")
+    # 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so the state
+    # genuinely carries across batches
+    events.select("user_id", "value", "ts").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        S.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM running_totals").toPandas()
+    # update mode re-emits per batch; the final (max n_events) row per
+    # user is the running total after all input
+    final = got.sort_values("n_events").groupby("user_id").last()
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "n_events"] == row["n_events"]
+        assert abs(final.loc[uid, "value_sum"] - row["value_sum"]) < 1e-6
+
+
+def test_stream_dedupe(spark, tmp_path):
+    from applications_analytics_midas_hbase_metrics_spark.streaming import stateful as S
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:00:00", 1.0),  # exact duplicate
+        (2, "2024-01-01 00:01:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = str(tmp_path / "dedupe_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        S.stream_dedupe(stream, key="event_id")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM deduped").collect()
+    assert sorted(r.event_id for r in got) == [1, 2]
+
+
 def test_stream_equals_batch(spark, events, tmp_path):
     # materialize events as a file stream source, run the streaming agg
     # with availableNow, compare against the batch expression
