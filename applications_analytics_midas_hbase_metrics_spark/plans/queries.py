@@ -334,6 +334,9 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
+    # both diff sides derive from the same build — persist so the
+    # aggregation runs once, not twice
+    cells = cells.persist()
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).withColumn(
         "vals",
