@@ -593,3 +593,4 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402, F401  (registry side-effect)
 from . import queries_analytics  # noqa: E402, F401  (registry side-effect)
 from . import queries_stats  # noqa: E402, F401  (registry side-effect)
+from . import queries_tpch  # noqa: E402, F401  (registry side-effect)
