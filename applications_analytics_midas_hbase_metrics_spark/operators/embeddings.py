@@ -1,0 +1,111 @@
+"""Embedding-column operators beyond search: normalization, per-label
+centroids, centroid-distance features, TF-IDF — the feature-engineering
+tier of a training-data pipeline.
+
+All element-wise math uses strict left-folds / posexplode partial means
+so an external SQL engine reproduces values to rounding precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _dot, cosine, tokens
+
+
+def normalize(vec: Column) -> Column:
+    """L2-normalize an array<numeric> column (zero vectors pass through
+    unchanged rather than dividing by zero)."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(d, d))
+    return F.when(norm == 0, d).otherwise(F.transform(d, lambda x: x / norm))
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean vector via posexplode + per-(label, dim) means —
+    partial aggregation everywhere, no per-group array folds.  Returns
+    (label, centroid array<double>, n)."""
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        base.groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def centroid_features(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Each vector's cosine to its own label centroid — the outlier /
+    label-noise detection feature.  Centroid table broadcasts."""
+    cents = label_centroids(df, vec_col, label_col)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(label_col).alias("label"),
+            vd.alias("v"),
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            "id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_to_centroid"),
+        )
+    )
+
+
+def tfidf_for_terms(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF of a fixed term set per document: tf = term count / doc
+    tokens; idf = ln(N / df).  Fixed vocabulary keeps the output
+    deterministic (no ranking over float near-ties).  One explode +
+    two small aggregations."""
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok").isin(*terms))
+    doc_len = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.size(tokens(text_col)).alias("n_toks"),
+    )
+    # corpus size as a lazy broadcast scalar — no driver-side action
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    counts = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    dfreq = counts.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        counts.join(F.broadcast(dfreq), "tok")
+        .join(doc_len, "id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            F.col("tok").alias("term"),
+            F.round(
+                (F.col("c").cast("double") / F.col("n_toks"))
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -594,3 +594,4 @@ from . import queries_ext  # noqa: E402, F401  (registry side-effect)
 from . import queries_analytics  # noqa: E402, F401  (registry side-effect)
 from . import queries_stats  # noqa: E402, F401  (registry side-effect)
 from . import queries_tpch  # noqa: E402, F401  (registry side-effect)
+from . import queries_features  # noqa: E402, F401  (registry side-effect)
