@@ -69,10 +69,28 @@ MUCR_FIXED = [
 ]
 
 
-def read_mupr(spark: SparkSession, path: str) -> DataFrame:
+def read_mupr(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
     """MUPR scan: explicit schema, \\x00 separator, no inference
-    (Utils.scala:173-174)."""
-    return spark.read.csv(path, schema=MUPR_SCHEMA, sep=DELIM)
+    (Utils.scala:173-174).
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed rows — wrong arity, unparseable numerics — land
+    there with all schema fields null instead of failing the job, so a
+    100 TB ingest quantifies its bad rows rather than dying on them."""
+    if not keep_corrupt:
+        return spark.read.csv(path, schema=MUPR_SCHEMA, sep=DELIM)
+    schema = StructType(
+        MUPR_SCHEMA.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    return spark.read.csv(
+        path,
+        schema=schema,
+        sep=DELIM,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
 
 
 def read_trigger(spark: SparkSession, path: str) -> DataFrame:

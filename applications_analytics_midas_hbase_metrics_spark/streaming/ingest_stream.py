@@ -1,0 +1,56 @@
+"""Streaming ingestion into the cell store — the reference's batch
+pipeline (file → parse → enrich → cells → store) as a continuous
+Structured Streaming job.
+
+``stream_to_cells`` uses foreachBatch: each micro-batch runs the SAME
+``to_cells`` aggregation the batch path uses and appends to the salted
+Parquet store.  Per-batch grouping matches the reference's semantics
+exactly — pushtoDB was called once per ingested file (Utils.scala:49-80),
+so cells from different ingest batches coexist in the store and the
+read path groups across them (``lookup_cells``/``decode_cells`` operate
+on the union).  Compaction (operators.versions.compact_cells) folds the
+accumulated small files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.cellstore import to_cells
+
+
+def stream_to_cells(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    col_name: str,
+    value_cols: Sequence[str],
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously ingest a stream into the salted Parquet cell store.
+
+    foreachBatch (not a plain parquet sink) because the cell build is an
+    aggregation: each micro-batch is grouped with ``to_cells`` and
+    appended partitioned by salt.  Exactly-once comes from the
+    checkpoint + Parquet's atomic task commits."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        cells = to_cells(batch, key_cols, F.col(col_name), value_cols)
+        (
+            cells.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("salt")
+            .parquet(out_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -52,6 +52,66 @@ def test_user_activity_features(events):
     assert r.n_events > 0 and r.active_span_s >= 0
 
 
+def test_stream_to_cells_matches_batch_build(spark, sf_dir, tmp_path):
+    from applications_analytics_midas_hbase_metrics_spark.operators.cellstore import to_cells
+    from applications_analytics_midas_hbase_metrics_spark.streaming import ingest_stream as IS
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = str(tmp_path / "li_src")
+    li.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out, ckpt = str(tmp_path / "cells_out"), str(tmp_path / "ckpt")
+    q = IS.stream_to_cells(
+        stream, out, ckpt,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name="l_partkey",
+        value_cols=["l_linenumber", "l_suppkey"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    stored = spark.read.parquet(out)
+    # per-batch grouping: regroup across batches and compare to the
+    # single-shot batch build (order-insensitive on the value arrays)
+    regrouped = (
+        stored.select("row_key", "col_name", F.explode("values").alias("v"))
+        .groupBy("row_key", "col_name")
+        .agg(F.array_sort(F.collect_list("v")).alias("values"))
+    )
+    batch = to_cells(
+        li, ["l_returnflag", "l_linestatus", "l_orderkey"],
+        F.col("l_partkey"), ["l_linenumber", "l_suppkey"],
+    ).select("row_key", "col_name", "values")
+    assert regrouped.count() == batch.count()
+    assert regrouped.exceptAll(batch).count() == 0
+
+
+def test_mupr_corrupt_record_capture(spark, tmp_path):
+    from applications_analytics_midas_hbase_metrics_spark.sources import ingest as I
+
+    D = "\x00"
+    p = tmp_path / "bad.mupr"
+    p.write_text(
+        "\n".join(
+            [
+                D.join(["101", "S", "1", "5", "1.5", "7", "3.25", "A", "P", "M", "t1"]),
+                D.join(["NOT_AN_INT", "S", "1", "5", "1.5", "7", "x", "A", "P", "M", "t2"]),
+            ]
+        )
+    )
+    # cache required: Spark disallows referencing only _corrupt_record
+    # on an un-materialized CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = I.read_mupr(spark, str(p), keep_corrupt=True).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 1 and bad.count() == 1
+    assert bad.first()._corrupt_record.startswith("NOT_AN_INT")
+    # default mode unchanged: no extra column
+    plain = I.read_mupr(spark, str(p))
+    assert "_corrupt_record" not in plain.columns
+
+
 def test_stateful_running_totals_equal_batch(spark, events, tmp_path):
     from applications_analytics_midas_hbase_metrics_spark.streaming import stateful as S
 
