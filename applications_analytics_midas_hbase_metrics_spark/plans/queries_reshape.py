@@ -1,0 +1,78 @@
+"""Reshaping + sampling queries: pivot, cube, deterministic splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register, t
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_events",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           """
+    + ",\n           ".join(
+        f"CAST(sum(CASE WHEN event_type = '{et}' "
+        f"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {et}"
+        for et in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a fixed value list (explicit list keeps the schema
+    deterministic and skips the extra distinct-values job)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
+    "cube_events",
+    oracle="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type", (F.col("user_id") % 10).cast("bigint").alias("user_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-independent 80/10/10 split via modular
+    arithmetic on the stable document id — the reproducible-sampling
+    primitive a training pipeline needs (re-running or re-sharding the
+    corpus never moves a document between splits)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
