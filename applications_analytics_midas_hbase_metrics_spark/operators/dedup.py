@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.keys import java_hash
+from ..functions.keys import java_hash, java_hash_py
 
 # Mersenne prime for the affine minhash permutations (universal hashing).
 _MH_PRIME = 2_147_483_647
@@ -368,6 +368,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 16,
+    dim: int = 64,
 ) -> DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH blocking + exact verify.
 
@@ -382,18 +383,30 @@ def embedding_near_duplicates(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     )
 
-    # Plane p is built per-Python-loop (p is a literal) so no HOF lambda
-    # nests inside another — see simhash_fingerprints for why that matters.
-    def plane_projection(p: int) -> Column:
-        def component(d: Column) -> Column:
-            h = F.xxhash64(F.concat_ws("_", F.lit(str(p)), d.cast("string")))
-            return (F.pmod(h, F.lit(2000003)).cast("double") / 1000001.5) - 1.0
+    # Hyperplane components are pure functions of (plane, dim) — compute
+    # them ONCE in Python (Java-hash based, deterministic) and embed as
+    # literal arrays, instead of re-hashing per row × plane × dim on the
+    # executors.  The projection is then a plain fold of v against a
+    # constant array.
+    def plane_literal(p: int) -> Column:
+        # long seed strings: short ones ("0_0") hash to small positive
+        # ints, collapsing every component to ~-0.95 and making the
+        # hyperplanes near-parallel (degenerate buckets)
+        vals = [
+            (java_hash_py(f"hyperplane:{p}/dimension:{d}#seed") % 2000003)
+            / 1000001.5
+            - 1.0
+            for d in range(dim)
+        ]
+        return F.array(*[F.lit(x) for x in vals])
 
+    def plane_projection(p: int) -> Column:
         return F.aggregate(
-            F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+            F.zip_with(
+                F.col("v"), plane_literal(p), lambda x, w: x.cast("double") * w
+            ),
             F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(F.col("v"), d + 1).cast("double") * component(d),
+            lambda acc, x: acc + x,
         )
 
     sig = F.lit(0).cast("bigint")
