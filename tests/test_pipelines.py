@@ -1,0 +1,103 @@
+"""End-to-end pipeline tests: the reference's entry-point flows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.operators import cellstore as CS
+from applications_analytics_midas_hbase_metrics_spark.plans import pipelines as P
+
+D = "\x00"
+
+
+@pytest.fixture(scope="module")
+def mupr_batch(tmp_path_factory):
+    d = tmp_path_factory.mktemp("batch")
+    rows = [
+        D.join(["101", "SUB_A", "1", "5", "1.5", "7", "3.25", "AC", "PF", "MV", "t_volt"]),
+        D.join(["101", "SUB_A", "1", "6", "2.5", "8", "4.5", "AC", "PF", "MV", "t_volt"]),
+        D.join(["102", "SUB_B", "2", "1", "2.0", "9", "0.125", "IC", "FF", "MK", "t_amp"]),
+    ]
+    (d / "f1.mupr").write_text("\n".join(rows))
+    (d / "trig.csv").write_text(
+        "File_Name,Lot,Lato_Start_WW,Lots_seq_key\nf1.mupr,LOT_A,202233,9001\n"
+    )
+    return d
+
+
+def test_ingest_mupr_roundtrip(spark, mupr_batch, tmp_path):
+    store = str(tmp_path / "store")
+    cells = P.ingest_mupr_to_store(
+        spark, str(mupr_batch / "f1.mupr"), str(mupr_batch / "trig.csv"), store,
+        mode="overwrite",
+    )
+    # two units x one test name each -> 2 cells; unit 101 has 2 values
+    assert cells.count() == 2
+    back = CS.read_cells(spark, store)
+    assert back.count() == 2
+    r101 = back.filter(F.col("row_key").contains("101")).first()
+    assert r101.col_name == "t_volt" and len(r101.values) == 2
+    assert r101.row_key.split(D) == ["LOT_A", "202233", "9001", "101"]
+
+
+def test_validate_load_clean_and_corrupted(spark, mupr_batch, tmp_path):
+    store = str(tmp_path / "store2")
+    P.ingest_mupr_to_store(
+        spark, str(mupr_batch / "f1.mupr"), str(mupr_batch / "trig.csv"), store,
+        mode="overwrite",
+    )
+    summary = {
+        r.verdict: r.n
+        for r in P.validate_load(
+            spark, str(mupr_batch / "f1.mupr"), str(mupr_batch / "trig.csv"), store
+        ).collect()
+    }
+    assert summary == {"match": 2}
+
+    # corrupt the store: drop one cell
+    cells = CS.read_cells(spark, store)
+    CS.write_cells(
+        cells.filter(~F.col("row_key").contains("102")), store + "_bad",
+        mode="overwrite",
+    )
+    summary_bad = {
+        r.verdict: r.n
+        for r in P.validate_load(
+            spark, str(mupr_batch / "f1.mupr"), str(mupr_batch / "trig.csv"),
+            store + "_bad",
+        ).collect()
+    }
+    assert summary_bad == {"match": 1, "missing_in_table": 1}
+
+
+def test_mucr_ingest(spark, tmp_path):
+    d = tmp_path
+    (d / "f1.mucr").write_text(
+        D.join(["201", "1", "prog_x", "P", "SUB_A", "2", "CNT1", "3", "11", "C2", "4", "12"])
+    )
+    (d / "trig.csv").write_text(
+        "File_Name,Lot,Lato_Start_WW,Lots_seq_key\nf1.mucr,LOT_B,202234,9002\n"
+    )
+    store = str(d / "mucr_store")
+    cells = P.ingest_mucr_to_store(
+        spark, str(d / "f1.mucr"), str(d / "trig.csv"), store, mode="overwrite"
+    )
+    got = {r.col_name for r in cells.collect()}
+    assert got == {"P4CNT1", "P2C2"}
+
+
+def test_job_status_report(spark, tmp_path):
+    log = tmp_path / "submit.log"
+    log.write_text(
+        "the spark submit job is successful for 12345678 with code 0\n"
+        "noise line\n"
+    )
+    status_cells = spark.createDataFrame(
+        [("IF12345678", "LOADSTATUS", "OK"), ("IF99999999", "LOADSTATUS", "OLD")],
+        ["row_key", "col_name", "value"],
+    )
+    out = P.job_status_report(spark, str(log), status_cells).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.job_seq_key, r.job_status, r.value) == ("12345678", "successful", "OK")
