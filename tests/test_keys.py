@@ -87,6 +87,16 @@ def test_row_key_and_split_roundtrip(spark):
     assert out.parts == ["L1", "202233", "7", "42"]
 
 
+def test_row_key_null_fields_skipped_like_reference(spark):
+    # concat_ws SKIPS null fields (JVM semantics): key (A, null, B)
+    # collapses to "A\x00B" — identical to the reference's concat_ws at
+    # Utils.scala:212-214, so parity holds; callers that need null-safe
+    # keys must coalesce first.  This test pins the behavior.
+    df = spark.createDataFrame([("A", None, "B")], "a string, b string, c string")
+    out = df.select(K.row_key("a", "b", "c").alias("rk")).first()
+    assert out.rk == "A\x00B"
+
+
 def test_split_preserves_trailing_empties(spark):
     # The reference hand-rolled getSplitsFromString for exactly this
     # (Utils.scala:853-876).
