@@ -1,0 +1,76 @@
+"""Connected components over near-duplicate pair edges — turning pairwise
+dedup output into CLUSTERS so a pipeline can keep one representative per
+group (the step after minhash/simhash/embedding pair generation).
+
+Implementation is Pregel-style min-label propagation: each superstep is
+two shuffle joins + a min-aggregate; the driver loop only evaluates the
+convergence count (an iterative algorithm's legitimate driver-side
+control flow — same shape as GraphX/GraphFrames).  Converges in
+O(diameter) supersteps; each superstep is linear in |edges|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``edges``; cluster_id is the
+    minimum node id reachable from the node (deterministic canonical
+    labeling, reproducible in a recursive-CTE oracle)."""
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    )
+    # undirected: keep both directions once
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.a == labels.id).select(
+            F.col("b").alias("id"), "label"
+        )
+        # localCheckpoint, not persist: each superstep's plan would
+        # otherwise embed the whole previous lineage, and analysis time
+        # grows exponentially with iteration count (the classic
+        # iterative-DataFrame trap)
+        new_labels = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-duplicate cluster plus
+    every unpaired document — the end-to-end "dedup the corpus" result."""
+    comps = connected_components(pairs)
+    ids = df.select(F.col(id_col).cast("bigint").alias("id"))
+    labeled = ids.join(comps, "id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("id"))
+    )
+    return labeled.filter(F.col("id") == F.col("cluster_id")).select("id")

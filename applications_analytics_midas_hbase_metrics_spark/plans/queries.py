@@ -596,3 +596,4 @@ from . import queries_stats  # noqa: E402, F401  (registry side-effect)
 from . import queries_tpch  # noqa: E402, F401  (registry side-effect)
 from . import queries_features  # noqa: E402, F401  (registry side-effect)
 from . import queries_reshape  # noqa: E402, F401  (registry side-effect)
+from . import queries_graph  # noqa: E402, F401  (registry side-effect)

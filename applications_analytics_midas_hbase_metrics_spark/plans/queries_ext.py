@@ -110,9 +110,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_minhash",
-    oracle=f"""
+#: brute-force minhash-verified pairs (shared by dedup_minhash and the
+#: cluster oracle)
+MINHASH_PAIRS_SQL = f"""
     WITH corpus AS ({_NEARDUP_DOCS_SQL}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles
@@ -130,8 +130,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / (len(a.shingles) + len(b.shingles)
              - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-    """,
-)
+"""
+
+
+@register("dedup_minhash", oracle=MINHASH_PAIRS_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_docs(spark, sf_dir)
     return D.minhash_near_duplicates(corpus, threshold=0.5)
