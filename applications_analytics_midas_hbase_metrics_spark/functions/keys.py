@@ -2,10 +2,12 @@
 semantics Spark does not ship built-in.
 
 Parity targets (citations into /root/reference):
-- Salt: ``abs(javaHash(key)) % 24`` where ``javaHash`` is Java
-  ``String.hashCode`` re-implemented over the key's UTF-8 *bytes*
-  (``31*h + b`` with int32 wraparound), Utils.scala:82-96 (bucket count 24
-  at Utils.scala:93, applied at Utils.scala:62-64).
+- Salt: ``getSaltValue`` (Utils.scala:83-96) — a Java-``String.hashCode``
+  STYLE fold over the key's UTF-8 bytes, but with the accumulator
+  initialized to 1 (``var result = 1``, Utils.scala:89 — not the 0 that
+  ``String.hashCode`` uses), int32 wraparound, then ``Math.abs(result %
+  24)`` (abs AFTER the mod, Utils.scala:94) so the salt is always 0..23;
+  the empty key short-circuits to 0 (Utils.scala:85).
 - Row key: null-byte-joined composite business key via ``concat_ws``
   (Utils.scala:212-214, 548-551) and the dynamic expression builders
   ``getExprWs``/``getExpr`` (Utils.scala:607-624).
@@ -50,8 +52,13 @@ _TWO_31 = 2_147_483_648
 # ---------------------------------------------------------------------------
 
 def java_hash_py(s: str) -> int:
-    """Java ``String.hashCode`` semantics over UTF-8 bytes (Utils.scala:82-92)."""
-    h = 0
+    """The reference's key hash (Utils.scala:85-92): ``String.hashCode``-style
+    ``31*h + byte`` fold over UTF-8 bytes with int32 wraparound, but the
+    accumulator starts at 1 (``var result = 1``) and the empty string
+    short-circuits to 0 (the ``s.isEmpty`` early return)."""
+    if not s:
+        return 0
+    h = 1
     for b in s.encode("utf-8"):
         if b > 127:
             b -= 256  # Java bytes are signed
@@ -61,14 +68,13 @@ def java_hash_py(s: str) -> int:
 
 
 def salt_py(s: str, buckets: int = SALT_BUCKETS) -> int:
-    """``abs(hash) % buckets`` with Java semantics (Utils.scala:93-95):
-    ``abs(Integer.MIN_VALUE)`` stays negative and ``%`` keeps the sign of
-    the dividend."""
-    h = java_hash_py(s)
-    a = h if h == -_TWO_31 else abs(h)
-    if a >= 0:
-        return a % buckets
-    return -((-a) % buckets)
+    """``Math.abs(hash % buckets)`` (Utils.scala:93-95).  Java ``%`` keeps
+    the dividend's sign, so the remainder is in (-buckets, buckets) and
+    ``abs`` lands every key in 0..buckets-1 — including the
+    ``Integer.MIN_VALUE`` hash, since ``abs`` runs on the small remainder,
+    never on the hash itself.  Equivalent closed form: ``abs(h) % b``
+    with exact (non-wrapping) abs."""
+    return abs(java_hash_py(s)) % buckets
 
 
 # ---------------------------------------------------------------------------
@@ -76,8 +82,9 @@ def salt_py(s: str, buckets: int = SALT_BUCKETS) -> int:
 # ---------------------------------------------------------------------------
 
 def java_hash(col: Column | str) -> Column:
-    """Java-hash of a string column, computed entirely with built-in SQL
-    expressions (stays in whole-stage codegen).
+    """Reference key hash (Utils.scala:85-92; see :func:`java_hash_py`) of
+    a string column, computed entirely with built-in SQL expressions
+    (stays in whole-stage codegen).
 
     Fast path (the common case — every key the reference builds is
     ASCII): fold ``ascii(char)`` over ``split(col, '')`` — codepoint ==
@@ -88,16 +95,18 @@ def java_hash(col: Column | str) -> Column:
     bin_col = F.encode(c, "UTF-8")
     is_ascii = F.length(bin_col) == F.length(c)
 
+    # fold accumulator starts at 1, matching the reference's
+    # ``var result = 1`` (Utils.scala:89)
     ascii_unsigned = F.aggregate(
         F.split(c, ""),
-        F.lit(0).cast("long"),
+        F.lit(1).cast("long"),
         lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(_TWO_32),
     )
 
     idx = F.sequence(F.lit(1), F.length(bin_col))
     byte_unsigned = F.aggregate(
         idx,
-        F.lit(0).cast("long"),
+        F.lit(1).cast("long"),
         lambda acc, i: (
             acc * F.lit(31)
             + _signed_byte(F.substring(bin_col, i, 1))
@@ -121,12 +130,12 @@ def _signed_byte(one_byte_bin: Column) -> Column:
 
 def salt_bucket(col: Column | str, buckets: int = SALT_BUCKETS) -> Column:
     """Salt-bucket column (tinyint), exact reference parity
-    (Utils.scala:62-64, 82-96).  Negative-hash edge cases follow Java
-    ``abs``/``%`` semantics like :func:`salt_py`."""
+    (Utils.scala:62-64, 83-96): ``abs(hash % buckets)``, always in
+    0..buckets-1.  Computed as ``abs(h) % b`` on BIGINT (exact abs —
+    no MIN_VALUE wraparound at 64 bits), which equals Java's
+    ``Math.abs(int % b)`` for every int32 hash including MIN_VALUE."""
     h = java_hash(col).cast("long")
-    a = F.when(h == F.lit(-_TWO_31), h).otherwise(F.abs(h))
-    rem = F.when(a >= 0, a % F.lit(buckets)).otherwise(-((-a) % F.lit(buckets)))
-    return rem.cast("tinyint")
+    return (F.abs(h) % F.lit(buckets)).cast("tinyint")
 
 
 # ---------------------------------------------------------------------------
@@ -179,19 +188,23 @@ def duckdb_java_hash_sql(key_expr: str) -> str:
     byte-exact Spark implementation.
     """
     # list_filter: DuckDB split('','') yields [''] and ord('') is -1,
-    # which would corrupt the fold for empty strings.
+    # which would corrupt the fold for empty strings.  The fold seed is 1
+    # (reference Utils.scala:89); the empty string short-circuits to 0.
     h_unsigned = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_reduce(list_prepend(CAST(1 AS BIGINT), "
         f"list_transform(list_filter(split({key_expr}, ''), c -> c != ''), "
         "c -> CAST(ord(c) AS BIGINT))), "
         "(acc, x) -> (acc * 31 + x) % 4294967296)"
     )
-    return (
+    signed = (
         f"(CASE WHEN {h_unsigned} >= 2147483648 "
         f"THEN {h_unsigned} - 4294967296 ELSE {h_unsigned} END)"
     )
+    return f"(CASE WHEN {key_expr} = '' THEN 0 ELSE {signed} END)"
 
 
 def duckdb_salt_sql(key_expr: str, buckets: int = SALT_BUCKETS) -> str:
-    """DuckDB SQL expression computing :func:`salt_py` of ``key_expr``."""
+    """DuckDB SQL expression computing :func:`salt_py` of ``key_expr``:
+    ``abs(h) % buckets`` on BIGINT — exact abs, so it equals the
+    reference's ``Math.abs(int32 % buckets)`` for every hash value."""
     return f"CAST(abs({duckdb_java_hash_sql(key_expr)}) % {buckets} AS TINYINT)"

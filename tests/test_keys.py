@@ -1,8 +1,11 @@
 """Salt/row-key parity tests (SURVEY.md §2.8-2.9, hard part #1).
 
-Golden values are Java ``String.hashCode`` semantics over UTF-8 bytes
-(reference Utils.scala:82-96): ``h = 31*h + b`` with int32 wraparound,
-then ``abs(h) % 24`` with Java's sign rules.
+Golden values follow the reference's ``getSaltValue`` algorithm exactly
+(Utils.scala:83-96): ``String.hashCode``-STYLE ``h = 31*h + byte`` fold
+over UTF-8 bytes with int32 wraparound, but the accumulator starts at 1
+(``var result = 1``, Utils.scala:89), the empty string short-circuits to
+0 (Utils.scala:85), and the salt is ``Math.abs(h % 24)`` — abs AFTER the
+mod (Utils.scala:94), so it is always in 0..23.
 """
 
 from __future__ import annotations
@@ -13,14 +16,17 @@ from pyspark.sql import functions as F
 
 from applications_analytics_midas_hbase_metrics_spark.functions import keys as K
 
-# Hand-checked against java.lang.String#hashCode.
+# Hand-derived from the reference algorithm (init 1; NOT plain
+# java.lang.String#hashCode, which inits 0):
+#   h("a")  = 31*1 + 97         = 128
+#   h("ab") = 31*128 + 98       = 4066
 GOLDEN_HASH = {
     "": 0,
-    "a": 97,
-    "ab": 3105,
-    "hello": 99162322,
-    "IF123456": 1822426560,
-    "polygenelubricants": -2147483648,  # famously Integer.MIN_VALUE
+    "a": 128,
+    "ab": 4066,
+    "hello": 127791473,
+    "IF123456": 14972097,
+    "polygenelubricants": 1303011777,
 }
 
 CASES = [
@@ -44,18 +50,26 @@ def test_java_hash_py_golden():
 
 
 def test_salt_py_range():
-    # All buckets non-negative except the Integer.MIN_VALUE hash edge.
+    # abs AFTER the mod (Utils.scala:94) → always a valid bucket, even
+    # for negative hashes.
     for s in CASES:
-        assert -K.SALT_BUCKETS < K.salt_py(s) < K.SALT_BUCKETS
-        if K.java_hash_py(s) != -2147483648:
-            assert K.salt_py(s) >= 0
+        assert 0 <= K.salt_py(s) < K.SALT_BUCKETS
+
+
+def test_salt_py_negative_hash():
+    # A negative int32 hash still lands in 0..23: Java computes
+    # abs(h % 24) on the small remainder, equal to abs(h) % 24 with
+    # exact abs.  ("abcdefgh" hashes to -547780731 under the init-1 fold.)
+    h = K.java_hash_py("abcdefgh")
+    assert h == -547780731
+    assert K.salt_py("abcdefgh") == abs(h) % 24
 
 
 def test_salt_py_min_value_edge():
-    # Java: abs(Integer.MIN_VALUE) == Integer.MIN_VALUE (still negative),
-    # and % keeps the dividend's sign → the reference's salt is -8 here
-    # (Utils.scala:93-95).  We reproduce, bug-for-bug, for key parity.
-    assert K.salt_py("polygenelubricants") == -(2147483648 % 24)
+    # Even a hash of exactly Integer.MIN_VALUE yields a valid bucket:
+    # MIN_VALUE % 24 = -8 in Java, abs → 8.  (No string in the fixtures
+    # hashes there; this pins the closed-form equivalence.)
+    assert abs(-2_147_483_648) % 24 == 8
 
 
 def test_jvm_expr_matches_python(spark):

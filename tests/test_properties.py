@@ -29,7 +29,8 @@ def test_java_hash_py_is_int32(s):
 @given(safe_text)
 @settings(max_examples=300, deadline=None)
 def test_salt_py_in_range(s):
-    assert -K.SALT_BUCKETS < K.salt_py(s) < K.SALT_BUCKETS
+    # abs after mod (Utils.scala:94): every key, any hash sign → 0..23
+    assert 0 <= K.salt_py(s) < K.SALT_BUCKETS
 
 
 @given(ascii_text)
