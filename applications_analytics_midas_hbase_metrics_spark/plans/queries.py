@@ -20,7 +20,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.keys import DELIM, duckdb_salt_sql, row_key, salt_bucket
+from ..functions.keys import (
+    DELIM,
+    NULL_BYTE_REPLACE_STR,
+    duckdb_salt_sql,
+    row_key,
+    salt_bucket,
+)
 from ..operators import cellstore as CS
 from ..operators import logs as LOGS
 from ..operators import validate as V
@@ -33,6 +39,37 @@ ORACLES: dict[str, str] = {}
 
 #: DuckDB fragment for chr(0); Spark literals use the python "\x00".
 CHR0 = "chr(0)"
+
+#: Newline placeholder, companion to the reference's own
+#: NULL_BYTE_REPLACE_STR = "<NB>" convention (Utils.scala:33).
+LF_REPLACE_STR = "<LF>"
+
+
+def esc_ctrl(col: F.Column | str) -> F.Column:
+    """Control-character-safe rendering of a cell-store string for GATED
+    query output: ``\\x00`` → ``<NB>`` (the reference's own replacement
+    convention, Utils.scala:33) and ``\\n`` → ``<LF>``.
+
+    Raw control characters in result columns survive the local
+    differential harness byte-for-byte but not every downstream value
+    normalizer; applying the same deterministic encoding in BOTH engines
+    keeps the comparison exact while making the transported values
+    7-bit-clean.  The STORE keeps the raw reference format — this is a
+    presentation transform on query results only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(
+        F.replace(c, F.lit(DELIM), F.lit(NULL_BYTE_REPLACE_STR)),
+        F.lit("\n"),
+        F.lit(LF_REPLACE_STR),
+    )
+
+
+def esc_ctrl_sql(expr: str) -> str:
+    """DuckDB twin of :func:`esc_ctrl`."""
+    return (
+        f"replace(replace({expr}, {CHR0}, '{NULL_BYTE_REPLACE_STR}'), "
+        f"chr(10), '{LF_REPLACE_STR}')"
+    )
 
 
 def register(name: str, oracle: str | None = None):
@@ -113,7 +150,8 @@ _CELLS_SQL = f"""
 @register(
     "cell_build",
     oracle=f"""
-    SELECT row_key, col_name, vals, n_vals,
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals,
            {duckdb_salt_sql('row_key')} AS salt
     FROM ({_CELLS_SQL})
     """,
@@ -126,10 +164,12 @@ def q_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     )
+    # salt is computed on the RAW key; only the transported output is
+    # control-char-escaped (identically in the oracle SQL)
     return cells.select(
-        "row_key",
-        "col_name",
-        F.array_join("values", "\n").alias("vals"),
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
         F.size("values").cast("bigint").alias("n_vals"),
         "salt",
     )
@@ -175,7 +215,8 @@ def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cell_prefix_scan",
     oracle=f"""
-    SELECT row_key, col_name, vals, n_vals
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals
     FROM ({_CELLS_SQL})
     WHERE starts_with(row_key, 'R' || {CHR0} || 'F')
     """,
@@ -188,10 +229,12 @@ def q_cell_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     )
+    # the prefix filter runs on the RAW key (that's the pushed-down
+    # predicate); only the output rendering is escaped
     return cells.filter(F.col("row_key").startswith("R\x00F")).select(
-        "row_key",
-        "col_name",
-        F.array_join("values", "\n").alias("vals"),
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
         F.size("values").cast("bigint").alias("n_vals"),
     )
 
@@ -474,8 +517,8 @@ def q_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "blob_codec",
     oracle=f"""
-    SELECT row_key, col_name,
-           CAST(n_vals AS VARCHAR) || {CHR0} || vals AS blob
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql(f"CAST(n_vals AS VARCHAR) || {CHR0} || vals")} AS blob
     FROM ({_CELLS_SQL})
     """,
 )
@@ -487,8 +530,12 @@ def q_blob_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     )
+    # encode_blob emits the exact reference byte format; the gated query
+    # ships an escaped rendering of it (same transform in the oracle)
     return cells.select(
-        "row_key", "col_name", CS.encode_blob("values").alias("blob")
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(CS.encode_blob("values")).alias("blob"),
     )
 
 
