@@ -21,17 +21,19 @@ from ..operators import validate as V
 from ..sources import ingest as I
 
 #: MUPR cell mapping (Utils.scala:203-219): key = Lot/WW/seq/unit-seq,
-#: qualifier = Test_Name, value = the 8 measurement fields.
+#: qualifier = Test_Name, value = the 8 measurement fields in the
+#: reference's exact positional order (Utils.scala:203-211) so the
+#: \x00-joined blob round-trips against reference-written data.
 MUPR_KEY_COLS = ("Lot", "Lato_Start_WW", "Lots_seq_key", "Unit_Testing_Seq_Key")
 MUPR_VALUE_COLS = (
-    "Substructure_ID",
-    "Sub_Session_Seq_Num",
-    "Test_Result_Order_Num",
-    "Test_Result_Array_Seq_Num",
-    "Test_ID",
     "Measurement_Value",
+    "Substructure_ID",
+    "Test_Result_Order_Num",
+    "Sub_Session_Seq_Num",
     "Active_Inactive_Core_Vector",
     "Pass_Fail_Core_Vector",
+    "Mask_Vector",
+    "Test_Result_Array_Seq_Num",
 )
 
 
@@ -81,7 +83,13 @@ def ingest_mucr_to_store(
         enriched,
         key_cols=["Lot", "Lato_Start_WW", "Lots_seq_key", "Unit_Testing_Seq_Key"],
         col_name=I.mucr_column_qualifier(),
-        value_cols=["Repeating_Counter_Occurrences", "Unit_Counter_Seq_Num"],
+        # reference blob layout (Utils.scala:551): Unit_Counter_Seq_Num,
+        # Substructure_ID, Repeating_Counter_Occurrences — in that order
+        value_cols=[
+            "Unit_Counter_Seq_Num",
+            "Substructure_ID",
+            "Repeating_Counter_Occurrences",
+        ],
     )
     CS.write_cells(cells, store_path, mode=mode)
     return cells

@@ -39,6 +39,13 @@ def test_ingest_mupr_roundtrip(spark, mupr_batch, tmp_path):
     r101 = back.filter(F.col("row_key").contains("101")).first()
     assert r101.col_name == "t_volt" and len(r101.values) == 2
     assert r101.row_key.split(D) == ["LOT_A", "202233", "9001", "101"]
+    # value blob layout must match the reference byte-for-byte
+    # (Utils.scala:203-211): Measurement_Value, Substructure_ID,
+    # Test_Result_Order_Num, Sub_Session_Seq_Num, Active, Pass_Fail,
+    # Mask, Test_Result_Array_Seq_Num
+    assert sorted(r101.values)[0].split(D) == [
+        "3.25", "SUB_A", "5", "1", "AC", "PF", "MV", "1.5"
+    ]
 
 
 def test_validate_load_clean_and_corrupted(spark, mupr_batch, tmp_path):
@@ -83,8 +90,14 @@ def test_mucr_ingest(spark, tmp_path):
     cells = P.ingest_mucr_to_store(
         spark, str(d / "f1.mucr"), str(d / "trig.csv"), store, mode="overwrite"
     )
-    got = {r.col_name for r in cells.collect()}
+    rows = cells.collect()
+    got = {r.col_name for r in rows}
     assert got == {"P4CNT1", "P2C2"}
+    # MUCR value blob layout (Utils.scala:551): Unit_Counter_Seq_Num,
+    # Substructure_ID, Repeating_Counter_Occurrences
+    by_name = {r.col_name: r.values for r in rows}
+    assert by_name["P4CNT1"] == ["11" + D + "SUB_A" + D + "3"]
+    assert by_name["P2C2"] == ["12" + D + "SUB_A" + D + "4"]
 
 
 def test_job_status_report(spark, tmp_path):
