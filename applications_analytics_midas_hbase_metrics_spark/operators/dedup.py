@@ -284,26 +284,56 @@ def simhash_fingerprints(
     return votes.select("id", total.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
     bits: int = 32,
     max_hamming: int = 3,
-    prefix_bits: int = 8,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Pairs with Hamming distance <= max_hamming, candidate-blocked on
-    the top ``prefix_bits`` of the fingerprint (at scale: multi-table
-    simhash blocking; here one prefix block keeps it one shuffle)."""
-    fp = simhash_fingerprints(df, text_col, id_col, bits)
-    block = F.shiftright(F.col("simhash"), bits - prefix_bits)
-    fp = fp.withColumn("block", block)
-    a, b = fp.alias("a"), fp.alias("b")
+    """Multi-index simhash blocking over a (id, simhash) frame.
+
+    The fingerprint is cut into ``n_bands`` disjoint bit bands
+    (default ``max_hamming + 1``); a pair is a candidate if ANY band
+    matches exactly.  Pigeonhole guarantees ZERO recall loss: with at
+    most ``max_hamming`` differing bits and ``max_hamming + 1`` bands,
+    at least one band contains no differing bit.  (A single prefix
+    block misses any pair whose differing bits touch the prefix, and
+    its n/2^prefix_bits blocks degrade to O(n²) joins at corpus scale;
+    n_bands blocks of 2^(bits/n_bands) each keep buckets small and the
+    join is a plain shuffle on (band_id, band_value) — AQE handles hot
+    bands.)  Candidates are verified with exact Hamming distance, so
+    the output equals brute force."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", "simhash", "_b.band_id", "_b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -312,7 +342,23 @@ def simhash_near_duplicates(
             F.col("b.id").alias("id_b"),
             F.col("hamming").cast("int").alias("hamming"),
         )
+        .distinct()  # a pair can match in several bands
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming via multi-index
+    banded blocking (see :func:`simhash_pairs_from_fingerprints`) —
+    exact recall, no O(n²) block joins."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    return simhash_pairs_from_fingerprints(fp, bits, max_hamming, n_bands)
 
 
 # ---------------------------------------------------------------------------

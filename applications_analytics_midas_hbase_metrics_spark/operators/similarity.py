@@ -93,11 +93,21 @@ def build_ivf_centroids(
         F.col(id_col).cast("bigint").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    w = Window.orderBy("id")
+    # Seed selection via orderBy().limit() — TakeOrderedAndProject keeps
+    # a per-partition top-N and merges N rows on the driver side of the
+    # exchange.  (A global row_number() window here would sort the ENTIRE
+    # corpus into one partition — a scale-killer at 100 TB.)  The
+    # centroid_id ranking then runs on ≤ num_centroids rows: one
+    # collect_list over the bounded seed set, never over the corpus.
     seeds = (
-        base.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= num_centroids)
-        .select((F.col("_r") - 1).cast("int").alias("centroid_id"), F.col("v").alias("centroid"))
+        base.orderBy("id")
+        .limit(num_centroids)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("s"))
+        .select(F.posexplode("s").alias("centroid_id", "sv"))
+        .select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col("sv.v").alias("centroid"),
+        )
     )
     cents = seeds
     for _ in range(lloyd_steps):

@@ -143,29 +143,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup 3: SimHash fingerprints (bit-exact cross-engine)
 # ---------------------------------------------------------------------------
 
-_TOK_HASHES_SQL = f"""
-    SELECT doc_id,
-           list_transform(list_distinct({_TOKS}),
-                          tk -> {duckdb_java_hash_sql('tk')}) AS hs,
-           len(list_distinct({_TOKS})) AS n
-    FROM documents
-"""
-
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
+def _simhash_fp_sql(corpus_sql: str) -> str:
+    """DuckDB twin of operators.dedup.simhash_fingerprints over an
+    arbitrary (doc_id, text) corpus: per-bit majority vote over the
+    distinct-token reference hashes; zero-token docs emit no row."""
+    return f"""
     SELECT doc_id AS id,
            CAST(list_sum(list_transform(range(0, 32), b ->
                CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 <> 0)) > n
                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
                AS simhash
-    FROM ({_TOK_HASHES_SQL})
-    """,
+    FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({_TOKS}),
+                              tk -> {duckdb_java_hash_sql('tk')}) AS hs,
+               len(list_distinct({_TOKS})) AS n
+        FROM ({corpus_sql})
+        WHERE len({_TOKS}) > 0
+    )
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_fp_sql("SELECT doc_id, text FROM documents"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return D.simhash_fingerprints(docs)
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_fp_sql(_NEARDUP_DOCS_SQL)})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level gate for the banded simhash blocker: the oracle is
+    BRUTE-FORCE Hamming over all pairs, so any banding recall loss
+    shows up as a row-count mismatch (pigeonhole says there is none)."""
+    corpus = _neardup_docs(spark, sf_dir)
+    return D.simhash_near_duplicates(corpus, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

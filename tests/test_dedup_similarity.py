@@ -68,6 +68,27 @@ def test_simhash_identical_and_distant(docs):
     assert (1, 2, 0) in got
 
 
+def test_simhash_banding_catches_top_bit_diffs(spark):
+    # Regression: a single prefix block missed pairs whose differing
+    # bits touched the top byte.  Multi-band blocking (pigeonhole over
+    # max_hamming+1 bands) must find them.
+    fps = [
+        (1, 0),
+        (2, (1 << 31) | (1 << 30)),          # 2 diffs, both in the TOP band
+        (3, (1 << 31) | (1 << 15) | 1),      # 3 diffs spread across bands
+        (4, (1 << 8) - 1),                   # 8 diffs -> not a near-dup
+    ]
+    fp = spark.createDataFrame(fps, "id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs_from_fingerprints(fp, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 3  # bits 31 cancel; 30,15,0 differ
+    assert (1, 4) not in got
+
+
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame(
         [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzzzzz")], ["doc_id", "text"]
@@ -115,6 +136,35 @@ def test_brute_force_topk_self_excluded_and_ranked(embeddings):
         ranked.sort()
         cosines = [c for _, c in ranked]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_centroid_seeding_plan_is_distributed(embeddings):
+    # Seed selection must compile to TakeOrderedAndProject (distributed
+    # per-partition top-N), never a global row_number window that sorts
+    # the whole corpus into one partition.
+    seeds = SIM.build_ivf_centroids(embeddings, num_centroids=8, lloyd_steps=0)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rows = sorted(seeds.collect(), key=lambda r: r.centroid_id)
+    assert [r.centroid_id for r in rows] == list(range(8))
+    assert all(len(r.centroid) == 64 for r in rows)
+
+
+def test_no_global_windows_in_package():
+    # grep-style guard: every window in the package must be keyed
+    # (Window.partitionBy(...).orderBy(...)); a bare Window.orderBy is a
+    # single-partition global sort — a scale-killer.
+    import glob, os, re
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "applications_analytics_midas_hbase_metrics_spark"
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        if re.search(r"Window\s*\.\s*orderBy", src):
+            offenders.append(os.path.basename(path))
+    assert offenders == []
 
 
 def test_ivf_topk_recall_vs_brute_force(embeddings):
