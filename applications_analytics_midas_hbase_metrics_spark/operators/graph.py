@@ -38,23 +38,24 @@ def connected_components(
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), "label"
         )
+        # The old label rides along through the min-aggregate (each id
+        # contributes exactly one non-null "old" row), so convergence is
+        # read off the materialized result with a cheap scan — no second
+        # join+count per superstep, which previously doubled the work.
         # localCheckpoint, not persist: each superstep's plan would
         # otherwise embed the whole previous lineage, and analysis time
         # grows exponentially with iteration count (the classic
-        # iterative-DataFrame trap)
+        # iterative-DataFrame trap).
         new_labels = (
-            labels.select("id", "label")
-            .union(msgs)
+            labels.select("id", "label", F.col("label").alias("old"))
+            .unionByName(msgs.withColumn("old", F.lit(None).cast("bigint")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     und.unpersist()
