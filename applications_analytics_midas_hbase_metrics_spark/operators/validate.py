@@ -33,23 +33,25 @@ def compare_cells(
     """Full-outer diff of the file-derived vs store-derived cells.
 
     Returns one row per key with ``file_value``, ``table_value`` and a
-    ``verdict`` column.  Null-safe equality (``<=>``) so a NULL value on
-    both sides is a match, like the reference's string compare would be.
-    """
+    ``verdict`` column.  "Missing" is decided by ROW PRESENCE (explicit
+    marker columns carried through the full-outer join), not value
+    nullness — so a cell whose value is NULL on both sides is a
+    ``match`` (null-safe ``<=>`` compare), and a genuinely NULL value is
+    never conflated with an absent row."""
     f = file_df.select(
-        *on, F.col(value_col).alias("file_value")
+        *on, F.col(value_col).alias("file_value"), F.lit(True).alias("_in_file")
     )
     t = table_df.select(
-        *on, F.col(value_col).alias("table_value")
+        *on, F.col(value_col).alias("table_value"), F.lit(True).alias("_in_table")
     )
     joined = f.join(t, on=list(on), how="full_outer")
     verdict = (
-        F.when(F.col("file_value").isNull(), F.lit(MISSING_IN_FILE))
-        .when(F.col("table_value").isNull(), F.lit(MISSING_IN_TABLE))
+        F.when(F.col("_in_file").isNull(), F.lit(MISSING_IN_FILE))
+        .when(F.col("_in_table").isNull(), F.lit(MISSING_IN_TABLE))
         .when(F.col("file_value").eqNullSafe(F.col("table_value")), F.lit(MATCH))
         .otherwise(F.lit(MISMATCH))
     )
-    return joined.withColumn("verdict", verdict)
+    return joined.withColumn("verdict", verdict).drop("_in_file", "_in_table")
 
 
 def validation_summary(diff: DataFrame) -> DataFrame:

@@ -389,6 +389,60 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.validation_summary(diff)
 
 
+# runTestRunner compareType variants (Utils.scala:643-655): the anti-join
+# directions as first-class results, not just summary counts.  The store
+# side both DROPS cells (orders % 51 = 0) and carries EXTRA cells the file
+# never produced ('X'-prefixed copies of orders % 101 = 0), so both
+# directions are non-trivially exercised.
+_TABLE_SIDE_PLUS_SQL = f"""
+    SELECT row_key, col_name, vals FROM ({_TABLE_SIDE_SQL})
+    UNION ALL
+    SELECT 'X' || row_key, col_name, vals FROM ({_FILE_SIDE_SQL})
+    WHERE CAST(split_part(row_key, {CHR0}, 3) AS BIGINT) % 101 = 0
+"""
+
+
+@register(
+    "validation_missing",
+    oracle=f"""
+    WITH f AS ({_FILE_SIDE_SQL}), s AS ({_TABLE_SIDE_PLUS_SQL})
+    SELECT 'missing_in_table' AS direction,
+           {esc_ctrl_sql('row_key')} AS row_key, col_name
+    FROM f ANTI JOIN s USING (row_key, col_name)
+    UNION ALL
+    SELECT 'missing_in_file' AS direction,
+           {esc_ctrl_sql('row_key')} AS row_key, col_name
+    FROM s ANTI JOIN f USING (row_key, col_name)
+    """,
+)
+def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
+    cells = cells.persist()
+    okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
+    table_side = cells.filter(okey % 51 != 0).union(
+        cells.filter(okey % 101 == 0).withColumn(
+            "row_key", F.concat(F.lit("X"), F.col("row_key"))
+        )
+    )
+    mt = V.missing_in_table(cells, table_side).select(
+        F.lit("missing_in_table").alias("direction"),
+        esc_ctrl("row_key").alias("row_key"),
+        "col_name",
+    )
+    mf = V.missing_in_file(cells, table_side).select(
+        F.lit("missing_in_file").alias("direction"),
+        esc_ctrl("row_key").alias("row_key"),
+        "col_name",
+    )
+    return mt.union(mf)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 F7 — log extraction (MetricDetails.scala:21-64)
 # ---------------------------------------------------------------------------
@@ -644,3 +698,4 @@ from . import queries_tpch  # noqa: E402, F401  (registry side-effect)
 from . import queries_features  # noqa: E402, F401  (registry side-effect)
 from . import queries_reshape  # noqa: E402, F401  (registry side-effect)
 from . import queries_graph  # noqa: E402, F401  (registry side-effect)
+from . import queries_streaming  # noqa: E402, F401  (registry side-effect)

@@ -77,6 +77,12 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 def stream_dedupe(
     stream: DataFrame, key: str = "event_id", watermark: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
-    """Exact streaming dedup on ``key``: state holds one entry per key
-    seen inside the watermark horizon and is reclaimed beyond it."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
+    """Exact streaming dedup on ``key`` ALONE — two events with the same
+    key but different event times are still duplicates.  Uses
+    ``dropDuplicatesWithinWatermark`` so state holds one entry per key
+    inside the watermark horizon and is reclaimed beyond it (plain
+    ``dropDuplicates([key])`` would grow state forever; adding ``ts`` to
+    the key set would only dedup exact (key, ts) pairs)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

@@ -155,6 +155,7 @@ def test_stream_dedupe(spark, tmp_path):
         (1, "2024-01-01 00:00:00", 1.0),
         (1, "2024-01-01 00:00:00", 1.0),  # exact duplicate
         (2, "2024-01-01 00:01:00", 2.0),
+        (2, "2024-01-01 00:05:00", 2.5),  # same key, later ts -> still a dup
     ]
     df = spark.createDataFrame(rows, ["event_id", "ts", "value"]).withColumn(
         "ts", F.to_timestamp("ts")

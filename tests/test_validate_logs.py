@@ -39,6 +39,26 @@ def test_validation_summary_counts(file_table):
     assert s == {V.MATCH: 2, V.MISMATCH: 1, V.MISSING_IN_TABLE: 1, V.MISSING_IN_FILE: 1}
 
 
+def test_compare_cells_null_value_both_sides_is_match(spark):
+    # A cell whose VALUE is null on both sides is present on both sides
+    # → match, never "missing": missing means row-absent (presence
+    # markers), not value-null.
+    file_df = spark.createDataFrame(
+        [("k1", "c1", None), ("k2", "c1", None)],
+        "row_key string, col_name string, values string",
+    )
+    table_df = spark.createDataFrame(
+        [("k1", "c1", None), ("k2", "c1", "v")],
+        "row_key string, col_name string, values string",
+    )
+    got = {
+        (r.row_key, r.col_name): r.verdict
+        for r in V.compare_cells(file_df, table_df).collect()
+    }
+    assert got[("k1", "c1")] == V.MATCH
+    assert got[("k2", "c1")] == V.MISMATCH
+
+
 def test_anti_semi_joins(file_table):
     file_df, table_df = file_table
     assert V.missing_in_table(file_df, table_df).count() == 1
