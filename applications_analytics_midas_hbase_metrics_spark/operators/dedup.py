@@ -79,20 +79,40 @@ def _jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def exact_duplicates(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 100,
 ) -> DataFrame:
     """Groups of byte-identical content: (content_hash, n_copies, keep_id,
-    dup_ids).  One shuffle on the 256-bit content hash; the texts
+    all_ids).  One shuffle on the 256-bit content hash; the texts
     themselves never shuffle (map-side hash first) — at 100 TB this moves
-    ~40 bytes/doc, not documents."""
+    ~40 bytes/doc, not documents.
+
+    ``all_ids`` carries at most ``max_ids`` (lowest) ids per group: a
+    degenerate group — billions of empty or boilerplate documents — must
+    not build one giant array row.  The cap is enforced INSIDE the
+    aggregation (rank-then-collect on the same hash partitioning, so no
+    extra shuffle), not by slicing an already-materialized array;
+    ``n_copies``/``keep_id`` stay exact over the full group."""
     h = F.sha2(F.col(content_col), 256)
+    ranked = df.select(
+        h.alias("content_hash"), F.col(id_col).cast("bigint").alias("id")
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("content_hash").orderBy("id")
+        ),
+    )
     return (
-        df.select(h.alias("content_hash"), F.col(id_col).cast("bigint").alias("id"))
-        .groupBy("content_hash")
+        ranked.groupBy("content_hash")
         .agg(
             F.count("*").cast("bigint").alias("n_copies"),
             F.min("id").alias("keep_id"),
-            F.array_sort(F.collect_list("id")).alias("all_ids"),
+            # collect_list drops nulls -> only ranks <= max_ids survive
+            F.array_sort(
+                F.collect_list(F.when(F.col("_rk") <= max_ids, F.col("id")))
+            ).alias("all_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )

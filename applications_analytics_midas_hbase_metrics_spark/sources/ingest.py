@@ -204,17 +204,33 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC scan parametrized from a properties/ini file, the
     getTeradataDataframe shape (Utils.scala:812-837): the query is pushed
-    down as a dbtable subquery, so filtering happens source-side."""
+    down as a dbtable subquery, so filtering happens source-side.
+
+    Executable against any JDBC source on the classpath (tested against
+    embedded Derby); config problems and unreachable sources raise a
+    RuntimeError naming the url instead of a bare driver stack."""
     cfg = read_properties(config_path, section)
-    return (
+    if "url" not in cfg:
+        raise ValueError(
+            f"JDBC config {config_path!r} is missing the required 'url' key"
+        )
+    reader = (
         spark.read.format("jdbc")
         .option("url", cfg["url"])
-        .option("driver", cfg.get("driver", ""))
-        .option("user", cfg.get("user", ""))
-        .option("password", cfg.get("password", ""))
         .option("dbtable", f"({query}) q")
-        .load()
     )
+    # only forward options actually present — an empty driver class name
+    # would override Spark's url-based driver resolution
+    for key in ("driver", "user", "password"):
+        if cfg.get(key):
+            reader = reader.option(key, cfg[key])
+    try:
+        return reader.load()
+    except Exception as exc:
+        raise RuntimeError(
+            f"JDBC read failed for url {cfg['url']!r} "
+            f"(driver={cfg.get('driver', '<from url>')!r}): {exc}"
+        ) from exc
 
 
 def read_properties(path: str, section: str = "jdbc") -> dict[str, str]:

@@ -42,6 +42,19 @@ def test_exact_duplicates(docs):
     assert kept.filter(F.col("doc_id") == 2).count() == 0
 
 
+def test_exact_duplicates_caps_all_ids(spark):
+    # a degenerate group (here 250 identical docs) must not materialize
+    # an unbounded id array — but the counts stay exact
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(250)], ["doc_id", "text"]
+    )
+    g = D.exact_duplicates(df, max_ids=100).first()
+    assert g.n_copies == 250
+    assert g.keep_id == 0
+    assert len(g.all_ids) == 100
+    assert g.all_ids == sorted(g.all_ids) and g.all_ids[0] == 0
+
+
 def test_minhash_finds_near_dup(docs):
     pairs = D.minhash_near_duplicates(docs, threshold=0.3, shingle_k=2)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}

@@ -129,3 +129,41 @@ def test_read_properties(tmp_path):
     p.write_text("url=jdbc:x://h/db\nuser=u\n# comment\npassword=p\n")
     cfg = I.read_properties(str(p))
     assert cfg == {"url": "jdbc:x://h/db", "user": "u", "password": "p"}
+
+
+def test_read_jdbc_executes_roundtrip(spark, tmp_path):
+    # the getTeradataDataframe shape, executed for real against the
+    # embedded Derby engine on Spark's classpath: write a table over
+    # JDBC, read it back through read_jdbc with a pushed-down subquery.
+    # (Derby folds unquoted identifiers to uppercase, hence the naming.)
+    url = "jdbc:derby:memory:midasjdbc;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["ID", "NAME"])
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "T_METRICS")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    cfg = tmp_path / "jdbc.properties"
+    cfg.write_text(f"url=jdbc:derby:memory:midasjdbc\ndriver={drv}\n")
+    out = I.read_jdbc(
+        spark, str(cfg), "SELECT ID, NAME FROM T_METRICS WHERE ID >= 2"
+    )
+    assert sorted((r.ID, r.NAME) for r in out.collect()) == [(2, "b"), (3, "c")]
+
+
+def test_read_jdbc_missing_url_and_unreachable(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = tmp_path / "empty.properties"
+    empty.write_text("user=u\n")
+    with _pytest.raises(ValueError, match="missing the required 'url'"):
+        I.read_jdbc(spark, str(empty), "SELECT 1")
+
+    bad = tmp_path / "bad.properties"
+    bad.write_text("url=jdbc:derby:memory:nosuchdb\n")  # no ;create=true
+    with _pytest.raises(RuntimeError, match="JDBC read failed for url"):
+        I.read_jdbc(spark, str(bad), "SELECT 1 FROM SYSIBM.SYSDUMMY1")
