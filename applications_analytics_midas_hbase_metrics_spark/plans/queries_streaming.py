@@ -139,3 +139,34 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("bigint").alias("n_events"),
         F.round(F.max_by("value_sum", "n_events"), 6).alias("value_sum"),
     )
+
+
+@register("stream_dedupe", oracle="SELECT event_id FROM events")
+def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-only streaming dedup gate: events ∪ copies of event_id % 7 == 0
+    with SHIFTED timestamps — dropDuplicatesWithinWatermark must remove
+    them anyway (same key, different event time), leaving each original
+    event_id exactly once.  Which physical record survives is
+    nondeterministic, so the gated output is the key column alone."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    dups = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    d = tempfile.mkdtemp(prefix="midas_stream_dedupe_")
+    src = os.path.join(d, "src")
+    # one file → one micro-batch: every duplicate lands inside the live
+    # watermark horizon, so the dedup guarantee is total
+    ev.union(dups).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sink = f"dd_{uuid.uuid4().hex[:12]}"
+    q = (
+        ST.stream_dedupe(stream, key="event_id", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select("event_id")
