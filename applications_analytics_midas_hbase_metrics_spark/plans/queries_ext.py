@@ -122,9 +122,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: brute-force minhash-verified pairs (shared by dedup_minhash and the
-#: cluster oracle)
-MINHASH_PAIRS_SQL = f"""
-    WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+#: cluster/representatives oracles)
+def minhash_pairs_sql(corpus_sql: str) -> str:
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles
         FROM (SELECT doc_id, {_TOKS} AS tks FROM corpus)
@@ -142,6 +143,9 @@ MINHASH_PAIRS_SQL = f"""
           / (len(a.shingles) + len(b.shingles)
              - len(list_intersect(a.shingles, b.shingles))) >= 0.5
 """
+
+
+MINHASH_PAIRS_SQL = minhash_pairs_sql(_NEARDUP_DOCS_SQL)
 
 
 @register("dedup_minhash", oracle=MINHASH_PAIRS_SQL)

@@ -1,10 +1,12 @@
-"""Reshaping + sampling queries: pivot, cube, deterministic splits."""
+"""Reshaping + sampling queries: pivot, cube, deterministic splits,
+per-group capped sampling."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sampling import top_k_per_group
 from .queries import register, t
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -49,6 +51,26 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cube(
         "event_type", (F.col("user_id") % 10).cast("bigint").alias("user_bucket")
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "sample_per_source",
+    oracle="""
+    SELECT source, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+    """,
+)
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Keep N documents per domain" — deterministic per-group capped
+    sampling via the two-phase top-K (operators.sampling), the curation
+    primitive that balances a training mix across sources without
+    funneling any source's full row set through one task."""
+    docs = t(spark, sf_dir, "documents")
+    kept = top_k_per_group(docs, group_col="source", order_col="doc_id", k=10)
+    return kept.select(
+        "source", "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
 
 
 @register(

@@ -164,6 +164,27 @@ def test_ivf_centroid_seeding_plan_is_distributed(embeddings):
     assert all(len(r.centroid) == 64 for r in rows)
 
 
+def test_top_k_per_group_deterministic(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import top_k_per_group
+
+    rows = [(i, "a" if i % 2 == 0 else "b", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).repartition(8)
+    kept = top_k_per_group(df, "source", "doc_id", k=5)
+    got = sorted((r.source, r.doc_id) for r in kept.collect())
+    assert got == [("a", 0), ("a", 2), ("a", 4), ("a", 6), ("a", 8),
+                   ("b", 1), ("b", 3), ("b", 5), ("b", 7), ("b", 9)]
+    # payload columns survive the semi-join
+    assert set(kept.columns) == {"doc_id", "source", "text"}
+
+
+def test_top_k_per_group_small_groups(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import top_k_per_group
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["doc_id", "source"])
+    kept = top_k_per_group(df, "source", "doc_id", k=10)
+    assert kept.count() == 3  # groups smaller than k pass through whole
+
+
 def test_no_global_windows_in_package():
     # grep-style guard: every window in the package must be keyed
     # (Window.partitionBy(...).orderBy(...)); a bare Window.orderBy is a
