@@ -68,6 +68,60 @@ def test_spark_hash_matches_python_on_random_batch(spark):
         assert r.s == K.salt_py(r.k), repr(r.k)
 
 
+def test_simhash_banding_equals_brute_force_random(spark):
+    # pigeonhole recall guarantee, property-checked: banded blocking over
+    # random 32-bit fingerprints must find EXACTLY the brute-force pair
+    # set at every max_hamming the band layout covers
+    import itertools
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    # clustered fingerprints so near pairs actually occur
+    seeds = [rng.getrandbits(32) for _ in range(6)]
+    fps = []
+    for i in range(120):
+        base = seeds[i % len(seeds)]
+        flips = rng.sample(range(32), rng.randrange(0, 5))
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        fps.append((i, v))
+    df = spark.createDataFrame(fps, "id long, simhash long")
+    for max_h in (1, 3):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_pairs_from_fingerprints(
+                df, bits=32, max_hamming=max_h
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for (a, va), (b, vb) in itertools.combinations(fps, 2)
+            if bin(va ^ vb).count("1") <= max_h
+        }
+        assert got == want, f"max_hamming={max_h}"
+
+
+def test_top_k_per_group_equals_brute_force_random(spark):
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import top_k_per_group
+
+    rng = random.Random(17)
+    rows = [(i, rng.choice("pqrs")) for i in rng.sample(range(10000), 400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(16)
+    got = sorted((r.source, r.doc_id) for r in top_k_per_group(df, "source", "doc_id", 7).collect())
+    want = []
+    by_g: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        want += [(g, i) for i in sorted(ids)[:7]]
+    assert got == sorted(want)
+
+
 def test_spark_blob_codec_roundtrip_random(spark):
     import random
 
