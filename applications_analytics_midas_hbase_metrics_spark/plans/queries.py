@@ -239,6 +239,42 @@ def q_cell_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_roundtrip",
+    oracle=f"""
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals,
+           CAST({duckdb_salt_sql('row_key')} AS INT) AS salt
+    FROM ({_CELLS_SQL})
+    WHERE starts_with(row_key, 'R' || {CHR0} || 'F')
+    """,
+)
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage boundary under the gate: build cells, WRITE the
+    salt-partitioned Parquet store (K1/K3), read it back with the prefix
+    filter pushed to the scan (S6/P8) — values, counts, and the salt
+    partition column must survive the disk roundtrip exactly."""
+    import tempfile
+
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    store = tempfile.mkdtemp(prefix="midas_store_rt_") + "/store"
+    CS.write_cells(cells, store, mode="overwrite")
+    back = CS.read_cells(spark, store, prefix="R\x00F")
+    return back.select(
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+        F.col("salt").cast("int").alias("salt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 S7/S8, §2.4 J2 — bulkGet as an equi-join
 # ---------------------------------------------------------------------------
