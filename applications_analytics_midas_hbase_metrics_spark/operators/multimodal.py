@@ -142,6 +142,46 @@ def sample_frames(
     return mm.mapInPandas(run, FRAME_SCHEMA)
 
 
+def resize_payload(
+    mm: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+) -> DataFrame:
+    """Resize plumbing: deterministic stride-sampling of the payload down
+    to ``target_width × target_height`` bytes (stand-in for real pixel
+    resampling — swap the inner loop for PIL.Image.resize on real
+    executors).  Output keeps the multimodal schema with updated
+    dimension metadata, so resize composes with extract_features /
+    sample_frames downstream."""
+    budget = target_width * target_height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                p = row.payload or b""
+                if len(p) <= budget:
+                    small = p
+                else:
+                    stride = len(p) / budget
+                    small = bytes(p[int(i * stride)] for i in range(budget))
+                out.append((row.id, row.modality, small, target_width, target_height))
+            yield pd.DataFrame(
+                out, columns=["id", "modality", "payload", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return mm.mapInPandas(run, schema)
+
+
 def decode_image_real(payload: bytes) -> dict:
     """The real decoder slot — requires Pillow, not present in this
     container (task brief: stub behind NotImplementedError)."""

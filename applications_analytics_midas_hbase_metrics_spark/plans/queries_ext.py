@@ -445,6 +445,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(mm)
 
 
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, CAST(greatest(least(8, strlen(text) // 64), 1)
+                                         AS BIGINT))) AS INT) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id AS id, frame_idx,
+           substr(text, frame_idx * 64 + 1, 64) AS frame,
+           CAST(strlen(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+               AS frame_bytes
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing under the gate: fixed-stride byte
+    "frames" (the video-frame-extraction shape) must slice exactly like
+    the oracle's substring math.  The fixture text is ASCII, so byte
+    slices and character slices coincide and the binary frames decode
+    losslessly for comparison."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.attach_binary_payload(docs, source_col="text", id_col="doc_id")
+    frames = MM.sample_frames(mm, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.decode("frame", "UTF-8").alias("frame"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream windows (batch expressions — identical ones drive streaming)
 # ---------------------------------------------------------------------------

@@ -83,6 +83,21 @@ def test_sample_frames_stride(spark):
     assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2, 3]
 
 
+def test_resize_payload_budget_and_composition(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 5000), (2, "tiny")], ["doc_id", "text"]
+    )
+    mm = MM.attach_binary_payload(df, "text", "doc_id")
+    small = MM.resize_payload(mm, target_width=16, target_height=16)
+    rows = {r.id: r for r in small.collect()}
+    assert len(rows[1].payload) == 256  # downsampled to the byte budget
+    assert rows[1].width == 16 and rows[1].height == 16
+    assert rows[2].payload == b"tiny"  # under budget passes through
+    # resize output keeps the multimodal schema -> composes downstream
+    feats = {r.id: r for r in MM.extract_features(small).collect()}
+    assert feats[1].feature_ok == "ok" and feats[1].n_bytes == 256
+
+
 def test_decode_image_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(b"\x89PNG")
