@@ -186,7 +186,44 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold) over
+    word k-shingles.  See :func:`lsh_near_duplicates` for the plan."""
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        word_shingles(tokens(text_col), shingle_k).alias("shingles"),
+    )
+    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold)
+
+
+def ngram_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked ALL-PAIRS character-n-gram Jaccard dedup: the same
+    MinHash+LSH candidate machinery as the word-shingle path, with
+    char n-grams as the set elements — the fuzzy-matching shape for
+    short/denormalized text where word shingles are too coarse.  No
+    explicit pair relation needed (unlike :func:`ngram_jaccard_pairs`)
+    and no O(n²) cross join."""
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        char_ngrams(text_col, n).alias("shingles"),
+    )
+    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold)
+
+
+def lsh_near_duplicates(
+    base: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup core over a prepared (id, shingles) frame.
 
     Plan shape: shingle+sign map-side → explode bands → shuffle on
     (band_id, band_hash) → per-bucket self-join (candidates) → distinct →
@@ -196,14 +233,6 @@ def minhash_near_duplicates(
     computes) up to LSH recall.  Banding is sized so recall failures are
     negligible even AT the threshold: with r=2, b=64 a pair at s=0.5 is
     missed with (1-0.25)^64 ≈ 1e-8 — not just the easy s=0.7 pairs."""
-    # Pre-filter on the raw text (cheap) rather than post-filtering on
-    # size(shingles): a filter on the computed column would evaluate the
-    # whole shingle expression twice — once in the Filter operator, once
-    # in the Project (no CSE across physical operators).
-    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col).cast("bigint").alias("id"),
-        word_shingles(tokens(text_col), shingle_k).alias("shingles"),
-    )
     # The shingle table is consumed three times (signature build + both
     # sides of the verification join); persist it so shingling — the
     # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on

@@ -239,6 +239,44 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, docs, pair_on, n=5)
 
 
+_NGRAMS_SQL = """
+    list_distinct(CASE WHEN length(lower(text)) >= 5
+        THEN list_transform(range(1, length(lower(text)) - 3),
+                            i -> substr(lower(text), CAST(i AS INT), 5))
+        ELSE [lower(text)] END)
+"""
+
+
+@register(
+    "dedup_ngram_blocked",
+    oracle=f"""
+    WITH corpus AS ({_neardup_docs_sql("doc_id % 10 = 0")}),
+    ng AS (
+        SELECT doc_id, {_NGRAMS_SQL} AS grams
+        FROM corpus WHERE length(trim(text)) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM ng a JOIN ng b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.grams), len(b.grams))
+         >= 0.5 * greatest(len(a.grams), len(b.grams))
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def q_dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked ALL-PAIRS char-5-gram dedup (no explicit pair relation):
+    the LSH core must reproduce the brute-force n-gram Jaccard pair set
+    at threshold 0.5 — same subset scoping as simhash_pairs, since the
+    corpus is pathologically self-similar."""
+    corpus = _neardup_docs(spark, sf_dir, keep_mod=10)
+    return D.ngram_near_duplicates(corpus, n=5, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Dedup 5: embedding cosine near-dup (LSH-blocked, exact-verified)
 # ---------------------------------------------------------------------------
