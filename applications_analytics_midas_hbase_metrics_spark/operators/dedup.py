@@ -70,8 +70,11 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
 
 
 def _jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / (|A| + |B| - |A∩B|) with the intersection written ONCE —
+    codegen's subexpression elimination then evaluates one
+    ``array_intersect`` per row (the doubled literal form defeated it)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +235,25 @@ def lsh_near_duplicates(
     the output equals the brute-force answer (what the DuckDB oracle
     computes) up to LSH recall.  Banding is sized so recall failures are
     negligible even AT the threshold: with r=2, b=64 a pair at s=0.5 is
-    missed with (1-0.25)^64 ≈ 1e-8 — not just the easy s=0.7 pairs."""
+    missed with (1-0.25)^64 ≈ 1e-8 — not just the easy s=0.7 pairs.
+
+    Two scale guards on the candidate set:
+      * the standard size-ratio bound — jaccard(A,B) <= min/max set
+        sizes, so any pair with ``least(sz) < threshold·greatest(sz)``
+        can never verify; it is killed INSIDE the band-join condition,
+        before the distinct and before any shingle array is carried.
+        On self-similar corpora (hot bands from boilerplate) this is
+        the difference between verifying every banded collision and
+        verifying only plausible ones.
+      * set sizes ride along from the signature aggregate for free
+        (the shingle arrays are distinct-element, so the exploded row
+        count per id IS the set size) — no extra join, and the final
+        jaccard needs just ONE array_intersect.
+
+    The result is materialized (localCheckpoint) before the shingle
+    cache is released, so callers can fan it out (e.g. the clustering
+    self-union) without re-running the LSH DAG; on a cluster deployment
+    a persisted pairs table serves the same role."""
     # The shingle table is consumed three times (signature build + both
     # sides of the verification join); persist it so shingling — the
     # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
@@ -256,35 +277,62 @@ def lsh_near_duplicates(
         )
     sig = (
         hashed.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"))
+        # count(*) == |shingles|: the arrays are distinct-element, one
+        # exploded row per element — the set size comes out of the same
+        # aggregate that builds the signature, no extra pass or join
+        .agg(F.count("*").cast("int").alias("sz"), *mins)
+        .select(
+            "id",
+            "sz",
+            F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"),
+        )
     )
     bands = sig.select(
-        "id", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
-    ).select("id", "band.band_id", "band.band_hash")
+        "id", "sz", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
+    ).select("id", "sz", "band.band_id", "band.band_hash")
 
     a = bands.alias("a")
     b = bands.alias("b")
+    # size-ratio prefilter in the join condition itself: jaccard <=
+    # min(|A|,|B|)/max(|A|,|B|), so these pairs cannot pass verification
+    # — dropped before the distinct, before any array is touched (the
+    # brute-force oracle applies the identical bound)
+    ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")).cast("double") >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.sz"), F.col("b.sz"))
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & ratio_ok,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
 
     sh = base.select("id", "shingles")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    out = verified.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

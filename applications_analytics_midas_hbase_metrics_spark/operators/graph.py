@@ -24,15 +24,21 @@ def connected_components(
     """(id, cluster_id) for every node in ``edges``; cluster_id is the
     minimum node id reachable from the node (deterministic canonical
     labeling, reproducible in a recursive-CTE oracle)."""
+    # Materialize the edge frame BEFORE the self-union: both union
+    # branches consume it, and exchange reuse is not guaranteed across a
+    # union — an expensive upstream pipeline (LSH + verify) would execute
+    # twice.  Pair sets are small relative to the corpus, so the eager
+    # checkpoint is cheap; it also truncates the caller's lineage out of
+    # every superstep plan.
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     # undirected: keep both directions once
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.persist()
-    labels = (
-        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
+    labels = und.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
 
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.id).select(

@@ -24,6 +24,50 @@ from pyspark.sql.window import Window
 from .dedup import cosine
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, corpus_id, cos) — the
+    ``TakeOrderedAndProject`` shape generalized per group, same pattern
+    as operators.sampling.top_k_per_group:
+
+      1. partition-local top-k: hash aggregate on (query_id, partition)
+         — fully parallel, never funnels a query's full score set
+         through one task.  (Local state is bounded by one task's rows
+         per query: collect_list materializes them before the slice.)
+      2. global top-k + ranking over the reduced set — the window now
+         sees <= k × n_partitions rows per query instead of |corpus|.
+
+    Sorting key is (-cos, corpus_id): IEEE negation is exact, so the
+    descending-cosine-then-id order (and therefore the emitted rank) is
+    identical to the single-window formulation."""
+    cand = F.struct(
+        (-F.col("cos")).alias("nc"), F.col("corpus_id").alias("cid")
+    )
+    local = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .groupBy("query_id", "_p")
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("_c"))
+        .select("query_id", F.explode("_c").alias("_c"))
+        .select(
+            "query_id",
+            F.col("_c.cid").alias("corpus_id"),
+            (-F.col("_c.nc")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -32,8 +76,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k per query.  ``queries`` is broadcast (small by
-    construction); ranking ties break on corpus id so output is total-
-    ordered and oracle-comparable."""
+    construction); the per-query ranking runs two-phase (see
+    :func:`_topk_per_query`) so no task ever sees a query's full score
+    set; ties break on corpus id so output is total-ordered and
+    oracle-comparable."""
     c = corpus.select(
         F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
     )
@@ -43,20 +89,9 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "corpus_id", "cos")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("corpus_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _topk_per_query(scored, k)
 
 
 def _assign_nearest(df: DataFrame, centroids: DataFrame, vec: str, out: str) -> DataFrame:
@@ -167,15 +202,8 @@ def ivf_topk(
         c_assigned.join(F.broadcast(q_probes), "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "corpus_id", "cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    # probing already bounds the scanned lists, but a hot list can still
+    # be corpus-scale — rank two-phase here too
+    return _topk_per_query(scored, k)
