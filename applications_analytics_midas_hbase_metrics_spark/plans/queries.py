@@ -15,6 +15,10 @@ Conventions keeping the differential harness byte-stable:
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +76,16 @@ def esc_ctrl_sql(expr: str) -> str:
     )
 
 
+#: Supported-but-not-driver-gated queries: the driver's correctness gate
+#: records only the first 50 registration-order entries, so queries whose
+#: operator coverage is subsumed by another gated query live here instead
+#: — still first-class API, still differentially verified (pytest +
+#: tools/check_correctness.py run BOTH tiers), just not competing for the
+#: 50 driver rows.
+EXTRA_QUERIES: dict[str, QueryFn] = {}
+EXTRA_ORACLES: dict[str, str] = {}
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -80,6 +94,40 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def register_extra(name: str, oracle: str | None = None):
+    """Like :func:`register`, for the pytest-gated tier (see
+    EXTRA_QUERIES)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        EXTRA_QUERIES[name] = fn
+        if oracle is not None:
+            EXTRA_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """Per-process scratch space for queries that exercise a real storage
+    boundary (store roundtrip, streaming checkpoints, file ingest).
+
+    One root per interpreter, one subdirectory per query, WIPED on reuse:
+    repeated runs (bench best-of-2, driver retries, a long registry
+    sweep) never accumulate on-disk stores, and the whole root is removed
+    at interpreter exit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="midas_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 def _prepare_session(spark: SparkSession) -> None:
@@ -212,7 +260,9 @@ def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: store_roundtrip runs the same prefix
+    # scan THROUGH the disk boundary (strictly stronger gate for S6/P8)
     "cell_prefix_scan",
     oracle=f"""
     SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
@@ -254,8 +304,6 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-partitioned Parquet store (K1/K3), read it back with the prefix
     filter pushed to the scan (S6/P8) — values, counts, and the salt
     partition column must survive the disk roundtrip exactly."""
-    import tempfile
-
     li = t(spark, sf_dir, "lineitem")
     cells = CS.to_cells(
         li,
@@ -263,7 +311,7 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     )
-    store = tempfile.mkdtemp(prefix="midas_store_rt_") + "/store"
+    store = scratch_dir("store_roundtrip") + "/store"
     CS.write_cells(cells, store, mode="overwrite")
     back = CS.read_cells(spark, store, prefix="R\x00F")
     return back.select(
@@ -414,7 +462,9 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["l_linenumber", "l_suppkey"],
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
     # both diff sides derive from the same build — persist so the
-    # aggregation runs once, not twice
+    # aggregation runs once; the tiny summary is materialized eagerly so
+    # the cache can be RELEASED before returning (a long-lived session
+    # sweeping the registry must not accumulate cached blocks)
     cells = cells.persist()
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).withColumn(
@@ -422,7 +472,9 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(okey % 17 == 0, F.lit("CORRUPTED")).otherwise(F.col("vals")),
     )
     diff = V.compare_cells(cells, table_side, value_col="vals")
-    return V.validation_summary(diff)
+    out = V.validation_summary(diff).localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
 
 
 # runTestRunner compareType variants (Utils.scala:643-655): the anti-join
@@ -476,7 +528,11 @@ def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         esc_ctrl("row_key").alias("row_key"),
         "col_name",
     )
-    return mt.union(mf)
+    # same persist discipline as validation_diff: materialize the small
+    # anti-join result, then release the cached cell build
+    out = mt.union(mf).localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +778,77 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("k_sum"),
             F.count("*").cast("bigint").alias("n"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S3 — the real-file MUPR ingest boundary (Utils.scala:154-174)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mupr_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS seq_key,
+           o_orderpriority AS substructure_id,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                ELSE CAST(o_orderkey % 100 AS BIGINT) END AS sub_session,
+           CAST(o_custkey % 1000 AS BIGINT) AS order_num,
+           CAST(o_orderkey % 8 AS DOUBLE) / 4 AS arr_seq,
+           CAST(o_orderkey % 997 AS BIGINT) AS test_id,
+           CAST(o_orderkey % 1000 AS DOUBLE) / 4 AS measurement,
+           'A' || CAST(o_orderkey % 2 AS VARCHAR) AS active_vec,
+           o_orderstatus AS pass_fail_vec,
+           'M' || CAST(o_orderkey % 16 AS VARCHAR) AS mask_vec,
+           'T_' || CAST(o_orderkey % 50 AS VARCHAR) AS test_name
+    FROM orders
+    """,
+)
+def q_mupr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S3 file boundary END-TO-END under the gate: write a real
+    ``\\x00``-separated 11-field MUPR file (derived deterministically from
+    orders), scan it back with the explicit no-inference schema
+    (read_mupr, Utils.scala:154-174), and return the typed rows — the
+    oracle recomputes the expected values straight from orders, so the
+    text encode → CSV parse roundtrip (types, the \\x00 separator, NULL
+    via empty field) is what's being verified.
+
+    Float fields use exact quarter values so FLOAT parse → DOUBLE widen
+    is bit-identical across engines."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.lit(DELIM)
+    sub_session = F.when(k % 13 == 0, F.lit(None)).otherwise(
+        (k % 100).cast("string")
+    )
+    line = F.concat(
+        k.cast("string"), d,
+        F.col("o_orderpriority"), d,
+        F.coalesce(sub_session, F.lit("")), d,  # NULL → empty field
+        (F.col("o_custkey") % 1000).cast("string"), d,
+        ((k % 8) / 4.0).cast("string"), d,
+        (k % 997).cast("string"), d,
+        ((k % 1000) / 4.0).cast("string"), d,
+        F.concat(F.lit("A"), (k % 2).cast("string")), d,
+        F.col("o_orderstatus"), d,
+        F.concat(F.lit("M"), (k % 16).cast("string")), d,
+        F.concat(F.lit("T_"), (k % 50).cast("string")),
+    )
+    path = scratch_dir("mupr_scan") + "/mupr"
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = I.read_mupr(spark, path)
+    return parsed.select(
+        F.col("Unit_Testing_Seq_Key").cast("bigint").alias("seq_key"),
+        F.col("Substructure_ID").alias("substructure_id"),
+        F.col("Sub_Session_Seq_Num").cast("bigint").alias("sub_session"),
+        F.col("Test_Result_Order_Num").cast("bigint").alias("order_num"),
+        F.col("Test_Result_Array_Seq_Num").cast("double").alias("arr_seq"),
+        F.col("Test_ID").cast("bigint").alias("test_id"),
+        F.col("Measurement_Value").cast("double").alias("measurement"),
+        F.col("Active_Inactive_Core_Vector").alias("active_vec"),
+        F.col("Pass_Fail_Core_Vector").alias("pass_fail_vec"),
+        F.col("Mask_Vector").alias("mask_vec"),
+        F.col("Test_Name").alias("test_name"),
     )
 
 

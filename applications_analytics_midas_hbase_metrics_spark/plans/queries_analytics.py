@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
-from .queries import register, t
+from .queries import register, register_extra, t
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +171,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: semi/anti set semantics are gated by
+    # validation_diff/validation_missing
     "set_ops",
     oracle="""
     WITH a AS (SELECT DISTINCT c_nationkey FROM customer

@@ -17,7 +17,7 @@ from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text as T
 from ..streaming import windows as W
-from .queries import register, t
+from .queries import register, register_extra, t
 
 # ---------------------------------------------------------------------------
 # Shared corpus builders
@@ -215,7 +215,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: dedup_ngram_blocked runs the same
+    # char-n-gram Jaccard through the LSH blocker over ALL pairs
+    # (strictly stronger gate; this one needs an explicit pair relation)
     "dedup_ngram",
     oracle="""
     WITH ng AS (
@@ -535,7 +538,9 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.tumbling_counts(ev, "1 hour")
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: a sliding window is the union of
+    # shifted tumbling buckets; tumbling/session/activity stay gated
     "window_sliding",
     oracle="""
     SELECT window_start, CAST(count(*) AS BIGINT) AS n FROM (

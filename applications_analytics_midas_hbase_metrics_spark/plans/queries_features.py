@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators import embeddings as EMB
 from ..operators.text import LANG_PROFILES
-from .queries import register, t
+from .queries import register, register_extra, t
 from .queries_ext import _EMB_D, _TOKS, _dot_sql, _spread
 
 _TERMS = LANG_PROFILES["en"]
@@ -63,7 +63,9 @@ def q_label_centroid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EMB.centroid_features(emb)
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: norm/dot math is gated by ann_topk,
+    # dedup_embedding and label_centroid_features
     "vector_norms",
     # CTE stages so the norm is computed once per vector — inlining the
     # dot product inside list_transform re-evaluates it per ELEMENT

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import register, t
+from .queries import register, register_extra, t
 
 
 @register(
@@ -33,7 +33,7 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # HLL implementations differ per engine → rows-only
+@register_extra("approx_distinct")  # HLL differs per engine → rows-only; pytest tier
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count so
     the rows-only check still validates shape; the test suite asserts
@@ -45,7 +45,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: pure projection over ts (the windowed
+    # aggregations gate the time-bucketing math)
     "time_features",
     oracle="""
     SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,

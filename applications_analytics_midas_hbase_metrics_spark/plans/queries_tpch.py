@@ -7,11 +7,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import versions as VER
-from .queries import register, t
+from .queries import register, register_extra, t
 from .queries_ext import _DUP_DOCS_SQL, _dup_docs
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: every op here (filter/agg/sort/decimal
+    # money math) is gated by cell_build/meta_enrich/rollup_revenue
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -57,7 +59,9 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier: the join+agg+TOP-n shape is gated by
+    # meta_enrich + topk_orders
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,

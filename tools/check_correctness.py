@@ -57,7 +57,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    # cover BOTH tiers locally: the driver gates queries(); the extra
+    # (pytest-tier) queries get the identical differential check here
     qs, oracles = E.queries(), E.oracle_sql()
+    qs.update(E.extra_queries())
+    oracles.update(E.extra_oracle_sql())
     only = set(sys.argv[1:])
     failures = 0
     for name, fn in qs.items():
