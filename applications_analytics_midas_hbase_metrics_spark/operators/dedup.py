@@ -35,6 +35,18 @@ from ..functions.keys import java_hash, java_hash_py
 _MH_PRIME = 2_147_483_647
 
 
+def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
+    """Prepare a frame that is consumed on BOTH sides of a self-join:
+    without materialization the entire upstream pipeline (signature
+    build, fingerprinting, projections) executes once per side —
+    exchange reuse across a self-join is not guaranteed.  The prepared
+    bucket frames are tiny (ids + bucket keys), so an eager
+    localCheckpoint is the cheap way to run the pipeline exactly once;
+    in lazy mode (plan inspection) a persist marks the reuse point
+    instead and the caller owns its lifetime."""
+    return df.localCheckpoint(eager=True) if materialize else df.persist()
+
+
 # ---------------------------------------------------------------------------
 # Tokenization / shingling (shared)
 # ---------------------------------------------------------------------------
@@ -67,6 +79,39 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
         lambda i: F.substring(low, i, n).cast("string"),
     )
     return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(low)))
+
+
+def word_shingle_hashes(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as 64-bit xxhash values — set-equivalent
+    to :func:`word_shingles` up to hash collisions (p < 1e-10 for
+    realistic shingle universes), but every downstream operation
+    (distinct, signature build, candidate shuffle, exact-intersect
+    verify) runs on fixed-width longs instead of variable-length
+    strings.  The shingle strings exist only transiently inside the
+    projection; exact Jaccard on the hash sets equals Jaccard on the
+    string sets."""
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    whole = F.array(F.xxhash64(F.array_join(toks, " ")))
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
+
+
+def char_ngram_hashes(text: Column | str, n: int = 5) -> Column:
+    """Distinct char n-grams as 64-bit xxhash values (see
+    :func:`word_shingle_hashes` for why)."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    ln = F.length(low)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)),
+        lambda i: F.xxhash64(F.substring(low, i, n)),
+    )
+    return F.array_distinct(
+        F.when(ln >= n, grams).otherwise(F.array(F.xxhash64(low)))
+    )
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -185,17 +230,18 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
-    num_hashes: int = 128,
+    num_hashes: int = 96,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold) over
     word k-shingles.  See :func:`lsh_near_duplicates` for the plan."""
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).cast("bigint").alias("id"),
-        word_shingles(tokens(text_col), shingle_k).alias("shingles"),
+        word_shingle_hashes(tokens(text_col), shingle_k).alias("shingles"),
     )
-    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold)
+    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold, materialize)
 
 
 def ngram_near_duplicates(
@@ -203,9 +249,10 @@ def ngram_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
-    num_hashes: int = 128,
+    num_hashes: int = 96,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Blocked ALL-PAIRS character-n-gram Jaccard dedup: the same
     MinHash+LSH candidate machinery as the word-shingle path, with
@@ -215,9 +262,9 @@ def ngram_near_duplicates(
     and no O(n²) cross join."""
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).cast("bigint").alias("id"),
-        char_ngrams(text_col, n).alias("shingles"),
+        char_ngram_hashes(text_col, n).alias("shingles"),
     )
-    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold)
+    return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold, materialize)
 
 
 def lsh_near_duplicates(
@@ -225,6 +272,7 @@ def lsh_near_duplicates(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup core over a prepared (id, shingles) frame.
 
@@ -235,7 +283,10 @@ def lsh_near_duplicates(
     the output equals the brute-force answer (what the DuckDB oracle
     computes) up to LSH recall.  Banding is sized so recall failures are
     negligible even AT the threshold: with r=2, b=64 a pair at s=0.5 is
-    missed with (1-0.25)^64 ≈ 1e-8 — not just the easy s=0.7 pairs.
+    missed with (1-0.25)^b: 1e-8 at b=64, 1e-6 at the b=48 default the
+    wrappers use (96 hashes, 25% less signature work; with thousands of
+    output pairs the expected misses stay ~1e-3/run) — not just the
+    easy s=0.7 pairs.
 
     Two scale guards on the candidate set:
       * the standard size-ratio bound — jaccard(A,B) <= min/max set
@@ -250,10 +301,14 @@ def lsh_near_duplicates(
         count per id IS the set size) — no extra join, and the final
         jaccard needs just ONE array_intersect.
 
-    The result is materialized (localCheckpoint) before the shingle
-    cache is released, so callers can fan it out (e.g. the clustering
-    self-union) without re-running the LSH DAG; on a cluster deployment
-    a persisted pairs table serves the same role."""
+    With ``materialize=True`` (default) the result is computed eagerly
+    (localCheckpoint) and the shingle cache is RELEASED before
+    returning, so callers can fan the pairs out (e.g. the clustering
+    self-union) without re-running the LSH DAG and a long-lived session
+    does not accumulate cached blocks; on a cluster deployment a
+    persisted pairs table serves the same role.  ``materialize=False``
+    returns the lazy plan (for inspection / custom caching) — the
+    caller then owns releasing the persisted shingle frame."""
     # The shingle table is consumed three times (signature build + both
     # sides of the verification join); persist it so shingling — the
     # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
@@ -287,9 +342,12 @@ def lsh_near_duplicates(
             F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"),
         )
     )
-    bands = sig.select(
-        "id", "sz", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
-    ).select("id", "sz", "band.band_id", "band.band_hash")
+    bands = _self_join_ready(
+        sig.select(
+            "id", "sz", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
+        ).select("id", "sz", "band.band_id", "band.band_hash"),
+        materialize,
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -330,6 +388,8 @@ def lsh_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not materialize:
+        return verified
     out = verified.localCheckpoint(eager=True)
     base.unpersist()
     return out
@@ -386,6 +446,7 @@ def simhash_pairs_from_fingerprints(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Multi-index simhash blocking over a (id, simhash) frame.
 
@@ -423,6 +484,8 @@ def simhash_pairs_from_fingerprints(
             )
         ).alias("_b"),
     ).select("id", "simhash", "_b.band_id", "_b.band_val")
+    # both self-join sides read the fingerprint pipeline — run it once
+    bands = _self_join_ready(bands, materialize)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -450,12 +513,13 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming via multi-index
     banded blocking (see :func:`simhash_pairs_from_fingerprints`) —
     exact recall, no O(n²) block joins."""
     fp = simhash_fingerprints(df, text_col, id_col, bits)
-    return simhash_pairs_from_fingerprints(fp, bits, max_hamming, n_bands)
+    return simhash_pairs_from_fingerprints(fp, bits, max_hamming, n_bands, materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +576,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_planes: int = 16,
     dim: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH blocking + exact verify.
 
@@ -557,6 +622,10 @@ def embedding_near_duplicates(
         sig = sig + F.when(
             plane_projection(p) >= 0, F.lit(1 << p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
+    # the projection feeds both self-join sides, but unlike the minhash
+    # signature it is arithmetic-only over the source scan (16 plane
+    # folds/row) — measured CHEAPER to recompute than to materialize, so
+    # no checkpoint here (materialize only affects the returned pairs)
     signed = base.withColumn("sig", sig)
 
     # bucket keys: the signature itself plus every one-bit flip
@@ -586,4 +655,4 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
-    return verified
+    return verified.localCheckpoint(eager=True) if materialize else verified

@@ -8,8 +8,12 @@ row set through one task.  Instead the top-K is computed in two phases,
 like ``TakeOrderedAndProject`` generalized per group:
 
   1. per-input-partition local top-K (a hash aggregate over
-     (group, partition_id) — bounded state, fully parallel, no shuffle
-     of the payload);
+     (group, partition_id) — fully parallel, no shuffle of the
+     payload).  State bound: collect_list materializes one TASK's
+     order values per group before the slice, so memory is bounded by
+     partition size, not by K — size input splits (maxPartitionBytes)
+     accordingly; a truly unbounded stream per task would need a
+     bounded sorted-insert accumulator instead;
   2. global top-K over the reduced candidate set (≤ K × n_partitions
      rows per group — the ranking window now runs on a tiny frame);
   3. semi-join the winners back to the full rows (broadcast-sized:

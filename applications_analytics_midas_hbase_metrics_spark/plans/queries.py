@@ -109,6 +109,24 @@ def register_extra(name: str, oracle: str | None = None):
     return deco
 
 
+#: When True (default) queries that persist intermediates materialize
+#: their (small) result eagerly and RELEASE the cache before returning —
+#: the right behavior for gate/bench/long-session sweeps.  Plan-audit
+#: tooling sets this False to keep the full lazy DAG inspectable.
+EAGER = True
+
+
+def _finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``result`` and unpersist ``caches`` (no-op when EAGER
+    is False — the auditing caller then owns the cache lifetime)."""
+    if not EAGER:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 _SCRATCH_ROOT: str | None = None
 
 
@@ -138,6 +156,11 @@ def _prepare_session(spark: SparkSession) -> None:
     runtime-settable; idempotent and cheap."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the minhash signature aggregate carries 129 buffer fields; above
+    # the default maxFields=100 whole-stage codegen DISABLES itself and
+    # the stage runs interpreted (~20% slower end-to-end on the LSH
+    # queries).  256 keeps every registry plan inside codegen.
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     if not getattr(spark, "_midas_pyfiles_shipped", False):
         import os
         import tempfile
@@ -472,9 +495,7 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(okey % 17 == 0, F.lit("CORRUPTED")).otherwise(F.col("vals")),
     )
     diff = V.compare_cells(cells, table_side, value_col="vals")
-    out = V.validation_summary(diff).localCheckpoint(eager=True)
-    cells.unpersist()
-    return out
+    return _finalize(V.validation_summary(diff), cells)
 
 
 # runTestRunner compareType variants (Utils.scala:643-655): the anti-join
@@ -530,9 +551,7 @@ def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same persist discipline as validation_diff: materialize the small
     # anti-join result, then release the cached cell build
-    out = mt.union(mf).localCheckpoint(eager=True)
-    cells.unpersist()
-    return out
+    return _finalize(mt.union(mf), cells)
 
 
 # ---------------------------------------------------------------------------

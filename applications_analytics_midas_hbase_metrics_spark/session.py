@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # wide aggregates (the 129-buffer minhash signature) must stay
+        # inside whole-stage codegen; default maxFields=100 silently
+        # drops such stages to interpreted eval
+        .config("spark.sql.codegen.maxFields", "256")
         # the synthetic events table carries TIMESTAMP(NANOS) which Spark
         # has no native type for — read as long, convert at the source
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

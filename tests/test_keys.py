@@ -65,11 +65,18 @@ def test_salt_py_negative_hash():
     assert K.salt_py("abcdefgh") == abs(h) % 24
 
 
-def test_salt_py_min_value_edge():
-    # Even a hash of exactly Integer.MIN_VALUE yields a valid bucket:
-    # MIN_VALUE % 24 = -8 in Java, abs → 8.  (No string in the fixtures
-    # hashes there; this pins the closed-form equivalence.)
-    assert abs(-2_147_483_648) % 24 == 8
+def test_salt_py_min_value_edge(monkeypatch):
+    # No string hashes to Integer.MIN_VALUE, so route boundary int32
+    # hashes through salt_py ITSELF (monkeypatched hash) and pin the
+    # closed form abs(h) % b against Java's Math.abs(h % b) — including
+    # MIN_VALUE, where an int32 abs of the hash would overflow but the
+    # abs-of-small-remainder (and the 64-bit abs salt_py uses) do not.
+    for h in (-(2**31), -(2**31) + 1, -25, -24, -1, 0, 1, 23, 24, 2**31 - 1):
+        monkeypatch.setattr(K, "java_hash_py", lambda s, _h=h: _h)
+        q = abs(h) // 24  # Java % truncates toward zero
+        java_mod = h + q * 24 if h < 0 else h - q * 24
+        assert K.salt_py("any-key") == abs(java_mod), h
+    assert abs(-(2**31)) % 24 == 8  # the MIN_VALUE case concretely
 
 
 def test_jvm_expr_matches_python(spark):

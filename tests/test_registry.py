@@ -1,10 +1,18 @@
 """Driver-contract registry invariants: every oracle belongs to a query,
-every query is callable with (spark, sf_dir), and the entry point serves
-the flagship query."""
+every query is callable with (spark, sf_dir), the gated tier fits the
+driver's 50-row correctness cap exactly, the extra (pytest) tier passes
+the SAME differential oracle check, and repeated query sweeps do not
+accumulate cached blocks."""
 
 from __future__ import annotations
 
+import gc
+import hashlib
 import inspect
+import math
+import time
+
+from tests.conftest import SF_SMOKE
 
 
 def test_registry_invariants():
@@ -36,3 +44,79 @@ def test_registry_invariants():
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
     for name, sql in {**oracles, **extra_oracles}.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+# -- the extra tier gets the driver's differential check, in pytest ---------
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _frame_hash(cols, rows) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def test_extra_tier_differential(spark, duck):
+    """Retired-from-the-driver-gate queries stay CORRECT: identical
+    row-count + schema + order-insensitive value-hash check against
+    their DuckDB oracles (rows-only for approx_distinct, whose HLL is
+    engine-specific by design)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    extras, oracles = E.extra_queries(), E.extra_oracle_sql()
+    assert extras, "extra tier exists"
+    for name, fn in extras.items():
+        sdf = fn(spark, SF_SMOKE)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            assert len(s_rows) > 0, name
+            continue
+        res = duck.execute(oracles[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(d_cols), name
+        assert len(s_rows) == len(d_rows), name
+        assert _frame_hash(sdf.columns, s_rows) == _frame_hash(d_cols, d_rows), name
+
+
+# -- cache hygiene over a long-lived session --------------------------------
+
+def test_no_cache_growth_across_sweeps(spark):
+    """Queries that persist intermediates must RELEASE them: sweeping the
+    same persist-heavy queries repeatedly may not accumulate cached
+    blocks (transient localCheckpoint blocks of still-referenced results
+    are reclaimed by the context cleaner once dereferenced)."""
+    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+
+    names = ["validation_diff", "dedup_minhash", "dedup_clusters"]
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def sweep() -> None:
+        for n in names:
+            Q.QUERIES[n](spark, SF_SMOKE).collect()
+
+    counts = []
+    for _ in range(3):
+        sweep()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        counts.append(n_cached())
+    # pre-fix behavior leaked >= 3 persisted frames per sweep; allow a
+    # little slack for async cleaner timing
+    assert counts[-1] <= counts[0] + 2, counts
