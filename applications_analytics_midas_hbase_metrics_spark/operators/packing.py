@@ -1,0 +1,104 @@
+"""Sequence packing — assign documents to fixed-token-budget training
+sequences (the GPT-style "concatenate the corpus, cut every B tokens"
+shape), as a pure DataFrame composition.
+
+The core primitive is a DISTRIBUTED PREFIX SUM.  The naive formulation —
+``sum(tokens) OVER (ORDER BY doc_id)`` — is a global window: Spark must
+funnel every row through ONE task to evaluate it, which is the same
+scale trap as an unpartitioned ranking window.  Instead:
+
+  1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` — rows
+     are now range-ordered ACROSS partitions and sorted within them;
+  2. per-partition totals (one tiny aggregate, |partitions| rows) are
+     collected into cumulative OFFSETS and broadcast back as a join on
+     partition id — the only driver-size state is one number per
+     partition;
+  3. within-partition running sum (a window PARTITIONED by partition id,
+     so it parallelizes) + the partition's offset = the exact global
+     prefix sum.
+
+Everything downstream (pack assignment, pack summaries) is plain
+arithmetic on the prefix sum, so the whole operator survives a corpus
+that does not fit one task — the property the global-window version
+lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``sum(value) OVER (ORDER BY order_col)`` (inclusive) without
+    a single-task global window.  ``order_col`` values must be unique."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # one row per partition; cumulative offset = sum of all PRIOR
+    # partitions' totals.  |partitions| rows -> the window here is tiny.
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    # bounded-global-window-ok: this window sees ONE ROW PER PARTITION
+    # (hundreds at cluster scale), not the data — the whole point of the
+    # two-phase sum is that only this tiny frame is ever globally ordered
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_poffset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0))
+    ).select("_pid", "_poffset")
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_local", F.sum(value_col).over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_poffset"))
+        .drop("_pid", "_local", "_poffset")
+    )
+
+
+def assign_packs(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    budget: int = 512,
+) -> DataFrame:
+    """Concatenate-and-chunk pack assignment: documents are laid out in
+    ``order_col`` order and the token stream is cut every ``budget``
+    tokens; a document belongs to the pack in which it STARTS
+    (``floor(prefix_sum_before / budget)``).  Deterministic, exactly
+    reproducible in ANSI SQL (the oracle uses a plain window cumsum),
+    and O(n) — no all-to-one shuffle.
+
+    Returns the input columns + ``cum_tokens`` (inclusive prefix sum),
+    ``pack_id``, and ``pack_offset`` (where in its pack the document
+    starts)."""
+    cum = global_prefix_sum(df, tokens_col, order_col, out_col="cum_tokens")
+    before = F.col("cum_tokens") - F.col(tokens_col)
+    return cum.withColumn(
+        "pack_id", F.floor(before / budget).cast("bigint")
+    ).withColumn("pack_offset", (before % budget).cast("bigint"))
+
+
+def pack_summary(packed: DataFrame, tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-pack rollup: document count and token count (a document's
+    tokens count toward the pack it starts in — chunk-boundary spill is
+    the downstream tokenizer's concern, matching the assignment rule)."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(tokens_col).cast("bigint").alias("pack_tokens"),
+        F.min("pack_offset").cast("bigint").alias("first_offset"),
+    )

@@ -881,3 +881,4 @@ from . import queries_features  # noqa: E402, F401  (registry side-effect)
 from . import queries_reshape  # noqa: E402, F401  (registry side-effect)
 from . import queries_graph  # noqa: E402, F401  (registry side-effect)
 from . import queries_streaming  # noqa: E402, F401  (registry side-effect)
+from . import queries_curation  # noqa: E402, F401  (extra tier: packing, curation)

@@ -1,0 +1,107 @@
+"""Corpus-curation queries (pytest-gated extra tier): the composed
+operations a training-data pipeline runs between raw documents and a
+training corpus — sequence packing and an end-to-end filter+dedup
+curation pass.  Both have full DuckDB oracles; they live in the extra
+tier because the driver gate is at its 50-row cap and their component
+operators (token counts, quality, lang-ID, exact dedup) are already
+driver-gated individually.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import packing as P
+from ..operators import text as T
+from .queries import register_extra, t
+from .queries_ext import _TOKS, _spread
+
+_PACK_BUDGET = 512
+
+
+@register_extra(
+    "sequence_packing",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_tokens
+        FROM tk
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS pack_id,
+           CAST((cum_tokens - n_tokens) % {_PACK_BUDGET} AS BIGINT)
+               AS pack_offset
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pack assignment over the documents table.  The
+    oracle is the textbook single-window cumsum; the Spark side computes
+    the SAME prefix sum with the distributed two-phase form
+    (operators.packing.global_prefix_sum) — range partition, broadcast
+    per-partition offsets, partition-parallel windows — so the results
+    must agree exactly while the plan has no all-to-one stage."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(D.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = P.assign_packs(
+        with_tokens, tokens_col="n_tokens", order_col="doc_id",
+        budget=_PACK_BUDGET,
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
+@register_extra(
+    "curation_pipeline",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, text, {_TOKS} AS tks FROM documents
+    ), feat AS (
+        SELECT doc_id, text,
+               CAST(len(tks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tks, tok -> tok IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   AS DOUBLE) / greatest(len(tks), 1) AS stop_ratio
+        FROM tk
+    ), kept AS (
+        SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stopword_ratio
+        FROM feat
+        WHERE n_tokens >= 20 AND stop_ratio > 0
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT doc_id AS id, n_tokens, stopword_ratio FROM kept
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: length filter + stopword-signal filter
+    + exact dedup (keep lowest id per identical text), composed from the
+    individually-gated operators — the shape a real corpus snapshot job
+    runs.  Filters run BEFORE the dedup shuffle (cheap predicates prune
+    first, then only survivors hash-shuffle)."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    qf = T.quality_features(docs)  # id, n_tokens, stopword_ratio, ...
+    # the ratios are k/n_tokens with small n, so the 6-decimal rounding
+    # cannot move a positive ratio to zero — the >0 filter is exact
+    sel = qf.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") > 0)
+    ).select("id", "n_tokens", "stopword_ratio")
+    with_text = sel.join(
+        docs.select(F.col("doc_id").cast("bigint").alias("id"), "text"), "id"
+    )
+    kept = D.drop_exact_duplicates(with_text, content_col="text", id_col="id")
+    return kept.select("id", "n_tokens", "stopword_ratio")
