@@ -217,3 +217,48 @@ def test_ivf_topk_recall_vs_brute_force(embeddings):
     a = {(r.query_id, r.corpus_id) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+def test_shingle_hashes_equal_hashed_string_shingles(spark):
+    # the hash-valued shingle sets must be EXACTLY the xxhash64 image of
+    # the string shingle sets (same distinct semantics, same short-doc
+    # fallback) — this is what makes jaccard-on-hashes == jaccard-on-
+    # strings up to 64-bit collisions
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two"),  # shorter than k -> whole-text shingle
+            (3, "a a a a a"),  # repeated tokens -> distinct collapses
+            (4, "Mixed CASE text mixed case TEXT"),
+        ],
+        ["doc_id", "text"],
+    )
+    toks = D.tokens("text")
+    rows = df.select(
+        F.sort_array(D.word_shingle_hashes(toks, 3)).alias("hashed"),
+        F.sort_array(
+            F.transform(D.word_shingles(toks, 3), lambda s: F.xxhash64(s))
+        ).alias("expected"),
+        F.sort_array(D.char_ngram_hashes("text", 5)).alias("hashed_ng"),
+        F.sort_array(
+            F.transform(D.char_ngrams("text", 5), lambda s: F.xxhash64(s))
+        ).alias("expected_ng"),
+    ).collect()
+    for r in rows:
+        assert r.hashed == r.expected
+        assert r.hashed_ng == r.expected_ng
+
+
+def test_no_driver_collect_in_package():
+    # the package must stay distributed: no .collect()/.toPandas() in any
+    # operator/plan module (the bounded limit(1).count() convergence
+    # probe in graph.py is the sanctioned driver-side control flow)
+    import glob, os, re
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "applications_analytics_midas_hbase_metrics_spark"
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(path).read().splitlines(), 1):
+            if re.search(r"\.collect\(\)|\.toPandas\(\)", line):
+                offenders.append(f"{os.path.basename(path)}:{i}")
+    assert offenders == []
