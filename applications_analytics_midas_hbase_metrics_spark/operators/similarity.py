@@ -38,7 +38,16 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
 
     Sorting key is (-cos, corpus_id): IEEE negation is exact, so the
     descending-cosine-then-id order (and therefore the emitted rank) is
-    identical to the single-window formulation."""
+    identical to the single-window formulation.
+
+    NaN scores (zero-norm vectors: 0/0) are dropped up front: the two
+    phases would otherwise disagree on NaN placement — array_sort on
+    the negated score puts NaN last (sliced away) while a DESC window
+    ranks NaN first — so a NaN could surface exactly when a partition
+    holds fewer than k candidates.  Filtering makes both phases (and
+    the SQL oracle) agree: a degenerate vector is simply not a
+    neighbor."""
+    scored = scored.filter(~F.isnan("cos"))
     cand = F.struct(
         (-F.col("cos")).alias("nc"), F.col("corpus_id").alias("cid")
     )

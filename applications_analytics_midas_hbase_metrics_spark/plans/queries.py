@@ -109,24 +109,6 @@ def register_extra(name: str, oracle: str | None = None):
     return deco
 
 
-#: When True (default) queries that persist intermediates materialize
-#: their (small) result eagerly and RELEASE the cache before returning —
-#: the right behavior for gate/bench/long-session sweeps.  Plan-audit
-#: tooling sets this False to keep the full lazy DAG inspectable.
-EAGER = True
-
-
-def _finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Materialize ``result`` and unpersist ``caches`` (no-op when EAGER
-    is False — the auditing caller then owns the cache lifetime)."""
-    if not EAGER:
-        return result
-    out = result.localCheckpoint(eager=True)
-    for c in caches:
-        c.unpersist()
-    return out
-
-
 _SCRATCH_ROOT: str | None = None
 
 
@@ -360,7 +342,8 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_partkey AS VARCHAR) AS col_name
         FROM lineitem WHERE l_orderkey % 400 = 0
     )
-    SELECT DISTINCT c.row_key, c.col_name, c.vals, c.n_vals
+    SELECT DISTINCT {esc_ctrl_sql('c.row_key')} AS row_key, c.col_name,
+           {esc_ctrl_sql('c.vals')} AS vals, c.n_vals
     FROM cells c JOIN keys k
       ON c.row_key = k.row_key AND c.col_name = k.col_name
     """,
@@ -382,10 +365,13 @@ def q_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     got = CS.lookup_cells(cells, keys)
+    # esc_ctrl like every other gated cell query: this was the one row
+    # shipping raw \x00/\n, which survives the local differential harness
+    # but not the driver's transport normalizer (red in CORRECTNESS_r03).
     return got.select(
-        "row_key",
-        "col_name",
-        F.array_join("values", "\n").alias("vals"),
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
         F.size("values").cast("bigint").alias("n_vals"),
     ).distinct()
 
@@ -484,18 +470,18 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
-    # both diff sides derive from the same build — persist so the
-    # aggregation runs once; the tiny summary is materialized eagerly so
-    # the cache can be RELEASED before returning (a long-lived session
-    # sweeping the registry must not accumulate cached blocks)
-    cells = cells.persist()
+    # both diff sides derive from the same build — no persist needed:
+    # Spark's ReuseExchange dedupes the identical aggregation subtree
+    # inside the single physical plan, so the build runs once anyway
+    # (PLANS.md audit), and skipping the eager checkpoint avoids the
+    # ~2x materialization overhead BENCH_r03 measured on these queries
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).withColumn(
         "vals",
         F.when(okey % 17 == 0, F.lit("CORRUPTED")).otherwise(F.col("vals")),
     )
     diff = V.compare_cells(cells, table_side, value_col="vals")
-    return _finalize(V.validation_summary(diff), cells)
+    return V.validation_summary(diff)
 
 
 # runTestRunner compareType variants (Utils.scala:643-655): the anti-join
@@ -532,7 +518,8 @@ def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
-    cells = cells.persist()
+    # no persist: ReuseExchange collapses the shared cell build to one
+    # exchange (PLANS.md shows 1), so caching only added overhead
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).union(
         cells.filter(okey % 101 == 0).withColumn(
@@ -549,9 +536,7 @@ def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         esc_ctrl("row_key").alias("row_key"),
         "col_name",
     )
-    # same persist discipline as validation_diff: materialize the small
-    # anti-join result, then release the cached cell build
-    return _finalize(mt.union(mf), cells)
+    return mt.union(mf)
 
 
 # ---------------------------------------------------------------------------
