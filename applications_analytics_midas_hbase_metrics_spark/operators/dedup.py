@@ -35,6 +35,24 @@ from ..functions.keys import java_hash, java_hash_py
 _MH_PRIME = 2_147_483_647
 
 
+#: Frames persisted by lazy-mode (``materialize=False``) pipelines.
+#: Lazy mode exists for plan inspection: persists mark the self-join
+#: reuse points so the audited plan matches what the eager path runs,
+#: but some of those handles are internal to the operator (the bands
+#: frame) and unreachable by the caller — they are recorded here so a
+#: lazy caller can release every pinned cache with
+#: :func:`release_lazy_pins` instead of leaking blocks for the life of
+#: the session.
+_LAZY_PINS: list[DataFrame] = []
+
+
+def release_lazy_pins() -> None:
+    """Unpersist every frame pinned by a ``materialize=False`` pipeline
+    (call after collecting/inspecting the lazy plan)."""
+    while _LAZY_PINS:
+        _LAZY_PINS.pop().unpersist()
+
+
 def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
     """Prepare a frame that is consumed on BOTH sides of a self-join:
     without materialization the entire upstream pipeline (signature
@@ -43,8 +61,13 @@ def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
     bucket frames are tiny (ids + bucket keys), so an eager
     localCheckpoint is the cheap way to run the pipeline exactly once;
     in lazy mode (plan inspection) a persist marks the reuse point
-    instead and the caller owns its lifetime."""
-    return df.localCheckpoint(eager=True) if materialize else df.persist()
+    instead, recorded in :data:`_LAZY_PINS` so the caller can release
+    it via :func:`release_lazy_pins`."""
+    if materialize:
+        return df.localCheckpoint(eager=True)
+    df = df.persist()
+    _LAZY_PINS.append(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -307,13 +330,16 @@ def lsh_near_duplicates(
     self-union) without re-running the LSH DAG and a long-lived session
     does not accumulate cached blocks; on a cluster deployment a
     persisted pairs table serves the same role.  ``materialize=False``
-    returns the lazy plan (for inspection / custom caching) — the
-    caller then owns releasing the persisted shingle frame."""
+    returns the lazy plan (for inspection / custom caching) — BOTH
+    internal persists (the shingle frame and the bands frame) stay
+    cached; release them with :func:`release_lazy_pins`."""
     # The shingle table is consumed three times (signature build + both
     # sides of the verification join); persist it so shingling — the
     # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
     # corpora that outgrow executor memory.
     base = base.persist()
+    if not materialize:
+        _LAZY_PINS.append(base)
     # Signatures via explode + 64 min-aggregates: each shingle is hashed
     # exactly once and the mins fold map-side (partial aggregation), so
     # the cost is O(shingles × num_hashes) arithmetic in codegen — the
@@ -566,7 +592,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) for a
+    zero-norm input.  Under Spark 4's default ANSI mode a plain `/`
+    would abort the whole job on the first degenerate vector — at
+    corpus scale one bad embedding must not kill a 1000-executor run.
+    Consumers treat NULL as "not comparable": similarity filters drop
+    it, top-k ranking excludes it (similarity._topk_per_query)."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def embedding_near_duplicates(

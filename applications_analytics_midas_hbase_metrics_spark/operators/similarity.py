@@ -40,14 +40,15 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     descending-cosine-then-id order (and therefore the emitted rank) is
     identical to the single-window formulation.
 
-    NaN scores (zero-norm vectors: 0/0) are dropped up front: the two
-    phases would otherwise disagree on NaN placement — array_sort on
-    the negated score puts NaN last (sliced away) while a DESC window
-    ranks NaN first — so a NaN could surface exactly when a partition
-    holds fewer than k candidates.  Filtering makes both phases (and
-    the SQL oracle) agree: a degenerate vector is simply not a
-    neighbor."""
-    scored = scored.filter(~F.isnan("cos"))
+    Degenerate scores are dropped up front: a zero-norm vector yields
+    NULL (operators.dedup.cosine uses try_divide under ANSI mode), and
+    any NaN reaching the ranking would place inconsistently between the
+    two phases — array_sort on the negated score puts NaN last (sliced
+    away) while a DESC window ranks NaN first — surfacing exactly when
+    a partition holds fewer than k candidates.  Filtering makes both
+    phases (and the SQL oracle) agree: a degenerate vector is simply
+    not a neighbor."""
+    scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     cand = F.struct(
         (-F.col("cos")).alias("nc"), F.col("corpus_id").alias("cid")
     )

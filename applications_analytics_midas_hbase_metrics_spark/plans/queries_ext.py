@@ -356,12 +356,41 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=10)
 
 
-@register("ann_ivf")  # approximate by design → rows-only check
+@register(
+    "ann_ivf",
+    # IVF output is approximate by design, so its top-k rows have no SQL
+    # oracle — instead the query is SELF-CHECKING: it computes per-query
+    # recall of the IVF result against the exact brute-force top-k (whose
+    # own correctness IS differentially gated via ann_topk) and emits one
+    # boolean per query.  The oracle is the deterministic expected bound:
+    # every query must reach recall >= 0.5 (the same floor the pytest
+    # gate enforces, tests/test_dedup_similarity.py).  If IVF regresses —
+    # wrong centroid assignment, broken probing — a recall_ok flips to
+    # false and the driver's value hash goes red.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     cents = SIM.build_ivf_centroids(emb, num_centroids=16)
-    return SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4)
+    ivf = SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4)
+    brute = SIM.brute_force_topk(emb, queries, k=10)
+    hits = (
+        ivf.join(brute, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

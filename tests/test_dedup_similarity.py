@@ -262,3 +262,42 @@ def test_no_driver_collect_in_package():
             if re.search(r"\.collect\(\)|\.toPandas\(\)", line):
                 offenders.append(f"{os.path.basename(path)}:{i}")
     assert offenders == []
+
+
+def test_lazy_mode_pins_recorded_and_released(spark, docs):
+    # materialize=False persists internal frames (shingles + bands) the
+    # caller cannot reach; they must be recorded in _LAZY_PINS and fully
+    # released by release_lazy_pins() — no cached blocks may outlive a
+    # plan-inspection pass
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    lazy = D.minhash_near_duplicates(docs, threshold=0.5, materialize=False)
+    lazy.collect()
+    assert len(D._LAZY_PINS) >= 2  # shingle frame + bands frame
+    assert n_cached() > base
+    D.release_lazy_pins()
+    assert D._LAZY_PINS == []
+    assert n_cached() == base
+
+
+def test_topk_drops_degenerate_cosine_in_both_phases(spark):
+    # a zero-norm vector scores NULL (try_divide under ANSI — a plain /
+    # would ABORT the job with DIVIDE_BY_ZERO); it must never surface as
+    # a neighbor, and must not error, in either ranking phase.  k >
+    # |corpus| forces the underfull-partition path where a DESC window
+    # would otherwise rank NaN/NULL inconsistently with array_sort.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.8, 0.2, 0.0]),
+        (99, [0.0, 0.0, 0.0]),  # zero norm -> NULL cosine
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = SIM.brute_force_topk(corpus, queries, k=10).collect()
+    ids = [r.corpus_id for r in out]
+    assert 99 not in ids
+    assert ids == [1, 2]
+    assert [r.rank for r in out] == [1, 2]

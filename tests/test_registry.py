@@ -35,8 +35,9 @@ def test_registry_invariants():
     assert set(extra_oracles) <= set(extras)
     assert not (set(extras) & set(queries)), "a query lives in ONE tier"
     missing_oracles = set(queries) - set(oracles)
-    # only the documented approximate/nondeterministic ops are rows-only
-    assert missing_oracles == {"ann_ivf"}
+    # every gated query carries an oracle: even the approximate ann_ivf
+    # is hash-checked via its self-checking recall formulation
+    assert missing_oracles == set()
     assert set(extras) - set(extra_oracles) == {"approx_distinct"}
     for name, fn in {**queries, **extras}.items():
         assert callable(fn), name
