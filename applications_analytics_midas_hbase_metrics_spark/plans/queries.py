@@ -856,6 +856,121 @@ def q_mupr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.1 S4, §2.2 K5/K4 — the remaining file-boundary surfaces, extra-tier
+# (the 50 driver slots are taken; these get the identical differential
+# check in tests/test_registry.py and tools/check_correctness.py)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "trigger_csv_scan",
+    oracle="""
+    SELECT 'path_' || CAST(o_orderkey AS VARCHAR) AS file_path,
+           CAST(o_orderkey % 53 AS INT) AS lato_start_ww,
+           CAST(o_custkey % 2000 AS BIGINT) AS batch_id,
+           CAST(o_orderkey % 8 AS DOUBLE) / 4 AS weight
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_trigger_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: write a real header CSV (derived deterministically
+    from orders), scan it back through read_trigger — header +
+    inferSchema + the corrective Lato_Start_WW int cast the reference
+    layers on top (Utils.scala:182-183, 590-597).  The oracle recomputes
+    the expected values straight from orders, so header parsing and type
+    inference (int / bigint / double — quarters stay float-exact) are
+    what's being verified."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    path = scratch_dir("trigger_csv_scan") + "/trigger"
+    (
+        o.select(
+            F.concat(F.lit("path_"), F.col("o_orderkey").cast("string")).alias(
+                "File_Path"
+            ),
+            (F.col("o_orderkey") % 53).cast("int").alias("Lato_Start_WW"),
+            (F.col("o_custkey") % 2000).cast("bigint").alias("Batch_Id"),
+            ((F.col("o_orderkey") % 8) / 4.0).alias("Weight"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    tr = I.read_trigger(spark, path)
+    return tr.select(
+        F.col("File_Path").alias("file_path"),
+        F.col("Lato_Start_WW").cast("int").alias("lato_start_ww"),
+        F.col("Batch_Id").cast("bigint").alias("batch_id"),
+        F.col("Weight").cast("double").alias("weight"),
+    )
+
+
+_HDR_200 = ",".join(str(i) for i in range(200))
+
+
+@register_extra(
+    "nullbyte_csv",
+    oracle=f"""
+    SELECT concat_ws(',', CAST(o_orderkey AS VARCHAR),
+                     CAST(o_custkey AS VARCHAR), o_orderstatus) AS value
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL SELECT '{_HDR_200}'
+    """,
+)
+def q_nullbyte_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 end-to-end: write a real ``\\x00``-separated file, convert it
+    with nullbyte_to_csv (translate ``\\x00`` → ``,`` + the synthetic
+    0..199 header row, convertFileToCSV parity, Utils.scala:273-286).
+    The oracle builds the comma-joined lines directly from orders, so
+    the disk roundtrip + translation is what's being verified."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    path = scratch_dir("nullbyte_csv") + "/raw"
+    line = F.concat_ws(
+        DELIM,
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    return I.nullbyte_to_csv(spark.read.text(path), add_header_row=True)
+
+
+@register_extra(
+    "store_append",
+    oracle=f"""
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals
+    FROM ({_CELLS_SQL})
+    WHERE starts_with(row_key, 'R' || {CHR0} || 'F')
+    """,
+)
+def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 write-OR-append under a differential gate (Utils.scala:656-679):
+    the cell store is written in two disjoint batches — even qualifiers
+    with ``mode=overwrite``, odd qualifiers with ``mode=append`` — and
+    read back whole.  The oracle is the FULL cell set, so an append that
+    silently overwrote (or an overwrite that duplicated) hash-mismatches
+    immediately."""
+    li = t(spark, sf_dir, "lineitem")
+    cells = CS.to_cells(
+        li,
+        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        col_name=F.col("l_partkey"),
+        value_cols=["l_linenumber", "l_suppkey"],
+    )
+    store = scratch_dir("store_append") + "/store"
+    even = F.col("col_name").cast("bigint") % 2 == 0
+    CS.write_cells(cells.filter(even), store, mode="overwrite")
+    CS.write_cells(cells.filter(~even), store, mode="append")
+    back = CS.read_cells(spark, store, prefix="R\x00F")
+    return back.select(
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+    )
+
+
 # Extension queries (dedup / similarity / text / multimodal / windows /
 # analytics) register themselves on import.
 from . import queries_ext  # noqa: E402, F401  (registry side-effect)
