@@ -120,18 +120,34 @@ def write_cells(
     path: str,
     mode: str = "overwrite",
     extra_partition_cols: Sequence[str] = (),
+    chunks_per_salt: int = 1,
 ) -> None:
     """Persist the cell store as Parquet partitioned by salt.
 
     The salt partitioning is the scale story: like HBase's salted region
     split (Utils.scala:62-64), it spreads hot sequential keys; readers
     that know the salt of a key prune 23/24 of the data before I/O.
-    """
-    (
-        cells.write.mode(mode)
-        .partitionBy(*extra_partition_cols, "salt")
-        .parquet(path)
-    )
+
+    The data is shuffled to MATCH the directory layout before writing:
+    without it every upstream task holds rows for all 24 salt values and
+    writes a file into every directory — tasks × 24 small files per
+    batch, the classic partitioned-write file explosion (24× the
+    metadata, listing, and open/close cost on every subsequent scan).
+    After the repartition each task owns exactly one (salt, chunk)
+    slice, so the store gets 24 × ``chunks_per_salt`` right-sized files.
+    ``chunks_per_salt`` is the cluster-scale knob: one chunk per salt is
+    right up to a few GB per salt; a 100 TB ingest raises it so each
+    salt splits across chunks_per_salt parallel writers (file size ~
+    salt_bytes / chunks, write parallelism 24 × chunks) instead of
+    funneling a salt through one task."""
+    parts = [*extra_partition_cols, "salt"]
+    if chunks_per_salt > 1:
+        cells = cells.repartition(
+            *parts, F.pmod(F.xxhash64("row_key"), F.lit(chunks_per_salt))
+        )
+    else:
+        cells = cells.repartition(*parts)
+    cells.write.mode(mode).partitionBy(*parts).parquet(path)
 
 
 def write_cells_bucketed(

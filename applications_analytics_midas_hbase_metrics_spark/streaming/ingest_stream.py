@@ -43,6 +43,10 @@ def stream_to_cells(
         cells = to_cells(batch, key_cols, F.col(col_name), value_cols)
         (
             cells.withColumn("ingest_batch", F.lit(batch_id))
+            # align data layout with the salt directory layout: one file
+            # per salt per micro-batch instead of tasks × 24 small files
+            # (see operators.cellstore.write_cells)
+            .repartition("salt")
             .write.mode("append")
             .partitionBy("salt")
             .parquet(out_path)
