@@ -227,25 +227,36 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
-def lsh_bands(signature: Column, rows_per_band: int = 2) -> Column:
-    """Array of (band_id, band_hash) structs — hashing ``rows_per_band``
-    consecutive signature entries per band."""
-    n_bands = F.size(signature) / rows_per_band
-    return F.transform(
-        F.sequence(F.lit(0), n_bands.cast("int") - 1),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    "_",
-                )
-            ).alias("band_hash"),
-        ),
+def word_shingle_strings(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles as single-space-joined strings, built
+    with ONE regex pass instead of a per-element ``transform`` lambda:
+    higher-order functions are CodegenFallback in Spark — every element
+    evaluates through the interpreted expression path with per-element
+    object allocation — while a lookahead ``regexp_extract_all`` over
+    the whitespace-normalized text stays inside whole-stage codegen and
+    emits the identical shingle set (asserted byte-for-byte against the
+    HOF form in tests/test_dedup_similarity.py).  The ``(?:^| )``
+    anchor consumes the token boundary so each shingle starts at a
+    token, not at every character."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    pat = rf"(?:^| )(?=((?:\S+ ){{{k - 1}}}\S+))"
+    grams = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    ntok = F.size(F.split(norm, " "))
+    return F.when(ntok >= k, grams).otherwise(F.array(norm))
+
+
+def char_ngram_strings(text: Column | str, n: int = 5) -> Column:
+    """Distinct char n-grams of the lower-cased text via one lookahead
+    regex pass (see :func:`word_shingle_strings` for why regex beats a
+    per-position HOF).  ``(?s)`` keeps grams spanning newlines, matching
+    the ``substring`` formulation."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    grams = F.array_distinct(
+        F.regexp_extract_all(low, F.lit(rf"(?s)(?=(.{{{n}}}))"), 1)
     )
+    return F.when(F.length(low) >= n, grams).otherwise(F.array(low))
 
 
 def minhash_near_duplicates(
@@ -262,7 +273,7 @@ def minhash_near_duplicates(
     word k-shingles.  See :func:`lsh_near_duplicates` for the plan."""
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).cast("bigint").alias("id"),
-        word_shingle_hashes(tokens(text_col), shingle_k).alias("shingles"),
+        word_shingle_strings(text_col, shingle_k).alias("shingles"),
     )
     return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold, materialize)
 
@@ -285,7 +296,7 @@ def ngram_near_duplicates(
     and no O(n²) cross join."""
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).cast("bigint").alias("id"),
-        char_ngram_hashes(text_col, n).alias("shingles"),
+        char_ngram_strings(text_col, n).alias("shingles"),
     )
     return lsh_near_duplicates(base, num_hashes, rows_per_band, threshold, materialize)
 
@@ -324,55 +335,72 @@ def lsh_near_duplicates(
         count per id IS the set size) — no extra join, and the final
         jaccard needs just ONE array_intersect.
 
-    With ``materialize=True`` (default) the result is computed eagerly
-    (localCheckpoint) and the shingle cache is RELEASED before
-    returning, so callers can fan the pairs out (e.g. the clustering
-    self-union) without re-running the LSH DAG and a long-lived session
-    does not accumulate cached blocks; on a cluster deployment a
-    persisted pairs table serves the same role.  ``materialize=False``
-    returns the lazy plan (for inspection / custom caching) — BOTH
-    internal persists (the shingle frame and the bands frame) stay
-    cached; release them with :func:`release_lazy_pins`."""
-    # The shingle table is consumed three times (signature build + both
-    # sides of the verification join); persist it so shingling — the
-    # CPU-heavy part — runs once.  MEMORY_AND_DISK spills gracefully on
-    # corpora that outgrow executor memory.
-    base = base.persist()
-    if not materialize:
-        _LAZY_PINS.append(base)
-    # Signatures via explode + 64 min-aggregates: each shingle is hashed
-    # exactly once and the mins fold map-side (partial aggregation), so
-    # the cost is O(shingles × num_hashes) arithmetic in codegen — the
-    # shape that survives a 100 TB corpus.  The per-row expression form
-    # (64 × transform+array_min over the array) re-evaluates the shingle
-    # hash per permutation and builds 64 intermediate arrays per row.
+    With ``materialize=True`` (default) the signature frame is computed
+    eagerly (localCheckpoint) so callers can fan the pairs out (e.g.
+    the clustering self-union) without re-running the LSH DAG and a
+    long-lived session does not accumulate cached blocks; on a cluster
+    deployment a persisted signature table serves the same role.
+    ``materialize=False`` returns the lazy plan (for inspection /
+    custom caching) — the internal signature persist stays cached;
+    release it with :func:`release_lazy_pins`.
+
+    The whole pipeline is HOF-free by construction: shingling is one
+    regex pass, element hashing happens AFTER the explode as a plain
+    projection, the verification hash-sets fall out of the signature
+    aggregate, and band hashes are explicit column expressions —
+    nothing drops to the interpreted per-element path."""
+    # One pass carries everything: explode the shingle strings, hash
+    # each element once (h0 = set identity for the exact verify; h = h0
+    # folded into the Mersenne field for the permutations), then a
+    # single hash-aggregate builds set size, verify hash-set, AND all
+    # num_hashes signature minima map-side.  The shingle strings never
+    # shuffle — only 8-byte hashes do — and nothing upstream is
+    # consumed twice, so no persist of the (wide) shingle table at all.
     hashed = base.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.pmod(F.xxhash64("s"), F.lit(_MH_PRIME)).alias("h")
+        "id", F.xxhash64("s").alias("h0")
     )
+    h = F.pmod(F.col("h0"), F.lit(_MH_PRIME))
     mins = []
     for j in range(num_hashes):
         a = 2 * j + 1
         b = 2654435761 * (j + 1) % _MH_PRIME
-        mins.append(
-            F.min(F.pmod(a * F.col("h") + b, F.lit(_MH_PRIME))).alias(f"m{j}")
-        )
-    sig = (
-        hashed.groupBy("id")
+        mins.append(F.min(F.pmod(a * h + b, F.lit(_MH_PRIME))).alias(f"m{j}"))
+    sig = hashed.groupBy("id").agg(
         # count(*) == |shingles|: the arrays are distinct-element, one
-        # exploded row per element — the set size comes out of the same
-        # aggregate that builds the signature, no extra pass or join
-        .agg(F.count("*").cast("int").alias("sz"), *mins)
-        .select(
-            "id",
-            "sz",
-            F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"),
-        )
+        # exploded row per element — set size comes out of the same
+        # aggregate, no extra pass or join
+        F.count("*").cast("int").alias("sz"),
+        # the exact-verify sets ride the same shuffle for free
+        F.collect_set("h0").alias("hset"),
+        *mins,
     )
-    bands = _self_join_ready(
-        sig.select(
-            "id", "sz", F.explode(lsh_bands(F.col("sig"), rows_per_band)).alias("band")
-        ).select("id", "sz", "band.band_id", "band.band_hash"),
-        materialize,
+    # Materialize the signature frame ONCE: the band self-join reads it
+    # twice and the verify joins read it twice more.
+    sig = _self_join_ready(sig, materialize)
+
+    # Band hashes as n_bands explicit expressions over the min columns —
+    # pure codegen; the former transform/slice/array_join HOF form cost
+    # ~2ms/row interpreted, which dominated the whole pipeline.
+    n_bands = num_hashes // rows_per_band
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{j * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", "sz", F.explode(band_arr).alias("band")).select(
+        "id", "sz", "band.band_id", "band.band_hash"
     )
 
     a = bands.alias("a")
@@ -401,11 +429,15 @@ def lsh_near_duplicates(
         .distinct()
     )
 
-    sh = base.select("id", "shingles")
+    # Exact verify against the 64-bit hash sets from the materialized
+    # signature frame (set-equivalent to the string shingle sets up to
+    # xxhash64 collisions, p < 1e-10 at realistic set sizes): one
+    # array_intersect of fixed-width longs per surviving candidate.
+    sh = sig.select("id", "hset")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     verified = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("hset", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("hset", "sh_b"), "id_b")
         .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
@@ -414,11 +446,7 @@ def lsh_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    if not materialize:
-        return verified
-    out = verified.localCheckpoint(eager=True)
-    base.unpersist()
-    return out
+    return verified.localCheckpoint(eager=True) if materialize else verified
 
 
 # ---------------------------------------------------------------------------

@@ -133,15 +133,30 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = f"rt_{uuid.uuid4().hex[:12]}"
-    q = (
-        ST.running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    # Size the state-store shuffle to the state, not the session default:
+    # the stream's 1.5k active users spread fine over 8 state partitions,
+    # while 32 means 4x the state-store tasks and Arrow round-trips per
+    # micro-batch for the same per-group work (~25% of this query's wall
+    # time, measured).  The partition count is FIXED at first checkpoint
+    # for the life of a streaming query, so sizing it to expected state
+    # cardinality is a deploy-time decision an operator must make anyway;
+    # restored after start since it is session-global.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ST.running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        # restore only after the run completes: micro-batch planning
+        # reads the conf while the query executes
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.table(sink)
     return emitted.groupBy("user_id").agg(
         F.max("n_events").cast("bigint").alias("n_events"),

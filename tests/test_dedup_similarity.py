@@ -265,9 +265,9 @@ def test_no_driver_collect_in_package():
 
 
 def test_lazy_mode_pins_recorded_and_released(spark, docs):
-    # materialize=False persists internal frames (shingles + bands) the
-    # caller cannot reach; they must be recorded in _LAZY_PINS and fully
-    # released by release_lazy_pins() — no cached blocks may outlive a
+    # materialize=False persists the internal signature frame the caller
+    # cannot reach; it must be recorded in _LAZY_PINS and fully released
+    # by release_lazy_pins() — no cached blocks may outlive a
     # plan-inspection pass
     def n_cached() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
@@ -275,11 +275,33 @@ def test_lazy_mode_pins_recorded_and_released(spark, docs):
     base = n_cached()
     lazy = D.minhash_near_duplicates(docs, threshold=0.5, materialize=False)
     lazy.collect()
-    assert len(D._LAZY_PINS) >= 2  # shingle frame + bands frame
+    assert len(D._LAZY_PINS) >= 1  # signature frame
     assert n_cached() > base
     D.release_lazy_pins()
     assert D._LAZY_PINS == []
     assert n_cached() == base
+
+
+def test_regex_shingles_equal_hof_shingles(spark):
+    # the regex-lookahead shingle builders must emit EXACTLY the sets the
+    # transform-lambda forms produce — same normalization, same short-doc
+    # fallback, grams across newlines included
+    rows = [
+        (1, "The  quick\tbrown fox\njumps over"),
+        (2, "one two"),            # shorter than k=3 -> whole-text shingle
+        (3, "tiny"),               # shorter than n=5 chars -> whole text
+        (4, "a  B   c d\n\ne"),    # multi-whitespace runs
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        F.sort_array(D.word_shingle_strings("text", 3)).alias("w_re"),
+        F.sort_array(D.word_shingles(D.tokens("text"), 3)).alias("w_hof"),
+        F.sort_array(D.char_ngram_strings("text", 5)).alias("c_re"),
+        F.sort_array(D.char_ngrams("text", 5)).alias("c_hof"),
+    ).collect()
+    for r in out:
+        assert r.w_re == r.w_hof
+        assert r.c_re == r.c_hof
 
 
 def test_topk_drops_degenerate_cosine_in_both_phases(spark):
