@@ -7,13 +7,13 @@ scale trap: ``Window.partitionBy(source)`` funnels each group's ENTIRE
 row set through one task.  Instead the top-K is computed in two phases,
 like ``TakeOrderedAndProject`` generalized per group:
 
-  1. per-input-partition local top-K (a hash aggregate over
-     (group, partition_id) — fully parallel, no shuffle of the
-     payload).  State bound: collect_list materializes one TASK's
-     order values per group before the slice, so memory is bounded by
-     partition size, not by K — size input splits (maxPartitionBytes)
-     accordingly; a truly unbounded stream per task would need a
-     bounded sorted-insert accumulator instead;
+  1. per-input-partition local top-K (a row_number window keyed on
+     (group, partition_id) — fully parallel, shuffles only the
+     (group, order) projection, never the payload).  Sort-based, so
+     per-task state is the external sort's spillable buffer — an
+     earlier collect_list formulation instead pinned every (group,
+     task) value in the aggregation hash map, bounded by partition
+     size rather than by K and unable to spill;
   2. global top-K over the reduced candidate set (≤ K × n_partitions
      rows per group — the ranking window now runs on a tiny frame);
   3. semi-join the winners back to the full rows (broadcast-sized:
@@ -39,13 +39,14 @@ def top_k_per_group(
 ) -> DataFrame:
     """The ``k`` rows with the smallest ``order_col`` per ``group_col``
     (``order_col`` values must be unique, e.g. a document id)."""
+    wl = Window.partitionBy(group_col, "_p").orderBy(order_col)
     local = (
         df.select(group_col, order_col)
         .withColumn("_p", F.spark_partition_id())
-        .groupBy(group_col, "_p")
         # partition-local candidates: at most k survive per (group, task)
-        .agg(F.slice(F.array_sort(F.collect_list(order_col)), 1, k).alias("_c"))
-        .select(group_col, F.explode("_c").alias(order_col))
+        .withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") <= k)
+        .select(group_col, order_col)
     )
     w = Window.partitionBy(group_col).orderBy(order_col)
     winners = (

@@ -29,39 +29,34 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     ``TakeOrderedAndProject`` shape generalized per group, same pattern
     as operators.sampling.top_k_per_group:
 
-      1. partition-local top-k: hash aggregate on (query_id, partition)
-         — fully parallel, never funnels a query's full score set
-         through one task.  (Local state is bounded by one task's rows
-         per query: collect_list materializes them before the slice.)
+      1. partition-local top-k: a row_number window keyed on
+         (query_id, input-partition) — fully parallel, never funnels a
+         query's full score set through one task, and sort-based, so
+         the only per-task state is the external sort's spillable
+         buffer (the earlier collect_list formulation pinned every
+         (query, task) score in the aggregation hash map — bounded by
+         partition size but NOT by k, and unable to spill).
       2. global top-k + ranking over the reduced set — the window now
          sees <= k × n_partitions rows per query instead of |corpus|.
 
-    Sorting key is (-cos, corpus_id): IEEE negation is exact, so the
-    descending-cosine-then-id order (and therefore the emitted rank) is
+    Both phases order by (cos DESC, corpus_id), so the emitted rank is
     identical to the single-window formulation.
 
     Degenerate scores are dropped up front: a zero-norm vector yields
     NULL (operators.dedup.cosine uses try_divide under ANSI mode), and
-    any NaN reaching the ranking would place inconsistently between the
-    two phases — array_sort on the negated score puts NaN last (sliced
-    away) while a DESC window ranks NaN first — surfacing exactly when
-    a partition holds fewer than k candidates.  Filtering makes both
-    phases (and the SQL oracle) agree: a degenerate vector is simply
-    not a neighbor."""
+    a NaN would rank first under a DESC ordering in both phases —
+    surfacing a meaningless neighbor.  Filtering makes both phases
+    (and the SQL oracle) agree: a degenerate vector is simply not a
+    neighbor."""
     scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
-    cand = F.struct(
-        (-F.col("cos")).alias("nc"), F.col("corpus_id").alias("cid")
+    wl = Window.partitionBy("query_id", "_p").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
     )
     local = (
         scored.withColumn("_p", F.spark_partition_id())
-        .groupBy("query_id", "_p")
-        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("_c"))
-        .select("query_id", F.explode("_c").alias("_c"))
-        .select(
-            "query_id",
-            F.col("_c.cid").alias("corpus_id"),
-            (-F.col("_c.nc")).alias("cos"),
-        )
+        .withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "corpus_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")

@@ -210,9 +210,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # TIMESTAMP(NANOS) read as long (see session.py) → truncate to
-        # micros exactly like DuckDB's parquet reader does
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(NANOS) parquet, truncated to micros exactly like
+        # DuckDB's reader.  Schema-adaptive because Spark changed the
+        # read type across versions: under the legacy nanosAsLong conf
+        # (see session.py) the column arrives as BIGINT nanos; Spark
+        # 4.1+ ignores that conf and reads nanos natively as
+        # TIMESTAMP_NTZ (already micros-truncated) — cast to the
+        # session-TZ timestamp (UTC, _prepare_session) so both paths
+        # yield the identical instant and column type.
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -20,6 +20,7 @@ checkpoints nor accumulate stores on disk.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -37,6 +38,25 @@ def _await(q) -> None:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError(f"streaming query {q.name!r} timed out after 300s")
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a streaming job: the
+    state-store / per-micro-batch shuffle width is FIXED at first
+    checkpoint for the life of a streaming query, so it must be sized to
+    the expected state cardinality (a deploy-time decision an operator
+    makes anyway), not inherited from the batch session default — at the
+    fixture scale 32 means 4x the state-store tasks and scheduling
+    overhead for the same per-group work (~25% of a streaming query's
+    wall time, measured).  Restored only after the job completes because
+    micro-batch planning re-reads the conf while the query runs."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 _KEY_COLS = ["l_returnflag", "l_linestatus", "l_orderkey"]
 _VALUE_COLS = ["l_linenumber", "l_suppkey"]
@@ -73,16 +93,17 @@ def q_stream_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "lineitem.parquet")
         .parquet(sf_dir)
     )
-    q = IS.stream_to_cells(
-        stream,
-        os.path.join(d, "store"),
-        os.path.join(d, "ckpt"),
-        key_cols=_KEY_COLS,
-        col_name="l_partkey",
-        value_cols=_VALUE_COLS,
-        trigger_available_now=True,
-    )
-    _await(q)
+    with _stream_shuffle_partitions(spark, 8):
+        q = IS.stream_to_cells(
+            stream,
+            os.path.join(d, "store"),
+            os.path.join(d, "ckpt"),
+            key_cols=_KEY_COLS,
+            col_name="l_partkey",
+            value_cols=_VALUE_COLS,
+            trigger_available_now=True,
+        )
+        _await(q)
     stored = spark.read.parquet(os.path.join(d, "store"))
     # cells from different micro-batches coexist in the store (per-batch
     # grouping, like the reference's per-file pushtoDB); the read path
@@ -133,17 +154,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = f"rt_{uuid.uuid4().hex[:12]}"
-    # Size the state-store shuffle to the state, not the session default:
-    # the stream's 1.5k active users spread fine over 8 state partitions,
-    # while 32 means 4x the state-store tasks and Arrow round-trips per
-    # micro-batch for the same per-group work (~25% of this query's wall
-    # time, measured).  The partition count is FIXED at first checkpoint
-    # for the life of a streaming query, so sizing it to expected state
-    # cardinality is a deploy-time decision an operator must make anyway;
-    # restored after start since it is session-global.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # the stream's 1.5k active users spread fine over 8 state partitions
+    # (see _stream_shuffle_partitions)
+    with _stream_shuffle_partitions(spark, 8):
         q = (
             ST.running_user_totals(stream)
             .writeStream.format("memory")
@@ -153,10 +166,6 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await(q)
-    finally:
-        # restore only after the run completes: micro-batch planning
-        # reads the conf while the query executes
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.table(sink)
     return emitted.groupBy("user_id").agg(
         F.max("n_events").cast("bigint").alias("n_events"),
@@ -183,13 +192,14 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     sink = f"dd_{uuid.uuid4().hex[:12]}"
-    q = (
-        ST.stream_dedupe(stream, key="event_id", watermark="1 hour")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            ST.stream_dedupe(stream, key="event_id", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
     return spark.table(sink).select("event_id")
