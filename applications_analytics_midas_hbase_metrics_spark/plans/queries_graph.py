@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import graph as G
-from .queries import register
+from .queries import claim_deferred, persist_deferred, register
 from .queries_ext import (
     MINHASH_PAIRS_SQL,
     _neardup_docs,
@@ -37,9 +37,20 @@ from .queries_ext import (
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: min-label propagation must agree with the
-    oracle's recursive-CTE transitive closure (min reachable id)."""
-    corpus = _neardup_docs(spark, sf_dir)
-    pairs = D.minhash_near_duplicates(corpus, threshold=0.5)
+    oracle's recursive-CTE transitive closure (min reachable id).
+
+    The pair table is claimed from the registry when dedup_minhash just
+    materialized it (same key = same logical plan) — the LSH DAG then
+    runs zero times here; otherwise it is built lazily and pinned under
+    the same key for the next family member."""
+    key = f"minhash_pairs:{sf_dir}"
+    pairs = claim_deferred(key, spark)
+    if pairs is None:
+        corpus = _neardup_docs(spark, sf_dir)
+        pairs = persist_deferred(
+            D.minhash_near_duplicates(corpus, threshold=0.5, materialize=False),
+            key=key,
+        )
     return G.connected_components(pairs)
 
 
@@ -75,7 +86,19 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline shape is corpus-size-independent and dedup_clusters already
     gates the full-corpus component labeling."""
     corpus = _neardup_docs(spark, sf_dir, keep_mod=5)
-    pairs = D.minhash_near_duplicates(corpus, threshold=0.5)
+    # LSH verification is strictly PAIRWISE (band collisions and exact
+    # Jaccard each depend only on the two endpoint docs), and the
+    # keep_mod=5 corpus is exactly the full corpus filtered to
+    # id % 5 == 0 (copy ids are +100000, and 100000 % 5 == 0) — so the
+    # subset pair table IS the full pair table filtered on both
+    # endpoints.  When the sibling queries just materialized the full
+    # table, filter it instead of re-running LSH on the subset.
+    full = claim_deferred(f"minhash_pairs:{sf_dir}", spark)
+    if full is not None:
+        pairs = full.filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
+    else:
+        pairs = D.minhash_near_duplicates(corpus, threshold=0.5, materialize=False)
+        pairs = persist_deferred(pairs, key=f"minhash_pairs_mod5:{sf_dir}")
     return G.dedup_representatives(corpus, pairs, id_col="doc_id").select(
         F.col("id").cast("bigint").alias("id")
     )
