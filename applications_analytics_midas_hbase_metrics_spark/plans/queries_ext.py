@@ -221,7 +221,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10M pairs (~20% of all pairs are within Hamming 3 — the word-soup
     fixture is pathologically self-similar)."""
     corpus = _neardup_docs(spark, sf_dir, keep_mod=10)
-    return D.simhash_near_duplicates(corpus, max_hamming=3)
+    # lazy: single consumer — one job instead of checkpoint-then-read
+    return D.simhash_near_duplicates(corpus, max_hamming=3, materialize=False)
 
 
 # ---------------------------------------------------------------------------
@@ -289,9 +290,19 @@ def q_dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked ALL-PAIRS char-5-gram dedup (no explicit pair relation):
     the LSH core must reproduce the brute-force n-gram Jaccard pair set
     at threshold 0.5 — same subset scoping as simhash_pairs, since the
-    corpus is pathologically self-similar."""
+    corpus is pathologically self-similar.
+
+    64 hashes / 32 bands for the char path: 5-gram sets are ~5-10x
+    word-shingle sets, so the signature aggregate (O(grams x hashes))
+    dominates — and the true pairs here sit at jaccard >= 0.59, where
+    an r=2, b=32 banding misses a pair with p = (1 - 0.59^2)^32 ~ 1e-6
+    (~3e-9 at the 0.70 bulk), i.e. recall is still effectively exact
+    while the dominant stage does 2/3 the arithmetic of the 96-hash
+    default."""
     corpus = _neardup_docs(spark, sf_dir, keep_mod=10)
-    return D.ngram_near_duplicates(corpus, n=5, threshold=0.5)
+    return D.ngram_near_duplicates(
+        corpus, n=5, num_hashes=64, threshold=0.5, materialize=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +354,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.union(pert)
-    return D.embedding_near_duplicates(corpus, threshold=0.95)
+    return D.embedding_near_duplicates(corpus, threshold=0.95, materialize=False)
 
 
 # ---------------------------------------------------------------------------
