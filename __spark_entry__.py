@@ -35,21 +35,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row.  Queries whose operator coverage is subsumed by another gated
     entry live in :func:`extra_queries` (pytest-verified tier).
 
-    The dedup-family queries are reordered to run back-to-back: they
-    share one materialized pair table through the registry's keyed
-    deferred-persist (plans/queries.py), whose pins survive exactly one
-    query entry — adjacency is what lets dedup_clusters/dedup_corpus
-    claim dedup_minhash's pair table instead of re-running the LSH DAG.
-    The SET of gated queries is unchanged."""
-    chain = ["dedup_clusters", "dedup_corpus"]
+    Query families that share a materialized intermediate through the
+    registry's keyed deferred-persist (plans/queries.py) are reordered
+    to run back-to-back: pins survive exactly one query entry, so
+    adjacency is what lets a family member claim its sibling's cached
+    frame instead of rebuilding the subplan — the cell family shares the
+    lineitem cell build, the dedup family the minhash pair table.  The
+    SET of gated queries is unchanged."""
+    chains = {
+        # after this query ...         ... pull these up next
+        "cell_lookup": ["validation_diff", "validation_missing", "blob_codec"],
+        "dedup_minhash": ["dedup_clusters", "dedup_corpus"],
+    }
+    pulled = {c for cs in chains.values() for c in cs}
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, fn in Q.QUERIES.items():
-        if name in chain:
+        if name in pulled:
             continue
         out[name] = fn
-        if name == "dedup_minhash":
-            for c in chain:
-                out[c] = Q.QUERIES[c]
+        for c in chains.get(name, ()):
+            out[c] = Q.QUERIES[c]
     return out
 
 

@@ -299,6 +299,32 @@ _CELLS_SQL = f"""
 """
 
 
+def lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical lineitem cell build (the Spark twin of _CELLS_SQL,
+    before any output projection) — the shared intermediate of the whole
+    cell family: cell_build, cell_decode, cell_prefix_scan,
+    store_roundtrip, cell_lookup, blob_codec, and both validation
+    queries all start from this exact frame.  Registered under one
+    keyed pin so consecutive family members read the cached build
+    instead of re-running the group-concat aggregation (the queries are
+    chained back-to-back in __spark_entry__.queries for exactly this
+    reason)."""
+    key = f"lineitem_cells:{sf_dir}"
+    cells = claim_deferred(key, spark)
+    if cells is None:
+        li = t(spark, sf_dir, "lineitem")
+        cells = persist_deferred(
+            CS.to_cells(
+                li,
+                key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+                col_name=F.col("l_partkey"),
+                value_cols=["l_linenumber", "l_suppkey"],
+            ),
+            key=key,
+        )
+    return cells
+
+
 @register(
     "cell_build",
     oracle=f"""
@@ -309,13 +335,7 @@ _CELLS_SQL = f"""
     """,
 )
 def q_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     # salt is computed on the RAW key; only the transported output is
     # control-char-escaped (identically in the oracle SQL)
     return cells.select(
@@ -345,13 +365,7 @@ def q_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     return CS.decode_cells(
         cells,
         key_names=["l_returnflag", "l_linestatus", "l_orderkey"],
@@ -376,13 +390,7 @@ def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cell_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     # the prefix filter runs on the RAW key (that's the pushed-down
     # predicate); only the output rendering is escaped
     return cells.filter(F.col("row_key").startswith("R\x00F")).select(
@@ -408,13 +416,7 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-partitioned Parquet store (K1/K3), read it back with the prefix
     filter pushed to the scan (S6/P8) — values, counts, and the salt
     partition column must survive the disk roundtrip exactly."""
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     store = scratch_dir("store_roundtrip") + "/store"
     CS.write_cells(cells, store, mode="overwrite")
     back = CS.read_cells(spark, store, prefix="R\x00F")
@@ -448,13 +450,8 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = lineitem_cells(spark, sf_dir)
     li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
     keys = (
         li.filter(F.col("l_orderkey") % 400 == 0)
         .select(
@@ -562,13 +559,9 @@ _TABLE_SIDE_SQL = f"""
     """,
 )
 def q_validation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
+    cells = lineitem_cells(spark, sf_dir).select(
+        "row_key", "col_name", F.array_join("values", "\n").alias("vals")
+    )
     # both diff sides derive from the same build, and ReuseExchange does
     # NOT collapse the two subtrees across the full-outer self-join —
     # persist so the aggregation runs once (keeping its partitioning).
@@ -612,13 +605,9 @@ _TABLE_SIDE_PLUS_SQL = f"""
     """,
 )
 def q_validation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    ).select("row_key", "col_name", F.array_join("values", "\n").alias("vals"))
+    cells = lineitem_cells(spark, sf_dir).select(
+        "row_key", "col_name", F.array_join("values", "\n").alias("vals")
+    )
     # same reuse discipline as validation_diff — and the same KEY: when
     # the two validation queries run back-to-back (registration order),
     # the second reads the first's still-cached build
@@ -776,13 +765,7 @@ def q_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_blob_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     # encode_blob emits the exact reference byte format; the gated query
     # ships an escaped rendering of it (same transform in the oracle)
     return cells.select(
@@ -1054,13 +1037,7 @@ def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back whole.  The oracle is the FULL cell set, so an append that
     silently overwrote (or an overwrite that duplicated) hash-mismatches
     immediately."""
-    li = t(spark, sf_dir, "lineitem")
-    cells = CS.to_cells(
-        li,
-        key_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
-        col_name=F.col("l_partkey"),
-        value_cols=["l_linenumber", "l_suppkey"],
-    )
+    cells = lineitem_cells(spark, sf_dir)
     store = scratch_dir("store_append") + "/store"
     even = F.col("col_name").cast("bigint") % 2 == 0
     CS.write_cells(cells.filter(even), store, mode="overwrite")
