@@ -210,13 +210,30 @@ def scratch_dir(name: str) -> str:
     repeated runs (bench best-of-2, driver retries, a long registry
     sweep) never accumulate on-disk stores, and the whole root is removed
     at interpreter exit."""
+    d = os.path.join(_scratch_root(), name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _scratch_root() -> str:
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="midas_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    d = os.path.join(_SCRATCH_ROOT, name)
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
+    return _SCRATCH_ROOT
+
+
+def stable_scratch_dir(name: str) -> str:
+    """Like :func:`scratch_dir` but NOT wiped on reuse — for
+    deterministic DERIVED inputs (e.g. the streaming queries' file-source
+    copies of fixture tables): the first invocation writes them, repeats
+    read them in place.  Only content that is a pure function of the
+    name may live here (include sf_dir in the name); anything stateful
+    (checkpoints, sinks, stores) belongs in :func:`scratch_dir`.  Same
+    root, so interpreter exit still removes everything."""
+    d = os.path.join(_scratch_root(), "stable", name)
+    os.makedirs(d, exist_ok=True)
     return d
 
 

@@ -29,7 +29,30 @@ from pyspark.sql import functions as F
 
 from ..streaming import ingest_stream as IS
 from ..streaming import stateful as ST
-from .queries import CHR0, esc_ctrl, esc_ctrl_sql, register, scratch_dir, t
+from .queries import (
+    CHR0,
+    esc_ctrl,
+    esc_ctrl_sql,
+    register,
+    scratch_dir,
+    stable_scratch_dir,
+    t,
+)
+
+
+def _source_copy(df, name: str, sf_dir: str, nfiles: int) -> str:
+    """Write a deterministic file-source copy of a fixture-derived frame
+    ONCE per interpreter (keyed by query name + sf_dir + file count);
+    repeated invocations stream from the existing files.  The copy is an
+    input fixture, not query state — checkpoints and sinks still live in
+    per-invocation wiped scratch."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(stable_scratch_dir(f"{name}_{tag}_{nfiles}"), "src")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (df.repartition(nfiles) if nfiles > 1 else df.coalesce(1)).write.mode(
+            "overwrite"
+        ).parquet(d)
+    return d
 
 
 def _await(q) -> None:
@@ -142,11 +165,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.col("value").cast("double").alias("value")
     )
-    d = scratch_dir("stream_running_totals")
-    src = os.path.join(d, "src")
     # 4 files + maxFilesPerTrigger=1 → 4 micro-batches: the state
     # genuinely carries across batches instead of one-shotting
-    ev.repartition(4).write.parquet(src)
+    src = _source_copy(ev, "stream_running_totals", sf_dir, nfiles=4)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -184,11 +205,9 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = ev.filter(F.col("event_id") % 7 == 0).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
     )
-    d = scratch_dir("stream_dedupe")
-    src = os.path.join(d, "src")
     # one file → one micro-batch: every duplicate lands inside the live
     # watermark horizon, so the dedup guarantee is total
-    ev.union(dups).coalesce(1).write.parquet(src)
+    src = _source_copy(ev.union(dups), "stream_dedupe", sf_dir, nfiles=1)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     sink = f"dd_{uuid.uuid4().hex[:12]}"

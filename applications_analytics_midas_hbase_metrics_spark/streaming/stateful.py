@@ -46,6 +46,9 @@ STATE_SCHEMA = StructType(
 def _update_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # This function runs once per (group, micro-batch) — at realistic
+    # active-user counts the per-call constant dominates the job, so it
+    # stays allocation-lean: numpy-backed sum, one single-row frame out.
     (user_id,) = key
     if state.exists:
         n, total = state.get
@@ -53,10 +56,10 @@ def _update_totals(
         n, total = 0, 0.0
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total += float(pdf["value"].to_numpy().sum())
     state.update((int(n), float(total)))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "value_sum": [total]}
+        {"user_id": (user_id,), "n_events": (n,), "value_sum": (total,)}
     )
 
 
