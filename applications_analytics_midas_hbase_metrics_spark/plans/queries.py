@@ -282,10 +282,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ (already micros-truncated) — cast to the
         # session-TZ timestamp (UTC, _prepare_session) so both paths
         # yield the identical instant and column type.
-        if dict(df.dtypes)["ts"] == "bigint":
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
+        elif dtype in ("timestamp_ntz", "timestamp"):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            # fail loudly instead of silently coercing an unexpected
+            # future read type (e.g. string) into wrong instants
+            raise TypeError(f"unexpected events.ts dtype {dtype!r}")
     return df
 
 

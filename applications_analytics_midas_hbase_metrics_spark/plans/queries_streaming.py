@@ -73,7 +73,15 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int):
     fixture scale 32 means 4x the state-store tasks and scheduling
     overhead for the same per-group work (~25% of a streaming query's
     wall time, measured).  Restored only after the job completes because
-    micro-batch planning re-reads the conf while the query runs."""
+    micro-batch planning re-reads the conf while the query runs.
+
+    SINGLE-THREADED-SESSION ASSUMPTION: the conf is session-global, so a
+    batch query planned CONCURRENTLY in the same SparkSession while a
+    streaming job is inside this scope would silently inherit the
+    narrow width.  The registry contract runs queries sequentially
+    (driver gate, bench, pytest sweeps); a deployment that plans
+    concurrent queries should give streaming jobs their own session
+    (``spark.newSession()`` shares the context but isolates the conf)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
