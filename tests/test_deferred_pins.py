@@ -1,0 +1,139 @@
+"""The keyed deferred-persist registry (plans/queries.py): claim
+semantics, generation aging, and the driver-contract reorder that makes
+the sharing families adjacent.
+
+The mechanism is a two-generation pin store — a query's pins survive
+exactly one subsequent query entry and are claimable there by key.
+These tests drive it through the SAME wrapped entry points the driver,
+bench, and correctness harness use, so the lifecycle they check is the
+one production traffic sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+from tests.conftest import SF_SMOKE
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def setup_function(_fn):
+    Q.release_deferred()
+
+
+def teardown_function(_fn):
+    Q.release_deferred()
+
+
+def _entry(spark, builder):
+    """Run ``builder`` through the same hygiene wrapper registry queries
+    get, without registering a throwaway query."""
+    wrapped = Q._entry_hygiene(lambda s, d: builder(s, d))
+    return wrapped(spark, SF_SMOKE)
+
+
+def test_claim_returns_previous_pin_and_ages_out(spark):
+    seen = []
+
+    def q1(s, d):
+        df = s.range(10).withColumn("x", F.col("id") * 2)
+        out = Q.persist_deferred(df, key="pin-test")
+        seen.append(out)
+        return out
+
+    def q2(s, d):
+        hit = Q.claim_deferred("pin-test", s)
+        seen.append(hit)
+        return hit if hit is not None else s.range(0)
+
+    r1 = _entry(spark, q1)
+    assert r1.count() == 10
+    # next entry: q2 claims the SAME DataFrame object q1 pinned
+    _entry(spark, q2)
+    assert seen[1] is seen[0], "claim must hand back the pinned frame"
+    # two entries with no claim → the pin is fully released
+    _entry(spark, lambda s, d: s.range(0))
+    _entry(spark, lambda s, d: s.range(0))
+    assert Q.claim_deferred("pin-test", spark) is None
+    assert not Q._DEFERRED and not Q._PENDING
+
+
+def test_unclaimed_pins_release_after_one_entry(spark):
+    def q1(s, d):
+        return Q.persist_deferred(s.range(5), key="fleeting")
+
+    _entry(spark, q1).count()
+    # entry 2 does not claim: pin moves to the pending generation
+    _entry(spark, lambda s, d: s.range(0))
+    assert "fleeting" in Q._PENDING
+    # entry 3: the stale pending generation is gone
+    _entry(spark, lambda s, d: s.range(0))
+    assert "fleeting" not in Q._PENDING and "fleeting" not in Q._DEFERRED
+
+
+def test_claim_rejects_foreign_session(spark):
+    other = spark.newSession()
+
+    def q1(s, d):
+        return Q.persist_deferred(s.range(7), key="session-bound")
+
+    _entry(spark, q1).count()
+    # a claim from a different SparkSession must miss (and not blow up)
+    assert Q.claim_deferred("session-bound", other) is None
+
+
+def test_persist_deferred_claim_path_matches_rebuild(spark):
+    """A keyed claim through persist_deferred must return the
+    previously-pinned plan-equivalent frame with identical contents."""
+
+    def build(s):
+        return s.range(100).withColumn("y", F.col("id") % 7)
+
+    def q1(s, d):
+        return Q.persist_deferred(build(s), key="eq-check")
+
+    def q2(s, d):
+        return Q.persist_deferred(build(s), key="eq-check")
+
+    a = _entry(spark, q1)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    b = _entry(spark, q2)
+    assert b is a, "same key on the next entry must reuse the pin"
+    assert sorted(tuple(r) for r in b.collect()) == rows_a
+
+
+def test_cell_family_chain_shares_one_build(spark):
+    """Driving the real gated queries in driver-contract order: the cell
+    family members after the first must CLAIM the lineitem cell build
+    (cache count stays flat) and still return correct shapes."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = list(qs)
+    # the families the reorder promises adjacent
+    i = names.index("cell_build")
+    assert names[i : i + 4] == [
+        "cell_build",
+        "cell_decode",
+        "store_roundtrip",
+        "cell_lookup",
+    ]
+    assert names.index("validation_diff") == i + 4
+    j = names.index("dedup_minhash")
+    assert names[j : j + 3] == ["dedup_minhash", "dedup_clusters", "dedup_corpus"]
+    # the reorder must preserve the gated SET exactly
+    assert set(names) == set(Q.QUERIES)
+    assert len(names) == len(Q.QUERIES)
+
+    qs["cell_build"](spark, SF_SMOKE).count()
+    assert "lineitem_cells:" + SF_SMOKE in Q._DEFERRED
+    cached_after_build = _n_cached(spark)
+    n = qs["cell_decode"](spark, SF_SMOKE).count()
+    assert n > 0
+    # the claim re-pinned the same frame: no new persisted RDD appeared
+    assert _n_cached(spark) <= cached_after_build
+    assert "lineitem_cells:" + SF_SMOKE in Q._DEFERRED
