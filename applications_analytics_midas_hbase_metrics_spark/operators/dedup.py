@@ -25,8 +25,12 @@ signature build is embarrassingly parallel and AQE handles bucket skew
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from ..functions.keys import java_hash, java_hash_py
@@ -653,42 +657,43 @@ def embedding_near_duplicates(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     )
 
-    # Hyperplane components are pure functions of (plane, dim) — compute
-    # them ONCE in Python (Java-hash based, deterministic) and embed as
-    # literal arrays, instead of re-hashing per row × plane × dim on the
-    # executors.  The projection is then a plain fold of v against a
-    # constant array.
-    def plane_literal(p: int) -> Column:
-        # long seed strings: short ones ("0_0") hash to small positive
-        # ints, collapsing every component to ~-0.95 and making the
-        # hyperplanes near-parallel (degenerate buckets)
-        vals = [
-            (java_hash_py(f"hyperplane:{p}/dimension:{d}#seed") % 2000003)
-            / 1000001.5
-            - 1.0
-            for d in range(dim)
+    # Hyperplane components are pure functions of (plane, dim) — computed
+    # ONCE in Python (Java-hash based, deterministic; long seed strings
+    # because short ones hash to small positive ints, collapsing every
+    # component to ~-0.95 and making the hyperplanes near-parallel).
+    # The num_planes projections are ONE dense matmul per Arrow batch in
+    # a vectorized pandas UDF: a dense matrix product is exactly the
+    # kernel BLAS exists for — the earlier per-plane aggregate/zip_with
+    # fold is CodegenFallback (interpreted per element: planes × dim
+    # lambda evaluations per row), and an unrolled SQL expression of the
+    # same arithmetic blows up Catalyst/codegen compile time (measured
+    # 12-36 s).  Sign choice only needs to be SELF-consistent for the
+    # LSH recall math — both join sides read the same computed signature,
+    # and candidate misses from fp-epsilon sign differences are covered
+    # by the same 1-bit-probe tolerance as any other near-boundary
+    # projection; the exact cosine verify below filters false positives.
+    planes = np.array(
+        [
+            [
+                (java_hash_py(f"hyperplane:{p}/dimension:{d}#seed") % 2000003)
+                / 1000001.5
+                - 1.0
+                for d in range(dim)
+            ]
+            for p in range(num_planes)
         ]
-        return F.array(*[F.lit(x) for x in vals])
+    )  # (num_planes, dim) float64
+    bits = 1 << np.arange(num_planes, dtype=np.int64)
 
-    def plane_projection(p: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"), plane_literal(p), lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    @pandas_udf(LongType())
+    def _hyperplane_sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        sig = ((mat @ planes.T) >= 0.0) @ bits
+        return pd.Series(sig, dtype="int64")
 
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        sig = sig + F.when(
-            plane_projection(p) >= 0, F.lit(1 << p).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    # the projection feeds both self-join sides, but unlike the minhash
-    # signature it is arithmetic-only over the source scan (16 plane
-    # folds/row) — measured CHEAPER to recompute than to materialize, so
-    # no checkpoint here (materialize only affects the returned pairs)
-    signed = base.withColumn("sig", sig)
+    signed = base.withColumn("sig", _hyperplane_sig(F.col("v")))
 
     # bucket keys: the signature itself plus every one-bit flip
     probes = F.array(
