@@ -111,6 +111,19 @@ _DEFERRED: dict[str, DataFrame] = {}
 _PENDING: dict[str, DataFrame] = {}
 _ANON = count()
 
+#: Keys claimed since the current query's entry — observability for the
+#: bench harness (a claimed run reads a sibling's cached intermediate,
+#: so its wall time measures the residual work, not a cold build; the
+#: bench prints which keys were claimed so the numbers are
+#: interpretable).  Reset by the entry hygiene wrapper.
+_CLAIMED_THIS_ENTRY: list[str] = []
+
+
+def claimed_keys() -> list[str]:
+    """Keys the current (latest-entered) query claimed from its
+    predecessor's pins."""
+    return list(_CLAIMED_THIS_ENTRY)
+
 
 def persist_deferred(df: DataFrame, key: str | None = None) -> DataFrame:
     """Persist ``df`` for reuse; auto-released two query entries later
@@ -125,6 +138,7 @@ def persist_deferred(df: DataFrame, key: str | None = None) -> DataFrame:
         if hit is not None:
             if hit.sparkSession is df.sparkSession:
                 _DEFERRED[key] = hit
+                _CLAIMED_THIS_ENTRY.append(key)
                 return hit
             hit.unpersist()
     df = df.persist()
@@ -144,6 +158,7 @@ def claim_deferred(key: str, spark: SparkSession) -> DataFrame | None:
         hit.unpersist()
         return None
     _DEFERRED[key] = hit
+    _CLAIMED_THIS_ENTRY.append(key)
     return hit
 
 
@@ -171,6 +186,7 @@ def _entry_hygiene(fn: QueryFn) -> QueryFn:
             _PENDING.popitem()[1].unpersist()
         _PENDING.update(_DEFERRED)
         _DEFERRED.clear()
+        _CLAIMED_THIS_ENTRY.clear()
         return fn(spark, sf_dir)
 
     return wrapped
