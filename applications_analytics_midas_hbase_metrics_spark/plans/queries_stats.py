@@ -33,15 +33,40 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra("approx_distinct")  # HLL differs per engine → rows-only; pytest tier
+@register_extra(
+    "approx_distinct",
+    # HLL sketches differ per engine, so the raw estimate cannot be
+    # hash-compared — but the estimate's ERROR BOUND can: the gated
+    # output is the exact count plus a within-tolerance verdict.  Spark
+    # computes the verdict from its own HLL estimate; the oracle asserts
+    # the verdict is 'ok' for every group (15x the 2% rsd ~ beyond-5-
+    # sigma, deterministic for any functioning HLL++).  A broken sketch
+    # flips the verdict and hash-mismatches.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           'ok' AS approx_check
+    FROM lineitem GROUP BY 1
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count so
-    the rows-only check still validates shape; the test suite asserts
-    the approximation error bound instead."""
+    """approx_count_distinct (HyperLogLog++) self-checked against the
+    exact count, mirroring ann_ivf's self-checking-recall pattern."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 0.30 * F.col("exact_parts")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.when(within, F.lit("ok")).otherwise(F.lit("out_of_bound")).alias(
+            "approx_check"
+        ),
     )
 
 

@@ -38,7 +38,9 @@ def test_registry_invariants():
     # every gated query carries an oracle: even the approximate ann_ivf
     # is hash-checked via its self-checking recall formulation
     assert missing_oracles == set()
-    assert set(extras) - set(extra_oracles) == {"approx_distinct"}
+    # every extra-tier query is oracle-checked too: even the HLL-based
+    # approx_distinct gates a deterministic error-bound verdict
+    assert set(extras) - set(extra_oracles) == set()
     for name, fn in {**queries, **extras}.items():
         assert callable(fn), name
         params = inspect.signature(fn).parameters
