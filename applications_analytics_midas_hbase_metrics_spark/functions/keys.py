@@ -30,10 +30,11 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ByteType
+from pyspark.sql.types import ByteType, IntegerType
 
 #: Delimiter constants (Utils.scala:31-33).
 DELIM = "\x00"
@@ -148,6 +149,89 @@ def salt_bucket_udf(keys: pd.Series) -> pd.Series:
     kept for differential testing of the JVM expression and as the
     pattern for genuinely Python-only hashes."""
     return keys.map(lambda s: salt_py(s) if s is not None else None).astype("Int8")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Arrow path (the THROUGHPUT variant).
+# ---------------------------------------------------------------------------
+
+#: 31^k mod 2^32 table, grown on demand.
+_POW31: np.ndarray = np.array([1], dtype=np.uint64)
+
+#: contribution of each possible UTF-8 byte value as an unsigned
+#: residue mod 2^32 (Java bytes are SIGNED: values > 127 contribute
+#: b - 256 ≡ b + 2^32 - 256).
+_BYTE_RESIDUE = np.where(
+    np.arange(256) > 127,
+    np.arange(256) + (_TWO_32 - 256),
+    np.arange(256),
+).astype(np.uint64)
+
+
+def _pow31(n: int) -> np.ndarray:
+    global _POW31
+    if len(_POW31) < n:
+        size = max(n, 2 * len(_POW31), 256)
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        for i in range(1, size):
+            p[i] = (p[i - 1] * np.uint64(31)) & np.uint64(0xFFFFFFFF)
+        _POW31 = p
+    return _POW31
+
+
+def java_hash_np(keys: pd.Series) -> np.ndarray:
+    """Vectorized :func:`java_hash_py` over a string Series: the fold
+    ``h = 31*h + byte`` with ``h0 = 1`` has the closed form
+    ``31^L + Σ byte_i · 31^(L-1-i) (mod 2^32)``, which one numpy pass
+    evaluates for the whole batch (byte residues × power table,
+    segment-summed per string).  uint64 wraparound is congruent mod
+    2^32, so intermediate wraps are harmless.  Returns int64 values in
+    int32 range (empty string → 0, like the reference's isEmpty
+    short-circuit); null positions return 0 — callers mask them."""
+    enc = [s.encode("utf-8") if s is not None else b"" for s in keys]
+    lens = np.fromiter((len(b) for b in enc), count=len(enc), dtype=np.int64)
+    p31 = _pow31(int(lens.max()) + 1 if len(lens) else 1)
+    total = int(lens.sum())
+    h = p31[lens].copy()  # the 31^L term (acc starts at 1)
+    if total:
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        owner = np.repeat(np.arange(len(enc)), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        exp = (starts + lens - 1)[owner] - np.arange(total, dtype=np.int64)
+        contrib = _BYTE_RESIDUE[flat] * p31[exp]
+        np.add.at(h, owner, contrib)
+    h &= np.uint64(0xFFFFFFFF)
+    signed = h.astype(np.int64)
+    signed[signed >= _TWO_31] -= _TWO_32
+    signed[lens == 0] = 0
+    return signed
+
+
+@F.pandas_udf(IntegerType())
+def java_hash_vec(keys: pd.Series) -> pd.Series:
+    """Arrow-vectorized :func:`java_hash` (bit-exact, see
+    :func:`java_hash_np`): the per-character expression fold is
+    CodegenFallback — interpreted per element, ~2 s per 600k keys on 32
+    cores — while the numpy closed form does the same arithmetic at
+    memory bandwidth.  Null in → null out, matching the expression."""
+    out = pd.Series(java_hash_np(keys), dtype="Int32")
+    out[keys.isna().to_numpy()] = None
+    return out
+
+
+@F.pandas_udf(ByteType())
+def salt_bucket_vec(keys: pd.Series) -> pd.Series:
+    """Arrow-vectorized :func:`salt_bucket` (bit-exact; abs runs on the
+    int64 hash so there is no MIN_VALUE wraparound, same as the
+    expression's bigint abs).  The throughput path for bulk cell
+    builds; the expression form remains for oracle portability and
+    differential testing."""
+    out = pd.Series(
+        np.abs(java_hash_np(keys)) % SALT_BUCKETS, dtype="Int8"
+    )
+    out[keys.isna().to_numpy()] = None
+    return out
 
 
 # ---------------------------------------------------------------------------

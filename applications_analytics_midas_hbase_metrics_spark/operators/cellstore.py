@@ -44,7 +44,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.keys import DELIM, SALT_BUCKETS, row_key, salt_bucket, split_preserve
+from ..functions.keys import (
+    DELIM,
+    SALT_BUCKETS,
+    row_key,
+    salt_bucket,
+    salt_bucket_vec,
+    split_preserve,
+)
 
 #: HBase column-family constant — always "0" in the reference
 #: (Utils.scala:65, MetricDetails.scala:107-114). Kept for blob parity only.
@@ -88,10 +95,21 @@ def to_cells(
     # reference's per-row UDF + max() piggyback at Utils.scala:215-227),
     # and in the post-shuffle stage where parallelism is the partition
     # count rather than the input-file split count.
+    # Arrow-vectorized salt for the bulk build (bit-exact with the
+    # expression form, cross-checked in tests/test_keys.py): the
+    # per-character expression fold is CodegenFallback and costs ~2s per
+    # 600k keys on 32 cores, while the numpy closed form hashes the
+    # whole batch at memory bandwidth.  Non-default bucket counts take
+    # the expression path (the vec UDF bakes in SALT_BUCKETS).
+    salt = (
+        salt_bucket_vec(F.col("row_key"))
+        if buckets == SALT_BUCKETS
+        else salt_bucket(F.col("row_key"), buckets)
+    )
     return (
         shaped.groupBy("row_key", "col_name")
         .agg(F.array_sort(F.collect_list("cell_value")).alias("values"))
-        .withColumn("salt", salt_bucket(F.col("row_key"), buckets))
+        .withColumn("salt", salt)
     )
 
 

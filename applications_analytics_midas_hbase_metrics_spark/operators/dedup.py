@@ -33,7 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from ..functions.keys import java_hash, java_hash_py
+from ..functions.keys import java_hash, java_hash_py, java_hash_vec
 
 # Mersenne prime for the affine minhash permutations (universal hashing).
 _MH_PRIME = 2_147_483_647
@@ -52,9 +52,11 @@ _LAZY_PINS: list[DataFrame] = []
 
 def release_lazy_pins() -> None:
     """Unpersist every frame pinned by a ``materialize=False`` pipeline
-    (call after collecting/inspecting the lazy plan)."""
+    (call after collecting/inspecting the lazy plan).  Blocking, so
+    cache-count assertions and baselines never race an in-flight async
+    removal (the cost is a few ms per released pin)."""
     while _LAZY_PINS:
-        _LAZY_PINS.pop().unpersist()
+        _LAZY_PINS.pop().unpersist(blocking=True)
 
 
 def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
@@ -483,7 +485,10 @@ def simhash_fingerprints(
         F.col(id_col).cast("bigint").alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
-    hashed = toks.select("id", java_hash("tok").cast("bigint").alias("h"))
+    # Arrow-vectorized Java hash (bit-exact with the expression form):
+    # the per-character fold is CodegenFallback — per-token interpreted
+    # evaluation dominated the fingerprint stage
+    hashed = toks.select("id", java_hash_vec("tok").cast("bigint").alias("h"))
     aggs = [F.count("*").alias("n")]
     for b in range(bits):
         mask = 1 << b

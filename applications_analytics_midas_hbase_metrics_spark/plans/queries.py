@@ -163,10 +163,12 @@ def claim_deferred(key: str, spark: SparkSession) -> DataFrame | None:
 
 
 def release_deferred() -> None:
-    """Unpersist BOTH pin generations (test/teardown hook)."""
+    """Unpersist BOTH pin generations (test/teardown hook).  Blocking,
+    so a subsequent cache-count assertion (or fixture baseline) never
+    observes an RDD whose async removal is still in flight."""
     for gen in (_PENDING, _DEFERRED):
         while gen:
-            gen.popitem()[1].unpersist()
+            gen.popitem()[1].unpersist(blocking=True)
 
 
 def _entry_hygiene(fn: QueryFn) -> QueryFn:

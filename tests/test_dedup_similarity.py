@@ -272,6 +272,12 @@ def test_lazy_mode_pins_recorded_and_released(spark, docs):
     def n_cached() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # a clean baseline: other modules' pins may still be mid-async-
+    # unpersist — flush both pin stores with blocking semantics first
+    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+
+    Q.release_deferred()
+    D.release_lazy_pins()
     base = n_cached()
     lazy = D.minhash_near_duplicates(docs, threshold=0.5, materialize=False)
     lazy.collect()

@@ -80,17 +80,43 @@ def test_salt_py_min_value_edge(monkeypatch):
 
 
 def test_jvm_expr_matches_python(spark):
+    """Six-way parity: python reference, JVM expression, per-row pandas
+    UDF, and the vectorized Arrow variants must agree byte-exactly."""
     df = spark.createDataFrame([(s,) for s in CASES], ["k"])
     rows = df.select(
         "k",
         K.java_hash("k").alias("h"),
         K.salt_bucket("k").alias("s"),
         K.salt_bucket_udf("k").alias("su"),
+        K.java_hash_vec("k").alias("hv"),
+        K.salt_bucket_vec("k").alias("sv"),
     ).collect()
     for r in rows:
         assert r.h == K.java_hash_py(r.k), repr(r.k)
         assert r.s == K.salt_py(r.k), repr(r.k)
         assert r.su == K.salt_py(r.k), repr(r.k)
+        assert r.hv == K.java_hash_py(r.k), repr(r.k)
+        assert r.sv == K.salt_py(r.k), repr(r.k)
+
+
+def test_vectorized_hash_parity_random():
+    """The numpy closed form (31^L + Σ b_i·31^(L-1-i) mod 2^32) equals
+    the sequential fold for arbitrary unicode/binary-ish strings,
+    including empties and multi-byte codepoints."""
+    import random
+    import string
+
+    import pandas as pd
+
+    rng = random.Random(20260813)
+    alphabet = string.printable + "é€漢字ÿ\x00"
+    cases = [""] + [
+        "".join(rng.choices(alphabet, k=rng.randrange(0, 80)))
+        for _ in range(2000)
+    ]
+    got = K.java_hash_np(pd.Series(cases))
+    for s, g in zip(cases, got):
+        assert int(g) == K.java_hash_py(s), repr(s)
 
 
 def test_duckdb_salt_sql_matches():
