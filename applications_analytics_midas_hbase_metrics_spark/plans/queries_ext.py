@@ -63,7 +63,17 @@ def _neardup_docs(
     with word-shingle Jaccard ≈ 0.7.  ``keep_mod`` keeps only doc_id %
     keep_mod == 0 — for gates whose OUTPUT is quadratic in corpus
     self-similarity (the synthetic word-soup corpus puts ~20% of ALL
-    pairs within Hamming 3 of each other)."""
+    pairs within Hamming 3 of each other).
+
+    Pinned in the materialization registry per (sf_dir, keep_mod): this
+    is FIXTURE construction, not the gated operator, and several dedup
+    family members build the identical corpus (simhash_pairs and
+    dedup_ngram_blocked share keep_mod=10) — adjacent queries claim it
+    instead of re-tokenizing."""
+    key = f"neardup_docs:{sf_dir}:{keep_mod}"
+    hit = claim_deferred(key, spark)
+    if hit is not None:
+        return hit
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     if keep_mod is not None:
         docs = docs.filter(F.col("doc_id") % keep_mod == 0)
@@ -72,7 +82,7 @@ def _neardup_docs(
         F.slice(toks, 1, F.ceil(F.size(toks) * 0.7).cast("int")), " "
     )
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
-    return _spread(spark, docs.union(copies))
+    return persist_deferred(_spread(spark, docs.union(copies)), key=key)
 
 
 def _neardup_docs_sql(where: str = "TRUE") -> str:
