@@ -699,6 +699,10 @@ def embedding_near_duplicates(
         return pd.Series(sig, dtype="int64")
 
     signed = base.withColumn("sig", _hyperplane_sig(F.col("v")))
+    # the signature frame feeds BOTH self-join sides; now that the
+    # projection is a python-worker round trip (not pure arithmetic),
+    # run it once (small frame: id + vector + 8-byte sig)
+    signed = _self_join_ready(signed, materialize)
 
     # bucket keys: the signature itself plus every one-bit flip
     probes = F.array(
@@ -719,7 +723,9 @@ def embedding_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    vecs = base
+    # verify against the materialized frame, not a re-read of base —
+    # the vectors ride the same cache as the signatures
+    vecs = signed.select("id", "v")
     verified = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
