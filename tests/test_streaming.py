@@ -200,3 +200,43 @@ def test_stream_equals_batch(spark, events, tmp_path):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_source_copy_writes_once(spark, sf_dir):
+    """The streaming queries' derived file-source copies are written once
+    per interpreter and reused: a second call must return the same path
+    without rewriting (mtime unchanged), and the data must round-trip."""
+    import os
+    import time
+
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries import t
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries_streaming import _source_copy
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    p1 = _source_copy(ev, "srccopy_test", sf_dir, nfiles=2)
+    success = os.path.join(p1, "_SUCCESS")
+    assert os.path.exists(success)
+    mtime = os.path.getmtime(success)
+    time.sleep(0.05)
+    p2 = _source_copy(ev, "srccopy_test", sf_dir, nfiles=2)
+    assert p2 == p1
+    assert os.path.getmtime(success) == mtime, "second call must not rewrite"
+    assert spark.read.parquet(p1).count() == ev.count()
+    # a different sf tag or file count gets its own directory
+    p3 = _source_copy(ev, "srccopy_test", sf_dir, nfiles=3)
+    assert p3 != p1
+
+
+def test_bench_contract_importable():
+    """bench.py is the driver's perf contract — it must import cleanly
+    and expose main() (a syntax error there would void the round's
+    BENCH record)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_contract_check", os.path.join("/root/repo", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)
