@@ -137,3 +137,23 @@ def test_cell_family_chain_shares_one_build(spark):
     # the claim re-pinned the same frame: no new persisted RDD appeared
     assert _n_cached(spark) <= cached_after_build
     assert "lineitem_cells:" + SF_SMOKE in Q._DEFERRED
+
+
+def test_dedup_corpus_claim_and_cold_paths_agree(spark):
+    """dedup_corpus either filters the full pair table claimed from a
+    sibling (LSH is strictly pairwise, so subset pairs == filtered full
+    pairs) or builds subset pairs from scratch — both paths must yield
+    the identical representative set."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # cold path: no pins anywhere
+    Q.release_deferred()
+    cold = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    # claim path: run dedup_minhash first so the full pair table is
+    # pinned, then dedup_corpus (next entry) claims and filters it
+    Q.release_deferred()
+    qs["dedup_minhash"](spark, SF_SMOKE).count()
+    via_claim = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    assert f"minhash_pairs:{SF_SMOKE}" in Q.claimed_keys(), "claim must hit"
+    assert via_claim == cold
