@@ -694,9 +694,20 @@ def embedding_near_duplicates(
     def _hyperplane_sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        sig = ((mat @ planes.T) >= 0.0) @ bits
-        return pd.Series(sig, dtype="int64")
+        # Null or wrong-length vectors get a NULL signature instead of
+        # crashing np.stack — they then drop out of the (non-null) bucket
+        # join below, matching the old zip_with/aggregate path where a
+        # null vector folded to a null signature.
+        ok = np.array(
+            [x is not None and len(x) == dim for x in v], dtype=bool
+        )
+        out = pd.Series([None] * len(v), dtype="Int64")
+        if ok.any():
+            mat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x, k in zip(v, ok) if k]
+            )
+            out[ok] = ((mat @ planes.T) >= 0.0) @ bits
+        return out
 
     signed = base.withColumn("sig", _hyperplane_sig(F.col("v")))
     # the signature frame feeds BOTH self-join sides; now that the

@@ -11,35 +11,26 @@ O(diameter) supersteps; each superstep is linear in |edges|.
 
 from __future__ import annotations
 
-import contextlib
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import scoped_shuffle_partitions
 
 #: Target edges per shuffle partition inside the propagation loop.
 _EDGES_PER_PARTITION = 50_000
 
-
-@contextlib.contextmanager
-def _loop_shuffle_partitions(spark, n: int):
-    """Scope ``spark.sql.shuffle.partitions`` to the propagation loop:
-    the near-dup edge set is orders of magnitude smaller than the corpus
-    (0.01-1% of documents pair up), so superstep shuffles at the batch
-    session's width run mostly-empty tasks — measured ~1.7x slower at 32
-    partitions than at an edge-proportional width on fixture-scale
-    graphs, and the width SCALES UP with the edge count for huge graphs.
-    Every superstep action (localCheckpoint + convergence probe) runs
-    inside the scope; the returned labels frame reads its final
-    checkpoint, so callers' downstream actions are unaffected by the
-    restore.  Same single-threaded-session assumption as the streaming
-    queries' state-store sizing (plans/queries_streaming.py)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+#: Scope ``spark.sql.shuffle.partitions`` to the propagation loop: the
+#: near-dup edge set is orders of magnitude smaller than the corpus
+#: (0.01-1% of documents pair up), so superstep shuffles at the batch
+#: session's width run mostly-empty tasks — measured ~1.7x slower at 32
+#: partitions than at an edge-proportional width on fixture-scale
+#: graphs, and the width SCALES UP with the edge count for huge graphs.
+#: Every superstep action (localCheckpoint + convergence probe) runs
+#: inside the scope; the returned labels frame reads its final
+#: checkpoint, so callers' downstream actions are unaffected by the
+#: restore.  Lock-serialized against the streaming queries' state-store
+#: sizing (session.scoped_shuffle_partitions).
+_loop_shuffle_partitions = scoped_shuffle_partitions
 
 
 def connected_components(

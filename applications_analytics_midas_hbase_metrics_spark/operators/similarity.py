@@ -99,13 +99,17 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
-def _assign_nearest(df: DataFrame, centroids: DataFrame, vec: str, out: str) -> DataFrame:
+def _assign_nearest(
+    df: DataFrame, centroids: DataFrame, vec: str, out: str, id_col: str
+) -> DataFrame:
     """Assign each row to its nearest centroid by cosine (broadcast join +
-    per-row argmax over the exploded centroid set)."""
+    per-row argmax over the exploded centroid set).  The argmax window
+    partitions by the caller-named ``id_col`` — addressing the row key by
+    name keeps the contract explicit under column reordering/renames."""
     scored = df.join(F.broadcast(centroids), how="cross").withColumn(
         "_sim", cosine(F.col(vec), F.col("centroid"))
     )
-    w = Window.partitionBy(df.columns[0]).orderBy(
+    w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
     )
     return (
@@ -152,7 +156,7 @@ def build_ivf_centroids(
     cents = seeds
     for _ in range(lloyd_steps):
         assigned = _assign_nearest(
-            base.select("id", "v"), cents, vec="v", out="cid"
+            base.select("id", "v"), cents, vec="v", out="cid", id_col="id"
         )
         # element-wise mean via posexplode: two shuffles on small keys,
         # no giant per-group array expressions — this is the shape that
@@ -188,7 +192,9 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
     )
-    c_assigned = _assign_nearest(c, centroids, vec="cv", out="list_id")
+    c_assigned = _assign_nearest(
+        c, centroids, vec="cv", out="list_id", id_col="corpus_id"
+    )
 
     q = queries.select(
         F.col(id_col).cast("bigint").alias("query_id"), F.col(vec_col).alias("qv")

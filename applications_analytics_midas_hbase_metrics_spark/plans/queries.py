@@ -137,13 +137,24 @@ def persist_deferred(df: DataFrame, key: str | None = None) -> DataFrame:
         hit = _PENDING.pop(key, None)
         if hit is not None:
             if hit.sparkSession is df.sparkSession:
-                _DEFERRED[key] = hit
+                _set_deferred(key, hit)
                 _CLAIMED_THIS_ENTRY.append(key)
                 return hit
             hit.unpersist()
     df = df.persist()
-    _DEFERRED[key if key is not None else f"_anon_{next(_ANON)}"] = df
+    _set_deferred(key if key is not None else f"_anon_{next(_ANON)}", df)
     return df
+
+
+def _set_deferred(key: str, df: DataFrame) -> None:
+    """Install ``df`` under ``key``, unpersisting any frame already pinned
+    there — a key collision within one query entry (pin twice, or claim
+    then re-persist) must not leak the displaced persisted frame for the
+    life of the session."""
+    old = _DEFERRED.pop(key, None)
+    if old is not None and old is not df:
+        old.unpersist()
+    _DEFERRED[key] = df
 
 
 def claim_deferred(key: str, spark: SparkSession) -> DataFrame | None:
@@ -157,7 +168,7 @@ def claim_deferred(key: str, spark: SparkSession) -> DataFrame | None:
     if hit.sparkSession is not spark:
         hit.unpersist()
         return None
-    _DEFERRED[key] = hit
+    _set_deferred(key, hit)
     _CLAIMED_THIS_ENTRY.append(key)
     return hit
 

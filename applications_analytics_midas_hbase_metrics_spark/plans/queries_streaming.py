@@ -20,13 +20,13 @@ checkpoints nor accumulate stores on disk.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scoped_shuffle_partitions
 from ..streaming import ingest_stream as IS
 from ..streaming import stateful as ST
 from .queries import (
@@ -63,31 +63,23 @@ def _await(q) -> None:
         raise RuntimeError(f"streaming query {q.name!r} timed out after 300s")
 
 
-@contextlib.contextmanager
-def _stream_shuffle_partitions(spark: SparkSession, n: int):
-    """Scope ``spark.sql.shuffle.partitions`` to a streaming job: the
-    state-store / per-micro-batch shuffle width is FIXED at first
-    checkpoint for the life of a streaming query, so it must be sized to
-    the expected state cardinality (a deploy-time decision an operator
-    makes anyway), not inherited from the batch session default — at the
-    fixture scale 32 means 4x the state-store tasks and scheduling
-    overhead for the same per-group work (~25% of a streaming query's
-    wall time, measured).  Restored only after the job completes because
-    micro-batch planning re-reads the conf while the query runs.
-
-    SINGLE-THREADED-SESSION ASSUMPTION: the conf is session-global, so a
-    batch query planned CONCURRENTLY in the same SparkSession while a
-    streaming job is inside this scope would silently inherit the
-    narrow width.  The registry contract runs queries sequentially
-    (driver gate, bench, pytest sweeps); a deployment that plans
-    concurrent queries should give streaming jobs their own session
-    (``spark.newSession()`` shares the context but isolates the conf)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+#: Scope ``spark.sql.shuffle.partitions`` to a streaming job: the
+#: state-store / per-micro-batch shuffle width is FIXED at first
+#: checkpoint for the life of a streaming query, so it must be sized to
+#: the expected state cardinality (a deploy-time decision an operator
+#: makes anyway), not inherited from the batch session default — at the
+#: fixture scale 32 means 4x the state-store tasks and scheduling
+#: overhead for the same per-group work (~25% of a streaming query's
+#: wall time, measured).  Restored only after the job completes because
+#: micro-batch planning re-reads the conf while the query runs.
+#:
+#: The conf is session-global; scoped mutations are serialized by a
+#: process-wide lock (session.scoped_shuffle_partitions), so a
+#: concurrent scoped caller blocks rather than silently inheriting the
+#: narrow width.  A deployment that plans concurrent queries should
+#: still give streaming jobs their own session (``spark.newSession()``
+#: shares the context but isolates the conf).
+_stream_shuffle_partitions = scoped_shuffle_partitions
 
 _KEY_COLS = ["l_returnflag", "l_linestatus", "l_orderkey"]
 _VALUE_COLS = ["l_linenumber", "l_suppkey"]

@@ -6,9 +6,44 @@ zone so results are comparable with a UTC-naive oracle (DuckDB).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+#: Serializes every scoped mutation of session-global SQL conf (see
+#: :func:`scoped_shuffle_partitions`).  RLock so a scoped caller that
+#: composes another scoped helper (e.g. a graph query inside a streaming
+#: foreachBatch) nests instead of deadlocking.
+_CONF_SCOPE_LOCK = threading.RLock()
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a block, under a
+    process-wide lock.
+
+    The conf is session-global, so two threads scoping different widths
+    in the same SparkSession would race: thread B could plan at thread
+    A's width, and the interleaved ``finally`` restores could leave the
+    session at a scoped value permanently.  The registry contract runs
+    queries sequentially (driver gate, bench, pytest sweeps), but the
+    lock makes the single-mutator assumption ENFORCED rather than
+    assumed — a concurrent caller blocks until the scope exits instead
+    of silently inheriting (or clobbering) a neighbor's width.
+
+    Callers: the label-propagation loop (operators/graph.py — width
+    sized to the edge count) and the streaming jobs
+    (plans/queries_streaming.py — state-store width sized to state
+    cardinality, fixed at first checkpoint)."""
+    with _CONF_SCOPE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(

@@ -136,6 +136,43 @@ def test_embedding_near_duplicates_finds_perturbed(spark, embeddings):
     assert sample.cos == pytest.approx(1.0, abs=1e-6)
 
 
+def test_embedding_near_duplicates_tolerates_null_vectors(spark, embeddings):
+    """A null (or wrong-length) embedding gets a NULL hyperplane signature
+    — it silently drops out of the bucket join instead of crashing the
+    vectorized UDF's np.stack (ADVICE r5): parity with the old
+    zip_with/aggregate path, where a null vector folded to null."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.limit(20).select("vec_id", vd.alias("embedding"))
+    bad = spark.createDataFrame(
+        [(90001, None), (90002, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    dup = base.limit(1).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), F.col("embedding")
+    )
+    pairs = D.embedding_near_duplicates(base.union(bad).union(dup), threshold=0.99)
+    rows = pairs.collect()
+    ids = {i for r in rows for i in (r.id_a, r.id_b)}
+    assert not ids & {90001, 90002}  # malformed vectors never pair
+    first_id = base.first().vec_id
+    assert (first_id, first_id + 5000) in {(r.id_a, r.id_b) for r in rows}
+
+
+def test_ngram_blocked_fixture_pair_floor(spark):
+    """Pin the recall argument in q_dedup_ngram_blocked's docstring: the
+    64-hash/32-band setting is safe because every TRUE pair of the gated
+    fixture (sf0.01, doc_id % 10 == 0, threshold 0.5) sits at jaccard
+    >= 0.59, where the per-pair miss probability (1 - 0.59^2)^32 ~ 1e-6.
+    If fixture drift ever pushes a true pair below the floor, this fails
+    before the hash gate can go quietly marginal."""
+    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+
+    out = Q.QUERIES["dedup_ngram_blocked"](spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert rows, "fixture must produce true pairs"
+    assert min(r.jaccard for r in rows) >= 0.59, min(r.jaccard for r in rows)
+
+
 def test_brute_force_topk_self_excluded_and_ranked(embeddings):
     q = embeddings.filter(F.col("vec_id") < 3)
     out = SIM.brute_force_topk(embeddings, q, k=5)

@@ -123,3 +123,37 @@ def test_no_cache_growth_across_sweeps(spark):
     # pre-fix behavior leaked >= 3 persisted frames per sweep; allow a
     # little slack for async cleaner timing
     assert counts[-1] <= counts[0] + 2, counts
+
+
+# -- session-global conf scoping under concurrency --------------------------
+
+def test_scoped_shuffle_partitions_serializes_threads(spark):
+    """The scoped shuffle-width mutation is session-global; the lock in
+    session.scoped_shuffle_partitions must serialize concurrent scopes so
+    neither thread observes the other's width mid-scope and the restore
+    lands back on the session default."""
+    import threading
+
+    from applications_analytics_midas_hbase_metrics_spark.session import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    baseline = spark.conf.get(key)
+    errors: list[str] = []
+
+    def worker(width: int) -> None:
+        for _ in range(5):
+            with scoped_shuffle_partitions(spark, width):
+                time.sleep(0.01)
+                seen = spark.conf.get(key)
+                if seen != str(width):
+                    errors.append(f"width {width} saw {seen}")
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in (7, 13)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert spark.conf.get(key) == baseline
