@@ -14,23 +14,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import scoped_shuffle_partitions
+from ..session import scoped_sql_confs
 
 #: Target edges per shuffle partition inside the propagation loop.
 _EDGES_PER_PARTITION = 50_000
 
-#: Scope ``spark.sql.shuffle.partitions`` to the propagation loop: the
-#: near-dup edge set is orders of magnitude smaller than the corpus
-#: (0.01-1% of documents pair up), so superstep shuffles at the batch
-#: session's width run mostly-empty tasks — measured ~1.7x slower at 32
-#: partitions than at an edge-proportional width on fixture-scale
-#: graphs, and the width SCALES UP with the edge count for huge graphs.
-#: Every superstep action (localCheckpoint + convergence probe) runs
-#: inside the scope; the returned labels frame reads its final
-#: checkpoint, so callers' downstream actions are unaffected by the
-#: restore.  Lock-serialized against the streaming queries' state-store
-#: sizing (session.scoped_shuffle_partitions).
-_loop_shuffle_partitions = scoped_shuffle_partitions
+
+def _loop_confs(spark, width: int):
+    """Conf scope for the propagation loop (lock-serialized against the
+    streaming queries' state-store sizing, session.scoped_sql_confs):
+
+    * ``spark.sql.shuffle.partitions`` — the near-dup edge set is orders
+      of magnitude smaller than the corpus (0.01-1% of documents pair
+      up), so superstep shuffles at the batch session's width run
+      mostly-empty tasks — measured ~1.7x slower at 32 partitions than
+      at an edge-proportional width on fixture-scale graphs, and the
+      width SCALES UP with the edge count for huge graphs.
+    * AQE off — each superstep is the same fixed two-stage job over a
+      shuffle already sized to the edge count above; adaptive re-planning
+      can only re-derive that width and charges its re-optimization
+      latency on EVERY superstep job (measured ~10-20% of loop wall time
+      on fixture-scale graphs).
+
+    Every superstep action (localCheckpoint + convergence probe) runs
+    inside the scope; the returned labels frame reads its final
+    checkpoint, so callers' downstream actions are unaffected by the
+    restore."""
+    return scoped_sql_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(width),
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
 
 
 def connected_components(
@@ -66,7 +82,7 @@ def connected_components(
         "label", F.col("id")
     )
 
-    with _loop_shuffle_partitions(spark, width):
+    with _loop_confs(spark, width):
         for _ in range(max_iter):
             msgs = und.join(labels, und.a == labels.id).select(
                 F.col("b").alias("id"), "label"
@@ -97,12 +113,19 @@ def connected_components(
 
 def dedup_representatives(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Keep one representative (min id) per near-duplicate cluster plus
-    every unpaired document — the end-to-end "dedup the corpus" result."""
-    comps = connected_components(pairs)
+    every unpaired document — the end-to-end "dedup the corpus" result.
+
+    ``components`` short-circuits the label propagation with an already-
+    computed (id, cluster_id) frame for the SAME pair graph — the
+    caller's contract; a labeling of a different graph (e.g. the full
+    graph when ``pairs`` is an induced subgraph) is NOT equivalent,
+    since subgraph components can merge through nodes outside it."""
+    comps = connected_components(pairs) if components is None else components
     ids = df.select(F.col(id_col).cast("bigint").alias("id"))
     labeled = ids.join(comps, "id", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("id"))

@@ -20,30 +20,41 @@ _CONF_SCOPE_LOCK = threading.RLock()
 
 
 @contextlib.contextmanager
-def scoped_shuffle_partitions(spark: SparkSession, n: int):
-    """Scope ``spark.sql.shuffle.partitions`` to a block, under a
-    process-wide lock.
+def scoped_sql_confs(spark: SparkSession, confs: dict[str, str]):
+    """Scope session-global SQL confs to a block, under a process-wide
+    lock.
 
-    The conf is session-global, so two threads scoping different widths
+    The conf is session-global, so two threads scoping different values
     in the same SparkSession would race: thread B could plan at thread
-    A's width, and the interleaved ``finally`` restores could leave the
+    A's value, and the interleaved ``finally`` restores could leave the
     session at a scoped value permanently.  The registry contract runs
     queries sequentially (driver gate, bench, pytest sweeps), but the
     lock makes the single-mutator assumption ENFORCED rather than
     assumed — a concurrent caller blocks until the scope exits instead
-    of silently inheriting (or clobbering) a neighbor's width.
+    of silently inheriting (or clobbering) a neighbor's settings.
 
-    Callers: the label-propagation loop (operators/graph.py — width
-    sized to the edge count) and the streaming jobs
-    (plans/queries_streaming.py — state-store width sized to state
-    cardinality, fixed at first checkpoint)."""
+    Callers: the label-propagation loop (operators/graph.py — shuffle
+    width sized to the edge count, AQE off for the fixed tiny
+    supersteps) and the streaming jobs (plans/queries_streaming.py —
+    state-store width sized to state cardinality, fixed at first
+    checkpoint)."""
     with _CONF_SCOPE_LOCK:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, str(v))
         try:
             yield
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` alone (see
+    :func:`scoped_sql_confs` for the locking contract)."""
+    with scoped_sql_confs(spark, {"spark.sql.shuffle.partitions": str(n)}):
+        yield
 
 
 def get_spark(

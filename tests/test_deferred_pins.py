@@ -140,20 +140,63 @@ def test_cell_family_chain_shares_one_build(spark):
 
 
 def test_dedup_corpus_claim_and_cold_paths_agree(spark):
-    """dedup_corpus either filters the full pair table claimed from a
-    sibling (LSH is strictly pairwise, so subset pairs == filtered full
-    pairs) or builds subset pairs from scratch — both paths must yield
-    the identical representative set."""
+    """dedup_corpus labels the same full-corpus graph as dedup_clusters,
+    so it can run three ways — cold (build pairs + propagate labels),
+    claiming the pair table (propagate only), or claiming the labels
+    (skip propagation entirely).  All three must yield the identical
+    representative set."""
     import __spark_entry__ as E
 
     qs = E.queries()
     # cold path: no pins anywhere
     Q.release_deferred()
     cold = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
-    # claim path: run dedup_minhash first so the full pair table is
-    # pinned, then dedup_corpus (next entry) claims and filters it
+    # pairs-claim path: dedup_minhash pins the pair table; dedup_corpus
+    # (next entry) claims it and runs its own propagation
     Q.release_deferred()
     qs["dedup_minhash"](spark, SF_SMOKE).count()
-    via_claim = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    via_pairs = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    assert f"minhash_pairs:{SF_SMOKE}" in Q.claimed_keys(), "pairs claim must hit"
+    assert via_pairs == cold
+    # labels-claim path: full family order — dedup_clusters pins its
+    # (id, cluster_id) frame; dedup_corpus claims it, skipping the loop
+    Q.release_deferred()
+    qs["dedup_minhash"](spark, SF_SMOKE).count()
+    qs["dedup_clusters"](spark, SF_SMOKE).count()
+    via_labels = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    assert f"cc_labels:{SF_SMOKE}" in Q.claimed_keys(), "labels claim must hit"
+    assert via_labels == cold
+
+
+def test_dedup_clusters_claim_and_cold_paths_agree(spark):
+    """dedup_clusters claiming dedup_minhash's pinned pair table must
+    produce the same labeling as a cold run that rebuilds the LSH DAG."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    Q.release_deferred()
+    cold = sorted(
+        (r.id, r.cluster_id) for r in qs["dedup_clusters"](spark, SF_SMOKE).collect()
+    )
+    Q.release_deferred()
+    qs["dedup_minhash"](spark, SF_SMOKE).count()
+    via_claim = sorted(
+        (r.id, r.cluster_id) for r in qs["dedup_clusters"](spark, SF_SMOKE).collect()
+    )
     assert f"minhash_pairs:{SF_SMOKE}" in Q.claimed_keys(), "claim must hit"
+    assert via_claim == cold
+
+
+def test_blob_codec_claim_and_cold_paths_agree(spark):
+    """blob_codec claiming the lineitem cell build from a cell-family
+    sibling must equal its cold rebuild."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    Q.release_deferred()
+    cold = sorted(tuple(r) for r in qs["blob_codec"](spark, SF_SMOKE).collect())
+    Q.release_deferred()
+    qs["cell_build"](spark, SF_SMOKE).count()
+    via_claim = sorted(tuple(r) for r in qs["blob_codec"](spark, SF_SMOKE).collect())
+    assert f"lineitem_cells:{SF_SMOKE}" in Q.claimed_keys(), "claim must hit"
     assert via_claim == cold
