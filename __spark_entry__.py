@@ -44,7 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SET of gated queries is unchanged."""
     chains = {
         # after this query ...         ... pull these up next
-        "cell_lookup": ["validation_diff", "validation_missing", "blob_codec"],
+        # (blob_codec left the gated tier in the round-6 rotation; it
+        # still claims the cell build when run adjacently elsewhere)
+        "cell_lookup": ["validation_diff", "validation_missing"],
         "dedup_minhash": ["dedup_clusters", "dedup_corpus"],
     }
     pulled = {c for cs in chains.values() for c in cs}

@@ -816,7 +816,11 @@ def q_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # rotated to the extra tier in round 6 (driver-gated r1-r5, always
+    # hash-green): its operator coverage (A2/F8 blob encode) is subsumed
+    # by cell_build + store_roundtrip, freeing a driver slot for a query
+    # that had never had a driver-hard row (trigger_csv_scan)
     "blob_codec",
     oracle=f"""
     SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
@@ -1009,7 +1013,9 @@ def q_mupr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 6 (extra-tier green in
+    # r4-r5): the S4 header-CSV boundary gets a driver-hard row
     "trigger_csv_scan",
     oracle="""
     SELECT 'path_' || CAST(o_orderkey AS VARCHAR) AS file_path,

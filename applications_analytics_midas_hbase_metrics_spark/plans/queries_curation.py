@@ -1,10 +1,10 @@
-"""Corpus-curation queries (pytest-gated extra tier): the composed
-operations a training-data pipeline runs between raw documents and a
-training corpus — sequence packing and an end-to-end filter+dedup
-curation pass.  Both have full DuckDB oracles; they live in the extra
-tier because the driver gate is at its 50-row cap and their component
-operators (token counts, quality, lang-ID, exact dedup) are already
-driver-gated individually.
+"""Corpus-curation queries: the composed operations a training-data
+pipeline runs between raw documents and a training corpus — sequence
+packing and an end-to-end filter+dedup curation pass.  Both have full
+DuckDB oracles.  sequence_packing is driver-gated (rotated in, round
+6); curation_pipeline stays extra-tier because its component operators
+(token counts, quality, lang-ID, exact dedup) are driver-gated
+individually and the 50 slots are full.
 """
 
 from __future__ import annotations
@@ -15,13 +15,15 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators import text as T
-from .queries import register_extra, t
+from .queries import register, register_extra, t
 from .queries_ext import _TOKS, _spread
 
 _PACK_BUDGET = 512
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 6 (extra-tier green in
+    # r3-r5): the distributed prefix-sum gets a driver-hard row
     "sequence_packing",
     oracle=f"""
     WITH tk AS (

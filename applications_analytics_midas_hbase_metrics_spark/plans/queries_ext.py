@@ -494,7 +494,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_features(docs)
 
 
-@register(
+@register_extra(
+    # rotated to the extra tier in round 6 (driver-gated r1-r5, always
+    # hash-green): token counting is subsumed by quality_score's token
+    # features, freeing a driver slot for sequence_packing
     "token_count",
     oracle=f"""
     SELECT doc_id AS id,

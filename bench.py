@@ -1,11 +1,29 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "value_cold": N, "queries_cold": {...}, "claims": {...}, "sf": ...}
 
-Each query is materialized with a full count() + a cheap checksum
-collect so the whole plan executes (no lazy no-ops). Wall-clock per
-query; value = total.
+Two sweeps, both reported so the keyed-pin registry's multi-query
+speedup is measured honestly instead of inferred:
+
+  * WARM (the headline "value"): driver-registration order, best-of-2
+    per query, pins live — adjacent family members claim shared
+    materialized intermediates exactly as a sequential production sweep
+    would.  The keys each query claimed on its reported (fastest) run
+    are recorded under "claims", so a consumer can tell which numbers
+    are residual work on a sibling's cached frame vs cold builds.
+  * COLD ("value_cold"): the pin registry is flushed before every
+    query and each query runs ONCE — no cross-query claims, no
+    same-query carry-over, every number is a full rebuild.  (JVM/codegen
+    and OS page cache stay warm in both sweeps; the sweeps isolate the
+    registry effect, not process start-up.)
+
+Env: SPARK_GRAFT_COLD=1 runs the cold sweep only (fast iteration on
+cold-path changes); SPARK_GRAFT_WARM=1 runs the warm sweep only.
+
+Each query is materialized with a full count() so the whole plan
+executes (no lazy no-ops).  Wall-clock per query; value = total.
 """
 
 from __future__ import annotations
@@ -18,50 +36,76 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    import __spark_entry__ as E
-    from applications_analytics_midas_hbase_metrics_spark.session import get_spark
-
-    spark = get_spark(app_name="midas-bench", cpus=cpus)
-
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
-    # best-of-2 per query: the first run pays whole-stage-codegen compile
-    # (~0.5-2s for the wide expressions), which is a constant that
-    # amortizes away in any real deployment; run-to-run variance at this
-    # scale is otherwise ±20%.
-    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
-
+def _warm_sweep(spark, sf_dir, queries, Q):
+    """Best-of-2, pins live across queries (registration order)."""
     timings: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        best, n, claims = None, 0, []
+    claims: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        best = None  # (dt, claims, rows)
         for _ in range(2):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.monotonic() - t0
-            if best is None or dt < best:
-                best, claims = dt, Q.claimed_keys()
-        timings[name] = round(best, 3)
-        # a claimed run reads a sibling query's cached intermediate (the
-        # keyed materialization registry) — annotate so per-query numbers
-        # are interpretable as residual work, not cold builds
-        note = f"  (claimed: {', '.join(claims)})" if claims else ""
-        print(f"# {name}: {n} rows in {timings[name]}s{note}", file=sys.stderr)
+            if best is None or dt < best[0]:
+                best = (dt, Q.claimed_keys(), n)
+        timings[name] = round(best[0], 3)
+        if best[1]:
+            claims[name] = best[1]
+        note = f"  (claimed: {', '.join(best[1])})" if best[1] else ""
+        print(f"# warm {name}: {best[2]} rows in {timings[name]}s{note}", file=sys.stderr)
+    return timings, claims
 
+
+def _cold_sweep(spark, sf_dir, queries, Q):
+    """Single run per query, registry flushed before each — every
+    number is a full rebuild with no claimable pins anywhere."""
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        Q.release_deferred()
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# cold {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    Q.release_deferred()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cold_only = os.environ.get("SPARK_GRAFT_COLD") == "1"
+    warm_only = os.environ.get("SPARK_GRAFT_WARM") == "1"
+
+    import __spark_entry__ as E
+    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+    from applications_analytics_midas_hbase_metrics_spark.session import get_spark
+
+    spark = get_spark(app_name="midas-bench", cpus=cpus)
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = E.queries()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    result = {
-        "metric": "total_query_wall_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    result: dict = {"metric": "total_query_wall_sec", "unit": "sec", "sf": sf}
+
+    if not cold_only:
+        warm, claims = _warm_sweep(spark, sf_dir, queries, Q)
+        result["value"] = round(sum(warm.values()), 3)
+        result["queries"] = warm
+        result["claims"] = claims
+    if not warm_only:
+        cold = _cold_sweep(spark, sf_dir, queries, Q)
+        result["value_cold"] = round(sum(cold.values()), 3)
+        result["queries_cold"] = cold
+    if cold_only:
+        # the driver's headline slot still gets a number in cold-only runs
+        result["value"] = result["value_cold"]
+        result["queries"] = result["queries_cold"]
+
     print(json.dumps(result))
 
 

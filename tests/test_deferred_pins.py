@@ -188,15 +188,17 @@ def test_dedup_clusters_claim_and_cold_paths_agree(spark):
 
 
 def test_blob_codec_claim_and_cold_paths_agree(spark):
-    """blob_codec claiming the lineitem cell build from a cell-family
-    sibling must equal its cold rebuild."""
+    """blob_codec (extra tier since the round-6 rotation) claiming the
+    lineitem cell build from a gated cell-family sibling must equal its
+    cold rebuild."""
     import __spark_entry__ as E
 
-    qs = E.queries()
+    blob = E.extra_queries()["blob_codec"]
+    build = E.queries()["cell_build"]
     Q.release_deferred()
-    cold = sorted(tuple(r) for r in qs["blob_codec"](spark, SF_SMOKE).collect())
+    cold = sorted(tuple(r) for r in blob(spark, SF_SMOKE).collect())
     Q.release_deferred()
-    qs["cell_build"](spark, SF_SMOKE).count()
-    via_claim = sorted(tuple(r) for r in qs["blob_codec"](spark, SF_SMOKE).collect())
+    build(spark, SF_SMOKE).count()
+    via_claim = sorted(tuple(r) for r in blob(spark, SF_SMOKE).collect())
     assert f"lineitem_cells:{SF_SMOKE}" in Q.claimed_keys(), "claim must hit"
     assert via_claim == cold
