@@ -113,6 +113,60 @@ def to_cells(
     )
 
 
+def to_cells_write_aligned(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    col_name: str | Column,
+    value_cols: Sequence[str],
+    buckets: int = SALT_BUCKETS,
+    chunks_per_salt: int = 1,
+) -> DataFrame:
+    """:func:`to_cells` pre-distributed to MATCH the store layout — the
+    write-side fast path (used by streaming ingest).
+
+    Salt is computed per input row, the single exchange distributes raw
+    rows by (salt[, chunk]), and the aggregation then runs
+    exchange-free: hash partitioning on a SUBSET of the group keys
+    already satisfies the aggregate's clustering requirement (all rows
+    of a row_key share its salt).  The returned frame writes with
+    ``partitionBy(salt)`` and NO further shuffle — one exchange
+    end-to-end where to_cells + repartition(salt) costs two (partial-agg
+    exchange + layout exchange).
+
+    Tradeoff vs :func:`to_cells`: the exchange moves raw rows, not
+    partial aggregates, so prefer this when |rows| ≈ |cells| (metrics
+    ingest, where groups hold a handful of values); and aggregation
+    parallelism is buckets × chunks_per_salt — raise ``chunks_per_salt``
+    on a large cluster so each salt splits across parallel writers
+    (same knob, same layout as :func:`write_cells`)."""
+    name_col = F.col(col_name) if isinstance(col_name, str) else col_name
+    shaped = df.select(
+        row_key(*key_cols).alias("row_key"),
+        name_col.cast("string").alias("col_name"),
+        row_key(*value_cols).alias("cell_value"),
+    )
+    salt = (
+        salt_bucket_vec(F.col("row_key"))
+        if buckets == SALT_BUCKETS
+        else salt_bucket(F.col("row_key"), buckets)
+    )
+    shaped = shaped.withColumn("salt", salt)
+    if chunks_per_salt > 1:
+        shaped = shaped.withColumn(
+            "_chunk", F.pmod(F.xxhash64("row_key"), F.lit(chunks_per_salt))
+        )
+        parts = shaped.repartition(buckets * chunks_per_salt, "salt", "_chunk")
+        group = ["salt", "_chunk", "row_key", "col_name"]
+    else:
+        parts = shaped.repartition(buckets, "salt")
+        group = ["salt", "row_key", "col_name"]
+    return (
+        parts.groupBy(*group)
+        .agg(F.array_sort(F.collect_list("cell_value")).alias("values"))
+        .select("row_key", "col_name", "values", "salt")
+    )
+
+
 def encode_blob(values: Column | str) -> Column:
     """Exact reference blob format: ``count \\x00 v1\\nv2\\n…``
     (write side Utils.scala:56: ``length + DELIM + values.mkString("\\n")``)."""

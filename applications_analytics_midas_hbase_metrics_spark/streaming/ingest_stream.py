@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.cellstore import to_cells
+from ..operators.cellstore import to_cells_write_aligned
 
 
 def stream_to_cells(
@@ -35,18 +35,17 @@ def stream_to_cells(
     """Continuously ingest a stream into the salted Parquet cell store.
 
     foreachBatch (not a plain parquet sink) because the cell build is an
-    aggregation: each micro-batch is grouped with ``to_cells`` and
-    appended partitioned by salt.  Exactly-once comes from the
-    checkpoint + Parquet's atomic task commits."""
+    aggregation: each micro-batch is grouped and appended partitioned by
+    salt.  The write-aligned build (to_cells_write_aligned) distributes
+    by salt BEFORE aggregating, so the whole batch runs one exchange and
+    lands one file per salt per micro-batch with no layout reshuffle.
+    Exactly-once comes from the checkpoint + Parquet's atomic task
+    commits."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        cells = to_cells(batch, key_cols, F.col(col_name), value_cols)
+        cells = to_cells_write_aligned(batch, key_cols, F.col(col_name), value_cols)
         (
             cells.withColumn("ingest_batch", F.lit(batch_id))
-            # align data layout with the salt directory layout: one file
-            # per salt per micro-batch instead of tasks × 24 small files
-            # (see operators.cellstore.write_cells)
-            .repartition("salt")
             .write.mode("append")
             .partitionBy("salt")
             .parquet(out_path)

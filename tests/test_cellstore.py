@@ -32,6 +32,22 @@ def test_to_cells_shape(cells, lineitem):
     assert cells.count() == expected
 
 
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_write_aligned_build_matches_to_cells(cells, lineitem, chunks):
+    """The single-exchange write-aligned build must produce the exact
+    cell set of the canonical two-exchange form (same rows, same sorted
+    values, same salt), for both the plain and the chunked layout; and
+    its physical plan must contain exactly ONE exchange."""
+    aligned = CS.to_cells_write_aligned(
+        lineitem, KEY_COLS, F.col("l_partkey"), VAL_COLS, chunks_per_salt=chunks
+    )
+    assert aligned.columns == ["row_key", "col_name", "values", "salt"]
+    assert aligned.exceptAll(cells).count() == 0
+    assert cells.exceptAll(aligned).count() == 0
+    plan = aligned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_cell_values_sorted_and_complete(cells, lineitem):
     total = cells.select(F.sum(F.size("values")).alias("n")).first().n
     assert total == lineitem.count()
