@@ -130,6 +130,85 @@ def token_counts(
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams: the curation filter that catches boilerplate and
+    degenerate loops exact-dedup never sees.
+
+    Returns (id, n_grams, dup_ngram_frac, top_ngram_frac) where
+    ``dup_ngram_frac`` = 1 − |distinct grams| / |grams| (mass of repeated
+    n-gram occurrences) and ``top_ngram_frac`` = occurrences of the most
+    frequent n-gram / |grams|.  Documents with fewer than ``n`` tokens
+    have no n-grams and score 0.0 on both.
+
+    The per-document mode runs DISTRIBUTED — explode → count per
+    (id, gram) → per-id aggregate — two shuffles on (id[, gram]), no
+    per-row map-side frequency tables, so a single pathological
+    100M-gram document costs its share of a shuffle rather than one
+    task's memory."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ids = df.select(F.col(id_col).cast("bigint").alias("id"), grams.alias("grams"))
+    per_gram = (
+        ids.select("id", F.explode("grams").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("occ"))
+    )
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("occ").cast("bigint").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("occ").alias("top_occ"),
+    )
+    total = F.col("n_grams").cast("double")
+    return ids.select("id").join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.round(
+            F.coalesce(F.lit(1.0) - F.col("n_distinct") / total, F.lit(0.0)), 6
+        ).alias("dup_ngram_frac"),
+        F.round(F.coalesce(F.col("top_occ") / total, F.lit(0.0)), 6).alias(
+            "top_ngram_frac"
+        ),
+    )
+
+
+#: PII patterns — shared by the scrubber and its oracle builders; plain
+#: ASCII classes so the Java-regex and RE2 interpretations coincide.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PII scrubbing for corpus curation: e-mail addresses
+    → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``.  Returns
+    (id, text, n_emails, n_phones) with counts of what was replaced.
+    Pure JVM regex — no UDF; patterns are intentionally conservative
+    (high precision) since curation pipelines route low-confidence hits
+    to review rather than silently rewriting them."""
+    text = F.col(text_col)
+    emails = F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint")
+    phones = F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        scrubbed.alias("text"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

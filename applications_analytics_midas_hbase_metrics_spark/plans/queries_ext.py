@@ -529,6 +529,94 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(docs)
 
 
+@register_extra(
+    "repetition_ratio",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tks) >= 2
+                   THEN list_transform(range(1, len(tks)),
+                                       i -> array_to_string(tks[i:i+1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM tk
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+                 count(*) AS n_distinct, max(occ) AS top_occ
+          FROM c GROUP BY 1)
+    SELECT t.doc_id AS id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           round(coalesce(1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_grams,
+                          0.0), 6) AS dup_ngram_frac,
+           round(coalesce(CAST(a.top_occ AS DOUBLE) / a.n_grams, 0.0), 6)
+               AS top_ngram_frac
+    FROM tk t LEFT JOIN a ON a.doc_id = t.doc_id
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition over word 2-grams — the
+    boilerplate/degenerate-loop curation signal; the oracle recomputes
+    the distributed per-(id, gram) mode with a brute unnest."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.repetition_features(docs)
+
+
+#: Deterministic PII injection shared by the Spark query and its oracle:
+#: 1-in-7 docs gain an e-mail, 1-in-11 a phone number (doc_id 0 gets
+#: both), so the scrubber sees hits, multi-hits, and clean docs.
+_PII_DOCS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+               AS text
+    FROM documents
+"""
+
+
+@register_extra(
+    "pii_scrub",
+    oracle=f"""
+    WITH injected AS ({_PII_DOCS_SQL})
+    SELECT doc_id AS id,
+           regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{T.PHONE_RE}', '<PHONE>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{T.PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM injected
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (e-mail/phone → placeholders) over a corpus with
+    deterministically injected hits; scrubbed text AND per-doc hit
+    counts are value-compared, so both regex dialects must agree on
+    match boundaries exactly."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return T.scrub_pii(injected)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow-batched mapInPandas with stubbed decode)
 # ---------------------------------------------------------------------------

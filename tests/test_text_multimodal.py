@@ -45,6 +45,43 @@ def test_token_counts(spark):
     assert r.bpe_tokens == 7
 
 
+def test_repetition_features(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),     # one repeated 2-gram
+        (2, "all words here are unique now"),  # no repeats
+        (3, "solo"),                          # < 2 tokens -> no grams
+        (4, ""),                              # empty -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in T.repetition_features(df).collect()}
+    # doc 1: 4 grams, all "spam spam" -> 1 distinct, dup frac 0.75, top 1.0
+    assert got[1].n_grams == 4
+    assert got[1].dup_ngram_frac == pytest.approx(0.75)
+    assert got[1].top_ngram_frac == pytest.approx(1.0)
+    # doc 2: 5 distinct grams -> no repetition, top gram appears once
+    assert got[2].n_grams == 5
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[2].top_ngram_frac == pytest.approx(0.2)
+    # short/empty docs still emit a zero row (curation filters need one
+    # verdict per doc, not a missing row)
+    for i in (3, 4):
+        assert got[i].n_grams == 0
+        assert got[i].dup_ngram_frac == 0.0 and got[i].top_ngram_frac == 0.0
+
+
+def test_scrub_pii(spark):
+    rows = [
+        (1, "mail a@b.io and c.d+e@f-g.org or call 555-123-4567 now"),
+        (2, "no pii here, just 12345 and a@b"),  # @ without TLD: no match
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in T.scrub_pii(df).collect()}
+    assert got[1].n_emails == 2 and got[1].n_phones == 1
+    assert got[1].text == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].text == "no pii here, just 12345 and a@b"  # unchanged
+
+
 def test_fingerprint_matches_python_hash(spark):
     df = spark.createDataFrame([(1, "Some  Text\nHere")], ["doc_id", "text"])
     r = T.fingerprint(df).first()
