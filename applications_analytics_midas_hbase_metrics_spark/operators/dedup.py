@@ -363,7 +363,13 @@ def lsh_near_duplicates(
     # shuffle — only 8-byte hashes do — and nothing upstream is
     # consumed twice, so no persist of the (wide) shingle table at all.
     hashed = base.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("h0")
+        "id",
+        F.xxhash64("s").alias("h0"),
+        # fold into the Mersenne field ONCE here: the num_hashes
+        # min-aggregates below all start from pmod(h0, p), and aggregate
+        # update expressions don't get subexpression elimination — inline
+        # it and the field reduction runs num_hashes times per element
+        F.expr(f"pmod(xxhash64(s), {_MH_PRIME})").alias("h"),
     )
     # The wide repetitive expression blocks (num_hashes min-aggregates,
     # n_bands band-hash structs) are built as SQL strings: one py4j
@@ -373,7 +379,7 @@ def lsh_near_duplicates(
     # pmod/xxhash64/concat_ws parse to the identical Catalyst nodes.
     mins = [
         F.expr(
-            f"min(pmod({2 * j + 1} * pmod(h0, {_MH_PRIME}) + "
+            f"min(pmod({2 * j + 1} * h + "
             f"{2654435761 * (j + 1) % _MH_PRIME}, {_MH_PRIME})) AS m{j}"
         )
         for j in range(num_hashes)
