@@ -741,12 +741,37 @@ def embedding_near_duplicates(
         .distinct()
     )
     # verify against the materialized frame, not a re-read of base —
-    # the vectors ride the same cache as the signatures
-    vecs = signed.select("id", "v")
+    # the vectors ride the same cache as the signatures.  The norm is
+    # hoisted per VECTOR here: the per-pair cosine otherwise folds
+    # THREE 64-element aggregates (dot, |a|², |b|²) through the
+    # interpreted HOF path, and two of them depend on one side only.
+    # sqrt(dot(v,v)) yields the identical double whether computed per
+    # row or per pair, so the verify value (and the oracle hash) is
+    # unchanged while verify does a third of the fold work.
+    vecs = signed.select("id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
     verified = (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("v_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos",
+            F.try_divide(
+                _dot(F.col("v_a"), F.col("v_b")), F.col("nrm_a") * F.col("nrm_b")
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
