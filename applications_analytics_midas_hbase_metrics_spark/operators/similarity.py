@@ -21,7 +21,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine
+from .dedup import _dot
+
+
+def _norm(v: Column) -> Column:
+    """sqrt of the strict left-fold self-dot — hoisted per ROW by every
+    scorer here: the per-pair cosine otherwise folds both operand norms
+    once per pair (3 interpreted 64-element aggregates per pair instead
+    of 1).  sqrt(dot(v,v)) is the identical double wherever computed,
+    so scores and rankings are unchanged."""
+    return F.sqrt(_dot(v, v))
+
+
+def _cos_pre(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a pair dot and two hoisted norms — same try_divide
+    null semantics as dedup.cosine (zero-norm → NULL, not an ANSI
+    error)."""
+    return F.try_divide(dot_ab, na * nb)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -86,14 +102,20 @@ def brute_force_topk(
     set; ties break on corpus id so output is total-ordered and
     oracle-comparable."""
     c = corpus.select(
-        F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).cast("bigint").alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     q = queries.select(
-        F.col(id_col).cast("bigint").alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", _cos_pre(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
+        )
         .select("query_id", "corpus_id", "cos")
     )
     return _topk_per_query(scored, k)
@@ -106,8 +128,14 @@ def _assign_nearest(
     per-row argmax over the exploded centroid set).  The argmax window
     partitions by the caller-named ``id_col`` — addressing the row key by
     name keeps the contract explicit under column reordering/renames."""
-    scored = df.join(F.broadcast(centroids), how="cross").withColumn(
-        "_sim", cosine(F.col(vec), F.col("centroid"))
+    cents = centroids.withColumn("_cn", _norm(F.col("centroid")))
+    scored = (
+        df.withColumn("_vn", _norm(F.col(vec)))
+        .join(F.broadcast(cents), how="cross")
+        .withColumn(
+            "_sim",
+            _cos_pre(_dot(F.col(vec), F.col("centroid")), F.col("_vn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
@@ -115,7 +143,7 @@ def _assign_nearest(
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .drop("_sim", "_r", "centroid")
+        .drop("_sim", "_r", "centroid", "_vn", "_cn")
         .withColumnRenamed("centroid_id", out)
     )
 
@@ -190,29 +218,37 @@ def ivf_topk(
     their centroid is among the query's ``nprobe`` nearest centroids.
     Same output schema as brute_force_topk."""
     c = corpus.select(
-        F.col(id_col).cast("bigint").alias("corpus_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).cast("bigint").alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     c_assigned = _assign_nearest(
         c, centroids, vec="cv", out="list_id", id_col="corpus_id"
     )
 
     q = queries.select(
-        F.col(id_col).cast("bigint").alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    q_scored = q.join(F.broadcast(centroids), how="cross").withColumn(
-        "_sim", cosine(F.col("qv"), F.col("centroid"))
+    cents = centroids.withColumn("_cn", _norm(F.col("centroid")))
+    q_scored = q.join(F.broadcast(cents), how="cross").withColumn(
+        "_sim",
+        _cos_pre(_dot(F.col("qv"), F.col("centroid")), F.col("qn"), F.col("_cn")),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     q_probes = (
         q_scored.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("list_id"))
     )
 
     scored = (
         c_assigned.join(F.broadcast(q_probes), "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", _cos_pre(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
+        )
         .select("query_id", "corpus_id", "cos")
     )
     # probing already bounds the scanned lists, but a hot list can still
