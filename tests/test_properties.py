@@ -122,6 +122,82 @@ def test_top_k_per_group_equals_brute_force_random(spark):
     assert got == sorted(want)
 
 
+def test_scrub_pii_matches_python_re_on_random_batch(spark):
+    """Cross-dialect regex property: Spark's Java-regex scrub must agree
+    with Python re (a third dialect) on generated text mixing real
+    emails/phones, near-misses, and noise — match boundaries, counts,
+    and replacement output all compared."""
+    import random
+    import re
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    rng = random.Random(23)
+    pieces = [
+        "a@b.io", "x.y+z@mail-host.org", "user99@example.com",  # emails
+        "a@b", "@nope", "a@@b.com", "a@.com",                   # near-misses
+        "555-123-4567", "123.456.7890", "555-12-4567",          # phone + near
+        "plain", "words", "12345", "-", ".", "@",
+    ]
+    cases = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randrange(0, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["doc_id", "text"])
+    got = {r.id: r for r in T.scrub_pii(df).collect()}
+    email, phone = re.compile(T.EMAIL_RE), re.compile(T.PHONE_RE)
+    for i, s in enumerate(cases):
+        want = phone.sub("<PHONE>", email.sub("<EMAIL>", s))
+        assert got[i].text == want, s
+        assert got[i].n_emails == len(email.findall(s)), s
+        assert got[i].n_phones == len(phone.findall(s)), s
+
+
+def test_scrub_pii_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op: the placeholders must
+    not themselves match either pattern."""
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io or 555-123-4567 twice a@b.io")], ["doc_id", "text"]
+    )
+    once = T.scrub_pii(df).select(F.col("id").alias("doc_id"), "text")
+    twice = T.scrub_pii(once).first()
+    assert twice.text == "mail <EMAIL> or <PHONE> twice <EMAIL>"
+    assert twice.n_emails == 0 and twice.n_phones == 0
+
+
+def test_repetition_features_match_python_model(spark):
+    """Distributed per-doc n-gram mode vs a brute-force Python model on
+    random token streams: totals, duplicate fraction, and top fraction
+    must agree exactly (modulo the 6-decimal rounding both apply)."""
+    import collections
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    rng = random.Random(29)
+    vocab = ["aa", "bb", "cc", "dd"]
+    cases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["doc_id", "text"])
+    got = {r.id: r for r in T.repetition_features(df).collect()}
+    for i, s in enumerate(cases):
+        toks = [t for t in s.lower().split() if t]
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        assert got[i].n_grams == len(grams), s
+        if grams:
+            counts = collections.Counter(grams)
+            assert got[i].dup_ngram_frac == round(1 - len(counts) / len(grams), 6), s
+            assert got[i].top_ngram_frac == round(max(counts.values()) / len(grams), 6), s
+        else:
+            assert got[i].dup_ngram_frac == 0.0 and got[i].top_ngram_frac == 0.0
+
+
 def test_spark_blob_codec_roundtrip_random(spark):
     import random
 
