@@ -81,9 +81,22 @@ def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def tokens(text: Column | str) -> Column:
-    """Lower-cased whitespace tokens; empty strings removed."""
+    """Lower-cased whitespace tokens; empty strings removed.
+
+    Computed as collapse-whitespace → trim → split-on-space rather than
+    the direct ``filter(split(.., '\\s+'), t != '')``: the two produce
+    the identical token list for every input (empties only ever arise
+    from leading/trailing whitespace, which trim removes after the
+    collapse turns any such run into one ASCII space — property-pinned
+    against the filter form in tests/test_properties.py), but the
+    filter HOF is CodegenFallback — one interpreted lambda per token —
+    while this form stays entirely inside whole-stage codegen, and
+    tokens() sits on the hot path of every text operator."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.when(
+        F.length(norm) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:

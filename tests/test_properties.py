@@ -198,6 +198,33 @@ def test_repetition_features_match_python_model(spark):
             assert got[i].dup_ngram_frac == 0.0 and got[i].top_ngram_frac == 0.0
 
 
+def test_tokens_codegen_form_equals_filter_form(spark):
+    """dedup.tokens' codegen-friendly collapse-trim-split must equal the
+    direct filter(split(.., '\\s+')) form on adversarial whitespace:
+    leading/trailing runs, tabs/newlines, unicode NBSP (which Java \\s
+    does NOT match — both forms must keep it inside tokens), and
+    empty/whitespace-only strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.dedup import tokens
+
+    rng = random.Random(31)
+    atoms = ["foo", "BAR", "b z", "1", "", " ", "  ", "\t", "\n", "\r\n"]
+    cases = [
+        "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 10)))
+        for _ in range(300)
+    ] + ["", " ", "\t\n ", " ", "   "]
+    df = spark.createDataFrame([(s,) for s in cases], ["text"])
+    filter_form = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    rows = df.select(
+        "text", tokens("text").alias("new"), filter_form.alias("old")
+    ).collect()
+    for r in rows:
+        assert r.new == r.old, repr(r.text)
+
+
 def test_spark_blob_codec_roundtrip_random(spark):
     import random
 
