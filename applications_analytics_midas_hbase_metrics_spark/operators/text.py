@@ -89,11 +89,15 @@ def quality_features(
     n_tokens = F.size(toks).cast("bigint")
     safe_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
     safe_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
-    mean_token_len = (
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        .cast("double")
-        / safe_tokens
-    )
+    # sum(len(token)) without the interpreted per-token fold: tokens are
+    # exactly the single-space-joined pieces of the normalized text, so
+    # total token chars = len(normalized) − (n_tokens − 1) separators —
+    # identical integer, pure codegen arithmetic
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    tok_chars = F.when(
+        n_tokens > 0, F.length(norm).cast("bigint") - (n_tokens - F.lit(1))
+    ).otherwise(F.lit(0).cast("bigint"))
+    mean_token_len = tok_chars.cast("double") / safe_tokens
     punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
     punct_ratio = punct / safe_chars
     en_sw = LANG_PROFILES["en"]

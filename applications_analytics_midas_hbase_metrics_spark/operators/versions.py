@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.keys import SALT_BUCKETS
+from .dedup import tokens
 
 
 def latest_versions(
@@ -51,7 +52,7 @@ def dedupe_chunks(
     Returns (id, n_chunks, n_kept).  One explode + one window on the
     chunk hash — at corpus scale the shuffle key is the 64-bit chunk
     hash, never the text."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = tokens(text_col)  # shared codegen tokenizer (operators.dedup)
     n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
