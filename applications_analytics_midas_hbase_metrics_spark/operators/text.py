@@ -213,6 +213,58 @@ def scrub_pii(
     )
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    token ``n``-gram with an evaluation/benchmark set — the standard
+    guard against test-set leakage into training data.
+
+    Returns (id, n_grams, n_hits, contaminated) per corpus document:
+    ``n_grams`` = distinct token n-grams in the document, ``n_hits`` =
+    how many of those also occur anywhere in the benchmark set,
+    ``contaminated`` = 1 if any hit.  Documents shorter than ``n``
+    tokens have no n-grams and are clean by definition.
+
+    Scale shape (the part that matters at 100 TB): the benchmark side is
+    eval data — thousands of documents, not terabytes — so its distinct
+    gram set is **broadcast** and the corpus-side membership test is a
+    map-side left join on the exploded grams; no corpus bytes shuffle
+    for the join.  Both counts then come from ONE partial-aggregated
+    groupBy(id) (explode keeps a document's grams inside one partition,
+    so map-side combine collapses to ~1 row per document before the
+    only shuffle).  No join-back, no second pass over the text."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    corpus_g = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    bench_g = (
+        benchmark.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = corpus_g.join(F.broadcast(bench_g), "gram", "left")
+    return joined.groupBy("id").agg(
+        F.count("gram").cast("bigint").alias("n_grams"),
+        F.count("hit").cast("bigint").alias("n_hits"),
+        F.max(F.coalesce("hit", F.lit(0))).cast("bigint").alias("contaminated"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -617,6 +617,45 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.scrub_pii(injected)
 
 
+@register_extra(
+    "decontaminate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tks) >= 4
+                   THEN list_distinct(list_transform(range(1, len(tks) - 2),
+                                      i -> array_to_string(tks[i:i+3], ' ')))
+                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM tk
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+    agg AS (
+        SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_hits
+        FROM g LEFT JOIN bench b ON g.gram = b.gram
+        GROUP BY 1
+    )
+    SELECT t.doc_id AS id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(a.n_hits, 0) > 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS contaminated
+    FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 11th document plays the eval
+    set; corpus docs sharing any token 4-gram with it are flagged
+    (operators.text.ngram_decontaminate — broadcast benchmark grams,
+    map-side membership join, one partial-aggregated shuffle).  4-grams
+    (vs the production-typical 8-13) because the word-soup fixture's
+    ~30-word vocabulary needs the smaller n to exercise genuine
+    cross-document collisions, not just the benchmark docs' self-hits."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    return T.ngram_decontaminate(docs, bench, n=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow-batched mapInPandas with stubbed decode)
 # ---------------------------------------------------------------------------

@@ -88,6 +88,33 @@ def test_fingerprint_matches_python_hash(spark):
     assert r.fingerprint == java_hash_py("some text here")
 
 
+def test_ngram_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains bench 3-gram
+            (2, "zeta eta theta iota kappa"),       # clean
+            (3, "alpha beta gamma"),                # exactly one gram, a hit
+            (4, "too short"),                       # < n tokens -> no grams
+            (5, "beta gamma delta beta gamma delta x"),  # dup grams count once
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "mu nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in T.ngram_decontaminate(corpus, bench, n=3).collect()}
+    assert len(got) == 5
+    # doc 1: grams {abg, bgd, gde} — abg and bgd are bench grams
+    assert (got[1].n_grams, got[1].n_hits, got[1].contaminated) == (3, 2, 1)
+    assert (got[2].n_hits, got[2].contaminated) == (0, 0)
+    assert (got[3].n_grams, got[3].n_hits, got[3].contaminated) == (1, 1, 1)
+    assert (got[4].n_grams, got[4].n_hits, got[4].contaminated) == (0, 0, 0)
+    # doc 5: 5 positional grams but only 4 distinct ("beta gamma delta"
+    # occurs twice and counts once); the single bench hit is that gram
+    assert (got[5].n_grams, got[5].n_hits, got[5].contaminated) == (4, 1, 1)
+
+
 def test_multimodal_feature_extraction(docs):
     mm = MM.attach_binary_payload(docs, "text", "doc_id")
     assert dict(mm.dtypes)["payload"] == "binary"
