@@ -198,6 +198,40 @@ def test_repetition_features_match_python_model(spark):
             assert got[i].dup_ngram_frac == 0.0 and got[i].top_ngram_frac == 0.0
 
 
+def test_ngram_decontaminate_matches_python_model(spark):
+    """Distributed decontamination (broadcast gram join + one groupBy)
+    vs a brute-force Python set model on random token streams: distinct
+    gram counts, hit counts, and the contaminated flag must agree."""
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    rng = random.Random(37)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    def stream():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+
+    corpus = [(i, stream()) for i in range(120)]
+    bench = [(1000 + i, stream()) for i in range(15)]
+    n = 3
+
+    def grams(s):
+        toks = [t for t in s.lower().split() if t]
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(s) for _, s in bench))
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(bench, ["doc_id", "text"])
+    got = {r.id: r for r in T.ngram_decontaminate(cdf, bdf, n=n).collect()}
+    assert len(got) == len(corpus)
+    for i, s in corpus:
+        g = grams(s)
+        hits = len(g & bench_grams)
+        assert got[i].n_grams == len(g), s
+        assert got[i].n_hits == hits, s
+        assert got[i].contaminated == (1 if hits else 0), s
+
+
 def test_tokens_codegen_form_equals_filter_form(spark):
     """dedup.tokens' codegen-friendly collapse-trim-split must equal the
     direct filter(split(.., '\\s+')) form on adversarial whitespace:
