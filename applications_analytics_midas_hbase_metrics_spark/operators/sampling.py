@@ -57,3 +57,61 @@ def top_k_per_group(
     # winners is K × n_groups rows — broadcast it so the corpus-side scan
     # never shuffles
     return df.join(F.broadcast(winners), on=[group_col, order_col], how="left_semi")
+
+
+#: Multiplicative id-hash family (Knuth/xxhash golden-ratio primes).
+#: train/val/test splitting uses 2654435761; mixture sampling uses a
+#: DIFFERENT prime so the two keep-decisions are uncorrelated — a doc's
+#: split assignment must not bias its mixture survival.
+_MIX_PRIME = 2246822519
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each stratum (source,
+    language, domain, ...) at its configured rate — how a training mix
+    downweights over-represented slices without an RNG.
+
+    The keep-decision is ``hash(id) mod 100 < rate*100`` with a
+    multiplicative hash, so it is reproducible across runs and engines
+    (no seed state), stable under corpus growth (a surviving document
+    survives every rerun), and **fully map-side**: the rate table rides
+    along as a literal map expression, so the scan filters in place —
+    zero shuffles, zero joins, works unchanged on 100 TB.
+
+    Rates are fractions in [0, 1]; strata absent from ``rates`` keep
+    ``default_rate``.  Rate granularity is 1% (the mod-100 bucket)."""
+    entries = [f for k, v in sorted(rates.items()) for f in (F.lit(k), F.lit(v))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*entries), F.col(strat_col)),
+        F.lit(float(default_rate)),
+    )
+    bucket = F.pmod(F.col(key_col).cast("bigint") * F.lit(_MIX_PRIME), F.lit(100))
+    return df.filter(bucket < rate * 100)
+
+
+def stratified_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-stratum percentile rank of a score — the normalization step
+    before "keep the top X% of each source" curation thresholds (a raw
+    score cutoff over-prunes weak sources and under-prunes strong ones).
+
+    Ordering is (score, id) — a TOTAL order — so tied scores get
+    deterministic distinct ranks and the output is reproducible and
+    oracle-comparable.  The window partitions by the stratum: each
+    group's rows sort within one task, the right default for many-
+    groups corpora; a corpus where ONE stratum is itself shuffle-
+    partition-sized should pre-split that stratum (salt suffix) or
+    switch to approx quantile cutoffs instead."""
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -16,6 +16,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text as T
+from ..operators.sampling import mixture_sample, stratified_percent_rank
 from ..streaming import windows as W
 from .queries import claim_deferred, persist_deferred, register, register_extra, t
 
@@ -654,6 +655,79 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, t(spark, sf_dir, "documents")).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 11 == 0)
     return T.ngram_decontaminate(docs, bench, n=4)
+
+
+#: Per-language mixture rates for the sample_mixture gate: keep all
+#: English, half German/French, a quarter Spanish/Chinese — the classic
+#: downweight-the-over-represented-slice training mix.
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+_MIX_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v * 100}" for k, v in sorted(_MIX_RATES.items()))
+    + " ELSE 100.0 END"
+)
+
+
+@register_extra(
+    "sample_mixture",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ((doc_id * 2246822519) % 100 + 100) % 100 < {_MIX_RATE_SQL}
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling
+    (operators.sampling.mixture_sample): the keep-decision is a
+    multiplicative id-hash bucket vs a literal rate map — pure map-side
+    filter, zero shuffles, reproducible across engines."""
+    docs = t(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_RATES, strat_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+#: quality_score recomputed for the percentile oracle (the same formula
+#: quality_score's oracle uses, reduced to the composite score).
+_QSCORE_SQL = f"""
+    round(
+      least(CAST(len(tks) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + least((CAST(len(list_filter(tks, tk -> tk IN
+          ('the','a','of','and','to','in','is','that','it','for')))
+          AS DOUBLE) / greatest(len(tks), 1)) * 5.0, 1.0) * 0.4
+      + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+          AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2, 6)
+"""
+
+
+@register_extra(
+    "quality_percentiles",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id AS id, source, {_QSCORE_SQL} AS quality_score
+        FROM (SELECT doc_id, source, text, {_TOKS} AS tks FROM documents)
+    )
+    SELECT id, source, quality_score,
+           round(percent_rank() OVER
+                 (PARTITION BY source ORDER BY quality_score, id), 6)
+               AS pct_rank
+    FROM scored
+    """,
+)
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of the quality score
+    (operators.sampling.stratified_percent_rank) — the step before
+    "keep the top X% of each source" thresholds, so a weak source isn't
+    over-pruned by a global cutoff.  Total (score, id) ordering makes
+    tied scores deterministic; the oracle replays the identical window."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    scored = T.quality_features(docs).select("id", "quality_score")
+    enriched = scored.join(
+        docs.select(F.col("doc_id").cast("bigint").alias("id"), "source"), "id"
+    )
+    return stratified_percent_rank(
+        enriched, group_col="source", score_col="quality_score", id_col="id"
+    ).select("id", "source", "quality_score", "pct_rank")
 
 
 # ---------------------------------------------------------------------------

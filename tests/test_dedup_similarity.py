@@ -222,6 +222,57 @@ def test_top_k_per_group_small_groups(spark):
     assert kept.count() == 3  # groups smaller than k pass through whole
 
 
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        _MIX_PRIME,
+        mixture_sample,
+    )
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    kept = mixture_sample(df, rates, strat_col="lang").collect()
+    # exact Python replay of the keep-decision — determinism, not stats
+    expect = {
+        (i, lg)
+        for i, lg in rows
+        if (i * _MIX_PRIME) % 100 < rates[lg] * 100
+    }
+    assert {(r.doc_id, r.lang) for r in kept} == expect
+    by_lang = {lg: sum(1 for _, l2 in expect if l2 == lg) for lg in rates}
+    assert by_lang["en"] == 1000          # rate 1.0 keeps everything
+    assert by_lang["zh"] == 0             # rate 0.0 keeps nothing
+    assert 400 <= by_lang["de"] <= 600    # rate 0.5 keeps about half
+    # strata missing from the rate map keep default_rate
+    extra = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
+    assert mixture_sample(extra, rates, strat_col="lang").count() == 1
+    assert (
+        mixture_sample(extra, rates, strat_col="lang", default_rate=0.0).count()
+        == 0
+    )
+
+
+def test_stratified_percent_rank_matches_model(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        stratified_percent_rank,
+    )
+
+    rows = [
+        # group a: distinct scores; group b: all-tied scores (id breaks them)
+        (1, "a", 0.3), (2, "a", 0.1), (3, "a", 0.2),
+        (4, "b", 0.5), (5, "b", 0.5), (6, "b", 0.5),
+        (7, "c", 0.9),                # singleton -> rank 0.0
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    got = {
+        r.id: r.pct_rank
+        for r in stratified_percent_rank(df, "grp", "score", "id").collect()
+    }
+    assert got[2] == 0.0 and got[3] == 0.5 and got[1] == 1.0
+    assert got[4] == 0.0 and got[5] == 0.5 and got[6] == 1.0
+    assert got[7] == 0.0
+
+
 def test_no_global_windows_in_package():
     # grep-style guard: every window in the package must be keyed
     # (Window.partitionBy(...).orderBy(...)); a bare Window.orderBy is a
