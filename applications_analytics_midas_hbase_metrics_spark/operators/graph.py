@@ -75,31 +75,59 @@ def connected_components(
         spark.sparkContext.defaultParallelism,
         n_edges // _EDGES_PER_PARTITION + 1,
     ))
-    # undirected: keep both directions once
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    # undirected: both directions, NOT deduplicated — the superstep's
+    # min-aggregate is idempotent to duplicate edges (a repeated message
+    # can't change a min), pair generators emit each (a,b) once anyway,
+    # and a distinct here would cost a full extra shuffle before the
+    # loop even starts
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()
-    labels = und.select(F.col("a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
+    labels: DataFrame | None = None
 
     with _loop_confs(spark, width):
-        for _ in range(max_iter):
-            msgs = und.join(labels, und.a == labels.id).select(
-                F.col("b").alias("id"), "label"
-            )
+        for it in range(max_iter):
+            if it == 0:
+                # Superstep 1 needs NO join: every node's label IS its id,
+                # so the messages are just the edge list relabeled, and the
+                # node set (with old = id, for convergence detection) is
+                # the source column — both directions are present, so
+                # every node appears as a source.  The groupBy collapses
+                # the per-incident-edge duplicates; min/max over identical
+                # values are unchanged.  This replaces an edge-distinct, a
+                # node-distinct, and the first join+shuffle with ONE
+                # aggregation over 2|E| rows.
+                combined = und.select(
+                    F.col("b").alias("id"),
+                    F.col("a").alias("label"),
+                    F.lit(None).cast("bigint").alias("old"),
+                ).unionByName(
+                    und.select(
+                        F.col("a").alias("id"),
+                        F.col("a").alias("label"),
+                        F.col("a").alias("old"),
+                    )
+                )
+            else:
+                msgs = und.join(labels, und.a == labels.id).select(
+                    F.col("b").alias("id"), "label"
+                )
+                combined = labels.select(
+                    "id", "label", F.col("label").alias("old")
+                ).unionByName(msgs.withColumn("old", F.lit(None).cast("bigint")))
             # The old label rides along through the min-aggregate (each id
-            # contributes exactly one non-null "old" row), so convergence is
-            # read off the materialized result with a cheap scan — no second
-            # join+count per superstep, which previously doubled the work.
+            # contributes exactly one distinct non-null "old" value), so
+            # convergence is read off the materialized result with a cheap
+            # scan — no second join+count per superstep.
             # localCheckpoint, not persist: each superstep's plan would
             # otherwise embed the whole previous lineage, and analysis time
             # grows exponentially with iteration count (the classic
             # iterative-DataFrame trap).
             new_labels = (
-                labels.select("id", "label", F.col("label").alias("old"))
-                .unionByName(msgs.withColumn("old", F.lit(None).cast("bigint")))
-                .groupBy("id")
-                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+                combined.groupBy("id").agg(
+                    F.min("label").alias("label"), F.max("old").alias("old")
+                )
             ).localCheckpoint(eager=True)
             changed = (
                 new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
