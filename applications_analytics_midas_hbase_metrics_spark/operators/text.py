@@ -265,6 +265,46 @@ def ngram_decontaminate(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — context-length
+    preprocessing for embedding models and training sequence prep
+    (the complement of sequence packing: packing concatenates short
+    docs, chunking cuts long ones).
+
+    Emits (id, chunk_idx, n_tokens, chunk_text): one chunk per window
+    start 1, 1+stride, 1+2*stride, ... ≤ |tokens|, each up to ``window``
+    tokens (the tail chunk may be shorter).  ``stride`` < ``window``
+    gives overlapping context; empty documents emit no chunks.
+
+    Entirely whole-stage-codegen expression work (sequence → transform →
+    slice → array_join) plus one explode — a map-side operator with NO
+    shuffle, so it composes into any scan at any corpus size."""
+    if not (0 < stride and 0 < window):
+        raise ValueError("window and stride must be positive")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(window), n - s + 1).cast("bigint").alias("n_tokens"),
+            F.array_join(F.slice(toks, s, window), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.explode(chunks).alias("c")
+    ).select("id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

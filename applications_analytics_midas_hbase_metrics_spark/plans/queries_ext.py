@@ -730,6 +730,32 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "source", "quality_score", "pct_rank")
 
 
+@register_extra(
+    "chunk_documents",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    g AS (
+        SELECT doc_id, tks,
+               unnest(CASE WHEN len(tks) > 0
+                   THEN range(1, len(tks) + 1, 12)
+                   ELSE CAST([] AS BIGINT[]) END) AS s
+        FROM tk
+    )
+    SELECT doc_id AS id,
+           CAST((s - 1) / 12 AS BIGINT) AS chunk_idx,
+           CAST(least(16, len(tks) - s + 1) AS BIGINT) AS n_tokens,
+           array_to_string(tks[s:s+15], ' ') AS chunk_text
+    FROM g
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 16, stride 12 — sized
+    so the ~54-token fixture docs emit several overlapping chunks each);
+    operators.text.chunk_documents, a shuffle-free map-side operator."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.chunk_documents(docs, window=16, stride=12)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (Arrow-batched mapInPandas with stubbed decode)
 # ---------------------------------------------------------------------------

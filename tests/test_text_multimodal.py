@@ -115,6 +115,34 @@ def test_ngram_decontaminate(spark):
     assert (got[5].n_grams, got[5].n_hits, got[5].contaminated) == (4, 1, 1)
 
 
+def test_chunk_documents_boundaries(spark):
+    rows = [
+        (1, "a b c d e f g"),  # 7 tokens, window 3 stride 2
+        (2, ""),               # empty -> no chunks
+        (3, "x"),              # single token -> one short chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.id, r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in T.chunk_documents(df, window=3, stride=2).collect()
+    )
+    assert got == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 3, "e f g"),
+        (1, 3, 1, "g"),
+        (3, 0, 1, "x"),
+    ]
+    # non-overlapping mode: stride == window tiles the doc exactly
+    tiled = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in T.chunk_documents(
+            df.filter(F.col("doc_id") == 1), window=3, stride=3
+        ).collect()
+    )
+    assert tiled == [(0, "a b c"), (1, "d e f"), (2, "g")]
+
+
 def test_multimodal_feature_extraction(docs):
     mm = MM.attach_binary_payload(docs, "text", "doc_id")
     assert dict(mm.dtypes)["payload"] == "binary"
