@@ -273,6 +273,29 @@ def test_stratified_percent_rank_matches_model(spark):
     assert got[7] == 0.0
 
 
+def test_map_side_curation_ops_plan_no_exchange(spark):
+    """mixture_sample and chunk_documents advertise themselves as pure
+    map-side operators (their 100 TB story) — pin it in the physical
+    plan: zero Exchange nodes over a plain scan-shaped input."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", "some text here for chunks") for i in range(10)],
+        ["doc_id", "lang", "text"],
+    )
+    for out in (
+        mixture_sample(df, {"en": 0.5}, strat_col="lang"),
+        chunk_documents(df, window=3, stride=2),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
 def test_no_global_windows_in_package():
     # grep-style guard: every window in the package must be keyed
     # (Window.partitionBy(...).orderBy(...)); a bare Window.orderBy is a
