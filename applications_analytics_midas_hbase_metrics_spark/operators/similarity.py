@@ -254,3 +254,63 @@ def ivf_topk(
     # probing already bounds the scanned lists, but a hot list can still
     # be corpus-scale — rank two-phase here too
     return _topk_per_query(scored, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: bucket the corpus by
+    nearest centroid, then inside each bucket drop every vector that has
+    an EARLIER (lower-id) bucket-mate with cosine >= ``threshold``.
+    Returns (id, cluster_id, keep) — keep = 1 marks the retained
+    representative set (deterministic: the lowest id of every similar
+    group inside a bucket always survives).
+
+    The centroid bucketing is what makes this scale: the quadratic
+    within-bucket compare runs per cluster, so its cost is bounded by
+    the largest bucket — size the codebook so ~|corpus|/k fits a
+    shuffle partition (k grows with the corpus; train the codebook on a
+    sample and persist it, see build_ivf_centroids).  No all-pairs join
+    ever touches the full corpus; the centroid table broadcasts.
+
+    Caveat (inherent to SemDeDup, not this implementation): similar
+    vectors assigned to DIFFERENT buckets are not compared — recall is
+    traded for the bucket bound, exactly like the original method."""
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    assigned = _assign_nearest(c, centroids, vec="cv", out="cluster_id", id_col="id")
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("cv").alias("va"),
+        F.col("cn").alias("na"), "cluster_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"), "cluster_id",
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            _cos_pre(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select("id_a")
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.id == dups.id_a, "left")
+        .select(
+            "id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.when(F.col("id_a").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

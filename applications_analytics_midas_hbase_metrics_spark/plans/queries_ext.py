@@ -429,6 +429,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "semantic_dedup",
+    oracle=f"""
+    WITH corpus AS ({_PERT_EMB_SQL}),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS centroid_id,
+               v AS cv
+        FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, s.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 's.cv')} DESC, s.centroid_id)
+                       AS r
+            FROM corpus c CROSS JOIN seeds s
+        ) WHERE r = 1
+    ),
+    dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.95
+    )
+    SELECT a.vec_id AS id, a.centroid_id AS cluster_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the perturbed-embedding corpus
+    (operators.similarity.semantic_dedup): seed-codebook bucketing
+    (build_ivf_centroids with zero Lloyd steps — exactly replayable in
+    SQL), then within-bucket cosine pruning at 0.95, keeping the lowest
+    id of each similar group.  Every perturbed copy lands in its base's
+    bucket (cos ~ 0.9998) and is dropped; the oracle replays the seed
+    selection, the argmax assignment, and the pruning rule verbatim."""
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
+        ).alias("embedding"),
+    )
+    corpus = base.union(pert)
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=16, lloyd_steps=0)
+    return SIM.semantic_dedup(corpus, cents, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

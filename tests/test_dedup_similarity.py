@@ -222,6 +222,32 @@ def test_top_k_per_group_small_groups(spark):
     assert kept.count() == 3  # groups smaller than k pass through whole
 
 
+def test_semantic_dedup_buckets_and_prunes(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.similarity import (
+        build_ivf_centroids,
+        semantic_dedup,
+    )
+
+    # two well-separated directions; ids 0/1 become the seed centroids
+    e1, e2 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [
+        (0, e1),                      # seed A, kept
+        (1, e2),                      # seed B, kept
+        (2, [0.99, 0.01, 0.0]),       # ~e1 -> bucket A, dup of 0
+        (3, [0.0, 0.98, 0.02]),      # ~e2 -> bucket B, dup of 1
+        (4, [0.7, 0.0, 0.714]),       # bucket A but cos(4,0)=0.70 < thr -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = build_ivf_centroids(df, num_centroids=2, lloyd_steps=0)
+    got = {
+        r.id: (r.cluster_id, r.keep)
+        for r in semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert len(got) == 5
+    assert got[0] == (0, 1) and got[2] == (0, 0) and got[4] == (0, 1)
+    assert got[1] == (1, 1) and got[3] == (1, 0)
+
+
 def test_mixture_sample_deterministic_and_rate_shaped(spark):
     from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
         _MIX_PRIME,
