@@ -429,6 +429,114 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Incremental-dedup batch construction: exact copies, 70%-prefix
+#: near-dups, and 30%-prefix "new" docs, id-offset per class so the
+#: verdict distribution is known by construction.
+_INCR_BATCH_SQL = f"""
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string(({_TOKS})[1:CAST(ceil(len({_TOKS}) * 0.7) AS INT)], ' ')
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 3000000,
+           array_to_string(({_TOKS})[1:CAST(ceil(len({_TOKS}) * 0.3) AS INT)], ' ')
+    FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+@register_extra(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    batch AS ({_INCR_BATCH_SQL}),
+    exact AS (SELECT DISTINCT b.doc_id FROM batch b JOIN hist h
+              ON b.text = h.text),
+    bsh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, {_TOKS} AS tks FROM batch)
+            WHERE len(tks) > 0),
+    hsh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, {_TOKS} AS tks FROM hist)
+            WHERE len(tks) > 0),
+    near AS (
+        SELECT DISTINCT b.doc_id
+        FROM bsh b JOIN hsh h
+          ON least(len(b.shingles), len(h.shingles))
+             >= 0.5 * greatest(len(b.shingles), len(h.shingles))
+        WHERE CAST(len(list_intersect(b.shingles, h.shingles)) AS DOUBLE)
+              / (len(b.shingles) + len(h.shingles)
+                 - len(list_intersect(b.shingles, h.shingles))) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
+                 LEFT JOIN near n ON b.doc_id = n.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: classify an incoming
+    BATCH against an existing HISTORY corpus as exact_dup / near_dup /
+    new, without ever comparing history to itself being the goal at
+    scale (here the LSH runs over the union and cross-side pairs are
+    selected by the id ranges; a deployment keys the banding join on a
+    persisted history signature table instead).
+
+    Exact tier: batch joins history on sha-256 content hashes —
+    fixed-width keys shuffle, texts never do.  Near tier: the same
+    MinHash+LSH core as dedup_minhash (threshold 0.5, exact-Jaccard
+    verified, recall ~1-1e-6 at the threshold), keeping pairs with one
+    side in each corpus.  Precedence: exact beats near beats new."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = D.tokens("text")
+
+    def prefix(frac):
+        return F.array_join(
+            F.slice(toks, 1, F.ceil(F.size(toks) * frac).cast("int")), " "
+        )
+
+    batch = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .union(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                prefix(0.7).alias("text"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                prefix(0.3).alias("text"),
+            )
+        )
+    )
+    bh = batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    hh = docs.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
+    exact_ids = bh.join(hh, "h", "left_semi").select("doc_id")
+    pairs = D.minhash_near_duplicates(
+        _spread(spark, docs.union(batch)), threshold=0.5, materialize=False
+    )
+    near_ids = (
+        pairs.filter((F.col("id_a") < 1_000_000) & (F.col("id_b") >= 1_000_000))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e") == 1, F.lit("exact_dup"))
+            .when(F.col("n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
 @register_extra(
     "semantic_dedup",
     oracle=f"""
