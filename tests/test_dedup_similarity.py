@@ -173,6 +173,22 @@ def test_ngram_blocked_fixture_pair_floor(spark):
     assert min(r.jaccard for r in rows) >= 0.59, min(r.jaccard for r in rows)
 
 
+def test_minhash_fixture_pair_floor(spark):
+    """Pin q_dedup_minhash's 64-hash recall argument: every true pair of
+    the GATED (sf0.01) word-shingle fixture sits at jaccard >= 0.6,
+    where the r=2, b=32 banding miss probability is ~6e-7 per pair.
+    Fixture drift below the floor fails here before the driver's hash
+    gate could go quietly marginal.  (The sf0.1 bench corpus has a few
+    pairs at the 0.5 threshold itself — covered by the empirical
+    differential check at that scale, not by this floor.)"""
+    from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
+
+    out = Q.QUERIES["dedup_minhash"](spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert rows, "fixture must produce true pairs"
+    assert min(r.jaccard for r in rows) >= 0.6, min(r.jaccard for r in rows)
+
+
 def test_brute_force_topk_self_excluded_and_ranked(embeddings):
     q = embeddings.filter(F.col("vec_id") < 3)
     out = SIM.brute_force_topk(embeddings, q, k=5)
