@@ -265,6 +265,37 @@ def ngram_decontaminate(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    words: tuple[str, ...],
+    max_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist-based safety filtering: flag documents whose fraction of
+    blocklisted tokens exceeds ``max_frac`` (the word-filter stage of a
+    curation pipeline — crude by design; docs near the line route to a
+    classifier downstream).
+
+    Returns (id, n_tokens, n_flagged, flagged_frac, keep).  The word set
+    rides along as a literal array expression (same shape as the
+    language profiles), so the scoring is a pure map-side scan at any
+    corpus size — no joins, no shuffles, whole-stage codegen."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("bigint")
+    hits = _count_in(toks, words).cast("bigint")
+    frac = F.round(
+        hits.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        n.alias("n_tokens"),
+        hits.alias("n_flagged"),
+        frac.alias("flagged_frac"),
+        (frac <= max_frac).cast("bigint").alias("keep"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     window: int = 512,

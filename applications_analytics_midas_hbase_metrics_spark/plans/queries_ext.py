@@ -860,6 +860,39 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Blocklist for the safety-filter gate — words from the fixture's own
+#: vocabulary so hit/clean/borderline docs all occur naturally
+#: (~75% of docs stay under the 5% line at sf0.01).
+_BLOCKWORDS = ("slow",)
+
+
+@register_extra(
+    "blocklist_filter",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tks, tk -> tk IN
+               ({", ".join(repr(w) for w in _BLOCKWORDS)}))) AS BIGINT)
+               AS n_flagged,
+           round(CAST(len(list_filter(tks, tk -> tk IN
+               ({", ".join(repr(w) for w in _BLOCKWORDS)}))) AS DOUBLE)
+               / greatest(len(tks), 1), 6) AS flagged_frac,
+           CAST(CASE WHEN round(CAST(len(list_filter(tks, tk -> tk IN
+               ({", ".join(repr(w) for w in _BLOCKWORDS)}))) AS DOUBLE)
+               / greatest(len(tks), 1), 6) <= 0.05 THEN 1 ELSE 0 END
+               AS BIGINT) AS keep
+    FROM (SELECT doc_id, {_TOKS} AS tks FROM documents)
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist safety scoring (operators.text.blocklist_filter):
+    pure map-side literal-array membership, keep = flagged fraction
+    <= 5%.  Blocklist drawn from the fixture vocabulary so all three
+    outcomes (clean, borderline, dropped) occur."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.blocklist_filter(docs, _BLOCKWORDS, max_frac=0.05)
+
+
 #: quality_score recomputed for the percentile oracle (the same formula
 #: quality_score's oracle uses, reduced to the composite score).
 _QSCORE_SQL = f"""

@@ -330,9 +330,14 @@ def test_map_side_curation_ops_plan_no_exchange(spark):
         [(i, "en", "some text here for chunks") for i in range(10)],
         ["doc_id", "lang", "text"],
     )
+    from applications_analytics_midas_hbase_metrics_spark.operators.text import (
+        blocklist_filter,
+    )
+
     for out in (
         mixture_sample(df, {"en": 0.5}, strat_col="lang"),
         chunk_documents(df, window=3, stride=2),
+        blocklist_filter(df, ("text",), max_frac=0.1),
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan

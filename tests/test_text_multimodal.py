@@ -115,6 +115,23 @@ def test_ngram_decontaminate(spark):
     assert (got[5].n_grams, got[5].n_hits, got[5].contaminated) == (4, 1, 1)
 
 
+def test_blocklist_filter_threshold(spark):
+    rows = [
+        (1, "bad bad good good good good good good good good"),  # 20% -> drop
+        (2, "good " * 19 + "bad"),                               # 5%  -> keep
+        (3, "all clean here"),                                   # 0%  -> keep
+        (4, ""),                                                 # no tokens -> keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: r for r in T.blocklist_filter(df, ("bad",), max_frac=0.05).collect()
+    }
+    assert (got[1].n_flagged, got[1].keep) == (2, 0)
+    assert (got[2].flagged_frac, got[2].keep) == (0.05, 1)
+    assert (got[3].n_flagged, got[3].keep) == (0, 1)
+    assert (got[4].n_tokens, got[4].keep) == (0, 1)
+
+
 def test_chunk_documents_boundaries(spark):
     rows = [
         (1, "a b c d e f g"),  # 7 tokens, window 3 stride 2
