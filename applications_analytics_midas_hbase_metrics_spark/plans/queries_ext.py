@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.keys import duckdb_java_hash_sql
 from ..operators import dedup as D
@@ -891,6 +892,40 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcomes (clean, borderline, dropped) occur."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.blocklist_filter(docs, _BLOCKWORDS, max_frac=0.05)
+
+
+@register_extra(
+    "vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, token) AS INT) AS rank
+    FROM (
+        SELECT token, count(*) AS n_docs
+        FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+              FROM documents)
+        GROUP BY token
+    )
+    QUALIFY rank <= 25
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top 25 tokens by document frequency
+    (ties broken by token, so the ranking is total).  Per-doc distinct
+    explode → one partial-aggregated groupBy(token) → orderBy().limit()
+    (TakeOrderedAndProject: per-partition top-N, merge of N rows — no
+    global sort, the corpus never funnels through one task)."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        F.explode(F.array_distinct(D.tokens("text"))).alias("token")
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    top = counts.orderBy(F.col("n_docs").desc(), "token").limit(25)
+    # the global window only ever sees the 25 rows the limit emits
+    # (bounded-global-window-ok)
+    w = Window.orderBy(F.col("n_docs").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 #: quality_score recomputed for the percentile oracle (the same formula
