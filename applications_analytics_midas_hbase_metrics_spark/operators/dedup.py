@@ -368,6 +368,42 @@ def lsh_near_duplicates(
     projection, the verification hash-sets fall out of the signature
     aggregate, and band hashes are explicit column expressions —
     nothing drops to the interpreted per-element path."""
+    # Materialize the signature frame ONCE: the band self-join reads it
+    # twice and the verify joins read it twice more.
+    sig = _self_join_ready(minhash_signature_frame(base, num_hashes), materialize)
+    bands = _band_frame(sig, num_hashes, rows_per_band)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id"))
+            & _ratio_ok(threshold),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    verified = _verify_pairs(cand, sig, sig, threshold)
+    return verified.localCheckpoint(eager=True) if materialize else verified
+
+
+def minhash_signature_frame(base: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """The persistable LSH artifact over a prepared (id, shingles) frame:
+    (id, sz, hset, m0..m{num_hashes-1}).  ``sz`` is the shingle-set
+    size, ``hset`` the 64-bit element hashes for the exact verify, and
+    the ``m*`` columns the MinHash minima.  An incremental deployment
+    computes this ONCE per corpus snapshot, writes it to a table, and
+    band-joins each incoming batch's signatures against it
+    (:func:`lsh_pairs_between`) — history texts are never re-shingled.
+    """
     # One pass carries everything: explode the shingle strings, hash
     # each element once (h0 = set identity for the exact verify; h = h0
     # folded into the Mersenne field for the permutations), then a
@@ -397,7 +433,7 @@ def lsh_near_duplicates(
         )
         for j in range(num_hashes)
     ]
-    sig = hashed.groupBy("id").agg(
+    return hashed.groupBy("id").agg(
         # count(*) == |shingles|: the arrays are distinct-element, one
         # exploded row per element — set size comes out of the same
         # aggregate, no extra pass or join
@@ -406,14 +442,14 @@ def lsh_near_duplicates(
         F.expr("collect_set(h0) AS hset"),
         *mins,
     )
-    # Materialize the signature frame ONCE: the band self-join reads it
-    # twice and the verify joins read it twice more.
-    sig = _self_join_ready(sig, materialize)
 
-    # Band hashes as n_bands explicit expressions over the min columns —
-    # pure codegen; the former transform/slice/array_join HOF form cost
-    # ~2ms/row interpreted, which dominated the whole pipeline.  One
-    # F.expr for the whole array: the band block is a single parse.
+
+def _band_frame(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(id, sz, band_id, band_hash) — the signature frame exploded into
+    its LSH bands.  Band hashes are n_bands explicit expressions over
+    the min columns — pure codegen; the former transform/slice/
+    array_join HOF form cost ~2ms/row interpreted, which dominated the
+    whole pipeline.  One F.expr for the whole array: a single parse."""
     n_bands = num_hashes // rows_per_band
     band_structs = ", ".join(
         "named_struct('band_id', {j}, 'band_hash', xxhash64(concat_ws('_', {ms})))".format(
@@ -426,26 +462,70 @@ def lsh_near_duplicates(
         for j in range(n_bands)
     )
     band_arr = F.expr(f"array({band_structs})")
-    bands = sig.select("id", "sz", F.explode(band_arr).alias("band")).select(
+    return sig.select("id", "sz", F.explode(band_arr).alias("band")).select(
         "id", "sz", "band.band_id", "band.band_hash"
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    # size-ratio prefilter in the join condition itself: jaccard <=
-    # min(|A|,|B|)/max(|A|,|B|), so these pairs cannot pass verification
-    # — dropped before the distinct, before any array is touched (the
-    # brute-force oracle applies the identical bound)
-    ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")).cast("double") >= F.lit(
+
+def _ratio_ok(threshold: float):
+    """Size-ratio prefilter in the join condition itself: jaccard <=
+    min(|A|,|B|)/max(|A|,|B|), so these pairs cannot pass verification
+    — dropped before the distinct, before any array is touched (the
+    brute-force oracle applies the identical bound)."""
+    return F.least(F.col("a.sz"), F.col("b.sz")).cast("double") >= F.lit(
         threshold
     ) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+
+
+def _verify_pairs(
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verify against the 64-bit hash sets from the signature
+    frames (set-equivalent to the string shingle sets up to xxhash64
+    collisions, p < 1e-10 at realistic set sizes): one array_intersect
+    of fixed-width longs per surviving candidate."""
+    sh_a = sig_a.select(F.col("id").alias("id_a"), F.col("hset").alias("sh_a"))
+    sh_b = sig_b.select(F.col("id").alias("id_b"), F.col("hset").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def lsh_pairs_between(
+    sig_left: DataFrame,
+    sig_right: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus LSH: near-dup pairs (id_a from ``sig_left``, id_b
+    from ``sig_right``, jaccard) between two signature frames built by
+    :func:`minhash_signature_frame` with the SAME ``num_hashes``.
+
+    This is the incremental-dedup scale path: history signatures are
+    computed once and persisted; each incoming batch band-joins its
+    (small) signature frame against the history table — no history
+    re-shingling, no history-history candidate pairs, and the banding
+    shuffle carries only (band_hash, sz) per side.  Candidate recall
+    and the exact-Jaccard verification are identical to the self-join
+    core (same band hashes, same size-ratio prefilter)."""
+    a = _band_frame(sig_left, num_hashes, rows_per_band).alias("a")
+    b = _band_frame(sig_right, num_hashes, rows_per_band).alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id"))
-            & ratio_ok,
+            & _ratio_ok(threshold),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -455,25 +535,7 @@ def lsh_near_duplicates(
         )
         .distinct()
     )
-
-    # Exact verify against the 64-bit hash sets from the materialized
-    # signature frame (set-equivalent to the string shingle sets up to
-    # xxhash64 collisions, p < 1e-10 at realistic set sizes): one
-    # array_intersect of fixed-width longs per surviving candidate.
-    sh = sig.select("id", "hset")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    verified = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("hset", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("hset", "sh_b"), "id_b")
-        .withColumn("_inter", inter)
-        .withColumn(
-            "jaccard",
-            F.col("_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    return verified.localCheckpoint(eager=True) if materialize else verified
+    return _verify_pairs(cand, sig_left, sig_right, threshold)
 
 
 # ---------------------------------------------------------------------------

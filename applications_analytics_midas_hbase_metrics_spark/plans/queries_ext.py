@@ -497,10 +497,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted history signature table instead).
 
     Exact tier: batch joins history on sha-256 content hashes —
-    fixed-width keys shuffle, texts never do.  Near tier: the same
-    MinHash+LSH core as dedup_minhash (threshold 0.5, exact-Jaccard
-    verified, recall ~1-1e-6 at the threshold), keeping pairs with one
-    side in each corpus.  Precedence: exact beats near beats new."""
+    fixed-width keys shuffle, texts never do.  Near tier: the
+    PERSISTED-SIGNATURE path (operators.dedup.minhash_signature_frame +
+    lsh_pairs_between): each side's signature frame is built once and
+    band-joined cross-corpus, so no history-history candidates are ever
+    generated and a deployment replaces the history side with a stored
+    signature table — history texts are never re-shingled.  Same band
+    hashes, size-ratio prefilter, and exact-Jaccard verify as the
+    self-join core (threshold 0.5).  Precedence: exact beats near
+    beats new."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = D.tokens("text")
 
@@ -528,14 +533,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bh = batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
     hh = docs.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
     exact_ids = bh.join(hh, "h", "left_semi").select("doc_id")
-    pairs = D.minhash_near_duplicates(
-        _spread(spark, docs.union(batch)), threshold=0.5, materialize=False
-    )
-    near_ids = (
-        pairs.filter((F.col("id_a") < 1_000_000) & (F.col("id_b") >= 1_000_000))
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    def sigs(df):
+        base = df.filter(F.length(F.trim(F.col("text"))) > 0).select(
+            F.col("doc_id").alias("id"),
+            D.word_shingle_strings("text", 3).alias("shingles"),
+        )
+        return D.minhash_signature_frame(_spread(spark, base), num_hashes=96)
+
+    pairs = D.lsh_pairs_between(sigs(batch), sigs(docs), num_hashes=96)
+    near_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
     return (
         batch.select("doc_id")
         .join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")

@@ -173,6 +173,45 @@ def test_ngram_blocked_fixture_pair_floor(spark):
     assert min(r.jaccard for r in rows) >= 0.59, min(r.jaccard for r in rows)
 
 
+def test_lsh_pairs_between_matches_self_join_cross_subset(spark):
+    """The cross-corpus band join (persisted-signature incremental path)
+    must emit exactly the self-join core's cross-side pairs: same band
+    hashes, same prefilter, same verify — split a corpus in two, run
+    both paths, compare pair sets and jaccard values."""
+    # doc 2m and 2m+1 share a group-g body (near-dups ACROSS the split);
+    # a per-doc suffix keeps them near- rather than exact duplicates
+    rows = [
+        (k, f"g{k // 2} a{k // 2} b{k // 2} c{k // 2} d{k // 2} "
+            f"common words here suffix{k} tail{k}")
+        for k in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def prep(d):
+        return d.select(
+            F.col("doc_id").alias("id"),
+            D.word_shingle_strings("text", 3).alias("shingles"),
+        )
+
+    left = df.filter(F.col("doc_id") % 2 == 0)
+    right = df.filter(F.col("doc_id") % 2 == 1)
+    cross = D.lsh_pairs_between(
+        D.minhash_signature_frame(prep(left), 96),
+        D.minhash_signature_frame(prep(right), 96),
+        num_hashes=96, threshold=0.3,
+    )
+    full = D.lsh_near_duplicates(prep(df), num_hashes=96, threshold=0.3,
+                                 materialize=False)
+    got = {(r.id_a, r.id_b): r.jaccard for r in cross.collect()}
+    want = {}
+    for r in full.collect():
+        if r.id_a % 2 == 0 and r.id_b % 2 == 1:
+            want[(r.id_a, r.id_b)] = r.jaccard
+        elif r.id_a % 2 == 1 and r.id_b % 2 == 0:
+            want[(r.id_b, r.id_a)] = r.jaccard
+    assert got == want and got, (len(got), len(want))
+
+
 def test_minhash_fixture_pair_floor(spark):
     """Pin q_dedup_minhash's 64-hash recall argument: every true pair of
     the GATED (sf0.01) word-shingle fixture sits at jaccard >= 0.6,
