@@ -609,6 +609,81 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(corpus, cents, threshold=0.95)
 
 
+@register_extra(
+    "embedding_outliers",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS centroid_id,
+               v AS cv
+        FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id, sim FROM (
+            SELECT c.vec_id, s.centroid_id,
+                   {_cos_sql('c.v', 's.cv')} AS sim,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 's.cv')} DESC, s.centroid_id)
+                       AS r
+            FROM corpus c CROSS JOIN seeds s
+        ) WHERE r = 1
+    )
+    SELECT vec_id AS id, centroid_id AS cluster_id,
+           round(sim, 6) AS sim,
+           round(percent_rank() OVER
+                 (PARTITION BY centroid_id ORDER BY sim, vec_id), 6)
+               AS pct_rank,
+           CAST(CASE WHEN round(percent_rank() OVER
+                 (PARTITION BY centroid_id ORDER BY sim, vec_id), 6) <= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM assigned
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: assign every vector to its nearest seed
+    centroid, then flag the least-similar 5% WITHIN each cluster
+    (stratified_percent_rank over (sim, id) — per-cluster windows, so
+    no global sort) as outliers for review.  Composes the existing
+    primitives: the zero-Lloyd codebook, the broadcast argmax
+    assignment, and the percentile normalizer."""
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    corpus = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cv"),
+    )
+    cents = SIM.build_ivf_centroids(
+        emb, num_centroids=16, lloyd_steps=0
+    ).withColumn("_cn", F.sqrt(D._dot(F.col("centroid"), F.col("centroid"))))
+    scored = (
+        corpus.withColumn("_vn", F.sqrt(D._dot(F.col("cv"), F.col("cv"))))
+        .join(F.broadcast(cents), how="cross")
+        .withColumn(
+            "sim",
+            F.try_divide(
+                D._dot(F.col("cv"), F.col("centroid")),
+                F.col("_vn") * F.col("_cn"),
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), "centroid_id")
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", F.col("centroid_id").alias("cluster_id"), "sim")
+    )
+    ranked = stratified_percent_rank(
+        assigned, group_col="cluster_id", score_col="sim", id_col="id"
+    )
+    return ranked.select(
+        "id",
+        "cluster_id",
+        F.round("sim", 6).alias("sim"),
+        "pct_rank",
+        (F.col("pct_rank") <= 0.05).cast("bigint").alias("is_outlier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
