@@ -183,9 +183,106 @@ def resize_payload(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """The real decoder slot — requires Pillow, not present in this
-    container (task brief: stub behind NotImplementedError)."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/libvips on the executors; "
-        "wire it here and pass decoder=decode_image_real"
+    """Real image decoding for the one format that needs no imaging
+    library: uncompressed 24-bit BMP, parsed with numpy straight off
+    the byte buffer (header offsets per the BITMAPINFOHEADER layout).
+    Returns n_bytes / mean_byte (the extract_features contract) plus
+    the true pixel dimensions.  Every other format still raises
+    NotImplementedError — wire Pillow/libvips here on real executors
+    and the error-isolation in extract_features routes undecodable
+    blobs to 'error:' rows instead of failing the task."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes without Pillow/libvips; "
+            "wire a full decoder here and pass decoder=decode_image_real"
+        )
+    import numpy as np
+
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise NotImplementedError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    rows = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if off + row_bytes * rows > len(payload):
+        raise ValueError("truncated BMP payload")
+    arr = np.frombuffer(payload, np.uint8, count=row_bytes * rows, offset=off)
+    arr = arr.reshape(rows, row_bytes)[:, : width * 3]
+    if height > 0:  # positive height = bottom-up row order
+        arr = arr[::-1]
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": float(arr.mean()),
+        "width": width,
+        "height": rows,
+    }
+
+
+def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL image payloads deterministically from row ids: pixel k
+    of document d is (7d + 13k) mod 256, encoded as an uncompressed
+    24-bit BMP (encode_bmp), dimensions (d%6+2) x (d%4+2).  Runs as an
+    Arrow-batched mapInPandas so payload construction is distributed
+    like any media ingest; the closed-form pixel rule is what lets a
+    SQL oracle recompute the decoded statistics without parsing BMP."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 4 + 2
+                k = np.arange(w * h * 3, dtype=np.int64)
+                px = ((7 * d + 13 * k) % 256).astype(np.uint8).reshape(h, w, 3)
+                out.append((d, "image", encode_bmp(px), w, h))
+            yield pd.DataFrame(
+                out, columns=["id", "modality", "payload", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
     )
+    return df.select(F.col(id_col).cast("bigint").alias("id")).mapInPandas(
+        run, schema
+    )
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP — the writer half of decode_image_real, used to build real
+    image payloads in tests and fixtures without imaging libraries."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data

@@ -1135,6 +1135,44 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 + 2 AS INT) AS width,
+               CAST(doc_id % 4 + 2 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(54 + ((width * 3 + 3) // 4 * 4) * height AS BIGINT)
+               AS n_bytes,
+           width, height,
+           round(CAST(list_sum(list_transform(
+                     range(0, CAST(width * height * 3 AS BIGINT)),
+                     k -> (7 * doc_id + 13 * k) % 256)) AS DOUBLE)
+                 / (width * height * 3), 6) AS mean_byte,
+           'ok' AS feature_ok
+    FROM dims
+    """,
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the differential gate: BMP payloads are
+    synthesized per row from the closed-form pixel rule
+    (operators.multimodal.synthesize_bmp_payloads), then decoded back
+    with the numpy BMP parser (decode_image_real) inside the same
+    Arrow-batched feature extraction every other decoder uses.  The
+    oracle recomputes the decoded statistics from the pixel rule alone
+    — header size, row padding, and pixel means all have to survive an
+    actual binary encode→decode round trip to match."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.synthesize_bmp_payloads(docs, id_col="doc_id")
+    feats = MM.extract_features(mm, decoder=MM.decode_image_real)
+    return feats.select(
+        "id", "n_bytes", "width", "height", "mean_byte", "feature_ok"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream windows (batch expressions — identical ones drive streaming)
 # ---------------------------------------------------------------------------

@@ -207,6 +207,40 @@ def test_resize_payload_budget_and_composition(spark):
     assert feats[1].feature_ok == "ok" and feats[1].n_bytes == 256
 
 
-def test_decode_image_real_is_stubbed():
+def test_decode_image_real_non_bmp_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(b"\x89PNG")
+
+
+def test_bmp_roundtrip_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # width 5 -> 15-byte pixel rows padded to 16: exercises row padding
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    payload = MM.encode_bmp(px)
+    feats = MM.decode_image_real(payload)
+    assert (feats["width"], feats["height"]) == (5, 3)
+    assert feats["n_bytes"] == len(payload)
+    assert feats["mean_byte"] == pytest.approx(float(px.mean()))
+    with pytest.raises(ValueError):
+        MM.decode_image_real(payload[:-8])  # truncated body
+
+
+def test_extract_features_with_real_bmp_decoder(spark):
+    import numpy as np
+
+    px = np.full((2, 2, 3), 100, dtype=np.uint8)
+    good = MM.encode_bmp(px)
+    rows = [(1, "image", good, 2, 2), (2, "image", b"JFIF....", 0, 0)]
+    mm = spark.createDataFrame(
+        rows, ["id", "modality", "payload", "width", "height"]
+    )
+    got = {
+        r.id: r
+        for r in MM.extract_features(mm, decoder=MM.decode_image_real).collect()
+    }
+    assert got[1].feature_ok == "ok"
+    assert got[1].mean_byte == pytest.approx(100.0)
+    # undecodable blob -> isolated error row, not a task failure
+    assert got[2].feature_ok.startswith("error:")
