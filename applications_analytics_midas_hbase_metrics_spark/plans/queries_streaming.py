@@ -34,6 +34,7 @@ from .queries import (
     esc_ctrl,
     esc_ctrl_sql,
     register,
+    register_extra,
     scratch_dir,
     stable_scratch_dir,
     t,
@@ -226,3 +227,52 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return spark.table(sink).select("event_id")
+
+
+@register_extra(
+    "stream_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join gate: the events stream enriched against the
+    static customer table with a BROADCAST hash join per micro-batch —
+    the dimension-enrichment shape of a production ingest (the static
+    side is re-broadcast per batch; no state store involved, so append
+    mode needs no watermark).  The sink rows regroup batch-side; sums
+    accumulate in DECIMAL so arrival order can't move the hash."""
+    ev = t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).select("c_mktsegment", "value")
+    sink = f"se_{uuid.uuid4().hex[:12]}"
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return (
+        spark.table(sink)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
