@@ -124,10 +124,18 @@ def brute_force_topk(
 def _assign_nearest(
     df: DataFrame, centroids: DataFrame, vec: str, out: str, id_col: str
 ) -> DataFrame:
-    """Assign each row to its nearest centroid by cosine (broadcast join +
-    per-row argmax over the exploded centroid set).  The argmax window
-    partitions by the caller-named ``id_col`` — addressing the row key by
-    name keeps the contract explicit under column reordering/renames."""
+    """Assign each row to its nearest centroid by cosine: broadcast the
+    centroid table, score the cross product map-side, then take the
+    per-row argmax with a ``max_by`` AGGREGATION keyed on the
+    caller-named ``id_col`` — NOT a ranking window.  The distinction is
+    the shuffle width: a window would exchange all |rows| x |C| scored
+    rows before ranking, while the aggregation's map-side combine
+    collapses each row's |C| candidates inside the scan partition, so
+    the exchange carries one row per input row regardless of codebook
+    size.  Ties break to the lowest centroid_id via the lexicographic
+    (sim, -centroid_id) struct max — identical semantics to the
+    (sim DESC, centroid_id ASC) ranking it replaces; a null cosine
+    (zero-norm vector) orders below every real score."""
     cents = centroids.withColumn("_cn", _norm(F.col("centroid")))
     scored = (
         df.withColumn("_vn", _norm(F.col(vec)))
@@ -137,15 +145,17 @@ def _assign_nearest(
             _cos_pre(_dot(F.col(vec), F.col("centroid")), F.col("_vn"), F.col("_cn")),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("centroid_id")
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(
+        F.coalesce(F.col("_sim"), F.lit(-2.0)).alias("s"),
+        (-F.col("centroid_id")).alias("nc"),
     )
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_sim", "_r", "centroid", "_vn", "_cn")
-        .withColumnRenamed("centroid_id", out)
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(payload.alias("p"), F.col("centroid_id").alias("cid")), order
+        ).alias("_b")
     )
+    return best.select("_b.p.*", F.col("_b.cid").alias(out))
 
 
 def build_ivf_centroids(
