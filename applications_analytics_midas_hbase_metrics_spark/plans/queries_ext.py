@@ -666,11 +666,22 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), "centroid_id")
+    # same map-side argmax as similarity._assign_nearest (max_by over
+    # the (sim, -centroid_id) struct): the exchange carries one row per
+    # vector, not one per (vector, centroid)
+    order = F.struct(
+        F.coalesce(F.col("sim"), F.lit(-2.0)).alias("s"),
+        (-F.col("centroid_id")).alias("nc"),
+    )
     assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("id", F.col("centroid_id").alias("cluster_id"), "sim")
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("centroid_id").alias("cluster_id"), F.col("sim")),
+                order,
+            ).alias("_b")
+        )
+        .select("id", "_b.cluster_id", "_b.sim")
     )
     ranked = stratified_percent_rank(
         assigned, group_col="cluster_id", score_col="sim", id_col="id"
