@@ -59,11 +59,19 @@ def top_k_per_group(
     return df.join(F.broadcast(winners), on=[group_col, order_col], how="left_semi")
 
 
-#: Multiplicative id-hash family (Knuth/xxhash golden-ratio primes).
-#: train/val/test splitting uses 2654435761; mixture sampling uses a
-#: DIFFERENT prime so the two keep-decisions are uncorrelated — a doc's
-#: split assignment must not bias its mixture survival.
+#: Multiplicative (Fibonacci) id-hash for mixture sampling.  The bucket
+#: takes the HIGH bits of ``(id mod 2^31) * PRIME mod 2^31`` — a real
+#: multiplicative hash, unlike a ``(id*prime) mod 100`` bucket, which is
+#: an affine PERMUTATION of ``id mod 100`` (prime mod 100 is a unit) and
+#: therefore deterministically coupled to any other mod-100 decision
+#: such as the train/val/test split.  High-bit extraction makes the
+#: bucket depend on the full id, decorrelating it from the split.  The
+#: mod-2^31 domain keeps ``(id mod M) * PRIME`` inside int64 (2^31 *
+#: 2246822519 < 2^63), so the arithmetic is exact and identical in
+#: Spark (non-ANSI or ANSI) and DuckDB — no silent wrap, no widen/error
+#: divergence.
 _MIX_PRIME = 2246822519
+_MIX_DOMAIN = 2**31
 
 
 def mixture_sample(
@@ -77,21 +85,31 @@ def mixture_sample(
     language, domain, ...) at its configured rate — how a training mix
     downweights over-represented slices without an RNG.
 
-    The keep-decision is ``hash(id) mod 100 < rate*100`` with a
-    multiplicative hash, so it is reproducible across runs and engines
-    (no seed state), stable under corpus growth (a surviving document
-    survives every rerun), and **fully map-side**: the rate table rides
-    along as a literal map expression, so the scan filters in place —
-    zero shuffles, zero joins, works unchanged on 100 TB.
+    The keep-decision is ``bucket(id) < rate*100`` where ``bucket`` is
+    the top bits of a Fibonacci (multiplicative) hash — see
+    ``_MIX_PRIME`` for why high-bit extraction (not a mod-100 of the
+    product) is required for the bucket to be decorrelated from the
+    mod-100 train/val/test split.  It is reproducible across runs and
+    engines (no seed state, exact int64 arithmetic in both Spark and
+    DuckDB), stable under corpus growth (a surviving document survives
+    every rerun), and **fully map-side**: the rate table rides along as
+    a literal map expression, so the scan filters in place — zero
+    shuffles, zero joins, works unchanged on 100 TB.
 
     Rates are fractions in [0, 1]; strata absent from ``rates`` keep
-    ``default_rate``.  Rate granularity is 1% (the mod-100 bucket)."""
+    ``default_rate``.  Rate granularity is 1% (100 buckets)."""
     entries = [f for k, v in sorted(rates.items()) for f in (F.lit(k), F.lit(v))]
     rate = F.coalesce(
         F.element_at(F.create_map(*entries), F.col(strat_col)),
         F.lit(float(default_rate)),
     )
-    bucket = F.pmod(F.col(key_col).cast("bigint") * F.lit(_MIX_PRIME), F.lit(100))
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    # high bits: (h * 100) div 2^31 — h*100 < 2^38 so the double
+    # division is exact (< 2^53) and floor() is the integer quotient
+    bucket = F.floor(h * F.lit(100) / F.lit(_MIX_DOMAIN)).cast("bigint")
     return df.filter(bucket < rate * 100)
 
 

@@ -939,14 +939,18 @@ _MIX_RATE_SQL = (
     "sample_mixture",
     oracle=f"""
     SELECT doc_id, lang, source FROM documents
-    WHERE ((doc_id * 2246822519) % 100 + 100) % 100 < {_MIX_RATE_SQL}
+    WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648
+            * 2246822519) % 2147483648) * 100 // 2147483648
+          < {_MIX_RATE_SQL}
     """,
 )
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language mixture sampling
-    (operators.sampling.mixture_sample): the keep-decision is a
-    multiplicative id-hash bucket vs a literal rate map — pure map-side
-    filter, zero shuffles, reproducible across engines."""
+    (operators.sampling.mixture_sample): the keep-decision takes the
+    HIGH bits of a Fibonacci id-hash vs a literal rate map — a real
+    hash (decorrelated from the mod-100 split, unlike a mod-100 of the
+    product), pure map-side filter, zero shuffles, exact int64
+    arithmetic in both engines."""
     docs = t(spark, sf_dir, "documents")
     return mixture_sample(docs, _MIX_RATES, strat_col="lang").select(
         "doc_id", "lang", "source"

@@ -1,8 +1,12 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "value_cold": N, "queries_cold": {...}, "claims": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and print ONE compact JSON line:
+  {"metric": "...", "value": N, "value_cold": N, "unit": "sec",
+   "sf": ..., "n_queries": N, "detail": "BENCH_DETAIL.json"}
+The per-query timings ("queries", "queries_cold") and pin-registry
+"claims" are written to the BENCH_DETAIL.json sidecar — the driver's
+stdout tail capture is ~2000 chars and the full 50-query detail
+overflowed it in round 6, losing the headline number.
 
 Two sweeps, both reported so the keyed-pin registry's multi-query
 speedup is measured honestly instead of inferred:
@@ -99,20 +103,35 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     result: dict = {"metric": "total_query_wall_sec", "unit": "sec", "sf": sf}
 
+    detail: dict = dict(result)
     if not cold_only:
         warm, claims = _warm_sweep(spark, sf_dir, queries, Q)
         result["value"] = round(sum(warm.values()), 3)
-        result["queries"] = warm
-        result["claims"] = claims
+        detail["queries"] = warm
+        detail["claims"] = claims
     if not warm_only:
         cold = _cold_sweep(spark, sf_dir, queries, Q)
         result["value_cold"] = round(sum(cold.values()), 3)
-        result["queries_cold"] = cold
+        detail["queries_cold"] = cold
     if cold_only:
         # the driver's headline slot still gets a number in cold-only runs
         result["value"] = result["value_cold"]
-        result["queries"] = result["queries_cold"]
+        detail["queries"] = detail["queries_cold"]
 
+    # The driver tail-captures ~2000 chars of stdout; round 6's final line
+    # (50 warm + 50 cold timings + claims, ~3.5 kB) overflowed it and the
+    # headline number was lost.  Keep the LAST stdout line compact
+    # (headline totals only, well under 1.5 kB) and write the per-query /
+    # claims detail to a sidecar next to this script.
+    detail.update(result)
+    detail["n_queries"] = len(queries)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    result["n_queries"] = len(queries)
+    result["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(result))
 
 

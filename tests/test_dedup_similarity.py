@@ -305,6 +305,7 @@ def test_semantic_dedup_buckets_and_prunes(spark):
 
 def test_mixture_sample_deterministic_and_rate_shaped(spark):
     from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        _MIX_DOMAIN,
         _MIX_PRIME,
         mixture_sample,
     )
@@ -313,17 +314,28 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
     df = spark.createDataFrame(rows, ["doc_id", "lang"])
     rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
     kept = mixture_sample(df, rates, strat_col="lang").collect()
+
+    def bucket(i):
+        # high bits of the Fibonacci hash — exact replay of the operator
+        return (i % _MIX_DOMAIN) * _MIX_PRIME % _MIX_DOMAIN * 100 // _MIX_DOMAIN
+
     # exact Python replay of the keep-decision — determinism, not stats
-    expect = {
-        (i, lg)
-        for i, lg in rows
-        if (i * _MIX_PRIME) % 100 < rates[lg] * 100
-    }
+    expect = {(i, lg) for i, lg in rows if bucket(i) < rates[lg] * 100}
     assert {(r.doc_id, r.lang) for r in kept} == expect
     by_lang = {lg: sum(1 for _, l2 in expect if l2 == lg) for lg in rates}
     assert by_lang["en"] == 1000          # rate 1.0 keeps everything
     assert by_lang["zh"] == 0             # rate 0.0 keeps nothing
     assert 400 <= by_lang["de"] <= 600    # rate 0.5 keeps about half
+    # DECORRELATION from the mod-100 train/val/test split (the round-6
+    # advice bug: a mod-100 bucket of id*prime is an affine permutation
+    # of id mod 100, deterministically coupling the two decisions).
+    # Within EACH split residue class mod 100, a 0.5-rate stratum must
+    # keep roughly half — impossible under the old coupled bucket,
+    # where each residue was kept either always or never.
+    for residue_lo in range(0, 100, 20):  # spot-check 5 residue bands
+        ids = [i for i in range(residue_lo, 30000, 100)]  # one residue class
+        kept_frac = sum(1 for i in ids if bucket(i) < 50) / len(ids)
+        assert 0.3 <= kept_frac <= 0.7, (residue_lo, kept_frac)
     # strata missing from the rate map keep default_rate
     extra = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
     assert mixture_sample(extra, rates, strat_col="lang").count() == 1
