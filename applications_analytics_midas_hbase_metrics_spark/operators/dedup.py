@@ -506,6 +506,7 @@ def lsh_pairs_between(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-corpus LSH: near-dup pairs (id_a from ``sig_left``, id_b
     from ``sig_right``, jaccard) between two signature frames built by
@@ -517,7 +518,18 @@ def lsh_pairs_between(
     re-shingling, no history-history candidate pairs, and the banding
     shuffle carries only (band_hash, sz) per side.  Candidate recall
     and the exact-Jaccard verification are identical to the self-join
-    core (same band hashes, same size-ratio prefilter)."""
+    core (same band hashes, same size-ratio prefilter).
+
+    Each signature frame is consumed TWICE (the band join and the
+    exact-verify join), so by default both are materialized via
+    :func:`_self_join_ready` — otherwise the full shingle/explode/
+    minhash aggregate upstream of a lazily-built frame executes once
+    per consumer, defeating the persisted-signature cost story.  A
+    caller that passes frames already read from a stored signature
+    table (the production shape) pays only a tiny id+minima cache;
+    ``materialize=False`` keeps the plan lazy for inspection."""
+    sig_left = _self_join_ready(sig_left, materialize)
+    sig_right = _self_join_ready(sig_right, materialize)
     a = _band_frame(sig_left, num_hashes, rows_per_band).alias("a")
     b = _band_frame(sig_right, num_hashes, rows_per_band).alias("b")
     cand = (

@@ -91,7 +91,15 @@ def extract_features(
     ``mapInPandas`` streams batches of (id, modality, payload, width,
     height); the decoder runs per-row inside the batch; failures yield
     feature_ok='error:<msg>' rows instead of killing the task — at 100 TB
-    a handful of corrupt blobs must not fail the job."""
+    a handful of corrupt blobs must not fail the job.
+
+    Dimensions come from the DECODER when it reports them (a real
+    decoder parses width/height out of the binary header — e.g.
+    decode_image_real's BITMAPINFOHEADER fields), falling back to the
+    frame's metadata columns only for decoders that don't (fake_decode)
+    or on decode failure.  This routes the parsed header fields through
+    the output, so a dimension-parsing bug in the decoder shows up in
+    the differential gate, not just in unit tests."""
     dec = decoder or fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,8 +113,8 @@ def extract_features(
                             row.id,
                             row.modality,
                             feats["n_bytes"],
-                            row.width,
-                            row.height,
+                            feats.get("width", row.width),
+                            feats.get("height", row.height),
                             round(feats["mean_byte"], 6),
                             "ok",
                         )
