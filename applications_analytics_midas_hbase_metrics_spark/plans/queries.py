@@ -299,9 +299,24 @@ def _prepare_session(spark: SparkSession) -> None:
         spark._midas_pyfiles_shipped = True  # type: ignore[attr-defined]
 
 
+#: id column per corpus table for the MIDAS_SAMPLE_MOD verification
+#: hook below (the TPC-H-ish tables are never sampled — their oracles
+#: are linear and must see the full table).
+_SAMPLE_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    mod = os.environ.get("MIDAS_SAMPLE_MOD")
+    if mod and name in _SAMPLE_ID_COLS:
+        # Verification-scoping hook (NOT a production path): keep
+        # id % mod == 0 of the corpus tables so the quadratic
+        # brute-force ORACLES of the dedup/similarity gates stay
+        # minutes-scale at sf0.1.  tools/check_correctness.py applies
+        # the IDENTICAL filter to its DuckDB views, so both sides of
+        # every differential check see the same sampled corpus.
+        df = df.filter(F.col(_SAMPLE_ID_COLS[name]) % int(mod) == 0)
     if name == "events":
         # TIMESTAMP(NANOS) parquet, truncated to micros exactly like
         # DuckDB's reader.  Schema-adaptive because Spark changed the
@@ -1118,6 +1133,68 @@ def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col_name"),
         esc_ctrl(F.array_join("values", "\n")).alias("vals"),
         F.size("values").cast("bigint").alias("n_vals"),
+    )
+
+
+@register_extra(
+    "jdbc_scan",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey % 1000) AS BIGINT) AS cust_mod_sum,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY 1
+    """,
+)
+def q_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 end-to-end under a differential gate (the
+    getTeradataDataframe shape, Utils.scala:812-837): a deterministic
+    orders-derived table is written into the embedded Derby engine over
+    JDBC, then read back through read_jdbc with a properties-file
+    config and a pushed-down AGGREGATE subquery — the grouping runs
+    source-side inside Derby (dbtable subquery), exactly how the
+    reference pushes work into Teradata, and only the grouped rows
+    cross the JDBC boundary.  The oracle recomputes the aggregate
+    straight from orders, so config parsing, the JDBC write, Derby's
+    execution of the pushed query, and type mapping (Derby INT/BIGINT
+    → Spark) are all under the hash."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    # Derby folds unquoted identifiers to uppercase — name columns
+    # uppercase so the pushed-down SQL needs no quoting
+    src = o.select(
+        F.col("o_orderkey").cast("bigint").alias("OKEY"),
+        F.col("o_orderpriority").alias("PRIORITY"),
+        (F.col("o_custkey") % 1000).cast("bigint").alias("CUST_MOD"),
+    )
+    url = "jdbc:derby:memory:midas_jdbc_scan"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        src.coalesce(1)  # one tiny batch, one embedded-Derby connection
+        .write.format("jdbc")
+        .option("url", url + ";create=true")
+        .option("dbtable", "T_JDBC_SCAN")
+        # Derby's default string mapping is CLOB, which can't be
+        # grouped — pin a comparable VARCHAR so the aggregate pushes
+        .option("createTableColumnTypes", "PRIORITY VARCHAR(32)")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    cfg = scratch_dir("jdbc_scan") + "/jdbc.properties"
+    with open(cfg, "w") as fh:
+        fh.write(f"url={url}\ndriver={drv}\n")
+    out = I.read_jdbc(
+        spark,
+        cfg,
+        "SELECT PRIORITY, COUNT(*) AS N_ORDERS, SUM(CUST_MOD) AS CUST_MOD_SUM, "
+        "MAX(OKEY) AS MAX_KEY FROM T_JDBC_SCAN GROUP BY PRIORITY",
+    )
+    return out.select(
+        F.col("PRIORITY").alias("priority"),
+        F.col("N_ORDERS").cast("bigint").alias("n_orders"),
+        F.col("CUST_MOD_SUM").cast("bigint").alias("cust_mod_sum"),
+        F.col("MAX_KEY").cast("bigint").alias("max_key"),
     )
 
 

@@ -3,7 +3,14 @@ run every queries()[name] on Spark and oracle_sql()[name] on DuckDB at
 sf0.01, compare row count, column names, and an order-insensitive value
 hash (values stringified, row-wise sorted).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--sample-mod=N] [query ...]
+
+--sample-mod=N scopes the corpus tables (documents, embeddings) to
+id % N == 0 on BOTH sides — the Spark loader (via MIDAS_SAMPLE_MOD,
+plans/queries.py) and the DuckDB views here — so the quadratic
+brute-force oracles (dedup_minhash, dedup_incremental, simhash_pairs,
+…) get a minutes-scale differential check at SF_DIR=/root/testdata/
+sf0.1 instead of the 10-20 min full-corpus run.
 """
 
 from __future__ import annotations
@@ -46,8 +53,21 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
+SAMPLE_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def main() -> int:
     import duckdb
+
+    args = sys.argv[1:]
+    sample_mod = None
+    for a in list(args):
+        if a.startswith("--sample-mod="):
+            sample_mod = int(a.split("=", 1)[1])
+            args.remove(a)
+    if sample_mod:
+        # must be set BEFORE any query runs: plans.queries.t() reads it
+        os.environ["MIDAS_SAMPLE_MOD"] = str(sample_mod)
 
     import __spark_entry__ as E
     from applications_analytics_midas_hbase_metrics_spark.session import get_spark
@@ -55,14 +75,17 @@ def main() -> int:
     spark = get_spark(app_name="correctness", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        src = f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        if sample_mod and t in SAMPLE_ID_COLS:
+            src += f" WHERE {SAMPLE_ID_COLS[t]} % {sample_mod} = 0"
+        con.execute(f"CREATE VIEW {t} AS {src}")
 
     # cover BOTH tiers locally: the driver gates queries(); the extra
     # (pytest-tier) queries get the identical differential check here
     qs, oracles = E.queries(), E.oracle_sql()
     qs.update(E.extra_queries())
     oracles.update(E.extra_oracle_sql())
-    only = set(sys.argv[1:])
+    only = set(args)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
