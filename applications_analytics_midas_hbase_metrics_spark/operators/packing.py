@@ -93,6 +93,54 @@ def assign_packs(
     ).withColumn("pack_offset", (before % budget).cast("bigint"))
 
 
+def emit_packed_chunks(
+    packed: DataFrame,
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Boundary-splitting chunk emission over :func:`assign_packs`
+    output: a document spanning pack boundaries is split into one row
+    per pack it touches — the rows a real packer hands the tokenizer,
+    where every pack is exactly ``budget`` tokens (except the corpus
+    tail) and a document may contribute a prefix to one pack and the
+    remainder to the next.
+
+    Pure arithmetic on the existing prefix sum — a document occupying
+    global token interval [b, b+n) intersects packs floor(b/B) ..
+    floor((b+n-1)/B); ``sequence`` + ``explode`` generate those pack
+    ids map-side, so this adds ZERO shuffles beyond the prefix sum's.
+    Per row: ``chunk_idx`` (0-based within the document), ``doc_start``
+    (token offset inside the document where the chunk begins),
+    ``chunk_len``, and ``pack_offset`` (where the chunk starts inside
+    its pack).  Zero-token documents emit no chunks.  Invariants:
+    sum(chunk_len) per doc == n_tokens; per pack,
+    sum(chunk_len) == budget for every non-tail pack."""
+    B = F.lit(budget)
+    b = F.col("cum_tokens") - F.col(tokens_col)
+    end = F.col("cum_tokens")
+    pk = F.col("_chunk_pack")
+    chunk_start = F.greatest(b, pk * B)  # global token where chunk begins
+    chunk_end = F.least(end, (pk + 1) * B)
+    return (
+        packed.filter(F.col(tokens_col) > 0)
+        .withColumn(
+            "_chunk_pack",
+            F.explode(
+                F.sequence(
+                    F.floor(b / budget).cast("bigint"),
+                    F.floor((end - 1) / budget).cast("bigint"),
+                )
+            ),
+        )
+        .withColumn("chunk_idx", (pk - F.floor(b / budget)).cast("int"))
+        .withColumn("doc_start", (chunk_start - b).cast("bigint"))
+        .withColumn("chunk_len", (chunk_end - chunk_start).cast("bigint"))
+        .withColumn("pack_offset", (chunk_start - pk * B).cast("bigint"))
+        .drop("pack_id")
+        .withColumnRenamed("_chunk_pack", "pack_id")
+    )
+
+
 def pack_summary(packed: DataFrame, tokens_col: str = "n_tokens") -> DataFrame:
     """Per-pack rollup: document count and token count (a document's
     tokens count toward the pack it starts in — chunk-boundary spill is

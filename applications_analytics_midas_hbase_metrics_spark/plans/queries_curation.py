@@ -69,6 +69,59 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "pack_chunks",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                   AS BIGINT) AS b
+        FROM tk
+    ), e AS (
+        SELECT doc_id, n_tokens, b,
+               unnest(generate_series(b // {_PACK_BUDGET},
+                   (b + n_tokens - 1) // {_PACK_BUDGET})) AS pk
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST(pk AS BIGINT) AS pack_id,
+           CAST(pk - b // {_PACK_BUDGET} AS INT) AS chunk_idx,
+           CAST(greatest(b, pk * {_PACK_BUDGET}) - b AS BIGINT)
+               AS doc_start,
+           CAST(least(b + n_tokens, (pk + 1) * {_PACK_BUDGET})
+                - greatest(b, pk * {_PACK_BUDGET}) AS BIGINT) AS chunk_len,
+           CAST(greatest(b, pk * {_PACK_BUDGET}) - pk * {_PACK_BUDGET}
+               AS BIGINT) AS pack_offset
+    FROM e
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting pack emission
+    (operators.packing.emit_packed_chunks): documents spanning pack
+    boundaries split into one (pack_id, doc_start, chunk_len) row per
+    pack touched — what a real packer emits, where every non-tail pack
+    is exactly budget tokens.  Pure arithmetic + map-side explode over
+    the distributed prefix sum (zero added shuffles); the oracle
+    replays the same interval intersection off a window cumsum."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(D.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = P.assign_packs(
+        with_tokens, tokens_col="n_tokens", order_col="doc_id",
+        budget=_PACK_BUDGET,
+    )
+    chunks = P.emit_packed_chunks(packed, budget=_PACK_BUDGET)
+    return chunks.select(
+        "doc_id", "n_tokens", "pack_id", "chunk_idx",
+        "doc_start", "chunk_len", "pack_offset",
+    )
+
+
+@register_extra(
     "curation_pipeline",
     oracle=f"""
     WITH tk AS (

@@ -72,3 +72,66 @@ def test_prefix_sum_plan_has_no_global_window(spark):
         plan,
     )
     assert main_window_single is None, plan
+
+
+def test_emit_packed_chunks_invariants(spark):
+    # mix of tiny docs, exact-budget docs, and docs spanning 2+ packs
+    rows = [(i, [3, 100, 250, 1, 97][i % 5] + (i % 7)) for i in range(1, 121)]
+    rows.append((121, 0))  # zero-token doc: must emit no chunks
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    B = 100
+    packed = P.assign_packs(df, budget=B)
+    chunks = P.emit_packed_chunks(packed, budget=B).collect()
+
+    # 1. zero-token docs emit nothing
+    assert all(r.doc_id != 121 for r in chunks)
+    # 2. per-document: chunk_idx contiguous from 0, chunk_len sums to
+    #    n_tokens, doc_start is the running chunk_len prefix
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    tokens = dict(rows)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert sum(r.chunk_len for r in rs) == tokens[doc_id]
+        start = 0
+        for r in rs:
+            assert r.doc_start == start, r
+            # continuation chunks start exactly at their pack's head
+            if r.chunk_idx > 0:
+                assert r.pack_offset == 0, r
+            start += r.chunk_len
+        # consecutive chunks land in consecutive packs
+        assert [r.pack_id for r in rs] == list(
+            range(rs[0].pack_id, rs[0].pack_id + len(rs))
+        )
+    # 3. per-pack: every non-tail pack holds EXACTLY the budget, chunks
+    #    tile the pack with no overlap (offset+len boundaries meet)
+    by_pack: dict[int, list] = {}
+    for r in chunks:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    last_pack = max(by_pack)
+    for pack_id, rs in by_pack.items():
+        rs.sort(key=lambda r: r.pack_offset)
+        pos = 0
+        for r in rs:
+            assert r.pack_offset == pos, (pack_id, r)
+            pos += r.chunk_len
+        if pack_id != last_pack:
+            assert pos == B, (pack_id, pos)
+
+
+def test_emit_packed_chunks_adds_no_shuffle(spark):
+    """Chunk emission is map-side arithmetic + explode over the prefix
+    sum — the chunked plan must have exactly as many exchanges as the
+    pack assignment it consumes."""
+    rows = [(i, i % 250 + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(4)
+    packed = P.assign_packs(df, budget=100)
+    packed.collect()  # execute both so AQE finalizes both plan strings
+    base = packed._jdf.queryExecution().executedPlan().toString()
+    chunked = P.emit_packed_chunks(packed, budget=100)
+    chunked.collect()
+    got = chunked._jdf.queryExecution().executedPlan().toString()
+    assert got.count("Exchange") == base.count("Exchange"), got
