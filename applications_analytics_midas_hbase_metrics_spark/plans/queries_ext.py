@@ -1188,6 +1188,44 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "multimodal_png_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 5 + 2 AS INT) AS width,
+               CAST(doc_id % 3 + 2 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id AS id, width, height,
+           round(CAST(list_sum(list_transform(
+                     range(0, CAST(width * height * 3 AS BIGINT)),
+                     k -> (11 * doc_id + 13 * k) % 256)) AS DOUBLE)
+                 / (width * height * 3), 6) AS mean_byte,
+           'ok' AS feature_ok
+    FROM dims
+    """,
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED real image decode under the differential gate: PNG
+    payloads are synthesized per row from the closed-form pixel rule
+    (operators.multimodal.synthesize_png_payloads — zlib-deflated
+    scanlines, per-row filter cycle through all five RFC 2083 types),
+    then decoded back through decode_image_real's PNG branch (chunk
+    walk, CRC verify, IHDR dims, inflate, numpy unfilter) inside the
+    same Arrow-batched extract_features path as every other decoder.
+    Width/height come from the DECODER's IHDR parse (not synthesizer
+    metadata) and the mean crosses deflate + all five scanline filters,
+    so the oracle's pixel-rule recomputation only matches if the full
+    compressed encode→decode roundtrip is bit-exact.  n_bytes is
+    excluded: deflate output size is zlib-version-dependent, not
+    closed-form."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.synthesize_png_payloads(docs, id_col="doc_id")
+    feats = MM.extract_features(mm, decoder=MM.decode_image_real)
+    return feats.select("id", "width", "height", "mean_byte", "feature_ok")
+
+
 # ---------------------------------------------------------------------------
 # Event-stream windows (batch expressions — identical ones drive streaming)
 # ---------------------------------------------------------------------------
