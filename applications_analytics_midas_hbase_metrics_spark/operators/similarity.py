@@ -215,6 +215,31 @@ def build_ivf_centroids(
     return cents
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The persistable IVF artifact: every corpus vector assigned to its
+    nearest centroid's inverted list — (corpus_id, cv, cn, list_id).
+
+    Assignment cost is |corpus| x |C| cosine scores, which is the
+    EXPENSIVE half of an IVF search (measured: it dominates wall time
+    from C≈64 up) — and it is query-independent, so a deployment
+    computes it once per corpus snapshot, writes it (partitioned by
+    list_id for probe pruning), and every subsequent query batch
+    probes the stored lists.  :func:`ivf_topk` accepts this frame via
+    ``index=`` and skips re-assignment, exactly like
+    dedup.minhash_signature_frame feeds lsh_pairs_between."""
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    return _assign_nearest(c, centroids, vec="cv", out="list_id", id_col="corpus_id")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,17 +248,17 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-approximate cosine top-k: corpus rows are searched only when
     their centroid is among the query's ``nprobe`` nearest centroids.
-    Same output schema as brute_force_topk."""
-    c = corpus.select(
-        F.col(id_col).cast("bigint").alias("corpus_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    )
-    c_assigned = _assign_nearest(
-        c, centroids, vec="cv", out="list_id", id_col="corpus_id"
+    Same output schema as brute_force_topk.  Pass ``index=`` (a frame
+    from :func:`ivf_index`, typically read back from storage) to search
+    a prebuilt index; otherwise the corpus is assigned inline."""
+    c_assigned = (
+        index
+        if index is not None
+        else ivf_index(corpus, centroids, vec_col=vec_col, id_col=id_col)
     )
 
     q = queries.select(
