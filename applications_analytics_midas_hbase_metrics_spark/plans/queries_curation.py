@@ -122,6 +122,56 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "pack_chunk_summary",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                   AS BIGINT) AS b
+        FROM tk
+    ), e AS (
+        SELECT doc_id, n_tokens, b,
+               unnest(generate_series(b // {_PACK_BUDGET},
+                   (b + n_tokens - 1) // {_PACK_BUDGET})) AS pk
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT CAST(pk AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(least(b + n_tokens, (pk + 1) * {_PACK_BUDGET})
+                    - greatest(b, pk * {_PACK_BUDGET})) AS BIGINT)
+               AS pack_tokens
+    FROM e GROUP BY 1
+    """,
+)
+def q_pack_chunk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack rollup over the boundary-split chunks: with splitting,
+    pack token counts are EXACT — every non-tail pack holds precisely
+    the budget (the start-pack rule's pack_summary could only bound
+    them).  The differential hash pins the exact per-pack totals, so
+    a one-token drift anywhere in the prefix sum, the interval
+    intersection, or the explode turns the row red."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(D.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = P.assign_packs(
+        with_tokens, tokens_col="n_tokens", order_col="doc_id",
+        budget=_PACK_BUDGET,
+    )
+    chunks = P.emit_packed_chunks(packed, budget=_PACK_BUDGET)
+    return chunks.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("chunk_len").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register_extra(
     "curation_pipeline",
     oracle=f"""
     WITH tk AS (
