@@ -487,3 +487,163 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).cast("bigint").alias("id")).mapInPandas(
         run, schema
     )
+
+
+#: Output schema of the audio feature extractor.
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_abs", DoubleType()),
+        StructField("feature_ok", StringType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM (mono or multi-channel
+    from a (n, channels) array) — the writer half of
+    :func:`decode_wav`, built from int.to_bytes + numpy alone."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.reshape(-1).tobytes()  # interleaved frames, little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")   # block align
+        + (16).to_bytes(2, "little")       # bits per sample
+    )
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real audio decoding without an audio library: RIFF chunk walk,
+    fmt parse (16-bit integer PCM only — anything else raises
+    NotImplementedError into the extractor's per-row isolation), and a
+    numpy view over the data chunk.  Returns byte size, the parsed
+    sample_rate / n_samples / n_channels, and the mean absolute
+    amplitude (the level statistic a curation filter thresholds on)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if codec != 1 or bits != 16 or ch < 1:
+        raise NotImplementedError(
+            f"only 16-bit integer PCM decodes here (codec={codec}, bits={bits})"
+        )
+    if len(data) % (ch * 2):
+        raise ValueError("WAV data length is not a whole number of frames")
+    a = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "n_samples": a.shape[0],
+        "n_channels": ch,
+        "mean_abs": float(np.abs(a.astype(np.int32)).mean()),
+    }
+
+
+def extract_audio_features(
+    mm: DataFrame,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction — the audio twin of
+    :func:`extract_features`, with the same per-row error isolation
+    (corrupt blobs become 'error:' rows, never task failures)."""
+    dec = decoder or decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    f = dec(row.payload)
+                    out.append(
+                        (
+                            row.id, row.modality, f["n_bytes"],
+                            f["sample_rate"], f["n_samples"],
+                            f["n_channels"], round(f["mean_abs"], 6), "ok",
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out.append(
+                        (row.id, row.modality, None, None, None, None, None,
+                         f"error:{e}")
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return mm.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio payloads deterministically from row ids: sample k of
+    document d is ((5d + 7k) mod 4096) - 2048 (16-bit PCM mono),
+    n = d%50+20 samples at rate 8000 + (d%3)*4000 Hz — closed-form, so
+    a SQL oracle recomputes every decoded statistic including the exact
+    byte size (44 + 2n: PCM is uncompressed).  Distributed through the
+    same Arrow-batched mapInPandas as the image synthesizers."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["id"]:
+                d = int(d)
+                n = d % 50 + 20
+                rate = 8000 + (d % 3) * 4000
+                k = np.arange(n, dtype=np.int64)
+                s = (((5 * d + 7 * k) % 4096) - 2048).astype(np.int16)
+                out.append((d, "audio", encode_wav(s, rate)))
+            yield pd.DataFrame(out, columns=["id", "modality", "payload"])
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("bigint").alias("id")).mapInPandas(
+        run, schema
+    )

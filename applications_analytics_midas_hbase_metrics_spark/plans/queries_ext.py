@@ -19,7 +19,14 @@ from ..operators import similarity as SIM
 from ..operators import text as T
 from ..operators.sampling import mixture_sample, stratified_percent_rank
 from ..streaming import windows as W
-from .queries import claim_deferred, persist_deferred, register, register_extra, t
+from .queries import (
+    claim_deferred,
+    persist_deferred,
+    register,
+    register_extra,
+    scratch_dir,
+    t,
+)
 
 # ---------------------------------------------------------------------------
 # Shared corpus builders
@@ -438,6 +445,62 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )
+
+
+@register_extra(
+    "ann_ivf_indexed",
+    # Differential contract like ann_ivf: the gated output is a
+    # per-query boolean and the oracle is the constant expectation.
+    # identical_ok asserts the STORED-index search (ivf_index written
+    # to a partitioned parquet index, read back, passed via index=)
+    # returns exactly the inline-assignment result — same (query,
+    # corpus, rank) triples and cosines to 6 decimals — so the
+    # persisted-artifact path (the production shape measured in
+    # tools/ivf_scale.py) cannot silently diverge from the gated one.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS identical_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.build_ivf_centroids(emb, num_centroids=16).localCheckpoint(
+        eager=True
+    )
+    idx_path = scratch_dir("ann_ivf_indexed") + "/index"
+    # partitionBy(list_id): probe pruning becomes partition pruning on
+    # the stored index — the nprobe lists are the only files read
+    SIM.ivf_index(emb, cents).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    k = ["query_id", "corpus_id"]
+    a = SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4, index=stored).select(
+        *k, F.round("cos", 6).alias("cos_a"), F.col("rank").alias("rank_a")
+    )
+    b = SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4).select(
+        *k, F.round("cos", 6).alias("cos_b"), F.col("rank").alias("rank_b")
+    )
+    diff = (
+        a.join(b, k, "full_outer")
+        .filter(
+            F.col("cos_a").isNull()
+            | F.col("cos_b").isNull()
+            | (F.col("cos_a") != F.col("cos_b"))
+            | (F.col("rank_a") != F.col("rank_b"))
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_diff"))
+    )
+    return (
+        queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_diff", F.lit(0)).eqNullSafe(0).alias("identical_ok"),
         )
     )
 
@@ -1224,6 +1287,46 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = MM.synthesize_png_payloads(docs, id_col="doc_id")
     feats = MM.extract_features(mm, decoder=MM.decode_image_real)
     return feats.select("id", "width", "height", "mean_byte", "feature_ok")
+
+
+@register_extra(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+           sample_rate, n_samples,
+           CAST(1 AS INT) AS n_channels,
+           round(CAST(list_sum(list_transform(
+                     range(0, n_samples),
+                     k -> abs((5 * doc_id + 7 * k) % 4096 - 2048)))
+                 AS DOUBLE) / n_samples, 6) AS mean_abs,
+           'ok' AS feature_ok
+    FROM dims
+    """,
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AUDIO decode under the differential gate: 16-bit PCM WAV
+    payloads synthesized from a closed-form sample rule
+    (operators.multimodal.synthesize_wav_payloads), decoded back
+    through the RIFF chunk walk + numpy PCM view (decode_wav) inside
+    Arrow-batched extract_audio_features.  sample_rate / n_samples /
+    n_channels come from the parsed fmt/data chunks and n_bytes is
+    closed-form (PCM is uncompressed), so the full binary roundtrip —
+    header layout, little-endian frames, chunk padding — is under the
+    hash."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.synthesize_wav_payloads(docs, id_col="doc_id")
+    feats = MM.extract_audio_features(mm)
+    return feats.select(
+        "id", "n_bytes", "sample_rate", "n_samples", "n_channels",
+        "mean_abs", "feature_ok",
+    )
 
 
 # ---------------------------------------------------------------------------

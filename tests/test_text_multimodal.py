@@ -305,3 +305,42 @@ def test_extract_features_prefers_decoder_dimensions(spark):
     # fake_decode reports no dims -> metadata passthrough preserved
     r2 = MM.extract_features(mm).collect()[0]
     assert (r2.width, r2.height) == (999, 999)
+
+
+def test_wav_roundtrip_and_error_paths():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # mono, stereo, and 3-channel: the frame interleave must invert
+    for shape, rate in [((37,), 8000), ((16, 2), 44100), ((5, 3), 12000)]:
+        s = rng.integers(-2048, 2048, shape).astype(np.int16)
+        d = MM.decode_wav(MM.encode_wav(s, rate))
+        ch = 1 if len(shape) == 1 else shape[1]
+        assert (d["sample_rate"], d["n_samples"], d["n_channels"]) == (
+            rate, shape[0], ch,
+        )
+        assert d["mean_abs"] == pytest.approx(
+            float(np.abs(s.astype(np.int32)).mean())
+        )
+        assert d["n_bytes"] == 44 + 2 * s.size
+    # non-RIFF -> NotImplementedError (extractor stubs it to an error row)
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(b"OggS" + b"\x00" * 60)
+    # RIFF/WAVE with garbage chunks -> loud ValueError
+    with pytest.raises(ValueError):
+        MM.decode_wav(
+            b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"\x01" * 60
+        )
+
+
+def test_extract_audio_features_isolates_bad_rows(spark):
+    import numpy as np
+
+    good = MM.encode_wav(np.arange(-10, 10, dtype=np.int16), 8000)
+    rows = [(1, "audio", good), (2, "audio", b"ID3\x03garbage....")]
+    mm = spark.createDataFrame(rows, ["id", "modality", "payload"])
+    got = {r.id: r for r in MM.extract_audio_features(mm).collect()}
+    assert got[1].feature_ok == "ok"
+    assert got[1].n_samples == 20 and got[1].n_channels == 1
+    assert got[2].feature_ok.startswith("error:")
+    assert got[2].n_samples is None
