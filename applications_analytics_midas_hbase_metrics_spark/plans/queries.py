@@ -1136,7 +1136,11 @@ def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 7 (extra-tier green since
+    # introduction): S9 — the last §2 surface without a driver-hard
+    # oracle row (VERDICT r6 "What's missing" #1) — now turns red at
+    # the driver if the JDBC roundtrip or pushdown regresses
     "jdbc_scan",
     oracle="""
     SELECT o_orderpriority AS priority,

@@ -131,7 +131,11 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # rotated OUT to the extra tier in round 7 (driver-green r1-r6):
+    # ranking-window coverage is subsumed by gated siblings
+    # (window_session, topk_orders, sample_per_source's two-phase
+    # ranks); the identical differential check continues here
     "window_rank",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -68,7 +68,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 7 (new this round): the
+    # boundary-splitting chunk emission gets a driver-hard row beside
+    # the gated sequence_packing it extends
     "pack_chunks",
     oracle=f"""
     WITH tk AS (
