@@ -349,3 +349,68 @@ def semantic_dedup(
             .alias("keep"),
         )
     )
+
+
+def semantic_dedup_cover(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`semantic_dedup` with COVER semantics: the >=threshold
+    within-bucket pair graph is reduced by connected components and the
+    minimum id of every component survives — so every dropped vector is
+    (transitively) connected to its kept representative, and chains
+    like A~B, B~C, A!~C keep A and drop B AND C with A recorded as the
+    reason, instead of the upper-triangular rule's "drop B and C with
+    no kept double for C" over-prune (round-6 advice observation).
+
+    Same bucket bound as semantic_dedup (no cross-bucket compares, the
+    SemDeDup recall trade); the component pass adds min-label
+    propagation over the PAIR graph only — edge-proportional, never
+    corpus-quadratic (operators.graph.connected_components).  Returns
+    (id, cluster_id, keep, rep_id): rep_id is the surviving
+    representative for dropped rows (itself for kept rows) — the
+    provenance column a curation audit wants."""
+    from .graph import connected_components
+
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    assigned = _assign_nearest(c, centroids, vec="cv", out="cluster_id", id_col="id")
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("cv").alias("va"),
+        F.col("cn").alias("na"), "cluster_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"), "cluster_id",
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            _cos_pre(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)  # (id, cluster_id = min reachable)
+    comp = comp.select("id", F.col("cluster_id").alias("rep_id"))
+    return (
+        assigned.join(comp, "id", "left")
+        .select(
+            "id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.when(
+                F.col("rep_id").isNull() | (F.col("rep_id") == F.col("id")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+            F.coalesce("rep_id", "id").cast("bigint").alias("rep_id"),
+        )
+    )

@@ -673,6 +673,68 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "semantic_dedup_cover",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_PERT_EMB_SQL}),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS centroid_id,
+               v AS cv
+        FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, s.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 's.cv')} DESC, s.centroid_id)
+                       AS r
+            FROM corpus c CROSS JOIN seeds s
+        ) WHERE r = 1
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.95
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+    SELECT a.vec_id AS id, a.centroid_id AS cluster_id,
+           CAST(CASE WHEN c.id IS NULL OR c.rep = a.vec_id
+                THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST(coalesce(c.rep, a.vec_id) AS BIGINT) AS rep_id
+    FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
+    """,
+)
+def q_semantic_dedup_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with COVER semantics
+    (operators.similarity.semantic_dedup_cover): the within-bucket
+    >=0.95 pair graph is reduced by connected components and only the
+    minimum id per component survives — every dropped vector is
+    transitively connected to its kept representative (rep_id records
+    it), fixing the upper-triangular rule's over-prune on chains
+    (round-6 advice).  Oracle: the same seed/assign replay plus a
+    recursive-CTE transitive closure, exactly like dedup_clusters."""
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
+        ).alias("embedding"),
+    )
+    corpus = base.union(pert)
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=16, lloyd_steps=0)
+    return SIM.semantic_dedup_cover(corpus, cents, threshold=0.95)
+
+
+@register_extra(
     "embedding_outliers",
     oracle=f"""
     WITH corpus AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),

@@ -538,3 +538,38 @@ def test_topk_drops_degenerate_cosine_in_both_phases(spark):
     assert 99 not in ids
     assert ids == [1, 2]
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_semantic_dedup_cover_chain_components(spark):
+    """Chain A~B, B~C with A!~C (cos 0.956 / 0.956 / 0.829 at threshold
+    0.95): cover semantics keeps exactly the component minimum and
+    records it as every dropped row's rep_id — plus an isolated vector
+    keeps itself."""
+    import math
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        similarity as SIM,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [
+        (1, vec(0.0)), (2, vec(17.0)), (3, vec(34.0)),  # the chain
+        (9, [0.0, 0.0, 1.0, 0.0]),                      # isolated
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.2, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        ["centroid_id", "centroid"],
+    )
+    got = {
+        r.id: r
+        for r in SIM.semantic_dedup_cover(corpus, cents, threshold=0.95).collect()
+    }
+    assert (got[1].keep, got[1].rep_id) == (1, 1)
+    assert (got[2].keep, got[2].rep_id) == (0, 1)
+    assert (got[3].keep, got[3].rep_id) == (0, 1)  # via the chain, not direct
+    assert (got[9].keep, got[9].rep_id) == (1, 9)
+    assert got[9].cluster_id == 1 and got[1].cluster_id == 0
