@@ -284,3 +284,75 @@ def test_spark_blob_codec_roundtrip_random(spark):
         # format limitation); our generator avoids \n, like the reference's
         # field contract
         assert r.back == r.values
+
+
+# ---------------------------------------------------------------------------
+# Binary media codecs (pure Python/numpy — no Spark jobs)
+# ---------------------------------------------------------------------------
+
+_dims = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@given(_dims, st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(dims, seed):
+    import numpy as np
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        multimodal as MM,
+    )
+
+    h, w = dims
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    d = MM.decode_png(MM.encode_png(px))
+    assert (d["width"], d["height"]) == (w, h)
+    # mean equality over all h*w*3 bytes == pixel-exact up to mean
+    # collisions; combined with the filter cycle (rows hit all 5 types
+    # as h grows) this pins every unfilter branch against its encoder
+    assert abs(d["mean_byte"] - float(px.mean())) < 1e-9
+
+
+@given(st.integers(1, 80), st.integers(1, 4), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed):
+    import numpy as np
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        multimodal as MM,
+    )
+
+    s = np.random.default_rng(seed).integers(-(2**15), 2**15, (n, ch)).astype(
+        np.int16
+    )
+    d = MM.decode_wav(MM.encode_wav(s, 16000))
+    assert (d["n_samples"], d["n_channels"]) == (n, ch)
+    assert d["n_bytes"] == 44 + 2 * n * ch
+    assert abs(d["mean_abs"] - float(np.abs(s.astype(np.int32)).mean())) < 1e-9
+
+
+@given(
+    st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    st.integers(1, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_chunk_arithmetic_property(token_counts, budget):
+    """Pure-Python replay of emit_packed_chunks' interval math: chunks
+    tile every pack exactly and conserve per-doc tokens for ANY corpus
+    shape and budget (the Spark plan computes the same closed form)."""
+    b = 0
+    per_doc: dict[int, int] = {}
+    per_pack: dict[int, int] = {}
+    for i, n in enumerate(token_counts):
+        if n > 0:
+            for pk in range(b // budget, (b + n - 1) // budget + 1):
+                lo, hi = max(b, pk * budget), min(b + n, (pk + 1) * budget)
+                per_doc[i] = per_doc.get(i, 0) + (hi - lo)
+                per_pack[pk] = per_pack.get(pk, 0) + (hi - lo)
+        b += n
+    for i, n in enumerate(token_counts):
+        if n > 0:
+            assert per_doc[i] == n
+    if per_pack:
+        last = max(per_pack)
+        for pk, tot in per_pack.items():
+            assert tot == budget or pk == last
