@@ -109,3 +109,80 @@ def tfidf_for_terms(
             ).alias("tfidf"),
         )
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free text embedding via the hashing trick (HashingTF
+    shape): token → ``java_hash mod dim`` bucket, per-bucket term
+    counts, L2-normalized.  Output is LONG-FORM ``(id, dim_idx,
+    value)`` — the sparse representation: only occupied dimensions
+    materialize (a 64-dim hashed vector of a 40-token doc has ≤ 40
+    non-zeros), shuffles stay narrow, and a SQL engine replays it as a
+    plain GROUP BY.  :func:`dense_from_sparse` converts to
+    array<double> for the ANN/semantic operators.
+
+    The bucket hash is the reference's Java-hash (functions.keys) —
+    byte-exact in DuckDB via duckdb_java_hash_sql, so the embedding is
+    engine-reproducible end-to-end, which a model embedding can never
+    be.  The expression fold is interpreted (CodegenFallback); for a
+    100 TB hot path swap in the Arrow-vectorized closed form
+    (functions.keys.java_hash_vec) — bit-identical by golden test.
+
+    Scale shape: explode → one (id, bucket) hash-aggregate (map-side
+    combined) → per-id norm window.  Nothing is ever corpus-wide."""
+    from ..functions.keys import java_hash
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .select("id", F.pmod(java_hash("tok"), F.lit(dim)).cast("int").alias("dim_idx"))
+        .groupBy("id", "dim_idx")
+        .agg(F.count("*").alias("c"))
+    )
+    # per-id L2 norm via a window partitioned by id: the frame is the
+    # doc's ≤ dim buckets, never the corpus
+    w = Window.partitionBy("id")
+    return tf.withColumn(
+        "value", F.round(F.col("c") / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)), 6)
+    ).select("id", "dim_idx", "value")
+
+
+def dense_from_sparse(
+    sparse: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    idx_col: str = "dim_idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """(id, dim_idx, value) long-form → (id, embedding array<double>)
+    with zeros filled — the bridge from :func:`hashed_embedding` to the
+    ANN / semantic-dedup operators.  One hash-aggregate; the dense
+    array builds per row from a sorted (idx, value) struct list, so no
+    corpus-wide op and no UDF."""
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(val_col).alias("v")))
+    )
+    return (
+        sparse.groupBy(F.col(id_col).alias("id"))
+        .agg(pairs.alias("_p"))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(
+                        F.map_from_entries("_p"), i.cast("int")
+                    ),
+                    F.lit(0.0),
+                ),
+            ).alias("embedding"),
+        )
+    )

@@ -16,6 +16,7 @@ from ..functions.keys import duckdb_java_hash_sql
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from ..operators import embeddings as EMB
 from ..operators import text as T
 from ..operators.sampling import mixture_sample, stratified_percent_rank
 from ..streaming import windows as W
@@ -670,6 +671,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.union(pert)
     cents = SIM.build_ivf_centroids(corpus, num_centroids=16, lloyd_steps=0)
     return SIM.semantic_dedup(corpus, cents, threshold=0.95)
+
+
+@register_extra(
+    "text_hash_embed",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST((({duckdb_java_hash_sql('tok')}) % 64 + 64) % 64 AS INT)
+                   AS dim_idx,
+               count(*) AS c
+        FROM tk GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM tf GROUP BY 1)
+    SELECT t.doc_id AS id, t.dim_idx,
+           round(t.c / n.nrm, 6) AS value
+    FROM tf t JOIN n USING (doc_id)
+    """,
+)
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hashed text embedding
+    (operators.embeddings.hashed_embedding): token → Java-hash mod 64
+    bucket, term counts, L2-normalized, emitted long-form (id, dim_idx,
+    value).  The bucket hash is the reference's own key hash with its
+    byte-exact DuckDB replay (functions.keys.duckdb_java_hash_sql), so
+    the ENTIRE embedding — hashing, collisions, normalization — is
+    engine-reproducible under the differential hash; dense_from_sparse
+    bridges the output into the ANN/semantic operators."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return EMB.hashed_embedding(docs, dim=64)
 
 
 @register_extra(

@@ -573,3 +573,33 @@ def test_semantic_dedup_cover_chain_components(spark):
     assert (got[3].keep, got[3].rep_id) == (0, 1)  # via the chain, not direct
     assert (got[9].keep, got[9].rep_id) == (1, 9)
     assert got[9].cluster_id == 1 and got[1].cluster_id == 0
+
+
+def test_hashed_embedding_bridges_to_ann(spark):
+    """hashed_embedding → dense_from_sparse → brute_force_topk: an
+    exact-duplicate document must surface as its twin's top neighbor at
+    cosine 1.0 — the text-to-ANN composition the long-form embedding
+    exists to enable."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        embeddings as EMB,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact twin of 1
+        (3, "eta theta iota kappa lambda mu nu xi"),
+        (4, "omicron pi rho sigma tau upsilon"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sparse = EMB.hashed_embedding(docs, dim=32)
+    dense = EMB.dense_from_sparse(sparse, dim=32)
+    # every embedding L2-normalized, dense width == dim
+    for r in dense.collect():
+        assert len(r.embedding) == 32
+        assert sum(x * x for x in r.embedding) == pytest.approx(1.0, abs=1e-4)
+    top = SIM.brute_force_topk(
+        dense, dense.filter(F.col("id") == 1), k=1, vec_col="embedding",
+        id_col="id",
+    ).first()
+    assert (top.corpus_id, top.rank) == (2, 1)
+    assert top.cos == pytest.approx(1.0, abs=1e-6)
