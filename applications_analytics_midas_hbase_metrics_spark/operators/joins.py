@@ -122,3 +122,47 @@ def salted_agg(
         _, p2 = _AGG_KINDS[kind]
         phase2_aggs.append(p2(F.col(f"_p_{name}")).alias(name))
     return phase1.groupBy(*keys).agg(*phase2_aggs)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Range (interval containment) join: every (point, interval) pair
+    with ``lo <= t <= hi``, as an EQUI-join Spark can shuffle-partition
+    — the native formulation (a theta join) falls back to
+    BroadcastNestedLoopJoin or a cartesian product, both scale-killers
+    once neither side broadcasts.
+
+    The bucket trick: intervals explode into every ``bucket``-width
+    time slot they touch (``sequence(lo div B, hi div B)``); a point
+    lands in exactly ONE slot, so the slot equi-join emits each
+    qualifying pair exactly once (no dedup pass) and the residual
+    ``BETWEEN`` filter runs post-join on slot-co-located rows only.
+    Shuffle width is |points| + Σ(interval spans / B) rows of narrow
+    keys.
+
+    Pick ``bucket`` near the MEDIAN interval length: too small
+    multiplies the interval-side explosion, too large funnels many
+    intervals into few slots (a hot slot is AQE-skew-splittable, since
+    the join is a plain hash join).  Columns of ``points`` and
+    ``intervals`` must not collide (select/alias first — the usual
+    pre-join discipline)."""
+    p = points.withColumn("_slot", F.floor(F.col(t_col) / bucket))
+    iv = intervals.withColumn(
+        "_slot",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket), F.floor(F.col(hi_col) / bucket)
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_slot")
+        .filter((F.col(t_col) >= F.col(lo_col)) & (F.col(t_col) <= F.col(hi_col)))
+        .drop("_slot")
+    )

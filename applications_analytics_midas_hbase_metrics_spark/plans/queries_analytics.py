@@ -200,3 +200,66 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(a.exceptAll(a.intersect(b)).select(F.lit("only_a").alias("tag"), "c_nationkey"))
         .unionAll(b.exceptAll(a.intersect(b)).select(F.lit("only_b").alias("tag"), "c_nationkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range containment) join: events inside maintenance windows
+# ---------------------------------------------------------------------------
+
+#: epoch seconds of 2024-01-01 00:00:00 UTC — the fixture events' month
+_IJ_BASE = 1704067200
+#: 100 deterministic "maintenance windows": window i covers
+#: [base + i*7h, base + i*7h + 90min] — 1.5h spans cross the 1h bucket
+#: grid, so the bucket-expansion path is genuinely exercised
+_IJ_N, _IJ_STEP, _IJ_SPAN = 100, 7 * 3600, 5400
+
+
+@register_extra(
+    "interval_join_events",
+    oracle=f"""
+    WITH iv AS (
+        SELECT CAST(k AS INT) AS window_id,
+               {_IJ_BASE} + k * {_IJ_STEP} AS lo,
+               {_IJ_BASE} + k * {_IJ_STEP} + {_IJ_SPAN} AS hi
+        FROM (SELECT unnest(range(0, {_IJ_N})) AS k)
+    )
+    SELECT iv.window_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM iv LEFT JOIN (
+        SELECT event_id, value, CAST(epoch(ts) AS BIGINT) AS t FROM events
+    ) e ON e.t >= iv.lo AND e.t <= iv.hi
+    GROUP BY 1
+    """,
+)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join under the gate: 100 synthetic maintenance
+    windows against the events stream via operators.joins.interval_join
+    — the bucket-expansion EQUI-join (intervals explode into the 1-hour
+    slots they touch; each point lives in exactly one slot, so pairs
+    emit once).  The DuckDB oracle uses its native range join; Spark
+    never executes a nested-loop or cartesian plan.  Left join back to
+    the window table keeps empty windows in the result (containment
+    joins drop them)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "value", F.unix_timestamp("ts").alias("t")
+    )
+    iv = spark.range(_IJ_N).select(
+        F.col("id").cast("int").alias("window_id"),
+        (F.lit(_IJ_BASE) + F.col("id") * _IJ_STEP).alias("lo"),
+        (F.lit(_IJ_BASE) + F.col("id") * _IJ_STEP + _IJ_SPAN).alias("hi"),
+    )
+    joined = J.interval_join(ev, iv, t_col="t", lo_col="lo", hi_col="hi", bucket=3600)
+    counts = joined.groupBy("window_id").agg(
+        F.count("event_id").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    return (
+        iv.select("window_id")
+        .join(counts, "window_id", "left")
+        .select(
+            "window_id",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "value_sum",
+        )
+    )

@@ -90,3 +90,32 @@ def test_salted_agg_spreads_hot_key(spark):
     out = J.salted_agg(df, ["k"], {"n": ("count", F.lit(1))}, buckets=8)
     r = out.first()
     assert (r.k, r.n) == ("hot", 10000)
+
+def test_interval_join_boundaries_and_plan(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.joins import (
+        interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 0), (2, 99), (3, 100), (4, 250), (5, 349), (6, 350), (7, 1000)],
+        ["pid", "t"],
+    )
+    ivs = spark.createDataFrame(
+        [(10, 100, 349),   # spans buckets 1..3 at bucket=100, ends mid-bucket
+         (11, 0, 0),       # degenerate single-instant interval
+         (12, 340, 360)],  # overlaps 10's tail
+        ["iid", "lo", "hi"],
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pts, ivs, "t", "lo", "hi", bucket=100).collect()
+    )
+    # inclusive on BOTH ends; each qualifying pair exactly once
+    # (point 5 at t=349 sits in BOTH overlapping windows 10 and 12)
+    assert got == [(1, 11), (3, 10), (4, 10), (5, 10), (5, 12), (6, 12)]
+    # the scale property: an equi-join plan — never nested-loop/cartesian
+    out = interval_join(pts, ivs, "t", "lo", "hi", bucket=100)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
