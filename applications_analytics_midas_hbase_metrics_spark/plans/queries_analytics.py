@@ -227,7 +227,10 @@ _IJ_N, _IJ_STEP, _IJ_SPAN = 100, 7 * 3600, 5400
            CAST(count(e.event_id) AS BIGINT) AS n_events,
            CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM iv LEFT JOIN (
-        SELECT event_id, value, CAST(epoch(ts) AS BIGINT) AS t FROM events
+        -- floor(): Spark's unix_timestamp truncates sub-second parts,
+        -- DuckDB's double->bigint cast rounds — floor matches truncate
+        -- (a boundary-adjacent event would otherwise flip windows)
+        SELECT event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
     ) e ON e.t >= iv.lo AND e.t <= iv.hi
     GROUP BY 1
     """,

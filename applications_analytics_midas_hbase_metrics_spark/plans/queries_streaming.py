@@ -276,3 +276,113 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_sum"),
         )
     )
+
+
+def _time_split_copy(df, name: str, sf_dir: str, t_col: str, mid: int) -> str:
+    """Two-file source copy split BY TIME (not round-robin): file 00
+    holds t < mid, file 01 the rest, with explicit mtimes so the file
+    stream processes them oldest-first.  This is the arrival contract a
+    sessionizing stream has anyway (per-key time order across batches);
+    built once per interpreter like _source_copy."""
+    import glob
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(stable_scratch_dir(f"{name}_{tag}"), "src")
+    if not os.path.exists(os.path.join(d, "_READY")):
+        os.makedirs(d, exist_ok=True)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        for i, part in enumerate(
+            (df.filter(F.col(t_col) < mid), df.filter(F.col(t_col) >= mid))
+        ):
+            tmp = os.path.join(d, f"_tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src_file = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{i:02d}.parquet")
+            shutil.move(src_file, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+#: Session gap for the sessionize gate: 1 day.  The fixture's ~20
+#: events/user/month sit ~1.5 days apart on average, so users get a
+#: handful of multi-event sessions AND plenty of gap breaks — and many
+#: sessions straddle the mid-month file boundary, which is the
+#: cross-batch open-session state this gate exists to verify.
+_SESSION_GAP = 86400
+#: epoch seconds of 2024-01-16 — mid-month split point for the fixture.
+_SESSION_MID = 1705363200
+
+
+@register_extra(
+    "stream_sessionize",
+    oracle=f"""
+    WITH o AS (
+        -- floor(): Spark's unix_timestamp TRUNCATES sub-second parts,
+        -- DuckDB's double->bigint cast rounds — floor matches truncate
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, t, v,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w > {_SESSION_GAP}
+                    THEN 1 ELSE 0 END AS brk
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    g AS (
+        SELECT user_id, t, v,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, CAST(min(t) AS BIGINT) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(v), 6) AS value_sum
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (streaming.stateful.sessionize):
+    1-day-gap sessions built across TWO time-split micro-batches — the
+    open session at the file boundary carries in GroupState and is
+    extended or closed by the second batch, so the cross-batch state
+    machine (not just per-batch grouping) is what must match the
+    oracle's gaps-and-islands replay.  Update-mode provisional rows
+    converge via max-n_events per (user, session_start), the same
+    convergence rule as stream_running_totals."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.col("value").cast("double").alias("value"),
+    )
+    src = _time_split_copy(
+        ev, "stream_sessionize", sf_dir, t_col="t", mid=_SESSION_MID
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = f"ss_{uuid.uuid4().hex[:12]}"
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            ST.sessionize(stream, gap_seconds=_SESSION_GAP)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    emitted = spark.table(sink)
+    final = emitted.groupBy("user_id", "session_start").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.round(F.max_by("value_sum", "n_events"), 6).alias("value_sum"),
+    )
+    return final.select("user_id", "session_start", "n_events", "value_sum")

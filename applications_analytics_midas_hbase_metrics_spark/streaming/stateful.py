@@ -89,3 +89,82 @@ def stream_dedupe(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+#: State: the user's OPEN session — (start, last_t, n, sum).
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last_t", LongType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def _sessionize_update(gap: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # arrival order within a batch is shuffle order — sort by event
+        # time; cross-batch order is the SOURCE's contract (time-split
+        # files), exactly like any watermark-ordered session stream
+        rows = rows.sort_values("t")
+        if state.exists:
+            start, last_t, n, s = state.get
+        else:
+            start = last_t = None
+            n, s = 0, 0.0
+        out = []
+        for t, v in zip(rows["t"].to_numpy(), rows["value"].to_numpy()):
+            t = int(t)
+            if last_t is not None and t - last_t > gap:
+                out.append((user_id, start, n, s))  # closed: final row
+                start, n, s = t, 0, 0.0
+            if start is None:
+                start = t
+            last_t = t
+            n += 1
+            s += float(v)
+        state.update((int(start), int(last_t), int(n), float(s)))
+        # the still-open session emits provisionally; a later batch that
+        # extends it re-emits the same (user, start) with larger n — the
+        # reader keeps the max-n version per key (same convergence trick
+        # as running_user_totals)
+        out.append((user_id, start, n, s))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "n_events", "value_sum"]
+        )
+
+    return update
+
+
+def sessionize(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization with explicit cross-batch state: events
+    more than ``gap_seconds`` apart start a new session per user; the
+    OPEN session (start, last_t, count, sum) carries in GroupState
+    across micro-batches — the custom stateful operator a built-in
+    session window cannot express when you need provisional emission
+    plus custom per-session accumulators.  Input: (user_id, t
+    epoch-seconds, value).  Emits closed sessions as final rows and the
+    open session provisionally each batch; group the sink by
+    (user_id, session_start) keeping the max-n_events row to converge.
+    State is O(1) per active user, same as running_user_totals."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

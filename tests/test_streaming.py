@@ -240,3 +240,64 @@ def test_bench_contract_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """A session OPEN at the end of batch 0 must be extended by batch 1
+    through GroupState (one merged session), while a batch-1 event past
+    the gap closes it and opens a new one — the deterministic miniature
+    of the stream_sessionize gate."""
+    import os
+
+    from applications_analytics_midas_hbase_metrics_spark.streaming import (
+        stateful as ST,
+    )
+
+    # user 1: batch0 ends t=100,160; batch1 continues 200 (same session),
+    #         then 1000 (gap>300 -> new session)
+    # user 2: lives entirely in batch0
+    b0 = [(1, 100, 1.0), (1, 160, 2.0), (2, 50, 5.0)]
+    b1 = [(1, 200, 4.0), (1, 1000, 8.0)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import glob as _g
+    import shutil
+
+    for i, rows in enumerate((b0, b1)):
+        tmp = str(tmp_path / f"tmp{i}")
+        spark.createDataFrame(
+            rows, "user_id long, t long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(_g.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ST.sessionize(stream, gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in spark.table("sess_test")
+        .groupBy("user_id", "session_start")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert final == {
+        (1, 100): (3, 7.0),    # merged ACROSS the batch boundary
+        (1, 1000): (1, 8.0),   # opened by the gap break in batch 1
+        (2, 50): (1, 5.0),
+    }
