@@ -347,3 +347,68 @@ def fingerprint(
         F.col(id_col).cast("bigint").alias("id"),
         java_hash(normalized).cast("bigint").alias("fingerprint"),
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication measurement (the Lee et al.
+    "Deduplicating Training Data" ExactSubstr shape, at n-gram
+    granularity): every position whose ``n``-gram occurs at least
+    ``min_count`` times CORPUS-WIDE (within-doc repeats included) marks
+    its n-token span as duplicated; the output is the per-document
+    union of those spans — (id, n_tokens, n_flagged, flagged_frac),
+    the signal a curation pass thresholds or clips on.
+
+    Scale shape: positions explode to |tokens| rows; the corpus-wide
+    count is ONE hash-aggregate on the gram (map-side combined — the
+    common unique gram collapses before the shuffle); survivors
+    semi-join back and the span union is a distinct over (id,
+    position).  Grams shuffle as strings here because the differential
+    oracle replays them verbatim; a 100 TB deployment shuffles
+    ``xxhash64(gram)`` instead (8 bytes, same plan shape, collision
+    odds ~n²/2⁶⁴).  No pairwise comparisons anywhere — cost is corpus
+    tokens, not docs²."""
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("tks"),
+    ).withColumn("n_tokens", F.size("tks").cast("bigint"))
+    g = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            "id",
+            "tks",
+            F.explode(F.sequence(F.lit(0), F.col("n_tokens") - n)).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.array_join(F.slice("tks", F.col("pos") + 1, n), " ").alias("gram"),
+        )
+    )
+    dup_grams = g.groupBy("gram").count().filter(F.col("count") >= min_count)
+    hits = g.join(dup_grams.select("gram"), "gram", "left_semi")
+    cov = (
+        hits.select("id", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("p"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_flagged"))
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(cov, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.round(
+                F.coalesce("n_flagged", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("flagged_frac"),
+        )
+    )

@@ -674,6 +674,50 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "repeated_spans",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKS} AS tks FROM documents
+    ),
+    base AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n_tokens FROM tk),
+    g0 AS (
+        SELECT doc_id, tks,
+               unnest(range(0, len(tks) - 3)) AS pos
+        FROM base WHERE n_tokens >= 4
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               array_to_string(tks[pos + 1 : pos + 4], ' ') AS gram
+        FROM g0
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gram)),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + unnest(range(0, 4)) AS p FROM hits
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+        FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, b.n_tokens,
+           CAST(coalesce(p.n_flagged, 0) AS BIGINT) AS n_flagged,
+           round(coalesce(p.n_flagged, 0)
+                 / greatest(b.n_tokens, 1), 6) AS flagged_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (operators.text.repeated_ngram_spans,
+    the ExactSubstr curation signal): positions whose 4-gram occurs >=2
+    times corpus-wide flag their span; per-doc span unions under the
+    differential hash.  4-grams for the same reason as decontaminate —
+    the fixture's small vocabulary needs them to produce genuine
+    cross-document collisions."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.repeated_ngram_spans(docs, n=4, min_count=2)
+
+
+@register_extra(
     "text_hash_embed",
     oracle=f"""
     WITH tk AS (

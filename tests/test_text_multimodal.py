@@ -344,3 +344,22 @@ def test_extract_audio_features_isolates_bad_rows(spark):
     assert got[1].n_samples == 20 and got[1].n_channels == 1
     assert got[2].feature_ok.startswith("error:")
     assert got[2].n_samples is None
+
+
+def test_repeated_ngram_spans_semantics(spark):
+    rows = [
+        (1, "a b c d e f g h"),   # shares "c d e f" with doc 2
+        (2, "x y c d e f z w"),
+        (3, "p q r s t u v"),     # unique -> clean
+        (4, "m m m m m m"),       # within-doc repeats flag everything
+        (5, "one two"),           # shorter than n -> zero grams, clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in T.repeated_ngram_spans(df, n=4).collect()}
+    assert (got[1].n_flagged, got[1].flagged_frac) == (4, 0.5)
+    assert (got[2].n_flagged, got[2].flagged_frac) == (4, 0.5)
+    assert got[3].n_flagged == 0 and got[5].n_flagged == 0
+    assert (got[4].n_flagged, got[4].flagged_frac) == (6, 1.0)
+    # overlapping repeated grams union, not double-count: doc 4 has 3
+    # identical grams covering 6 positions, not 12
+    assert len(got) == 5  # every doc gets a verdict row
