@@ -164,17 +164,25 @@ def build_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lloyd_steps: int = 1,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF codebook: seed with the ``num_centroids`` rows of
     lowest id (reproducible, no RNG), then ``lloyd_steps`` rounds of
     assign + mean.  Returns (centroid_id, centroid array<double>).
 
-    At 100 TB you'd train on a sample and persist the codebook; the
-    training cost here is one broadcast join per Lloyd step."""
+    ``train_mod=k`` trains the Lloyd steps on the deterministic
+    ``id % k == 0`` sample — the production practice at scale: codebook
+    quality needs a representative sample, not the corpus, and the
+    N x C assignment cost of each training round drops by k (measured
+    in SCALE.md).  Seeding stays on the full corpus's lowest ids so the
+    codebook identity is sample-size-independent; the full-corpus
+    assignment happens exactly once, in :func:`ivf_index`.  Hash-free
+    modular sampling keeps the whole build replayable in SQL."""
     base = corpus.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    train = base.filter(F.col("id") % train_mod == 0) if train_mod else base
     # Seed selection via orderBy().limit() — TakeOrderedAndProject keeps
     # a per-partition top-N and merges N rows on the driver side of the
     # exchange.  (A global row_number() window here would sort the ENTIRE
@@ -194,12 +202,12 @@ def build_ivf_centroids(
     cents = seeds
     for _ in range(lloyd_steps):
         assigned = _assign_nearest(
-            base.select("id", "v"), cents, vec="v", out="cid", id_col="id"
+            train.select("id", "v"), cents, vec="v", out="cid", id_col="id"
         )
         # element-wise mean via posexplode: two shuffles on small keys,
         # no giant per-group array expressions — this is the shape that
         # survives 100 TB corpora (per-(centroid, dim) partial means)
-        cents = (
+        means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
@@ -209,7 +217,18 @@ def build_ivf_centroids(
             )
             .select(
                 F.col("cid").cast("int").alias("centroid_id"),
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("_new"),
+            )
+        )
+        # empty-cluster guard: a centroid that attracted no (sampled)
+        # trainees this round keeps its previous position instead of
+        # silently vanishing from the codebook — |codebook| is an
+        # invariant, not a function of the training sample
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
             )
         )
     return cents

@@ -603,3 +603,26 @@ def test_hashed_embedding_bridges_to_ann(spark):
     ).first()
     assert (top.corpus_id, top.rank) == (2, 1)
     assert top.cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_codebook_sampled_training_keeps_size(spark):
+    """train_mod trains Lloyd on a deterministic sample; the codebook
+    size is an INVARIANT — a centroid with no sampled trainees keeps
+    its previous position (empty-cluster guard) instead of vanishing."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = SIM.build_ivf_centroids(corpus, num_centroids=64, lloyd_steps=1)
+    sampled = SIM.build_ivf_centroids(
+        corpus, num_centroids=64, lloyd_steps=1, train_mod=16
+    )
+    assert full.count() == 64
+    assert sampled.count() == 64  # 25 trainees over 64 clusters: most empty
+    # sampled codebook still drives a complete, valid index
+    idx = SIM.ivf_index(corpus, sampled)
+    assert idx.count() == 400
+    assert idx.select("list_id").distinct().count() <= 64
