@@ -213,3 +213,88 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = D.drop_exact_duplicates(with_text, content_col="text", id_col="id")
     return kept.select("id", "n_tokens", "stopword_ratio")
+
+
+@register_extra(
+    "corpus_snapshot",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, text, {_TOKS} AS tks FROM documents
+    ), feat AS (
+        SELECT doc_id, text,
+               CAST(len(tks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tks, tok -> tok IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   AS DOUBLE) / greatest(len(tks), 1) AS stop_ratio
+        FROM tk
+    ), kept AS (
+        SELECT doc_id, n_tokens FROM feat
+        WHERE n_tokens >= 20 AND stop_ratio > 0
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    ), c AS (
+        SELECT split, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id)
+                    - n_tokens AS BIGINT) AS b
+        FROM s
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT b // {_PACK_BUDGET}) AS BIGINT) AS n_packs
+    FROM c GROUP BY 1
+    """,
+)
+def q_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raw-docs -> training-shards pipeline as ONE differential
+    gate: quality filter (length + stopword signal) -> exact dedup
+    (lowest id per text) -> deterministic 80/10/10 split -> PER-SPLIT
+    sequence packing (each split is its own training corpus, so pack
+    boundaries restart per split; three distributed prefix sums, which
+    is exactly the per-split jobs a deployment runs).  The gated output
+    is the per-split shard manifest — doc count, token count, pack
+    count — so a drift anywhere in the composed chain (a filter
+    constant, the dedup rule, the split hash, the pack arithmetic)
+    moves the hash.  Composes the individually-gated operators
+    end-to-end: quality_score, dedup_exact, train_val_test_split,
+    sequence_packing."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    qf = T.quality_features(docs)
+    sel = qf.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") > 0)
+    ).select("id", "n_tokens")
+    with_text = sel.join(
+        docs.select(F.col("doc_id").cast("bigint").alias("id"), "text"), "id"
+    )
+    kept = D.drop_exact_duplicates(with_text, content_col="text", id_col="id")
+    bucket = (F.col("id") * 2654435761) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    tagged = kept.select(
+        F.col("id").alias("doc_id"), "n_tokens", split.alias("split")
+    )
+    parts = []
+    for sp in ("train", "val", "test"):
+        packed = P.assign_packs(
+            tagged.filter(F.col("split") == sp).select("doc_id", "n_tokens"),
+            tokens_col="n_tokens",
+            order_col="doc_id",
+            budget=_PACK_BUDGET,
+        )
+        parts.append(
+            packed.groupBy(F.lit(sp).alias("split")).agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
