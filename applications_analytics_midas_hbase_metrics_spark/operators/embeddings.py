@@ -164,24 +164,26 @@ def dense_from_sparse(
 ) -> DataFrame:
     """(id, dim_idx, value) long-form → (id, embedding array<double>)
     with zeros filled — the bridge from :func:`hashed_embedding` to the
-    ANN / semantic-dedup operators.  One hash-aggregate; the dense
-    array builds per row from a sorted (idx, value) struct list, so no
-    corpus-wide op and no UDF."""
-    pairs = F.array_sort(
+    ANN / semantic-dedup operators.  One hash-aggregate; the (idx →
+    value) map is built ONCE per row in the aggregate and the
+    per-dimension transform only does lookups — Spark does not hoist
+    loop-invariant expressions out of higher-order-function lambdas,
+    so building the map inside the lambda would reconstruct it dim
+    times per row (O(dim·nnz) instead of O(dim+nnz)).  Map lookups
+    ignore entry order, so no sort is needed.  No corpus-wide op, no
+    UDF."""
+    entries = F.map_from_entries(
         F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(val_col).alias("v")))
     )
     return (
         sparse.groupBy(F.col(id_col).alias("id"))
-        .agg(pairs.alias("_p"))
+        .agg(entries.alias("_m"))
         .select(
             "id",
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda i: F.coalesce(
-                    F.element_at(
-                        F.map_from_entries("_p"), i.cast("int")
-                    ),
-                    F.lit(0.0),
+                    F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)
                 ),
             ).alias("embedding"),
         )

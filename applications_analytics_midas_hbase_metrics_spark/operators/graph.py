@@ -54,10 +54,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``edges``; cluster_id is the
     minimum node id reachable from the node (deterministic canonical
-    labeling, reproducible in a recursive-CTE oracle)."""
+    labeling, reproducible in a recursive-CTE oracle).
+
+    Propagation moves one hop per superstep, so convergence needs
+    ~graph-diameter rounds.  ``strict=True`` raises if ``max_iter``
+    rounds exhaust WITHOUT convergence instead of silently returning
+    partial labels — required by callers whose contract depends on
+    complete components (semantic_dedup_cover's every-dropped-row-
+    connects-to-its-kept-representative invariant)."""
     # Materialize the edge frame BEFORE the self-union: both union
     # branches consume it, and exchange reuse is not guaranteed across a
     # union — an expensive upstream pipeline (LSH + verify) would execute
@@ -136,6 +144,11 @@ def connected_components(
             if changed == 0:
                 break
     und.unpersist()
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} supersteps "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

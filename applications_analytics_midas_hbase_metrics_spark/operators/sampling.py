@@ -97,11 +97,21 @@ def mixture_sample(
     shuffles, zero joins, works unchanged on 100 TB.
 
     Rates are fractions in [0, 1]; strata absent from ``rates`` keep
-    ``default_rate``.  Rate granularity is 1% (100 buckets)."""
-    entries = [f for k, v in sorted(rates.items()) for f in (F.lit(k), F.lit(v))]
-    rate = F.coalesce(
+    ``default_rate``.  Rate granularity is 1% (100 buckets) — EXACTLY:
+    each rate becomes the INTEGER threshold ``round(rate*100)`` before
+    the comparison, because ``bucket < rate * 100`` as a double compare
+    keeps one extra bucket whenever the x100 product rounds up in IEEE
+    (0.07*100 == 7.000000000000001 would pass 8 buckets, and both
+    engines compute the same double, so no differential gate could
+    ever catch it)."""
+    entries = [
+        f
+        for k, v in sorted(rates.items())
+        for f in (F.lit(k), F.lit(int(round(v * 100))))
+    ]
+    threshold = F.coalesce(
         F.element_at(F.create_map(*entries), F.col(strat_col)),
-        F.lit(float(default_rate)),
+        F.lit(int(round(float(default_rate) * 100))),
     )
     h = F.pmod(
         F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
@@ -110,7 +120,7 @@ def mixture_sample(
     # high bits: (h * 100) div 2^31 — h*100 < 2^38 so the double
     # division is exact (< 2^53) and floor() is the integer quotient
     bucket = F.floor(h * F.lit(100) / F.lit(_MIX_DOMAIN)).cast("bigint")
-    return df.filter(bucket < rate * 100)
+    return df.filter(bucket < threshold)
 
 
 def stratified_percent_rank(

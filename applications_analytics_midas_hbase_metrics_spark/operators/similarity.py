@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import _dot
+from .dedup import _dot, _self_join_ready
 
 
 def _norm(v: Column) -> Column:
@@ -316,6 +316,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: bucket the corpus by
     nearest centroid, then inside each bucket drop every vector that has
@@ -339,6 +340,10 @@ def semantic_dedup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     ).withColumn("cn", _norm(F.col("cv")))
     assigned = _assign_nearest(c, centroids, vec="cv", out="cluster_id", id_col="id")
+    # assigned feeds BOTH pair sides and the final keep-join — without
+    # materialization the full-corpus centroid assignment (the dominant
+    # cost) executes once per consumer; see dedup._self_join_ready
+    assigned = _self_join_ready(assigned, materialize)
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("cv").alias("va"),
         F.col("cn").alias("na"), "cluster_id",
@@ -376,6 +381,8 @@ def semantic_dedup_cover(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
+    max_iter: int = 50,
 ) -> DataFrame:
     """:func:`semantic_dedup` with COVER semantics: the >=threshold
     within-bucket pair graph is reduced by connected components and the
@@ -399,6 +406,9 @@ def semantic_dedup_cover(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     ).withColumn("cn", _norm(F.col("cv")))
     assigned = _assign_nearest(c, centroids, vec="cv", out="cluster_id", id_col="id")
+    # three consumers (both pair sides + the final keep-join): run the
+    # full-corpus centroid assignment once, not three times
+    assigned = _self_join_ready(assigned, materialize)
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("cv").alias("va"),
         F.col("cn").alias("na"), "cluster_id",
@@ -416,7 +426,10 @@ def semantic_dedup_cover(
         )
         .select("id_a", "id_b")
     )
-    comp = connected_components(pairs)  # (id, cluster_id = min reachable)
+    # strict: partial labels would break the every-dropped-row-connects-
+    # to-its-kept-representative contract on chains longer than the
+    # superstep budget — fail loudly, never mislabel
+    comp = connected_components(pairs, max_iter=max_iter, strict=True)
     comp = comp.select("id", F.col("cluster_id").alias("rep_id"))
     return (
         assigned.join(comp, "id", "left")
@@ -433,3 +446,31 @@ def semantic_dedup_cover(
             F.coalesce("rep_id", "id").cast("bigint").alias("rep_id"),
         )
     )
+
+
+def replicate_embeddings(
+    emb: DataFrame,
+    factor: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nudge: float = 0.01,
+) -> DataFrame:
+    """``factor``x corpus replication for scaling experiments: replica i
+    offsets ids by 1,000,000·i and nudges the first vector component by
+    ``nudge``·i, so replicas are near- but not exact-duplicates (no
+    degenerate cosine ties).  Dimension-agnostic (slices by the array's
+    own size).  Shared by tools/ivf_scale.py and the plan-audit C=256
+    twin so the scaling evidence and the audited plan can never
+    desynchronize."""
+    corpus = emb
+    for i in range(1, factor):
+        corpus = corpus.union(
+            emb.select(
+                (F.col(id_col) + 1_000_000 * i).alias(id_col),
+                F.concat(
+                    F.array(F.element_at(vec_col, 1) + F.lit(nudge * i)),
+                    F.slice(F.col(vec_col), 2, F.size(vec_col) - 1),
+                ).alias(vec_col),
+            )
+        )
+    return corpus

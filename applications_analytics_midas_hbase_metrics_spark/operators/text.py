@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import java_hash
-from .dedup import tokens
+from .dedup import _self_join_ready, tokens
 
 #: Tiny stopword profiles for the n-gram/stopword language heuristic.
 #: Deliberately small and fixed: the point is deterministic, scalable
@@ -355,6 +355,7 @@ def repeated_ngram_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Substring-level duplication measurement (the Lee et al.
     "Deduplicating Training Data" ExactSubstr shape, at n-gram
@@ -372,11 +373,19 @@ def repeated_ngram_spans(
     oracle replays them verbatim; a 100 TB deployment shuffles
     ``xxhash64(gram)`` instead (8 bytes, same plan shape, collision
     odds ~n²/2⁶⁴).  No pairwise comparisons anywhere — cost is corpus
-    tokens, not docs²."""
+    tokens, not docs².
+
+    The tokenized base and the gram-explode frame each feed two
+    consumers (gram build + final join; count + semi-join), so both
+    materialize by default — otherwise the tokenize/explode pipeline,
+    the most expensive stage, executes once per consumer (the
+    lsh_pairs_between lesson); ``materialize=False`` keeps the plan
+    lazy for inspection."""
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         tokens(text_col).alias("tks"),
     ).withColumn("n_tokens", F.size("tks").cast("bigint"))
+    base = _self_join_ready(base, materialize)
     g = (
         base.filter(F.col("n_tokens") >= n)
         .select(
@@ -390,6 +399,7 @@ def repeated_ngram_spans(
             F.array_join(F.slice("tks", F.col("pos") + 1, n), " ").alias("gram"),
         )
     )
+    g = _self_join_ready(g, materialize)
     dup_grams = g.groupBy("gram").count().filter(F.col("count") >= min_count)
     hits = g.join(dup_grams.select("gram"), "gram", "left_semi")
     cov = (

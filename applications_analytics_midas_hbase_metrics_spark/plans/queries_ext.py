@@ -365,6 +365,23 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _perturbed_corpus(spark: SparkSession, sf_dir: str):
+    """The perturbed-embedding corpus shared by the semantic-dedup and
+    embedding-near-dup gates (Spark half of _PERT_EMB_SQL): every base
+    vector plus a +100000-id copy with its first component scaled 1.01
+    (cosine ~0.9998 to its base)."""
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
+        ).alias("embedding"),
+    )
+    return base.union(pert)
+
+
 @register(
     "dedup_embedding",
     oracle=f"""
@@ -376,16 +393,7 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
-    pert = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
-        ).alias("embedding"),
-    )
-    corpus = base.union(pert)
+    corpus = _perturbed_corpus(spark, sf_dir)
     return D.embedding_near_duplicates(corpus, threshold=0.95, materialize=False)
 
 
@@ -659,16 +667,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id of each similar group.  Every perturbed copy lands in its base's
     bucket (cos ~ 0.9998) and is dropped; the oracle replays the seed
     selection, the argmax assignment, and the pruning rule verbatim."""
-    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
-    pert = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
-        ).alias("embedding"),
-    )
-    corpus = base.union(pert)
+    corpus = _perturbed_corpus(spark, sf_dir)
     cents = SIM.build_ivf_centroids(corpus, num_centroids=16, lloyd_steps=0)
     return SIM.semantic_dedup(corpus, cents, threshold=0.95)
 
@@ -797,16 +796,7 @@ def q_semantic_dedup_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     it), fixing the upper-triangular rule's over-prune on chains
     (round-6 advice).  Oracle: the same seed/assign replay plus a
     recursive-CTE transitive closure, exactly like dedup_clusters."""
-    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), vd.alias("embedding"))
-    pert = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at(vd, 1) * 1.01), F.slice(vd, 2, F.size(vd) - 1)
-        ).alias("embedding"),
-    )
-    corpus = base.union(pert)
+    corpus = _perturbed_corpus(spark, sf_dir)
     cents = SIM.build_ivf_centroids(corpus, num_centroids=16, lloyd_steps=0)
     return SIM.semantic_dedup_cover(corpus, cents, threshold=0.95)
 
@@ -1132,8 +1122,12 @@ _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
 
 _MIX_RATE_SQL = (
     "CASE lang "
-    + " ".join(f"WHEN '{k}' THEN {v * 100}" for k, v in sorted(_MIX_RATES.items()))
-    + " ELSE 100.0 END"
+    + " ".join(
+        # integer thresholds, matching mixture_sample's round(rate*100)
+        f"WHEN '{k}' THEN {int(round(v * 100))}"
+        for k, v in sorted(_MIX_RATES.items())
+    )
+    + " ELSE 100 END"
 )
 
 

@@ -320,12 +320,21 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
         return (i % _MIX_DOMAIN) * _MIX_PRIME % _MIX_DOMAIN * 100 // _MIX_DOMAIN
 
     # exact Python replay of the keep-decision — determinism, not stats
-    expect = {(i, lg) for i, lg in rows if bucket(i) < rates[lg] * 100}
+    expect = {(i, lg) for i, lg in rows if bucket(i) < round(rates[lg] * 100)}
     assert {(r.doc_id, r.lang) for r in kept} == expect
     by_lang = {lg: sum(1 for _, l2 in expect if l2 == lg) for lg in rates}
     assert by_lang["en"] == 1000          # rate 1.0 keeps everything
     assert by_lang["zh"] == 0             # rate 0.0 keeps nothing
     assert 400 <= by_lang["de"] <= 600    # rate 0.5 keeps about half
+    # float-threshold regression (review r7): 0.07*100 is
+    # 7.000000000000001 in IEEE — the integer-threshold compare must
+    # keep exactly the 7 buckets 0..6, never an 8th
+    seven = spark.createDataFrame(
+        [(i, "en") for i in range(200000)], ["doc_id", "lang"]
+    )
+    kept7 = mixture_sample(seven, {"en": 0.07}, strat_col="lang").count()
+    exact7 = sum(1 for i in range(200000) if bucket(i) < 7)
+    assert kept7 == exact7
     # DECORRELATION from the mod-100 train/val/test split (the round-6
     # advice bug: a mod-100 bucket of id*prime is an affine permutation
     # of id mod 100, deterministically coupling the two decisions).

@@ -53,11 +53,15 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
-SAMPLE_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
-
-
 def main() -> int:
     import duckdb
+
+    # single source of truth with the Spark loader's sampling hook — a
+    # third corpus table added there is automatically sampled on BOTH
+    # sides here, never just one
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries import (
+        _SAMPLE_ID_COLS as SAMPLE_ID_COLS,
+    )
 
     args = sys.argv[1:]
     sample_mod = None

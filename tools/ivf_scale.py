@@ -61,20 +61,7 @@ def main() -> None:
     emb.count()  # warm footers
 
     for factor in (1, 4, max_factor):
-        corpus = emb
-        for i in range(1, factor):
-            nudge = F.lit(0.01 * i)
-            corpus = corpus.union(
-                emb.select(
-                    (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
-                    # nudge the first component so replicas are near- but
-                    # not exact-duplicates (no degenerate cosine ties)
-                    F.concat(
-                        F.array(F.element_at("embedding", 1) + nudge),
-                        F.slice("embedding", 2, 63),
-                    ).alias("embedding"),
-                )
-            )
+        corpus = S.replicate_embeddings(emb, factor)
         corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
         corpus = corpus.localCheckpoint(eager=True)  # time IVF, not the union
         n_vecs = corpus.count()
