@@ -143,3 +143,50 @@ def stratified_percent_rank(
     switch to approx quantile cutoffs instead."""
     w = Window.partitionBy(group_col).orderBy(score_col, id_col)
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: stratum ``s`` with ``n_s``
+    rows keeps rate ``(n_min / n_s)^(1-alpha)``, so the kept sizes are
+    proportional to ``n_s^alpha`` — the multilingual-LM rebalancing rule
+    (alpha=1 keeps the natural distribution, alpha=0 equalizes strata,
+    alpha~0.3-0.7 is the usual compromise).  The smallest stratum always
+    keeps everything; larger strata downsample deterministically.
+
+    Unlike :func:`mixture_sample` the rates are DERIVED FROM THE DATA:
+    one tiny counts aggregate (|strata| rows) broadcasts back onto the
+    scan, so the pass stays one narrow shuffle + a map-side filter —
+    no driver-side collect, no second scan.  The keep-decision reuses
+    the Fibonacci high-bit bucket over 10,000 slots (0.01% rate
+    granularity) with an integer threshold ``floor(rate * 10000)``.
+
+    alpha=0.5 computes the rate via ``sqrt``, which IEEE requires to be
+    correctly rounded — bit-identical across engines, so the
+    differential gate is exact; other alphas go through ``pow``, whose
+    last-ulp behavior is libm-specific (fine in production, not
+    oracle-exact)."""
+    counts = df.groupBy(strat_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    ratio = F.col("_nmin") / F.col("_n")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    thresholds = counts.crossJoin(F.broadcast(nmin)).select(
+        strat_col, F.floor(rate * 10000).cast("bigint").alias("_thr")
+    )
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    # h*10000 < 2^45 — exact in double, floor() is the integer quotient
+    bucket = F.floor(h * F.lit(10000) / F.lit(_MIX_DOMAIN)).cast("bigint")
+    return (
+        df.join(F.broadcast(thresholds), strat_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

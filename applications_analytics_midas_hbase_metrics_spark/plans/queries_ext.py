@@ -18,7 +18,11 @@ from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import embeddings as EMB
 from ..operators import text as T
-from ..operators.sampling import mixture_sample, stratified_percent_rank
+from ..operators.sampling import (
+    mixture_sample,
+    stratified_percent_rank,
+    temperature_mixture,
+)
 from ..streaming import windows as W
 from .queries import (
     claim_deferred,
@@ -1151,6 +1155,35 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIX_RATES, strat_col="lang").select(
         "doc_id", "lang", "source"
     )
+
+
+@register_extra(
+    "temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    thr AS (
+        SELECT lang,
+               CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n)
+                          * 10000) AS BIGINT) AS t
+        FROM c
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE ((((d.doc_id % 2147483648) + 2147483648) % 2147483648
+            * 2246822519) % 2147483648) * 10000 // 2147483648 < thr.t
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at alpha=0.5
+    (operators.sampling.temperature_mixture): per-language rates
+    DERIVED from the corpus counts — kept sizes proportional to
+    sqrt(n_lang), the multilingual rebalance.  sqrt is IEEE
+    correctly-rounded in both engines, so the data-derived double
+    thresholds are bit-identical and the integer bucket compare is
+    exact under the differential hash."""
+    docs = t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, alpha=0.5, strat_col="lang")
+    return kept.select("doc_id", "lang", "source")
 
 
 #: Blocklist for the safety-filter gate — words from the fixture's own

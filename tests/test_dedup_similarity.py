@@ -635,3 +635,31 @@ def test_codebook_sampled_training_keeps_size(spark):
     idx = SIM.ivf_index(corpus, sampled)
     assert idx.count() == 400
     assert idx.select("list_id").distinct().count() <= 64
+
+
+def test_temperature_mixture_rebalances(spark):
+    """alpha=0.5: kept sizes ~ sqrt(n_s) — the dominant stratum shrinks
+    toward the minority ones, the smallest keeps everything."""
+    import math
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "big") for i in range(9000)]
+        + [(9000 + i, "mid") for i in range(900)]
+        + [(9900 + i, "tiny") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mixture(df, alpha=0.5, strat_col="lang")
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["tiny"] == 100                       # smallest keeps all
+    # expected rates: sqrt(100/9000)=0.1054, sqrt(100/900)=0.3333
+    assert abs(by["big"] / 9000 - math.sqrt(100 / 9000)) < 0.02
+    assert abs(by["mid"] / 900 - math.sqrt(100 / 900)) < 0.05
+    # deterministic: a rerun keeps the identical set
+    again = {r.doc_id for r in temperature_mixture(df, 0.5, "lang").collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+    # alpha=1 keeps the natural distribution (rate 1 everywhere)
+    assert temperature_mixture(df, alpha=1.0, strat_col="lang").count() == 10000
