@@ -298,3 +298,18 @@ def q_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_df in parts[1:]:
         out = out.unionByName(p_df)
     return out
+
+
+@register_extra("bpe_merges")  # rows-only: iterative argmax, no SQL oracle
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators.bpe): 20 merges
+    learned from the documents corpus — word-frequency-weighted pair
+    counting on the VOCABULARY table, one narrow shuffle per merge,
+    driver state = the merge list alone.  No SQL oracle (the brief's
+    sanctioned iterative-algorithm class); the differential check runs
+    in tests/test_bpe.py against an independent single-machine
+    reference implementation, exact to the full merge table."""
+    from ..operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    return B.bpe_merges_frame(docs, n_merges=20)

@@ -1,0 +1,66 @@
+"""BPE merge training verified against an independent single-machine
+reference implementation (the classic Sennrich pair-count loop) — the
+differential check for an operator whose iterative argmax has no SQL
+oracle."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from applications_analytics_midas_hbase_metrics_spark.operators import bpe as B
+
+
+def _reference_bpe(texts: list[str], n_merges: int, min_pair_freq: int = 2):
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # highest count, then lexicographic (left, right) — the
+        # operator's documented tie-break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        merges.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_on_fixture(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _reference_bpe(texts, n_merges=15)
+    got = B.train_bpe_merges(docs, n_merges=15)
+    assert got == want
+    assert len(got) == 15  # the fixture corpus sustains 15 real merges
+
+
+def test_bpe_early_stop_and_overlap(spark):
+    # "aaaa" x3: first merge (a,a) -> greedy leftmost gives [aa, aa];
+    # second merge (aa, aa) -> [aaaa]; then nothing reaches freq 2
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    got = B.train_bpe_merges(df, n_merges=10)
+    assert got == [(0, "a", "a", 9), (1, "aa", "aa", 3)]
+    frame = B.bpe_merges_frame(df, n_merges=10)
+    assert [tuple(r) for r in frame.collect()] == got
