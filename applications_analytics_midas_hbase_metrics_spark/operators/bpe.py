@@ -116,3 +116,57 @@ def bpe_merges_frame(
     rows = train_bpe_merges(df, n_merges, text_col, min_pair_freq)
     schema = "rank int, left string, right string, pair_freq bigint"
     return spark.createDataFrame(rows, schema)
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode with a learned merge table: each word's symbols repeatedly
+    merge the LOWEST-RANK applicable pair until none applies (the
+    standard BPE encode), emitting (id, n_words, n_bpe_tokens) — the
+    real token counts a packing/budgeting pass needs, replacing the
+    whitespace approximation.
+
+    Arrow-batched mapInPandas; the merge table ships in the closure
+    (merge tables are a few 10k entries — well under broadcast scale)
+    and distinct words memoize within each batch, so the per-word loop
+    runs once per distinct word, not once per occurrence."""
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+
+    def encode_word(w: str, cache: dict) -> int:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[w] = len(syms)
+        return len(syms)
+
+    import re as _re
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                words = [w for w in _re.split(r"\s+", (row.text or "").lower()) if w]
+                out.append(
+                    (row.doc_id, len(words), sum(encode_word(w, cache) for w in words))
+                )
+            yield pd.DataFrame(out, columns=["id", "n_words", "n_bpe_tokens"])
+
+    src = df.select(F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(
+        run, "id bigint, n_words bigint, n_bpe_tokens bigint"
+    )

@@ -313,3 +313,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return B.bpe_merges_frame(docs, n_merges=20)
+
+
+@register_extra("bpe_tokenize")  # rows-only twin of bpe_merges (same class)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: the 20-merge table learned by bpe_merges
+    applied back to the corpus (operators.bpe.apply_bpe) — real BPE
+    token counts per document, the packing/budgeting input that
+    replaces the whitespace approximation.  Reference-differential in
+    tests/test_bpe.py (exact per-doc counts on fixture docs)."""
+    from ..operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges = B.train_bpe_merges(docs, n_merges=20)
+    return B.apply_bpe(docs, merges)

@@ -64,3 +64,35 @@ def test_bpe_early_stop_and_overlap(spark):
     assert got == [(0, "a", "a", 9), (1, "aa", "aa", 3)]
     frame = B.bpe_merges_frame(df, n_merges=10)
     assert [tuple(r) for r in frame.collect()] == got
+
+
+def test_apply_bpe_matches_reference_encode(spark, sf_dir):
+    """Encode with the learned table: per-word lowest-rank-first
+    merging, verified against a reference encode over fixture docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    merges = B.train_bpe_merges(docs, n_merges=12)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+
+    def ref_encode(w):
+        syms = list(w)
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    got = {r.id: (r.n_words, r.n_bpe_tokens) for r in B.apply_bpe(docs, merges).collect()}
+    for doc_id, text in texts.items():
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        want = (len(words), sum(ref_encode(w) for w in words))
+        assert got[doc_id] == want, doc_id
+    # merges compress: BPE token count strictly below character count,
+    # at or below... word count is the floor
+    assert all(t >= w for w, t in got.values())
