@@ -93,7 +93,8 @@ def train_bpe_merges(
         # the candidate frame is |distinct pairs| rows; TakeOrdered pulls
         # exactly one winner to the driver — the merge table IS driver
         # state (a few thousand rows for a real tokenizer)
-        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        # one winning pair per round — the merge table IS driver state
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()  # driver-ok: bounded argmax
         if not best or best[0].cnt < min_pair_freq:
             break
         a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
