@@ -422,3 +422,80 @@ def repeated_ngram_spans(
             ).alias("flagged_frac"),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter, self-trained): the corpus's own add-one-smoothed
+    bigram model scores every document by mean log-probability —
+    boilerplate and word-soup outliers score far from the corpus mode,
+    which is the signal a perplexity-window filter cuts on.
+
+    ``score = mean over adjacent pairs of ln((B(a,b)+1)/(U(a)+V))``
+    with B/U the corpus bigram/unigram counts and V the vocabulary
+    size.  Two count aggregates train the model; scoring is an
+    equi-join of the doc-pair explode against the bigram table (plus a
+    unigram join) and one mean per doc — all JVM-side, shuffles keyed
+    on grams, nothing corpus-quadratic.  The bigram table stays a
+    first-class DataFrame (at web scale it is far too big to
+    broadcast; the join IS the scale path).
+
+    Returns (id, n_pairs, lm_score) — docs with < 2 tokens score NULL
+    (no pairs).  ln() runs on identical doubles in Spark and DuckDB
+    (integer num/den), so the 6-decimal rounded mean is differentially
+    stable."""
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("tks"),
+    )
+    base = _self_join_ready(base, True)  # feeds pairs AND the final join
+    n = F.size("tks")
+    pairs = (
+        base.filter(n >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tks", 1, n - 1).alias("a"),
+                    F.slice("tks", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pairs = _self_join_ready(pairs, True)  # trains B AND scores docs
+    uni = (
+        base.select(F.explode("tks").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("u"))
+    )
+    uni = _self_join_ready(uni, True)  # vocab size AND the score join
+    vocab = uni.groupBy().agg(F.count("*").alias("v"))
+    big = pairs.groupBy("a", "b").agg(F.count("*").alias("bc"))
+    scored = (
+        pairs.join(big, ["a", "b"])
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log((F.col("bc") + 1) / (F.col("u") + F.col("v"))).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("lp"), 6).alias("lm_score"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "lm_score",
+        )
+    )

@@ -721,6 +721,52 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "ngram_lm_score",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKS} AS tks FROM documents
+    ),
+    p AS (
+        SELECT doc_id, unnest(range(0, greatest(len(tks) - 1, 0))) AS i,
+               tks
+        FROM tk
+    ),
+    pr AS (SELECT doc_id, tks[i + 1] AS a, tks[i + 2] AS b FROM p),
+    uni AS (
+        SELECT a, count(*) AS u
+        FROM (SELECT unnest(tks) AS a FROM tk) GROUP BY 1
+    ),
+    vv AS (SELECT count(*) AS v FROM uni),
+    big AS (SELECT a, b, count(*) AS bc FROM pr GROUP BY 1, 2),
+    sc AS (
+        SELECT pr.doc_id,
+               ln((big.bc + 1) / CAST(uni.u + vv.v AS DOUBLE)) AS lp
+        FROM pr JOIN big USING (a, b) JOIN uni USING (a) CROSS JOIN vv
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS np,
+               round(avg(lp), 6) AS s
+        FROM sc GROUP BY 1
+    )
+    SELECT t.doc_id AS id,
+           CAST(coalesce(a.np, 0) AS BIGINT) AS n_pairs,
+           a.s AS lm_score
+    FROM tk t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM quality scoring
+    (operators.text.ngram_lm_score — the CCNet/KenLM-style perplexity
+    filter): the corpus's add-one-smoothed bigram model scores each
+    document's mean log-probability.  Model training (two count
+    aggregates) and scoring (gram-keyed equi-joins, bigram table never
+    broadcast) replay exactly in DuckDB; ln() runs on identical
+    integer-ratio doubles in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    return T.ngram_lm_score(docs)
+
+
+@register_extra(
     "text_hash_embed",
     oracle=f"""
     WITH tk AS (

@@ -363,3 +363,29 @@ def test_repeated_ngram_spans_semantics(spark):
     # overlapping repeated grams union, not double-count: doc 4 has 3
     # identical grams covering 6 positions, not 12
     assert len(got) == 5  # every doc gets a verdict row
+
+
+def test_ngram_lm_score_semantics(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),   # twin: identical score
+        (3, "zyx qwv jkl pqr"),          # all-rare bigrams: lowest score
+        (4, "one"),                      # single token: no pairs, NULL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in T.ngram_lm_score(df).collect()}
+    assert got[1].lm_score == got[2].lm_score
+    assert got[3].lm_score < got[1].lm_score
+    assert got[4].n_pairs == 0 and got[4].lm_score is None
+    # exact value replay of doc 3: each bigram occurs once (bc=1), every
+    # unigram count... "zyx qwv jkl pqr" tokens appear once each; vocab
+    # spans all docs
+    import math
+
+    uni: dict = {}
+    for _, t_ in rows:
+        for w in t_.lower().split():
+            uni[w] = uni.get(w, 0) + 1
+    V = len(uni)
+    lps = [math.log((1 + 1) / (uni[a] + V)) for a in ("zyx", "qwv", "jkl")]
+    assert got[3].lm_score == round(sum(lps) / 3, 6)
