@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import adjacent_pairs, tokens
 
 def _merge_batch(left: str, right: str):
     merged = left + right
@@ -75,25 +75,15 @@ def train_bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        n = F.size("syms")
         pairs = (
-            state.filter(n >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("syms", 1, n - 1).alias("a"),
-                        F.slice("syms", 2, n - 1).alias("b"),
-                    )
-                ).alias("p"),
-            )
+            state.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(adjacent_pairs("syms")).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
         # the candidate frame is |distinct pairs| rows; TakeOrdered pulls
         # exactly one winner to the driver — the merge table IS driver
         # state (a few thousand rows for a real tokenizer)
-        # one winning pair per round — the merge table IS driver state
         best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()  # driver-ok: bounded argmax
         if not best or best[0].cnt < min_pair_freq:
             break
@@ -156,12 +146,20 @@ def apply_bpe(
 
     import re as _re
 
+    # Encode-time word segmentation MUST match train-time tokens():
+    # training splits on Java \s+, which is ASCII-only by default
+    # ([ \t\n\x0B\f\r]), while Python's \s is Unicode-aware — on
+    # 'foo bar' the two would disagree on word boundaries and
+    # n_words would diverge from every tokens()-derived count.
+    # re.ASCII pins \s to the identical ASCII class.
+    _ws = _re.compile(r"\s+", _re.ASCII)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                words = [w for w in _re.split(r"\s+", (row.text or "").lower()) if w]
+                words = [w for w in _ws.split((row.text or "").lower()) if w]
                 out.append(
                     (row.doc_id, len(words), sum(encode_word(w, cache) for w in words))
                 )

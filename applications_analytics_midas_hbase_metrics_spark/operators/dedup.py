@@ -99,6 +99,20 @@ def tokens(text: Column | str) -> Column:
     ).otherwise(F.split(norm, " "))
 
 
+def adjacent_pairs(arr: Column | str) -> Column:
+    """Array of (a, b) structs for every ADJACENT element pair of
+    ``arr`` — ``zip(arr, arr[1:])`` as a single JVM expression
+    (``slice``/``arrays_zip``, no explode here so callers choose the
+    row shape).  Empty for arrays shorter than 2.  Shared by the bigram
+    LM scorer (text.ngram_lm_score) and the BPE pair counter
+    (bpe.train_bpe_merges)."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    npairs = F.greatest(F.size(c) - 1, F.lit(0))  # slice() rejects length < 0
+    return F.arrays_zip(
+        F.slice(c, 1, npairs).alias("a"), F.slice(c, 2, npairs).alias("b")
+    )
+
+
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as space-joined strings.  Documents
     shorter than k tokens get their whole text as the single shingle."""

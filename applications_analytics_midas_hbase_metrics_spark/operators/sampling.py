@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import _self_join_ready
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -171,6 +173,12 @@ def temperature_mixture(
     last-ulp behavior is libm-specific (fine in production, not
     oracle-exact)."""
     counts = df.groupBy(strat_col).agg(F.count("*").alias("_n"))
+    # counts feeds BOTH nmin and the thresholds frame — without a
+    # materialization point the full corpus count scan can execute
+    # twice (exchange reuse across a self-join is not guaranteed, see
+    # dedup._self_join_ready); the frame is |strata| rows, so the
+    # eager checkpoint is ~free
+    counts = _self_join_ready(counts, True)
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     ratio = F.col("_nmin") / F.col("_n")
     rate = (

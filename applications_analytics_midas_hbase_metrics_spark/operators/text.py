@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import java_hash
-from .dedup import _self_join_ready, tokens
+from .dedup import _self_join_ready, adjacent_pairs, tokens
 
 #: Tiny stopword profiles for the n-gram/stopword language heuristic.
 #: Deliberately small and fixed: the point is deterministic, scalable
@@ -428,6 +428,7 @@ def ngram_lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Bigram language-model quality scoring (the CCNet/KenLM-style
     perplexity filter, self-trained): the corpus's own add-one-smoothed
@@ -452,28 +453,22 @@ def ngram_lm_score(
         F.col(id_col).cast("bigint").alias("id"),
         tokens(text_col).alias("tks"),
     )
-    base = _self_join_ready(base, True)  # feeds pairs AND the final join
-    n = F.size("tks")
+    # materialize=False builds the LAZY twin for plan inspection
+    # (tools/plan_audit.py), same convention as the dedup operators —
+    # eager checkpoints would truncate the audited plan at ExistingRDD
+    base = _self_join_ready(base, materialize)  # feeds pairs AND the final join
     pairs = (
-        base.filter(n >= 2)
-        .select(
-            "id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("tks", 1, n - 1).alias("a"),
-                    F.slice("tks", 2, n - 1).alias("b"),
-                )
-            ).alias("p"),
-        )
+        base.filter(F.size("tks") >= 2)
+        .select("id", F.explode(adjacent_pairs("tks")).alias("p"))
         .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
-    pairs = _self_join_ready(pairs, True)  # trains B AND scores docs
+    pairs = _self_join_ready(pairs, materialize)  # trains B AND scores docs
     uni = (
         base.select(F.explode("tks").alias("a"))
         .groupBy("a")
         .agg(F.count("*").alias("u"))
     )
-    uni = _self_join_ready(uni, True)  # vocab size AND the score join
+    uni = _self_join_ready(uni, materialize)  # vocab size AND the score join
     vocab = uni.groupBy().agg(F.count("*").alias("v"))
     big = pairs.groupBy("a", "b").agg(F.count("*").alias("bc"))
     scored = (

