@@ -172,3 +172,49 @@ def dedup_representatives(
         "cluster_id", F.coalesce("cluster_id", F.col("id"))
     )
     return labeled.filter(F.col("id") == F.col("cluster_id")).select("id")
+
+
+def quality_representatives(
+    scored: DataFrame,
+    components: DataFrame,
+    id_col: str = "id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware cluster representative selection: within each
+    near-duplicate cluster keep the HIGHEST-scoring document (ties →
+    lowest id), not the minimum-id one — the keep-rule real curation
+    pipelines want, since the min-id doc may be the truncated or
+    boilerplate copy while a sibling is the clean original.
+
+    ``scored`` is (id, score) for EVERY corpus document; ``components``
+    is the (id, cluster_id) labeling of the SAME corpus's pair graph
+    (same contract as :func:`dedup_representatives` — a labeling of a
+    different graph is not equivalent).  Unpaired documents (absent
+    from ``components``) form singleton clusters and always survive.
+
+    Returns every document as (id, cluster_id, <score_col>, keep) with
+    keep = 1 for the chosen representative.  One shuffle on cluster_id;
+    the ranking window is PARTITIONED by cluster (near-dup clusters are
+    small and numerous, so per-cluster sorts are partition-local — the
+    same many-groups argument as sampling.stratified_percent_rank).
+    The (score desc, id) order is TOTAL (ids unique), so the winner is
+    deterministic and oracle-comparable even under widespread score
+    ties."""
+    from pyspark.sql.window import Window
+
+    labeled = (
+        scored.select(
+            F.col(id_col).cast("bigint").alias("id"), score_col
+        )
+        .join(components, "id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("id")
+    )
+    return labeled.select(
+        "id",
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).cast("bigint").alias("keep"),
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import graph as G
-from .queries import claim_deferred, persist_deferred, register
+from .queries import claim_deferred, persist_deferred, register, register_extra
 from .queries_ext import MINHASH_PAIRS_SQL, _NEARDUP_DOCS_SQL, _neardup_docs
 
 
@@ -117,3 +117,86 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_representatives(
         corpus, pairs=None, id_col="doc_id", components=labels
     ).select(F.col("id").cast("bigint").alias("id"))
+
+
+#: Per-document quality expression over alias ``text``/``tks``/``n_punct``
+#: — byte-identical to the quality_score oracle's formula (queries_ext),
+#: restated here over the near-dup corpus.
+_QUALITY_SQL = """
+    round(
+      least(CAST(len(tks) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + least((CAST(len(list_filter(tks, tk -> tk IN
+            ('the','a','of','and','to','in','is','that','it','for')))
+            AS DOUBLE) / greatest(len(tks), 1)) * 5.0, 1.0) * 0.4
+      + (1.0 - least((CAST(n_punct AS DOUBLE)
+            / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2, 6)
+"""
+
+
+@register_extra(
+    "dedup_best_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    corpus AS ({_NEARDUP_DOCS_SQL}),
+    q AS (
+        SELECT doc_id AS id, {{q}} AS quality_score
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               tk -> tk != '') AS tks,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS n_punct
+            FROM corpus
+        )
+    ),
+    lab AS (
+        SELECT q.id, CAST(coalesce(comp.cluster_id, q.id) AS BIGINT)
+                   AS cluster_id,
+               q.quality_score
+        FROM q LEFT JOIN comp ON comp.id = q.id
+    )
+    SELECT id, cluster_id, quality_score,
+           CAST(CASE WHEN row_number() OVER
+                (PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, id) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM lab
+    """.replace("{q}", _QUALITY_SQL),
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus dedup (operators.graph
+    .quality_representatives): the same near-dup cluster graph as
+    dedup_corpus, but each cluster keeps its HIGHEST-quality document
+    (quality_features score, ties → lowest id) instead of the minimum
+    id — the keep-rule production curation uses so the clean original
+    survives over a truncated copy.  Claims the pinned pair table /
+    labels when an adjacent family member just built them; the oracle
+    recomputes clusters via the recursive-CTE closure and replays the
+    quality formula byte-identically."""
+    from ..operators import text as T
+
+    labels = claim_deferred(f"cc_labels:{sf_dir}", spark)
+    if labels is None:
+        pairs = claim_deferred(f"minhash_pairs:{sf_dir}", spark)
+        if pairs is None:
+            pairs = D.minhash_near_duplicates(
+                _neardup_docs(spark, sf_dir), threshold=0.5, materialize=False
+            )
+            pairs = persist_deferred(pairs, key=f"minhash_pairs:{sf_dir}")
+        labels = G.connected_components(pairs)
+    corpus = _neardup_docs(spark, sf_dir)
+    scored = T.quality_features(corpus).select("id", "quality_score")
+    return G.quality_representatives(
+        scored, labels, id_col="id", score_col="quality_score"
+    )

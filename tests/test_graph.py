@@ -35,3 +35,27 @@ def test_dedup_representatives(spark):
     kept = sorted(r.id for r in G.dedup_representatives(docs, pairs).collect())
     # cluster {1,2,3} -> keep 1; 50 and 60 unpaired -> kept
     assert kept == [1, 50, 60]
+
+
+def test_quality_representatives(spark):
+    # cluster {1,2,3}: doc 2 scores highest -> keep 2 (NOT min id);
+    # cluster {10,11}: tie on score -> keep lower id 10;
+    # 50 unpaired -> singleton, always kept
+    scored = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7), (50, 0.1)],
+        ["id", "quality_score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    comps = G.connected_components(pairs)
+    out = {
+        r.id: (r.cluster_id, r.keep)
+        for r in G.quality_representatives(scored, comps).collect()
+    }
+    assert out == {
+        1: (1, 0),
+        2: (1, 1),
+        3: (1, 0),
+        10: (10, 1),
+        11: (10, 0),
+        50: (50, 1),
+    }
