@@ -349,3 +349,44 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return B.apply_bpe(docs, _bpe_merges_for(spark, sf_dir))
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    from ..functions.keys import duckdb_java_hash_sql
+
+    gram_h = duckdb_java_hash_sql(f"nm[i : i + {k - 1}]")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(nm) - {k - 1}, 1) + 1),
+                   i -> {gram_h}) AS gh
+        FROM base WHERE length(nm) > 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                   j -> list_min(gh[j : j + {w - 1}]))) AS fps
+        FROM g
+    )
+    SELECT doc_id AS id, CAST(unnest(fps) AS BIGINT) AS fp FROM fp
+    """
+
+
+@register_extra("winnow_fingerprints", oracle=_winnow_oracle(8, 4))
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints
+    (operators.text.winnow_fingerprints): per-window minimum of the
+    character-8-gram Java-hash stream, window 4 — any >= 11-char shared
+    substring between two documents shares a fingerprint.  The gram
+    hash is the reference's key hash (Utils.scala:85-92), so the
+    oracle replays normalize → per-gram fold → window-min → distinct
+    byte-identically in DuckDB."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.winnow_fingerprints(docs, k=8, w=4)

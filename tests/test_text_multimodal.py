@@ -389,3 +389,31 @@ def test_ngram_lm_score_semantics(spark):
     V = len(uni)
     lps = [math.log((1 + 1) / (uni[a] + V)) for a in ("zyx", "qwv", "jkl")]
     assert got[3].lm_score == round(sum(lps) / 3, 6)
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    # the winnowing guarantee: a shared substring of length >= k+w-1
+    # (= 11 for k=8, w=4) forces at least one shared fingerprint
+    shared = "quick brown foxes"  # 17 chars after normalization
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} zzz"),
+            (2, f"completely other preamble {shared}"),
+            (3, "nothing in common here at all"),
+            (4, "tiny"),  # shorter than k=8: whole text is the one gram
+            (5, "   "),   # normalizes to empty: no rows
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.winnow_fingerprints(docs, k=8, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.id, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing an 11+ char substring must share a fp"
+    # short doc: exactly one fingerprint, the hash of the whole text
+    assert fps[4] == {java_hash_py("tiny")}
+    assert 5 not in fps
+    # reference parity: every emitted fp is a java_hash of some 8-gram
+    norm1 = f"aaaa {shared} zzz"
+    grams1 = {java_hash_py(norm1[i : i + 8]) for i in range(len(norm1) - 7)}
+    assert fps[1] <= grams1
