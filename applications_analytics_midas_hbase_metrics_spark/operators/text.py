@@ -547,3 +547,51 @@ def winnow_fingerprints(
         )
     )
     return with_grams.select("id", F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Substring-overlap candidate pairs from shared winnowing
+    fingerprints — the MOSS detection join: documents sharing >=
+    ``min_shared`` selected fingerprints are flagged as overlap
+    candidates, after dropping "stop fingerprints" that occur in more
+    than ``max_df`` documents (boilerplate n-grams carry no overlap
+    signal and are what would make the bucket join quadratic).
+
+    Scale shape: the fingerprint frame shuffles once on ``fp`` for the
+    document-frequency count, survivors bucket-join on ``fp`` (per-
+    bucket fanout is HARD-bounded at max_df² by the stop-fp filter —
+    the same bounded-bucket argument as the LSH band join), and the
+    pair aggregate shuffles on (id_a, id_b).  Nothing is ever docs².
+
+    The fingerprint frame feeds three consumers (the frequency count
+    and both join sides), so it materializes by default;
+    ``materialize=False`` keeps the plan lazy for inspection.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b."""
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    fps = _self_join_ready(fps, materialize)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    rare = fps.join(keep, "fp", "left_semi")
+    a = rare.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = rare.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

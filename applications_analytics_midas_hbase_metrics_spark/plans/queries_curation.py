@@ -390,3 +390,50 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identically in DuckDB."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.winnow_fingerprints(docs, k=8, w=4)
+
+
+def _winnow_pairs_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
+    from ..functions.keys import duckdb_java_hash_sql
+
+    gram_h = duckdb_java_hash_sql(f"nm[i : i + {k - 1}]")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(nm) - {k - 1}, 1) + 1),
+                   i -> {gram_h}) AS gh
+        FROM base WHERE length(nm) > 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                   j -> list_min(gh[j : j + {w - 1}])))) AS fp
+        FROM g
+    ),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {max_df}),
+    rare AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    """
+
+
+@register_extra(
+    "winnow_overlap_pairs", oracle=_winnow_pairs_oracle(8, 4, 20, 2)
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS detection join (operators.text.winnow_overlap_pairs):
+    documents sharing >= 2 winnowing fingerprints, stop-fingerprints
+    (document frequency > 20) dropped first so bucket fanout is
+    hard-bounded — the substring-overlap analogue of the LSH band
+    join.  The oracle replays fingerprinting, the frequency cutoff,
+    and the bucket self-join verbatim."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.winnow_overlap_pairs(docs, k=8, w=4, max_df=20, min_shared=2)

@@ -417,3 +417,30 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     norm1 = f"aaaa {shared} zzz"
     grams1 = {java_hash_py(norm1[i : i + 8]) for i in range(len(norm1) - 7)}
     assert fps[1] <= grams1
+
+
+def test_winnow_overlap_pairs(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        # docs 1 and 2 share a long substring -> pair; the boilerplate
+        # suffix is in ALL docs, so with max_df=3 its fingerprints are
+        # stop-fps and cannot create pairs among 3,4,5
+        [
+            (1, f"alpha {shared} {boiler}"),
+            (2, f"omega preamble {shared} {boiler}"),
+            (3, f"unrelated text one {boiler}"),
+            (4, f"different text two {boiler}"),
+            (5, f"yet another text {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in T.winnow_overlap_pairs(
+            docs, k=8, w=4, max_df=3, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    # no pair among the boilerplate-only docs
+    assert not any(a >= 3 for (a, b) in out), out
