@@ -76,6 +76,18 @@ def main() -> None:
 
     qs["ngram_lm_score"] = _ngram_lm_lazy
 
+    def _winnow_pairs_lazy(s, d):
+        # lazy twin: the gated variant materializes the fingerprint
+        # frame (three consumers), truncating the audited plan there
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return T.winnow_overlap_pairs(docs, materialize=False)
+
+    qs["winnow_overlap_pairs"] = _winnow_pairs_lazy
+
     def _ivf_c256_search(s, d):
         # production-size codebook over a x16-replicated corpus: codebook
         # and inverted-list index build EAGERLY (they are the one-time
@@ -106,6 +118,7 @@ def main() -> None:
         "interval_join_events",
         "text_hash_embed",
         "ngram_lm_score",
+        "winnow_overlap_pairs",
         "cell_build",
         "cell_prefix_scan",
         "cell_lookup",
@@ -137,7 +150,7 @@ def main() -> None:
         "count (shuffle boundaries).",
         "",
         "dedup_minhash / dedup_ngram_blocked / simhash_pairs / semantic_dedup",
-        "/ ngram_lm_score are audited via",
+        "/ ngram_lm_score / winnow_overlap_pairs are audited via",
         "LAZY twins (materialize=False) so the full DAG is inspectable; the",
         "gated variants eagerly localCheckpoint mid-pipeline, which would",
         "truncate the audited plan to an ExistingRDD subtree. Queries built",
