@@ -595,3 +595,55 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Gopher/RefinedWeb
+    filter): highly repetitive or templated text compresses far below
+    natural prose, and near-random noise barely compresses at all, so
+    a curation pass cuts both tails of ``compressed/raw``.
+
+    This is the one text signal that genuinely needs Python (no SQL
+    engine exposes a deterministic DEFLATE), so it runs as an
+    Arrow-batched ``mapInPandas`` — per-document zlib at a FIXED level
+    (zlib output is bit-stable for a given level and input, so the
+    ratio is reproducible across runs and machines).  No SQL oracle
+    (rows-only gate); tests differential-check the exact bytes against
+    direct ``zlib.compress``.
+
+    Returns (id, raw_bytes, compressed_bytes, compression_ratio) —
+    empty documents report ratio NULL."""
+    import zlib
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                raw = (row.text or "").encode("utf-8")
+                if raw:
+                    comp = len(zlib.compress(raw, level))
+                    ratio = round(comp / len(raw), 6)
+                else:
+                    comp, ratio = 0, None
+                out.append((row.doc_id, len(raw), comp, ratio))
+            yield pd.DataFrame(
+                out,
+                columns=["id", "raw_bytes", "compressed_bytes", "compression_ratio"],
+            )
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        "id bigint, raw_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double",
+    )

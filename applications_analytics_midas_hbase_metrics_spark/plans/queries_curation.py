@@ -437,3 +437,15 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the bucket self-join verbatim."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.winnow_overlap_pairs(docs, k=8, w=4, max_df=20, min_shared=2)
+
+
+@register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality scoring
+    (operators.text.compression_ratio) — the Gopher/RefinedWeb filter
+    that catches both templated boilerplate (over-compresses) and
+    noise (under-compresses).  No SQL oracle (DEFLATE is not SQL-
+    expressible — the brief's sanctioned class); the differential
+    check against direct zlib bytes runs in tests."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.compression_ratio(docs)

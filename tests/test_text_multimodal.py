@@ -444,3 +444,28 @@ def test_winnow_overlap_pairs(spark):
     assert (1, 2) in out and out[(1, 2)] >= 2
     # no pair among the boilerplate-only docs
     assert not any(a >= 3 for (a, b) in out), out
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    texts = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # compresses hard
+        (2, "The quick brown fox jumps over the lazy dog."),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {r.id: r for r in T.compression_ratio(docs).collect()}
+    for i, txt in texts:
+        raw = (txt or "").encode("utf-8")
+        if raw:
+            comp = len(zlib.compress(raw, 6))
+            assert out[i].raw_bytes == len(raw)
+            assert out[i].compressed_bytes == comp
+            assert out[i].compression_ratio == round(comp / len(raw), 6)
+        else:
+            assert out[i].compressed_bytes == 0
+            assert out[i].compression_ratio is None
+    # the repetitive doc must compress below the prose doc
+    assert out[1].compression_ratio < out[2].compression_ratio
