@@ -41,10 +41,16 @@ def test_registry_invariants():
     # every extra-tier query is oracle-checked too: even the HLL-based
     # approx_distinct gates a deterministic error-bound verdict.  The
     # ONLY sanctioned rows-only entries are the iterative-argmax BPE
-    # pair (driver records a weaker rows-only check; the differential
-    # verification lives in tests/test_bpe.py against an independent
-    # reference implementation) — this set must not grow silently.
-    assert set(extras) - set(extra_oracles) == {"bpe_merges", "bpe_tokenize"}
+    # pair (differential verification in tests/test_bpe.py against an
+    # independent reference implementation) and compression_ratio
+    # (DEFLATE has no SQL replay; tests/test_text_multimodal.py pins
+    # exact byte parity against direct zlib) — this set must not grow
+    # silently.
+    assert set(extras) - set(extra_oracles) == {
+        "bpe_merges",
+        "bpe_tokenize",
+        "compression_ratio",
+    }
     for name, fn in {**queries, **extras}.items():
         assert callable(fn), name
         params = inspect.signature(fn).parameters
