@@ -44,10 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SET of gated queries is unchanged."""
     chains = {
         # after this query ...         ... pull these up next
-        # (blob_codec left the gated tier in the round-6 rotation; it
-        # still claims the cell build when run adjacently elsewhere)
-        "cell_lookup": ["validation_diff", "validation_missing"],
-        "dedup_minhash": ["dedup_clusters", "dedup_corpus"],
+        # (blob_codec left the gated tier in the round-6 rotation;
+        # validation_missing / dedup_clusters left in the round-8
+        # rotation — they still claim shared frames when run adjacently
+        # in the extra tier)
+        "cell_lookup": ["validation_diff"],
+        "dedup_minhash": ["dedup_corpus"],
     }
     pulled = {c for cs in chains.values() for c in cs}
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -305,10 +305,32 @@ def _prepare_session(spark: SparkSession) -> None:
 _SAMPLE_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
+def sample_mod() -> int | None:
+    """Parse and validate the MIDAS_SAMPLE_MOD verification hook ONCE.
+
+    Returns the integer modulus (>= 2) or None when unset/empty.  A
+    malformed value fails loudly here instead of deep inside a table
+    load: '0'/'1' would silently produce an empty or unsampled corpus
+    (and ``% 0`` is an ANSI divide-by-zero null filter), and a
+    non-integer would raise a bare ValueError mid-plan."""
+    raw = os.environ.get("MIDAS_SAMPLE_MOD")
+    if not raw:
+        return None
+    try:
+        mod = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"MIDAS_SAMPLE_MOD must be an integer >= 2, got {raw!r}"
+        ) from None
+    if mod < 2:
+        raise ValueError(f"MIDAS_SAMPLE_MOD must be >= 2, got {mod}")
+    return mod
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    mod = os.environ.get("MIDAS_SAMPLE_MOD")
+    mod = sample_mod()
     if mod and name in _SAMPLE_ID_COLS:
         # Verification-scoping hook (NOT a production path): keep
         # id % mod == 0 of the corpus tables so the quadratic
@@ -316,7 +338,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # minutes-scale at sf0.1.  tools/check_correctness.py applies
         # the IDENTICAL filter to its DuckDB views, so both sides of
         # every differential check see the same sampled corpus.
-        df = df.filter(F.col(_SAMPLE_ID_COLS[name]) % int(mod) == 0)
+        df = df.filter(F.col(_SAMPLE_ID_COLS[name]) % mod == 0)
     if name == "events":
         # TIMESTAMP(NANOS) parquet, truncated to micros exactly like
         # DuckDB's reader.  Schema-adaptive because Spark changed the
@@ -657,7 +679,7 @@ _TABLE_SIDE_PLUS_SQL = f"""
 """
 
 
-@register(
+@register_extra(
     "validation_missing",
     oracle=f"""
     WITH f AS ({_FILE_SIDE_SQL}), s AS ({_TABLE_SIDE_PLUS_SQL})

@@ -214,7 +214,7 @@ _IJ_BASE = 1704067200
 _IJ_N, _IJ_STEP, _IJ_SPAN = 100, 7 * 3600, 5400
 
 
-@register_extra(
+@register(
     "interval_join_events",
     oracle=f"""
     WITH iv AS (

@@ -308,11 +308,16 @@ def q_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cost for an identical result.  The cached value is a plain Python
 #: list (driver state, no Spark handles), so it survives session
 #: restarts within a process and is trivially safe to share.
-_BPE_MERGE_CACHE: dict[tuple[str, int], list] = {}
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
 
 
 def _bpe_merges_for(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
-    key = (sf_dir, n_merges)
+    # the corpus t() loads is also shaped by the MIDAS_SAMPLE_MOD
+    # verification hook — key on it so a sampled sweep and an unsampled
+    # run sharing one interpreter never reuse each other's merge table
+    from .queries import sample_mod
+
+    key = (sf_dir, n_merges, sample_mod())
     if key not in _BPE_MERGE_CACHE:
         from ..operators import bpe as B
 
@@ -425,7 +430,7 @@ def _winnow_pairs_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
     """
 
 
-@register_extra(
+@register(
     "winnow_overlap_pairs", oracle=_winnow_pairs_oracle(8, 4, 20, 2)
 )
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

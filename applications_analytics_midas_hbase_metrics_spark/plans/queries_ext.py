@@ -238,7 +238,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(docs)
 
 
-@register(
+@register_extra(
     "simhash_pairs",
     oracle=f"""
     WITH fp AS ({_simhash_fp_sql(_neardup_docs_sql("doc_id % 10 = 0"))})
@@ -564,7 +564,9 @@ _INCR_BATCH_SQL = f"""
                  LEFT JOIN near n ON b.doc_id = n.doc_id
     """,
 )
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_incremental(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Incremental dedup — the production shape: classify an incoming
     BATCH against an existing HISTORY corpus as exact_dup / near_dup /
     new, without ever comparing history to itself being the goal at
@@ -616,7 +618,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return D.minhash_signature_frame(_spread(spark, base), num_hashes=96)
 
-    pairs = D.lsh_pairs_between(sigs(batch), sigs(docs), num_hashes=96)
+    pairs = D.lsh_pairs_between(
+        sigs(batch), sigs(docs), num_hashes=96, materialize=materialize
+    )
     near_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
     return (
         batch.select("doc_id")
@@ -720,7 +724,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repeated_ngram_spans(docs, n=4, min_count=2)
 
 
-@register_extra(
+@register(
     "ngram_lm_score",
     oracle=f"""
     WITH tk AS (
@@ -798,7 +802,7 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EMB.hashed_embedding(docs, dim=64)
 
 
-@register_extra(
+@register(
     "semantic_dedup_cover",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_PERT_EMB_SQL}),
@@ -1603,7 +1607,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_aggregate(ev, "30 minutes")
 
 
-@register(
+@register_extra(
     "window_user_activity",
     oracle="""
     WITH gaps AS (

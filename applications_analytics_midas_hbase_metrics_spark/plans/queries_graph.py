@@ -13,7 +13,7 @@ from .queries import claim_deferred, persist_deferred, register, register_extra
 from .queries_ext import MINHASH_PAIRS_SQL, _NEARDUP_DOCS_SQL, _neardup_docs
 
 
-@register(
+@register_extra(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),

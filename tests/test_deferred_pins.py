@@ -124,7 +124,7 @@ def test_cell_family_chain_shares_one_build(spark):
     ]
     assert names.index("validation_diff") == i + 4
     j = names.index("dedup_minhash")
-    assert names[j : j + 3] == ["dedup_minhash", "dedup_clusters", "dedup_corpus"]
+    assert names[j : j + 2] == ["dedup_minhash", "dedup_corpus"]
     # the reorder must preserve the gated SET exactly
     assert set(names) == set(Q.QUERIES)
     assert len(names) == len(Q.QUERIES)
@@ -158,22 +158,25 @@ def test_dedup_corpus_claim_and_cold_paths_agree(spark):
     via_pairs = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
     assert f"minhash_pairs:{SF_SMOKE}" in Q.claimed_keys(), "pairs claim must hit"
     assert via_pairs == cold
-    # labels-claim path: full family order — dedup_clusters pins its
-    # (id, cluster_id) frame; dedup_corpus claims it, skipping the loop
+    # labels-claim path: full family order — dedup_clusters (extra tier
+    # since the round-8 rotation) pins its (id, cluster_id) frame;
+    # dedup_corpus claims it, skipping the loop
+    registry = {**Q.QUERIES, **Q.EXTRA_QUERIES}
     Q.release_deferred()
     qs["dedup_minhash"](spark, SF_SMOKE).count()
-    qs["dedup_clusters"](spark, SF_SMOKE).count()
+    registry["dedup_clusters"](spark, SF_SMOKE).count()
     via_labels = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
     assert f"cc_labels:{SF_SMOKE}" in Q.claimed_keys(), "labels claim must hit"
     assert via_labels == cold
 
 
 def test_dedup_clusters_claim_and_cold_paths_agree(spark):
-    """dedup_clusters claiming dedup_minhash's pinned pair table must
-    produce the same labeling as a cold run that rebuilds the LSH DAG."""
+    """dedup_clusters (extra tier) claiming dedup_minhash's pinned pair
+    table must produce the same labeling as a cold run that rebuilds the
+    LSH DAG."""
     import __spark_entry__ as E
 
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
     Q.release_deferred()
     cold = sorted(
         (r.id, r.cluster_id) for r in qs["dedup_clusters"](spark, SF_SMOKE).collect()

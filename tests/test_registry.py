@@ -115,13 +115,14 @@ def test_no_cache_growth_across_sweeps(spark):
     from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
 
     names = ["validation_diff", "dedup_minhash", "dedup_clusters"]
+    registry = {**Q.QUERIES, **Q.EXTRA_QUERIES}
 
     def n_cached() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     def sweep() -> None:
         for n in names:
-            Q.QUERIES[n](spark, SF_SMOKE).collect()
+            registry[n](spark, SF_SMOKE).collect()
 
     counts = []
     for _ in range(3):

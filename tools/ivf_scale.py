@@ -35,9 +35,14 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 
 def _exchanges(df) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # count materialized shuffle boundaries, not broadcast distribution
+    # count materialized shuffle boundaries only: not broadcast
+    # distribution, and not ReusedExchange nodes (references to an
+    # already-materialized exchange, broadcast or shuffle — counting
+    # them would overstate the shuffle totals recorded in SCALE.md)
     return sum(
-        line.count("Exchange") - line.count("BroadcastExchange")
+        line.count("Exchange")
+        - line.count("BroadcastExchange")
+        - line.count("ReusedExchange")
         for line in plan.splitlines()
     )
 

@@ -88,6 +88,20 @@ def main() -> None:
 
     qs["winnow_overlap_pairs"] = _winnow_pairs_lazy
 
+    def _dedup_incremental_lazy(s, d):
+        # lazy twin: the gated variant's lsh_pairs_between eagerly
+        # localCheckpoints BOTH signature frames (the persisted-
+        # signature cost story), which would truncate the audited plan
+        # at two ExistingRDD subtrees and hide the band-join +
+        # verify-join exchanges
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_ext import (
+            q_dedup_incremental,
+        )
+
+        return q_dedup_incremental(s, d, materialize=False)
+
+    qs["dedup_incremental"] = _dedup_incremental_lazy
+
     def _ivf_c256_search(s, d):
         # production-size codebook over a x16-replicated corpus: codebook
         # and inverted-list index build EAGERLY (they are the one-time
@@ -150,7 +164,7 @@ def main() -> None:
         "count (shuffle boundaries).",
         "",
         "dedup_minhash / dedup_ngram_blocked / simhash_pairs / semantic_dedup",
-        "/ ngram_lm_score / winnow_overlap_pairs are audited via",
+        "/ ngram_lm_score / winnow_overlap_pairs / dedup_incremental are audited via",
         "LAZY twins (materialize=False) so the full DAG is inspectable; the",
         "gated variants eagerly localCheckpoint mid-pipeline, which would",
         "truncate the audited plan to an ExistingRDD subtree. Queries built",
