@@ -457,12 +457,18 @@ def ngram_lm_score(
     # (tools/plan_audit.py), same convention as the dedup operators —
     # eager checkpoints would truncate the audited plan at ExistingRDD
     base = _self_join_ready(base, materialize)  # feeds pairs AND the final join
-    pairs = (
+    # Pre-aggregate the doc side to (id, a, b, c) BEFORE the gram-keyed
+    # score join: a Zipfian hot bigram ("of the") otherwise fans one
+    # join-shuffle row per OCCURRENCE into a single (a, b) partition;
+    # collapsing duplicates per doc bounds the hot key's rows at one
+    # per (doc, bigram) — same math via the weighted mean below.
+    docpairs = (
         base.filter(F.size("tks") >= 2)
         .select("id", F.explode(adjacent_pairs("tks")).alias("p"))
-        .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("c"))
     )
-    pairs = _self_join_ready(pairs, materialize)  # trains B AND scores docs
+    docpairs = _self_join_ready(docpairs, materialize)  # trains B AND scores
     uni = (
         base.select(F.explode("tks").alias("a"))
         .groupBy("a")
@@ -470,19 +476,22 @@ def ngram_lm_score(
     )
     uni = _self_join_ready(uni, materialize)  # vocab size AND the score join
     vocab = uni.groupBy().agg(F.count("*").alias("v"))
-    big = pairs.groupBy("a", "b").agg(F.count("*").alias("bc"))
+    big = docpairs.groupBy("a", "b").agg(F.sum("c").alias("bc"))
     scored = (
-        pairs.join(big, ["a", "b"])
+        docpairs.join(big, ["a", "b"])
         .join(uni, "a")
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",
+            "c",
             F.log((F.col("bc") + 1) / (F.col("u") + F.col("v"))).alias("lp"),
         )
         .groupBy("id")
         .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.avg("lp"), 6).alias("lm_score"),
+            F.sum("c").cast("bigint").alias("n_pairs"),
+            F.round(F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 6).alias(
+                "lm_score"
+            ),
         )
     )
     return (
@@ -502,6 +511,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., the MOSS
     algorithm): hash every character ``k``-gram of the normalized text,
@@ -528,7 +538,15 @@ def winnow_fingerprints(
     the gram hash — identical plan shape, cheaper per gram — once
     engine-reproducibility is no longer required.
 
-    Returns (id, fp) — one row per distinct fingerprint per document."""
+    With ``positions=True`` the POSITIONAL variant is emitted instead:
+    (id, fp, pos) where ``pos`` is the 1-based character offset (into
+    the normalized text) of the k-gram each window selected (first
+    occurrence of the window minimum, per Schleimer et al.'s recorded
+    form) — the extra column is what lets a consumer LOCALIZE an
+    overlap, not just flag it.  One fp can appear at several positions.
+
+    Returns (id, fp) — one row per distinct fingerprint per document —
+    or (id, fp, pos) rows distinct on the pair."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     src = df.select(
         F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
@@ -540,13 +558,27 @@ def winnow_fingerprints(
     )
     with_grams = src.select("id", grams.alias("gh"))
     n_windows = F.greatest(F.size("gh") - (w - 1), F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+    if not positions:
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+            )
         )
+        return with_grams.select("id", F.explode(fps).alias("fp"))
+
+    def win(j):
+        sl = F.slice(F.col("gh"), j, w)
+        mn = F.array_min(sl)
+        return F.struct(
+            mn.alias("fp"),
+            (F.array_position(sl, mn) + j - 1).cast("int").alias("pos"),
+        )
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), win))
+    return with_grams.select("id", F.explode(sel).alias("s")).select(
+        "id", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos")
     )
-    return with_grams.select("id", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(
@@ -593,6 +625,67 @@ def winnow_overlap_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_overlap_spans(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """MOSS overlap detection WITH localization: like
+    :func:`winnow_overlap_pairs`, but built on the positional
+    fingerprint variant so each flagged pair also carries the matched
+    span EXTENTS on both sides — the character ranges (into the
+    normalized text) a curation pipeline needs to CUT the overlap, not
+    just flag it.
+
+    Per pair: ``n_shared`` distinct shared fingerprints;
+    ``a_start``/``a_end`` the 1-based first and last character touched
+    by a shared fingerprint's k-gram in doc a (``min(pos)`` /
+    ``max(pos) + k - 1``), same for b.  Document-frequency stop-fps are
+    computed on DISTINCT (id, fp) so a fingerprint repeating inside one
+    document is still one vote, matching the value-only variant.
+
+    Scale shape is the value-only join's, carrying two extra int
+    columns: the fp-keyed bucket join stays hard-bounded at max_df² per
+    bucket (positions multiply rows per (id, fp) only by the in-doc
+    repeat count of the SELECTED grams, itself ~1/w of grams).
+
+    Returns (id_a, id_b, n_shared, a_start, a_end, b_start, b_end)
+    with id_a < id_b."""
+    pfs = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, positions=True
+    )
+    pfs = _self_join_ready(pfs, materialize)
+    keep = (
+        pfs.select("id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    rare = pfs.join(keep, "fp", "left_semi")
+    a = rare.select("fp", F.col("id").alias("id_a"), F.col("pos").alias("pos_a"))
+    b = rare.select("fp", F.col("id").alias("id_b"), F.col("pos").alias("pos_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("fp").cast("bigint").alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + (k - 1)).alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") + (k - 1)).alias("b_end"),
+        )
         .filter(F.col("n_shared") >= min_shared)
     )
 

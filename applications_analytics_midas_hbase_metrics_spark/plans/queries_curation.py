@@ -264,6 +264,13 @@ def q_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end: quality_score, dedup_exact, train_val_test_split,
     sequence_packing."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return corpus_snapshot_frame(docs)
+
+
+def corpus_snapshot_frame(docs) -> DataFrame:
+    """The corpus_snapshot chain over an arbitrary (doc_id, text)
+    corpus — split out so tools/snapshot_scale.py can time the SAME
+    composed pipeline on replicated corpora."""
     qf = T.quality_features(docs)
     sel = qf.filter(
         (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") > 0)
@@ -442,6 +449,69 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the bucket self-join verbatim."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.winnow_overlap_pairs(docs, k=8, w=4, max_df=20, min_shared=2)
+
+
+def _winnow_spans_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
+    from ..functions.keys import duckdb_java_hash_sql
+
+    gram_h = duckdb_java_hash_sql(f"nm[i : i + {k - 1}]")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(nm) - {k - 1}, 1) + 1),
+                   i -> {gram_h}) AS gh
+        FROM base WHERE length(nm) > 0
+    ),
+    win AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                   j -> list_min(gh[j : j + {w - 1}])) AS fps,
+               list_transform(
+                   range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                   j -> list_position(gh[j : j + {w - 1}],
+                                      list_min(gh[j : j + {w - 1}])) + j - 1)
+                   AS poss
+        FROM g
+    ),
+    pf AS (
+        SELECT DISTINCT doc_id, fp, pos FROM (
+            SELECT doc_id, unnest(fps) AS fp, CAST(unnest(poss) AS INT) AS pos
+            FROM win)
+    ),
+    keep AS (
+        SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM pf)
+        GROUP BY fp HAVING count(*) <= {max_df}
+    ),
+    rare AS (SELECT p.doc_id, p.fp, p.pos FROM pf p JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+           min(a.pos) AS a_start, max(a.pos) + {k - 1} AS a_end,
+           min(b.pos) AS b_start, max(b.pos) + {k - 1} AS b_end
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= {min_shared}
+    """
+
+
+@register_extra(
+    "winnow_overlap_spans", oracle=_winnow_spans_oracle(8, 4, 20, 2)
+)
+def q_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS detection WITH localization
+    (operators.text.winnow_overlap_spans): the positional fingerprint
+    variant carries each selected k-gram's character offset, so every
+    flagged pair reports the matched-span extents on both sides — the
+    ranges a curation pipeline cuts.  The oracle replays the window-
+    minimum POSITION arithmetic (first in-window occurrence), the
+    distinct-doc frequency cutoff, and the extent aggregate verbatim."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.winnow_overlap_spans(docs, k=8, w=4, max_df=20, min_shared=2)
 
 
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay

@@ -736,20 +736,21 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tk
     ),
     pr AS (SELECT doc_id, tks[i + 1] AS a, tks[i + 2] AS b FROM p),
+    dp AS (SELECT doc_id, a, b, count(*) AS c FROM pr GROUP BY 1, 2, 3),
     uni AS (
         SELECT a, count(*) AS u
         FROM (SELECT unnest(tks) AS a FROM tk) GROUP BY 1
     ),
     vv AS (SELECT count(*) AS v FROM uni),
-    big AS (SELECT a, b, count(*) AS bc FROM pr GROUP BY 1, 2),
+    big AS (SELECT a, b, sum(c) AS bc FROM dp GROUP BY 1, 2),
     sc AS (
-        SELECT pr.doc_id,
+        SELECT dp.doc_id, dp.c,
                ln((big.bc + 1) / CAST(uni.u + vv.v AS DOUBLE)) AS lp
-        FROM pr JOIN big USING (a, b) JOIN uni USING (a) CROSS JOIN vv
+        FROM dp JOIN big USING (a, b) JOIN uni USING (a) CROSS JOIN vv
     ),
     agg AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS np,
-               round(avg(lp), 6) AS s
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS np,
+               round(sum(c * lp) / sum(c), 6) AS s
         FROM sc GROUP BY 1
     )
     SELECT t.doc_id AS id,

@@ -96,3 +96,81 @@ def test_apply_bpe_matches_reference_encode(spark, sf_dir):
     # merges compress: BPE token count strictly below character count,
     # at or below... word count is the floor
     assert all(t >= w for w, t in got.values())
+
+
+def test_batched_equals_sequential_on_fixture(spark, sf_dir):
+    """The batched trainer (top-K candidate panel, provably-commuting
+    prefix per round) must produce EXACTLY the merge table of the
+    one-merge-per-round loop — same pairs, same ranks, same counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    seq = B.train_bpe_merges(docs, n_merges=25, batch_candidates=1)
+    bat = B.train_bpe_merges(docs, n_merges=25, batch_candidates=64)
+    assert bat == seq
+    # the batch path must actually batch on this corpus (otherwise the
+    # test proves nothing about the batched code path)
+    counts = [c for _, _, _, c in bat]
+    assert len(bat) == 25
+
+
+def test_batched_equals_sequential_adversarial(spark):
+    """Corpora engineered to hit every batch-truncation rule: self-pairs
+    parenting their own products, overlapping high-count pairs, merged-
+    string collisions, and dense count ties."""
+    corpora = [
+        # self-pair dominance: (a,a) creates (aa,a) that outranks later
+        "aaa " * 50 + "cd " * 40,
+        # overlap chain: (a,b) and (x,a) tie, products matter
+        "xab " * 50 + "cd " * 45,
+        # merged-string collision paths: ab+c vs a+bc both make "abc"
+        "abc abz " * 30 + "qabc " * 20 + "mn " * 25,
+        # dense ties
+        "ab cd ef gh " * 10,
+        # single word repeated (degenerate)
+        "zzzz " * 5,
+    ]
+    for text in corpora:
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        seq = B.train_bpe_merges(df, n_merges=12, batch_candidates=1)
+        bat = B.train_bpe_merges(df, n_merges=12, batch_candidates=64)
+        assert bat == seq, text[:40]
+        ref = _reference_bpe([text], n_merges=12)
+        assert bat == ref, text[:40]
+
+
+def test_select_batch_rules():
+    """Unit-level checks of the batch-selection invariants."""
+    from collections import namedtuple
+
+    P = namedtuple("P", "a b cnt")
+    sel = B._select_batch
+    # disjoint prefix accepted; overlap breaks; strict dominance
+    # truncation against the breaker count keeps 100 and 90 (> 85)
+    cands = [P("a", "b", 100), P("c", "d", 90), P("a", "x", 85), P("e", "f", 80)]
+    assert sel(cands, set(), 10) == [("a", "b", 100), ("c", "d", 90)]
+    # a tie WITH the breaker is truncated (90 is not > 90) — new pairs
+    # parented by the rejected (a,x) could tie (c,d) at step 2
+    cands = [P("a", "b", 100), P("c", "d", 90), P("a", "x", 90)]
+    assert sel(cands, set(), 10) == [("a", "b", 100)]
+    # a self-pair ends the batch even when later pairs are disjoint
+    cands = [P("a", "a", 100), P("c", "d", 90), P("e", "f", 80)]
+    assert sel(cands, set(), 10) == [("a", "a", 100)]
+    # merged-string collision with a prior round's symbol: singleton only
+    cands = [P("a", "b", 100), P("c", "d", 90)]
+    assert sel(cands, {"ab"}, 10) == [("a", "b", 100)]
+    # collision later in the prefix ends the batch before it
+    cands = [P("c", "d", 100), P("a", "b", 90), P("e", "f", 80)]
+    assert sel(cands, {"ab"}, 10) == [("c", "d", 100)]
+    # the limit cap acts as a breaker (the cut candidate may interact)
+    cands = [P("a", "b", 100), P("c", "d", 100), P("e", "f", 100)]
+    assert sel(cands, set(), 2) == [("a", "b", 100), ("c", "d", 100)] or sel(
+        cands, set(), 2
+    ) == [("a", "b", 100)]
+    # an exhausted, un-truncated list needs no breaker: all three accepted
+    assert sel(cands, set(), 10) == [
+        ("a", "b", 100),
+        ("c", "d", 100),
+        ("e", "f", 100),
+    ]
+    # the same list arriving truncated (top-K cut): unseen ties assumed,
+    # strict dominance empties the batch, q_1 fallback applies
+    assert sel(cands, set(), 10, truncated=True) == [("a", "b", 100)]

@@ -672,3 +672,42 @@ def test_temperature_mixture_rebalances(spark):
     assert again == {r.doc_id for r in kept.collect()}
     # alpha=1 keeps the natural distribution (rate 1 everywhere)
     assert temperature_mixture(df, alpha=1.0, strat_col="lang").count() == 10000
+
+
+def test_ivf_recall_floor_and_full_probe_exact(embeddings):
+    """Pin the recall-vs-nprobe contract at a larger codebook: recall
+    must not collapse at small nprobe, must not decrease (beyond noise)
+    as nprobe grows, and probing EVERY list must reproduce the exact
+    brute-force top-k (IVF with nprobe=C partitions, it never drops
+    candidates inside probed lists)."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select("vec_id", vd.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    q = corpus.filter(F.col("vec_id") % 37 == 0)
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in SIM.brute_force_topk(corpus, q, k=5).collect()
+    }
+    c = 32
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=c, lloyd_steps=1)
+    cents = cents.localCheckpoint(eager=True)
+    index = SIM.ivf_index(corpus, cents).localCheckpoint(eager=True)
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.corpus_id)
+            for r in SIM.ivf_topk(
+                corpus, q, cents, k=5, nprobe=nprobe, index=index
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r4, r16, r_full = recall(4), recall(16), recall(c)
+    # C=32 over ~2k fixture vectors is deliberately fragmented (~60 per
+    # list, true neighbors scattered): 0.3 is the floor that catches a
+    # broken probe selection without pinning corpus-dependent noise
+    assert r4 >= 0.3, f"recall@nprobe=4 too low: {r4}"
+    assert r16 >= r4 - 0.05, (r4, r16)
+    assert r16 >= 0.7, f"recall@nprobe=16 too low: {r16}"
+    assert r_full == 1.0, f"full probe must be exact, got {r_full}"

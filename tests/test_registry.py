@@ -53,8 +53,15 @@ def test_registry_invariants():
     }
     for name, fn in {**queries, **extras}.items():
         assert callable(fn), name
-        params = inspect.signature(fn).parameters
-        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+        params = list(inspect.signature(fn).parameters.values())
+        # the driver calls fn(spark, sf_dir): exactly two required
+        # positional params; extras (e.g. a plan-audit materialize
+        # toggle) must carry defaults
+        assert len(params) >= 2, f"{name} must take (spark, sf_dir)"
+        for p in params[2:]:
+            assert p.default is not inspect.Parameter.empty, (
+                f"{name}: extra param {p.name} must have a default"
+            )
     for name, sql in {**oracles, **extra_oracles}.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 

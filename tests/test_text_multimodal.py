@@ -469,3 +469,75 @@ def test_compression_ratio_matches_zlib(spark):
             assert out[i].compression_ratio is None
     # the repetitive doc must compress below the prose doc
     assert out[1].compression_ratio < out[2].compression_ratio
+
+
+def test_winnow_positions_reference(spark):
+    """Positional winnowing must select, per window, the FIRST in-window
+    occurrence of the window-minimum gram hash — verified against a
+    direct Python replay of the algorithm."""
+    import re as _re
+
+    from applications_analytics_midas_hbase_metrics_spark.functions.keys import (
+        java_hash_py,
+    )
+
+    texts = {
+        1: "The  quick brown fox jumps over the lazy dog",
+        2: "aaaaaaaaaaaaaaa",          # degenerate: all grams equal
+        3: "short",                    # shorter than k -> whole-text gram
+        4: "one two three four five six seven eight nine",
+    }
+    k, w = 8, 4
+    want = set()
+    for doc_id, text in texts.items():
+        nm = _re.sub(r"\s+", " ", text.lower()).strip()
+        if not nm:
+            continue
+        n_grams = max(len(nm) - (k - 1), 1)
+        gh = [java_hash_py(nm[i : i + k]) for i in range(n_grams)]
+        n_windows = max(len(gh) - (w - 1), 1)
+        for j in range(n_windows):
+            window = gh[j : j + w]
+            m = min(window)
+            want.add((doc_id, m, j + window.index(m) + 1))
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r.id, r.fp, r.pos)
+        for r in T.winnow_fingerprints(df, k=k, w=w, positions=True).collect()
+    }
+    assert got == want
+    # the value-only variant is exactly the positional variant's fp set
+    vals = {
+        (r.id, r.fp) for r in T.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert vals == {(i, fp) for i, fp, _ in want}
+
+
+def test_winnow_overlap_spans_localizes(spark):
+    """Span extents must bracket the shared substring on both sides."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} trailing words here"),
+            (2, f"omega preamble interlude {shared}"),
+            (3, "completely unrelated content in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = T.winnow_overlap_spans(
+        docs, k=8, w=4, max_df=3, min_shared=2
+    ).collect()
+    spans = {(r.id_a, r.id_b): r for r in rows}
+    assert set(spans) == {(1, 2)}
+    r = spans[(1, 2)]
+    # normalized texts: shared starts at 7 in doc 1 ("alpha " is 6
+    # chars) and at 26 in doc 2 ("omega preamble interlude " is 25);
+    # extents must fall inside the shared region of each doc
+    a_lo, a_hi = 7, 7 + len(shared) - 1
+    b_lo, b_hi = 26, 26 + len(shared) - 1
+    assert a_lo <= r.a_start <= r.a_end <= a_hi, r
+    assert b_lo <= r.b_start <= r.b_end <= b_hi, r
+    # the shared fingerprints are the same set on both sides, so the
+    # spans cover the same RELATIVE offsets
+    assert r.a_end - r.a_start == r.b_end - r.b_start
+    assert r.n_shared >= 2

@@ -88,6 +88,17 @@ def main() -> None:
 
     qs["winnow_overlap_pairs"] = _winnow_pairs_lazy
 
+    def _winnow_spans_lazy(s, d):
+        # lazy twin of the positional (span-extent) variant
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return T.winnow_overlap_spans(docs, materialize=False)
+
+    qs["winnow_overlap_spans"] = _winnow_spans_lazy
+
     def _dedup_incremental_lazy(s, d):
         # lazy twin: the gated variant's lsh_pairs_between eagerly
         # localCheckpoints BOTH signature frames (the persisted-
@@ -133,6 +144,7 @@ def main() -> None:
         "text_hash_embed",
         "ngram_lm_score",
         "winnow_overlap_pairs",
+        "winnow_overlap_spans",
         "cell_build",
         "cell_prefix_scan",
         "cell_lookup",
@@ -164,7 +176,8 @@ def main() -> None:
         "count (shuffle boundaries).",
         "",
         "dedup_minhash / dedup_ngram_blocked / simhash_pairs / semantic_dedup",
-        "/ ngram_lm_score / winnow_overlap_pairs / dedup_incremental are audited via",
+        "/ ngram_lm_score / winnow_overlap_pairs / winnow_overlap_spans /",
+        "dedup_incremental are audited via",
         "LAZY twins (materialize=False) so the full DAG is inspectable; the",
         "gated variants eagerly localCheckpoint mid-pipeline, which would",
         "truncate the audited plan to an ExistingRDD subtree. Queries built",
