@@ -690,6 +690,97 @@ def winnow_overlap_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove character spans from documents — the CUT step that
+    completes the MOSS pipeline (detect via
+    :func:`winnow_overlap_pairs`, localize via
+    :func:`winnow_overlap_spans`, cut here).  ``spans`` is
+    (id, start, end) with 1-based inclusive character offsets into the
+    NORMALIZED text (the winnowing offset convention); overlapping or
+    adjacent spans per document are merged before cutting.
+
+    All JVM-side: the spans aggregate per id (sorted struct array), a
+    single HOF ``aggregate`` merges intervals and stitches the kept
+    substrings in one pass (O(|spans|) per doc — never rebuilding the
+    accumulator string per interval beyond Spark's copy-on-concat,
+    which is bounded by |text|), and an outer join carries untouched
+    documents through unchanged.
+
+    Returns (id, n_spans, cut_chars, text_cut) — ``text_cut`` of an
+    untouched doc is its normalized text, so downstream operators see
+    one consistent normalization."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    docs = df.select(F.col(id_col).cast("bigint").alias("id"), norm.alias("nm"))
+    sp = (
+        spans.select(
+            F.col("id").cast("bigint").alias("id"),
+            F.struct(
+                F.col("start").cast("int").alias("s"),
+                F.col("end").cast("int").alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("iv")).alias("ivs"))
+    )
+    joined = docs.join(sp, "id", "left")
+    # one fold over the sorted intervals: carry (cursor, kept-so-far,
+    # merged-span count, cut-char count); finish by appending the tail
+    zero = F.struct(
+        F.lit(1).cast("int").alias("cur"),
+        F.lit("").alias("acc"),
+        F.lit(0).cast("int").alias("n"),
+        F.lit(0).cast("int").alias("cut"),
+    )
+
+    # the stitched text needs the doc column inside the lambda, which
+    # F.aggregate supports via closure over F.col("nm"); an interval
+    # fully inside an earlier cut (e < s_eff) contributes nothing
+    def step2(acc, iv):
+        s, e = iv["s"], iv["e"]
+        s_eff = F.greatest(s, acc["cur"])
+        covered = e >= s_eff
+        kept_piece = F.when(
+            covered & (s_eff > acc["cur"]),
+            F.substring(F.col("nm"), acc["cur"], s_eff - acc["cur"]),
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.when(covered, F.greatest(e + 1, acc["cur"]))
+            .otherwise(acc["cur"])
+            .alias("cur"),
+            F.concat(acc["acc"], kept_piece).alias("acc"),
+            (acc["n"] + 1).cast("int").alias("n"),
+            (
+                acc["cut"]
+                + F.when(covered, e - s_eff + 1).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("cut"),
+        )
+
+    folded = F.aggregate(F.col("ivs"), zero, step2)
+    text_cut = F.concat(
+        folded["acc"],
+        F.substring(
+            F.col("nm"),
+            folded["cur"],
+            F.greatest(F.length("nm") - folded["cur"] + 1, F.lit(0)),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.coalesce(F.size("ivs"), F.lit(0)).alias("n_spans"),
+        F.coalesce(folded["cut"], F.lit(0)).alias("cut_chars"),
+        F.when(F.col("ivs").isNull(), F.col("nm"))
+        .otherwise(text_cut)
+        .alias("text_cut"),
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

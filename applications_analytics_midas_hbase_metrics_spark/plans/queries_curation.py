@@ -514,6 +514,80 @@ def q_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_overlap_spans(docs, k=8, w=4, max_df=20, min_shared=2)
 
 
+def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
+    pairs = _winnow_spans_oracle(k, w, max_df, min_shared).strip()
+    # reuse the spans oracle verbatim as a CTE body (strip its WITH)
+    assert pairs.startswith("WITH")
+    pairs_body = pairs[len("WITH"):].rsplit("SELECT", 1)
+    inner_ctes, final_select = pairs_body[0], "SELECT" + pairs_body[1]
+    return f"""
+    WITH {inner_ctes.rstrip()}, pairs AS ({final_select}),
+    sp AS (SELECT id_b AS id, b_start AS s, b_end AS e FROM pairs),
+    ad AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    so AS (
+        SELECT id, s, e,
+               max(e) OVER (PARTITION BY id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+        FROM sp
+    ),
+    sg AS (
+        SELECT id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY s, e) AS grp
+        FROM so
+    ),
+    sm AS (SELECT id, grp, min(s) AS s, max(e) AS e FROM sg GROUP BY 1, 2),
+    sp2 AS (
+        SELECT id, s, e,
+               lag(e, 1, 0) OVER (PARTITION BY id ORDER BY s) AS pe
+        FROM sm
+    ),
+    sagg AS (
+        SELECT sp2.id,
+               string_agg(substr(d.nm, sp2.pe + 1, sp2.s - sp2.pe - 1), ''
+                          ORDER BY sp2.s) AS head,
+               max(sp2.e) AS maxe,
+               CAST(sum(sp2.e - sp2.s + 1) AS INT) AS cut_chars
+        FROM sp2 JOIN ad d USING (id) GROUP BY 1
+    ),
+    snsp AS (SELECT id, CAST(count(*) AS INT) AS n_spans FROM sp GROUP BY 1)
+    SELECT d.id,
+           coalesce(n.n_spans, 0) AS n_spans,
+           coalesce(a.cut_chars, 0) AS cut_chars,
+           CASE WHEN a.id IS NULL THEN d.nm
+                ELSE coalesce(a.head, '') || substr(d.nm, a.maxe + 1)
+           END AS text_cut
+    FROM ad d
+    LEFT JOIN sagg a USING (id) LEFT JOIN snsp n USING (id)
+    """
+
+
+@register_extra("winnow_cut", oracle=_winnow_cut_oracle(8, 4, 20, 2))
+def q_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MOSS curation pipeline — detect (winnow_overlap_pairs
+    semantics), localize (winnow_overlap_spans), CUT
+    (operators.text.cut_spans): every document that appears as the
+    HIGHER id of an overlap pair has the matched span range removed
+    from its normalized text (keep-lowest-copy, the exact-dedup rule
+    applied to substrings).  Overlapping/adjacent span ranges per doc
+    merge before cutting; untouched docs pass through normalized.  The
+    oracle replays interval merging (gaps-and-islands) and the
+    substring stitch character-exactly."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    spans = T.winnow_overlap_spans(docs, k=8, w=4, max_df=20, min_shared=2)
+    cut_input = spans.select(
+        F.col("id_b").alias("id"),
+        F.col("b_start").alias("start"),
+        F.col("b_end").alias("end"),
+    )
+    return T.cut_spans(docs, cut_input)
+
+
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality scoring

@@ -541,3 +541,58 @@ def test_winnow_overlap_spans_localizes(spark):
     # spans cover the same RELATIVE offsets
     assert r.a_end - r.a_start == r.b_end - r.b_start
     assert r.n_shared >= 2
+
+
+def test_cut_spans_semantics(spark):
+    """Interval merging + stitch: overlapping and adjacent spans merge,
+    spans inside earlier cuts add nothing, untouched docs pass through
+    normalized, full-cover docs empty out."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick  brown fox jumps"),   # normalized: 25 chars
+            (2, "untouched doc here"),
+            (3, "abcdef"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = spark.createDataFrame(
+        [(1, 5, 9), (1, 8, 15), (1, 21, 25), (3, 1, 6), (3, 2, 3)],
+        ["id", "start", "end"],
+    )
+    rows = {r.id: r for r in T.cut_spans(docs, spans).collect()}
+    assert rows[1].text_cut == "the  fox "      # cut [5,15] and [21,25]
+    assert rows[1].cut_chars == 16
+    assert rows[1].n_spans == 3
+    assert rows[2].text_cut == "untouched doc here" and rows[2].n_spans == 0
+    assert rows[3].text_cut == "" and rows[3].cut_chars == 6
+    # adjacent spans (e+1 == s) merge into one cut with no seam
+    sp2 = spark.createDataFrame([(3, 1, 3), (3, 4, 5)], ["id", "start", "end"])
+    r3 = {r.id: r for r in T.cut_spans(docs, sp2).collect()}[3]
+    assert r3.text_cut == "f" and r3.cut_chars == 5
+
+
+def test_winnow_cut_removes_detected_overlap(spark):
+    """Composed detect→localize→cut: after cutting, re-running detection
+    on the cut corpus finds no remaining overlap pair."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha leading words {shared}"),
+            (2, f"{shared} omega trailing content"),
+            (3, "entirely unrelated filler text document"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = T.winnow_overlap_spans(docs, k=8, w=4, max_df=3, min_shared=2)
+    cut_input = spans.selectExpr("id_b as id", "b_start as start", "b_end as end")
+    cut = T.cut_spans(docs, cut_input)
+    rows = {r.id: r for r in cut.collect()}
+    assert rows[2].cut_chars > 0          # the higher-id copy was cut
+    assert rows[1].cut_chars == 0         # the kept copy untouched
+    assert rows[3].cut_chars == 0
+    # detection over the cut corpus is clean
+    redetect = T.winnow_overlap_pairs(
+        cut.selectExpr("id as doc_id", "text_cut as text"),
+        k=8, w=4, max_df=3, min_shared=2,
+    )
+    assert redetect.count() == 0

@@ -73,11 +73,19 @@ def synthetic_vocab_docs(spark, n_vocab: int = 20000):
     from pyspark.sql import functions as F
 
     ids = spark.range(1, n_vocab + 1).select(F.col("id").cast("int"))
+    # hash-spread base-26 words (7 letters over the full a-z alphabet):
+    # a digits->10-letter mapping was tried first and capped the
+    # symbol-DISJOINT batch width at ~5 pairs regardless of algorithm —
+    # the alphabet, not the trainer, was the bottleneck
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(2**31)
     word = F.concat_ws(
         "",
         F.transform(
-            F.split(F.col("id").cast("string"), ""),
-            lambda d: F.char(F.ascii(d) - F.ascii(F.lit("0")) + F.ascii(F.lit("a"))),
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda k: F.char(
+                (F.floor(h / F.pow(F.lit(26.0), k)) % 26).cast("int")
+                + F.ascii(F.lit("a"))
+            ),
         ),
     )
     freq = F.greatest(F.lit(1), (F.lit(n_vocab) / F.col("id")).cast("int"))
