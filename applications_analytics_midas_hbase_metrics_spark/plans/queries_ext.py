@@ -518,6 +518,51 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "ann_pq",
+    # PQ is approximate like IVF, so the gate follows ann_ivf's
+    # SELF-CHECKING shape: per-query recall of the two-stage PQ search
+    # (m-byte ADC code scan -> shortlist -> exact-cosine rerank)
+    # against the differentially-gated brute-force top-10, floored at
+    # 6/10 (measured per-query minimum on this corpus: 8/10).  A
+    # broken codebook, encode, LUT, or rerank flips a boolean and the
+    # driver hash goes red.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity.pq_train /
+    pq_encode / pq_topk): vectors store as m=16 codes over ksub=32
+    per-subspace k-means codebooks (~32x smaller than the float
+    vectors); search scans ONLY the codes via a broadcast
+    query-by-codebook lookup table, then exact-reranks a 4k shortlist
+    — the memory-side scale path that complements IVF's compute-side
+    list pruning."""
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = SIM.pq_train(emb, m=16, ksub=32, lloyd_steps=2).localCheckpoint(
+        eager=True
+    )
+    codes = SIM.pq_encode(emb, books, m=16).localCheckpoint(eager=True)
+    pq = SIM.pq_topk(queries, books, codes, k=10, m=16, rerank=emb)
+    brute = SIM.brute_force_topk(emb, queries, k=10)
+    hits = (
+        pq.join(brute, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(6)).alias("recall_ok"),
+        )
+    )
+
+
 #: Incremental-dedup batch construction: exact copies, 70%-prefix
 #: near-dups, and 30%-prefix "new" docs, id-offset per class so the
 #: verdict distribution is known by construction.

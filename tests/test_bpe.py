@@ -174,3 +174,79 @@ def test_select_batch_rules():
     # the same list arriving truncated (top-K cut): unseen ties assumed,
     # strict dominance empties the batch, q_1 fallback applies
     assert sel(cands, set(), 10, truncated=True) == [("a", "b", 100)]
+
+
+def test_batched_selection_equivalence_property():
+    """Property check of the batched-selection proof WITHOUT Spark: a
+    pure-Python mirror of the trainer loop (same pair counting, same
+    candidate ordering, same _select_batch, same greedy rewrite) must
+    reproduce the sequential reference table on hundreds of random
+    corpora over tiny alphabets — the tie-dense, self-pair-rich,
+    collision-prone regime the equivalence argument worries about.
+    Exercised with small candidate panels so the truncated-list breaker
+    path runs too."""
+    import random
+    from collections import Counter, namedtuple
+
+    P = namedtuple("P", "a b cnt")
+
+    def batched_train(texts, n_merges, k_cands, min_pair_freq=2):
+        words = Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.lower()):
+                if w:
+                    words[w] += 1
+        vocab = {tuple(w): f for w, f in words.items()}
+        merges, known = [], set()
+        while len(merges) < n_merges:
+            pairs: Counter = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            cands = sorted(
+                (
+                    P(a, b, c)
+                    for (a, b), c in pairs.items()
+                    if c >= min_pair_freq
+                ),
+                key=lambda p: (-p.cnt, p.a, p.b),
+            )[:k_cands]
+            if not cands:
+                break
+            batch = B._select_batch(
+                cands, known, n_merges - len(merges),
+                truncated=len(cands) == k_cands,
+            )
+            for a, b, cnt in batch:
+                merges.append((len(merges), a, b, cnt))
+                known.add(a + b)
+            new_vocab: dict = {}
+            for syms, f in vocab.items():
+                s = list(syms)
+                for a, b, _ in batch:
+                    out, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    s = out
+                key = tuple(s)
+                new_vocab[key] = new_vocab.get(key, 0) + f
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(80801)
+    for trial in range(400):
+        alphabet = rng.choice(["ab", "abc", "abcd"])
+        n_words = rng.randint(1, 25)
+        text = " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(n_words)
+        )
+        k_cands = rng.choice([2, 3, 8, 64])
+        want = _reference_bpe([text], n_merges=12)
+        got = batched_train([text], 12, k_cands)
+        assert got == want, (trial, k_cands, text, got, want)

@@ -711,3 +711,57 @@ def test_ivf_recall_floor_and_full_probe_exact(embeddings):
     assert r16 >= r4 - 0.05, (r4, r16)
     assert r16 >= 0.7, f"recall@nprobe=16 too low: {r16}"
     assert r_full == 1.0, f"full probe must be exact, got {r_full}"
+
+
+def test_pq_shapes_and_reranked_recall(embeddings):
+    """PQ contract: m x ksub codebook rows, m in-range codes per vector,
+    raw-ADC top-k beats random, and the shortlist+exact-rerank stage
+    reaches the recall the shortlist contains with EXACT cosine scores
+    on every true hit."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select("vec_id", vd.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    m, ksub = 16, 32
+    books = SIM.pq_train(corpus, m=m, ksub=ksub, lloyd_steps=1).localCheckpoint(
+        eager=True
+    )
+    assert books.count() == m * ksub
+    codes = SIM.pq_encode(corpus, books, m=m).localCheckpoint(eager=True)
+    r = codes.first()
+    assert len(r.codes) == m and all(0 <= c < ksub for c in r.codes)
+    assert codes.count() == corpus.count()
+
+    q = corpus.filter(F.col("vec_id") % 97 == 0)
+    truth = {
+        (x.query_id, x.corpus_id): x.cos
+        for x in SIM.brute_force_topk(corpus, q, k=5).collect()
+    }
+    rr = SIM.pq_topk(q, books, codes, k=5, m=m, rerank=corpus).collect()
+    got = {(x.query_id, x.corpus_id): x.cos for x in rr}
+    recall = len(got.keys() & truth.keys()) / len(truth)
+    assert recall >= 0.5, f"reranked PQ recall too low: {recall}"
+    # rerank scores are EXACT cosine — identical to brute force on hits
+    for key in got.keys() & truth.keys():
+        assert abs(got[key] - truth[key]) < 1e-9, key
+    # a query never returns itself
+    assert all(a != b for a, b in got)
+
+
+def test_pq_zero_norm_vectors_drop_out(spark, embeddings):
+    """Zero-norm vectors cannot be normalized: they must vanish from
+    training, encoding, and querying instead of erroring or pairing."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.limit(30).select("vec_id", vd.alias("embedding"))
+    zeros = spark.createDataFrame(
+        [(90001, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = base.union(zeros)
+    books = SIM.pq_train(corpus, m=8, ksub=4, lloyd_steps=1)
+    codes = SIM.pq_encode(corpus, books, m=8)
+    ids = {r.id for r in codes.collect()}
+    assert 90001 not in ids
+    out = SIM.pq_topk(corpus, books, codes, k=3, m=8)
+    assert not any(
+        90001 in (r.query_id, r.corpus_id) for r in out.collect()
+    )
