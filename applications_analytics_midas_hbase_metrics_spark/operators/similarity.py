@@ -688,6 +688,129 @@ def pq_topk(
     return _topk_per_query(exact, k)
 
 
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The combined IVF-PQ artifact (the FAISS ``IVFPQ`` layout): every
+    corpus vector assigned to its nearest coarse centroid's inverted
+    list AND encoded as m PQ codes — (corpus_id, list_id, codes).
+    Stored partitioned by list_id, a probe reads only nprobe lists and
+    each list row is m bytes + two ids; the float corpus is never
+    scanned at query time (only the rerank shortlist fetches it)."""
+    lists = ivf_index(corpus, centroids, vec_col=vec_col, id_col=id_col).select(
+        "corpus_id", "list_id"
+    )
+    codes = pq_encode(corpus, books, m=m, vec_col=vec_col, id_col=id_col)
+    return lists.join(
+        codes.withColumnRenamed("id", "corpus_id"), "corpus_id"
+    ).select("corpus_id", "list_id", "codes")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest coarse lists per
+    query (broadcast centroid scoring, exactly :func:`ivf_topk`'s probe
+    selection), ADC-score ONLY the probed lists' m-byte code rows via
+    the broadcast per-query lookup table (:func:`pq_topk`'s scan), and
+    optionally exact-rerank a shortlist against the float corpus —
+    compute pruning (IVF) x memory pruning (PQ) composed, which is what
+    a 100 TB embedding search actually deploys.  The scan side's only
+    exchanges are the top-k reduction's; everything query-sized rides
+    broadcasts."""
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        _l2n(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("nq"),
+    ).filter(F.col("nq").isNotNull())
+    cents = centroids.withColumn("_cn", _norm(F.col("centroid")))
+    q_scored = q.join(F.broadcast(cents), how="cross").withColumn(
+        "_sim",
+        _cos_pre(_dot(F.col("nq"), F.col("centroid")), F.lit(1.0), F.col("_cn")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    qsub = q.select(
+        "query_id", F.posexplode(_subvectors(F.col("nq"), m)).alias("sub_id", "qv")
+    )
+    ip = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(F.broadcast(books), "sub_id")
+        .select("query_id", "sub_id", "code_id", ip.alias("ip"))
+        .groupBy("query_id", "sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code_id", "ip"))).alias("ci"))
+        .select(
+            "query_id",
+            "sub_id",
+            F.transform(F.col("ci"), lambda s: s["ip"]).alias("ips"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "ips"))).alias("si"))
+        .select(
+            "query_id", F.transform(F.col("si"), lambda s: s["ips"]).alias("lut")
+        )
+    )
+    probe_lut = probes.join(lut, "query_id")
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        index.join(F.broadcast(probe_lut), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos", score)
+        .select("query_id", "corpus_id", "cos")
+    )
+    if rerank is None:
+        return _topk_per_query(scored, k)
+    sl = _topk_per_query(scored, shortlist or 4 * k).select(
+        "query_id", "corpus_id"
+    )
+    cv = rerank.select(
+        F.col(id_col).cast("bigint").alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    exact = (
+        sl.join(cv, "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos",
+            _cos_pre(_dot(F.col("cv"), F.col("nq")), F.col("cn"), F.lit(1.0)),
+        )
+        .select("query_id", "corpus_id", "cos")
+    )
+    return _topk_per_query(exact, k)
+
+
 def replicate_embeddings(
     emb: DataFrame,
     factor: int,

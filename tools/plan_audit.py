@@ -138,8 +138,33 @@ def main() -> None:
         return S.ivf_topk(corpus, queries, cents, k=10, nprobe=16, index=index)
 
     qs["ann_ivf_c256_search"] = _ivf_c256_search
+
+    def _pq_search(s, d):
+        # the recurring PQ cost: codebooks + codes are the one-time
+        # persisted artifacts (built eagerly here), the audited plan is
+        # the ADC code scan + shortlist rerank — the scan side must show
+        # no exchange before the top-k reduction, the LUT a broadcast
+        from pyspark.sql import functions as F
+
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            similarity as S,
+        )
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        books = S.pq_train(emb, m=16, ksub=32, lloyd_steps=1).localCheckpoint(
+            eager=True
+        )
+        codes = S.pq_encode(emb, books, m=16).localCheckpoint(eager=True)
+        queries = emb.filter(F.col("vec_id") % 40 == 0)
+        return S.pq_topk(queries, books, codes, k=10, m=16, rerank=emb)
+
+    qs["ann_pq_search"] = _pq_search
     only = set(sys.argv[1:]) or {
         "ann_ivf_c256_search",
+        "ann_pq_search",
         "interval_join_events",
         "text_hash_embed",
         "ngram_lm_score",
