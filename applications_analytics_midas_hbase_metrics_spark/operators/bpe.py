@@ -166,6 +166,7 @@ def train_bpe_merges(
     min_pair_freq: int = 2,
     batch_candidates: int = 64,
     strict: bool = True,
+    rounds_out: list[int] | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns
     [(rank, left, right, pair_freq), ...] — the persistable merge table
@@ -185,7 +186,12 @@ def train_bpe_merges(
     magnitude fewer rounds on tie-dense corpora, at the cost of
     possible tail deviations from the sequential table (see
     :func:`_select_batch`).  Use it for production-size vocabularies;
-    leave the exact default for anything differentially verified."""
+    leave the exact default for anything differentially verified.
+
+    ``rounds_out``, when given, receives the number of rewrite rounds
+    actually run — the observable that lets tests prove the batch path
+    batched (rounds << merges) instead of silently degenerating to
+    width-1 rounds."""
     state = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -195,7 +201,9 @@ def train_bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     known_merged: set[str] = set()
+    rounds = 0
     while len(merges) < n_merges:
+        rounds += 1
         pairs = (
             state.filter(F.size("syms") >= 2)
             .select("freq", F.explode(adjacent_pairs("syms")).alias("p"))
@@ -226,6 +234,8 @@ def train_bpe_merges(
         state = state.mapInPandas(
             _apply_merges([(a, b) for a, b, _ in batch]), state.schema
         ).localCheckpoint(eager=True)
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return merges
 
 

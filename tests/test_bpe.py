@@ -103,13 +103,22 @@ def test_batched_equals_sequential_on_fixture(spark, sf_dir):
     prefix per round) must produce EXACTLY the merge table of the
     one-merge-per-round loop — same pairs, same ranks, same counts."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-    seq = B.train_bpe_merges(docs, n_merges=25, batch_candidates=1)
-    bat = B.train_bpe_merges(docs, n_merges=25, batch_candidates=64)
+    seq_rounds: list[int] = []
+    bat_rounds: list[int] = []
+    seq = B.train_bpe_merges(
+        docs, n_merges=25, batch_candidates=1, rounds_out=seq_rounds
+    )
+    bat = B.train_bpe_merges(
+        docs, n_merges=25, batch_candidates=64, rounds_out=bat_rounds
+    )
     assert bat == seq
-    # the batch path must actually batch on this corpus (otherwise the
-    # test proves nothing about the batched code path)
-    counts = [c for _, _, _, c in bat]
     assert len(bat) == 25
+    # the batch path must actually batch on this corpus (otherwise the
+    # equality above proves nothing about the batched code path): the
+    # sequential loop runs one round per merge; the batched loop must
+    # deliver the same 25 merges in strictly fewer rewrite rounds
+    assert seq_rounds[0] == 25
+    assert bat_rounds[0] < 25, bat_rounds
 
 
 def test_batched_equals_sequential_adversarial(spark):

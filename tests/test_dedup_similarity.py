@@ -765,3 +765,93 @@ def test_pq_zero_norm_vectors_drop_out(spark, embeddings):
     assert not any(
         90001 in (r.query_id, r.corpus_id) for r in out.collect()
     )
+
+
+def test_ivf_pq_full_probe_full_shortlist_exact(embeddings):
+    """The IVF-PQ safety rail (the ivf/pq rails composed): probing EVERY
+    coarse list with a corpus-wide shortlist and exact rerank must
+    reproduce brute force exactly — the approximations (probe pruning,
+    ADC estimate) only ever SELECT candidates; the rerank re-scores
+    with true cosine, so with nothing pruned the result is exact."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select("vec_id", vd.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    n = corpus.count()
+    c, m, ksub = 8, 16, 16
+    q = corpus.filter(F.col("vec_id") % 97 == 0)
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=c).localCheckpoint(
+        eager=True
+    )
+    books = SIM.pq_train(corpus, m=m, ksub=ksub, lloyd_steps=1).localCheckpoint(
+        eager=True
+    )
+    index = SIM.ivf_pq_index(corpus, cents, books, m=m).localCheckpoint(
+        eager=True
+    )
+    truth = {
+        (r.query_id, r.corpus_id): (r.cos, r.rank)
+        for r in SIM.brute_force_topk(corpus, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id): (r.cos, r.rank)
+        for r in SIM.ivf_pq_topk(
+            q, cents, books, index, k=5, nprobe=c, m=m, rerank=corpus,
+            shortlist=n,
+        ).collect()
+    }
+    assert got.keys() == truth.keys()
+    for key, (cos, rank) in truth.items():
+        assert got[key][1] == rank, key
+        assert abs(got[key][0] - cos) < 1e-9, key
+
+
+def test_ivf_pq_recall_floor(embeddings):
+    """Drift pin for the ann_ivf_pq gate configuration (C=16, nprobe=4,
+    m=16, ksub=32, reranked): per-query hits against brute-force top-10
+    measured at 8/10 minimum on this fixture — pin one notch under so
+    real regressions (broken probe selection, codebook, LUT, rerank)
+    fail while corpus-regeneration noise does not; the driver gate's
+    own floor (5/10 at sf0.01) stays far below this."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select("vec_id", vd.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    q = corpus.filter(F.col("vec_id") < 10)
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=16).localCheckpoint(
+        eager=True
+    )
+    books = SIM.pq_train(corpus, m=16, ksub=32, lloyd_steps=2).localCheckpoint(
+        eager=True
+    )
+    index = SIM.ivf_pq_index(corpus, cents, books, m=16).localCheckpoint(
+        eager=True
+    )
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in SIM.brute_force_topk(corpus, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in SIM.ivf_pq_topk(
+            q, cents, books, index, k=10, nprobe=4, m=16, rerank=corpus
+        ).collect()
+    }
+    per = {}
+    for qq, c in got & truth:
+        per[qq] = per.get(qq, 0) + 1
+    assert min(per.values()) >= 7, sorted(per.items())
+    assert sum(per.values()) >= 85, sorted(per.items())
+
+
+def test_pq_guards_fail_loudly(spark, embeddings):
+    """The round-8-advice guards: a subvector count that does not divide
+    the dimension, or a codebook larger than the usable corpus, must
+    raise at execution — never silently truncate dimensions or emit a
+    short codebook."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.limit(40).select("vec_id", vd.alias("embedding"))
+    with pytest.raises(Exception, match="divisible by m"):
+        SIM.pq_train(corpus, m=7, ksub=4, lloyd_steps=0).collect()
+    with pytest.raises(Exception, match="usable"):
+        SIM.pq_train(corpus.limit(3), m=8, ksub=16, lloyd_steps=0).collect()

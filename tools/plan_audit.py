@@ -162,9 +162,43 @@ def main() -> None:
         return S.pq_topk(queries, books, codes, k=10, m=16, rerank=emb)
 
     qs["ann_pq_search"] = _pq_search
+
+    def _ivf_pq_search(s, d):
+        # the composed IVF x PQ recurring cost: coarse codebook, PQ
+        # codebooks, and the (list_id, codes) index are the one-time
+        # persisted artifacts (built eagerly); the audited plan is the
+        # probed-list ADC scan + shortlist rerank — probe selection and
+        # LUT ride broadcasts, so the scan side's only exchanges must
+        # be the top-k reduction's (same bound as ann_pq_search)
+        from pyspark.sql import functions as F
+
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            similarity as S,
+        )
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        cents = S.build_ivf_centroids(
+            emb, num_centroids=16, lloyd_steps=1
+        ).localCheckpoint(eager=True)
+        books = S.pq_train(emb, m=16, ksub=32, lloyd_steps=1).localCheckpoint(
+            eager=True
+        )
+        index = S.ivf_pq_index(emb, cents, books, m=16).localCheckpoint(
+            eager=True
+        )
+        queries = emb.filter(F.col("vec_id") % 40 == 0)
+        return S.ivf_pq_topk(
+            queries, cents, books, index, k=10, nprobe=4, m=16, rerank=emb
+        )
+
+    qs["ann_ivf_pq_search"] = _ivf_pq_search
     only = set(sys.argv[1:]) or {
         "ann_ivf_c256_search",
         "ann_pq_search",
+        "ann_ivf_pq_search",
         "interval_join_events",
         "text_hash_embed",
         "ngram_lm_score",
