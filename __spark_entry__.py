@@ -46,8 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # after this query ...         ... pull these up next
         # (blob_codec left the gated tier in the round-6 rotation;
         # validation_missing / dedup_clusters left in the round-8
-        # rotation — they still claim shared frames when run adjacently
-        # in the extra tier)
+        # rotation; window_tumbling / doc_fingerprint /
+        # multimodal_frames / sample_per_source left in the round-9
+        # rotation for winnow_cut / ann_pq / stream_sessionize /
+        # dedup_incremental — subsumed coverage still claims shared
+        # frames when run adjacently in the extra tier.  The ANN family
+        # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
+        # order and relays the pinned brute-force truth / codebooks —
+        # see queries_ext._ann_brute10.)
         "cell_lookup": ["validation_diff"],
         "dedup_minhash": ["dedup_corpus"],
     }

@@ -783,17 +783,24 @@ def ivf_pq_index(
     m: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The combined IVF-PQ artifact (the FAISS ``IVFPQ`` layout): every
     corpus vector assigned to its nearest coarse centroid's inverted
     list AND encoded as m PQ codes — (corpus_id, list_id, codes).
     Stored partitioned by list_id, a probe reads only nprobe lists and
     each list row is m bytes + two ids; the float corpus is never
-    scanned at query time (only the rerank shortlist fetches it)."""
+    scanned at query time (only the rerank shortlist fetches it).
+
+    Pass ``codes=`` (a :func:`pq_encode` frame, typically already
+    persisted) to reuse an existing encoding instead of re-encoding —
+    the deployment shape where the PQ codes and the coarse assignment
+    are maintained as separate artifacts."""
     lists = ivf_index(corpus, centroids, vec_col=vec_col, id_col=id_col).select(
         "corpus_id", "list_id"
     )
-    codes = pq_encode(corpus, books, m=m, vec_col=vec_col, id_col=id_col)
+    if codes is None:
+        codes = pq_encode(corpus, books, m=m, vec_col=vec_col, id_col=id_col)
     return lists.join(
         codes.withColumnRenamed("id", "corpus_id"), "corpus_id"
     ).select("corpus_id", "list_id", "codes")

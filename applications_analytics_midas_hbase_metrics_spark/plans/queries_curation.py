@@ -567,7 +567,7 @@ def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
     """
 
 
-@register_extra("winnow_cut", oracle=_winnow_cut_oracle(8, 4, 20, 2))
+@register("winnow_cut", oracle=_winnow_cut_oracle(8, 4, 20, 2))
 def q_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MOSS curation pipeline — detect (winnow_overlap_pairs
     semantics), localize (winnow_overlap_spans), CUT

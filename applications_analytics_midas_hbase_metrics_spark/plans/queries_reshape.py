@@ -56,7 +56,7 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n"))
 
 
-@register(
+@register_extra(
     "sample_per_source",
     oracle="""
     SELECT source, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars

@@ -317,7 +317,7 @@ _SESSION_GAP = 86400
 _SESSION_MID = 1705363200
 
 
-@register_extra(
+@register(
     "stream_sessionize",
     oracle=f"""
     WITH o AS (

@@ -821,7 +821,7 @@ def test_ivf_pq_recall_floor(embeddings):
     cents = SIM.build_ivf_centroids(corpus, num_centroids=16).localCheckpoint(
         eager=True
     )
-    books = SIM.pq_train(corpus, m=16, ksub=32, lloyd_steps=2).localCheckpoint(
+    books = SIM.pq_train(corpus, m=16, ksub=32, lloyd_steps=1).localCheckpoint(
         eager=True
     )
     index = SIM.ivf_pq_index(corpus, cents, books, m=16).localCheckpoint(
