@@ -512,6 +512,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     positions: bool = False,
+    hash_fn: str = "java",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., the MOSS
     algorithm): hash every character ``k``-gram of the normalized text,
@@ -530,13 +531,22 @@ def winnow_fingerprints(
     normalized text as the single gram (the word_shingles fallback
     rule); empty documents emit no rows.
 
-    The gram hash is the reference's Java polynomial hash
-    (functions.keys.java_hash — Utils.scala:85-92), chosen for its
-    byte-exact DuckDB replay so the WHOLE pipeline is differentially
-    checkable; the per-gram fold costs O(k) expression work, so a
-    100 TB deployment would swap in ``xxhash64(substring(...))`` for
-    the gram hash — identical plan shape, cheaper per gram — once
-    engine-reproducibility is no longer required.
+    ``hash_fn`` selects the gram hash:
+
+    * ``"java"`` (default) — the reference's Java polynomial hash
+      (functions.keys.java_hash — Utils.scala:85-92), chosen for its
+      byte-exact DuckDB replay so the WHOLE pipeline is differentially
+      checkable; the fold costs O(k) expression work per gram.
+    * ``"xxhash64"`` — Spark's native 64-bit hash over the same grams:
+      IDENTICAL plan shape (one JVM projection, no shuffle), one
+      native hash call per gram instead of the k-step interpreted
+      fold — the production swap once engine-reproducibility is no
+      longer required (measured per-doc saving in SCALE.md).  The
+      winnowing guarantee (any shared substring of length >= k+w-1
+      shares a fingerprint) is hash-agnostic and property-tested for
+      this path in tests/test_text_analysis.py; only the SELECTION of
+      which grams survive differs, so fingerprint sets from the two
+      hash fns are not comparable with each other.
 
     With ``positions=True`` the POSITIONAL variant is emitted instead:
     (id, fp, pos) where ``pos`` is the 1-based character offset (into
@@ -547,14 +557,20 @@ def winnow_fingerprints(
 
     Returns (id, fp) — one row per distinct fingerprint per document —
     or (id, fp, pos) rows distinct on the pair."""
+    if hash_fn not in ("java", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'java' or 'xxhash64', got {hash_fn!r}")
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     src = df.select(
         F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
     ).filter(F.length("nm") > 0)
     n_grams = F.greatest(F.length("nm") - (k - 1), F.lit(1))
+    if hash_fn == "java":
+        gram_hash = lambda g: java_hash(g).cast("bigint")  # noqa: E731
+    else:
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: java_hash(F.substring(F.col("nm"), i, F.lit(k))).cast("bigint"),
+        lambda i: gram_hash(F.substring(F.col("nm"), i, F.lit(k))),
     )
     with_grams = src.select("id", grams.alias("gh"))
     n_windows = F.greatest(F.size("gh") - (w - 1), F.lit(1))
@@ -590,6 +606,7 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    hash_fn: str = "java",
 ) -> DataFrame:
     """Substring-overlap candidate pairs from shared winnowing
     fingerprints — the MOSS detection join: documents sharing >=
@@ -608,8 +625,14 @@ def winnow_overlap_pairs(
     and both join sides), so it materializes by default;
     ``materialize=False`` keeps the plan lazy for inspection.
 
+    ``hash_fn`` passes through to :func:`winnow_fingerprints` — run
+    ``"xxhash64"`` at production scale, keep ``"java"`` where the
+    DuckDB differential must replay the grams.
+
     Returns (id_a, id_b, n_shared) with id_a < id_b."""
-    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
     fps = _self_join_ready(fps, materialize)
     keep = (
         fps.groupBy("fp")
@@ -638,6 +661,7 @@ def winnow_overlap_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    hash_fn: str = "java",
 ) -> DataFrame:
     """MOSS overlap detection WITH localization: like
     :func:`winnow_overlap_pairs`, but built on the positional
@@ -661,7 +685,8 @@ def winnow_overlap_spans(
     Returns (id_a, id_b, n_shared, a_start, a_end, b_start, b_end)
     with id_a < id_b."""
     pfs = winnow_fingerprints(
-        df, k=k, w=w, text_col=text_col, id_col=id_col, positions=True
+        df, k=k, w=w, text_col=text_col, id_col=id_col, positions=True,
+        hash_fn=hash_fn,
     )
     pfs = _self_join_ready(pfs, materialize)
     keep = (

@@ -596,3 +596,63 @@ def test_winnow_cut_removes_detected_overlap(spark):
         k=8, w=4, max_df=3, min_shared=2,
     )
     assert redetect.count() == 0
+
+
+def test_winnow_xxhash64_properties(spark):
+    """The production-hash path (hash_fn='xxhash64'): the winnowing
+    GUARANTEE and the structural invariants are hash-agnostic, so they
+    must hold without any DuckDB replay — (1) docs sharing a >= k+w-1
+    substring share a fingerprint, (2) every emitted fp is the xxhash64
+    of some k-gram of the doc (selection only ever chooses, never
+    invents), (3) the selection keeps ~1/w of grams (the storage bound
+    the algorithm exists for), (4) deterministic across runs, and (5)
+    the two hash fns agree on WHICH DOCS overlap even though their
+    fingerprint values differ."""
+    shared = "quick brown foxes jumping high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} zzz"),
+            (2, f"completely other preamble {shared}"),
+            (3, "nothing in common here at all with others"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.winnow_fingerprints(docs, k=8, w=4, hash_fn="xxhash64").collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.id, set()).add(r.fp)
+    # (1) guarantee
+    assert fps[1] & fps[2], "shared >= k+w-1 substring must share a fp"
+    assert not (fps[1] & fps[3])
+    # (2) membership: fps are xxhash64 of real grams (computed via the
+    # same engine expression over an exploded gram table)
+    norm1 = f"aaaa {shared} zzz"
+    gram_rows = spark.createDataFrame(
+        [(norm1[i : i + 8],) for i in range(len(norm1) - 7)], ["g"]
+    ).select(F.xxhash64("g").alias("h")).collect()
+    assert fps[1] <= {r.h for r in gram_rows}
+    # (3) compression: selected fps ~ grams/w, never more than windows
+    n_grams = len(norm1) - 7
+    assert len(fps[1]) <= n_grams - 3
+    assert len(fps[1]) < n_grams / 2
+    # (4) determinism
+    again = T.winnow_fingerprints(docs, k=8, w=4, hash_fn="xxhash64").collect()
+    assert {(r.id, r.fp) for r in again} == {(r.id, r.fp) for r in out}
+    # (5) pair-level agreement with the java-hash path on this corpus
+    pj = {
+        (r.id_a, r.id_b)
+        for r in T.winnow_overlap_pairs(docs, k=8, w=4, max_df=3).collect()
+    }
+    px = {
+        (r.id_a, r.id_b)
+        for r in T.winnow_overlap_pairs(
+            docs, k=8, w=4, max_df=3, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert pj == px == {(1, 2)}
+    # unknown hash_fn fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        T.winnow_fingerprints(docs, hash_fn="md5")
