@@ -243,6 +243,14 @@ def main() -> None:
         "on connected_components (dedup_clusters, dedup_corpus) checkpoint",
         "unconditionally per superstep and are not plan-audited here.",
         "",
+        "The gated ANN rows (ann_ivf, ann_pq) are recall-verification",
+        "COMPOSITES (search + brute-force truth + centroid/codebook build",
+        "in one lineage since the round-9 registry pins keep it lazy), so",
+        "their exchange counts include the one-time artifact builds; the",
+        "recurring production search shapes are the dedicated",
+        "ann_ivf_c256_search / ann_pq_search / ann_ivf_pq_search sections",
+        "(scan-side exchanges = the top-k reduction's only).",
+        "",
     ]
     from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
 
