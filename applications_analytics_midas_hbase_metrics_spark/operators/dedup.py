@@ -521,6 +521,8 @@ def lsh_pairs_between(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     materialize: bool = True,
+    pin_left=None,
+    pin_right=None,
 ) -> DataFrame:
     """Cross-corpus LSH: near-dup pairs (id_a from ``sig_left``, id_b
     from ``sig_right``, jaccard) between two signature frames built by
@@ -541,9 +543,19 @@ def lsh_pairs_between(
     per consumer, defeating the persisted-signature cost story.  A
     caller that passes frames already read from a stored signature
     table (the production shape) pays only a tiny id+minima cache;
-    ``materialize=False`` keeps the plan lazy for inspection."""
-    sig_left = _self_join_ready(sig_left, materialize)
-    sig_right = _self_join_ready(sig_right, materialize)
+    ``materialize=False`` keeps the plan lazy for inspection.
+    ``pin_left``/``pin_right`` (df -> df) override HOW each side
+    materializes — registry queries pass a keyed persist_deferred so a
+    repeat run claims the stored signatures instead of re-shingling,
+    the in-session analogue of the persisted history table."""
+    sig_left = (
+        pin_left(sig_left) if pin_left is not None
+        else _self_join_ready(sig_left, materialize)
+    )
+    sig_right = (
+        pin_right(sig_right) if pin_right is not None
+        else _self_join_ready(sig_right, materialize)
+    )
     a = _band_frame(sig_left, num_hashes, rows_per_band).alias("a")
     b = _band_frame(sig_right, num_hashes, rows_per_band).alias("b")
     cand = (

@@ -12,10 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import classify as CL
 from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators import text as T
-from .queries import register, register_extra, t
+from .queries import persist_deferred, register, register_extra, t
 from .queries_ext import _TOKS, _spread
 
 _PACK_BUDGET = 512
@@ -598,3 +599,83 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     check against direct zlib bytes runs in tests."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.compression_ratio(docs)
+
+
+#: DuckDB twin of operators.classify: same smoothing, same log forms,
+#: same OOV/empty-doc fallbacks — integer counts through ln, so the
+#: 6-decimal rounded score is differentially stable.
+_NB_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lbl,
+               {_TOKS} AS tks
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, lbl, unnest(tks) AS tk FROM base),
+    cnt AS (
+        SELECT tk,
+               sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS cp,
+               sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS cn
+        FROM toks WHERE doc_id % 5 != 0 GROUP BY tk
+    ),
+    tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnt),
+    nd AS (
+        SELECT sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS nn
+        FROM base WHERE doc_id % 5 != 0
+    ),
+    model AS (
+        SELECT tk,
+               ln((cp + 1.0) / (tp + 1.0 * v)) - ln((cn + 1.0) / (tn + 1.0 * v)) AS w
+        FROM cnt CROSS JOIN tot
+    ),
+    consts AS (
+        SELECT ln((0 + 1.0) / (tp + 1.0 * v)) - ln((0 + 1.0) / (tn + 1.0 * v)) AS w_oov,
+               ln(np + 1.0) - ln(nn + 1.0) AS prior
+        FROM tot CROSS JOIN nd
+    ),
+    doctoks AS (
+        SELECT doc_id, tk, count(*) AS c FROM toks GROUP BY doc_id, tk
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               sum(d.c) AS n_tokens,
+               (SELECT prior FROM consts)
+                   + sum(d.c * coalesce(m.w, (SELECT w_oov FROM consts))) AS s
+        FROM doctoks d LEFT JOIN model m USING (tk)
+        GROUP BY d.doc_id
+    )
+    SELECT b.doc_id AS id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(coalesce(s.s, (SELECT prior FROM consts)), 6) AS score,
+           CAST(CASE WHEN coalesce(s.s, (SELECT prior FROM consts)) >= 0
+                THEN 1 ELSE 0 END AS INT) AS pred
+    FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register_extra("quality_classifier", oracle=_NB_ORACLE)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier curation stage (operators.classify): train a
+    multinomial Naive Bayes on "does this doc come from the reference
+    source?" (label = source == 'src0', the fastText-quality-filter
+    recipe from CCNet/GPT-3) over the doc_id % 5 != 0 training split,
+    then score EVERY document with the per-doc log-odds a pipeline
+    thresholds or importance-samples on.  The fixture corpus is
+    synthetic so the labels are near-chance — what the differential
+    gate verifies is the distributed train/score math (two count
+    aggregations + a vocab-keyed weight join, never docs x vocab);
+    that the learner actually LEARNS is pinned on a separable corpus
+    in tests/test_classify.py."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    # the model is the persistable artifact; its two consumers (weight
+    # join + the w_oov/prior scalar pull) claim one pinned build
+    model = persist_deferred(
+        CL.nb_quality_train(train), key=f"nbq_model:{sf_dir}"
+    )
+    return CL.nb_quality_score(docs, model)

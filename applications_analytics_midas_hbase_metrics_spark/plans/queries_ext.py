@@ -776,8 +776,24 @@ def q_dedup_incremental(
         )
         return D.minhash_signature_frame(_spread(spark, base), num_hashes=96)
 
+    # keyed pins (materialized path only): warm repeats and driver
+    # retries claim both signature frames — the in-session analogue of
+    # the persisted history signature table
     pairs = D.lsh_pairs_between(
-        sigs(batch), sigs(docs), num_hashes=96, materialize=materialize
+        sigs(batch),
+        sigs(docs),
+        num_hashes=96,
+        materialize=materialize,
+        pin_left=(
+            (lambda df: persist_deferred(df, key=f"incr_sig_batch:{sf_dir}"))
+            if materialize
+            else None
+        ),
+        pin_right=(
+            (lambda df: persist_deferred(df, key=f"incr_sig_hist:{sf_dir}"))
+            if materialize
+            else None
+        ),
     )
     near_ids = pairs.select(F.col("id_a").alias("doc_id")).distinct()
     return (

@@ -2,7 +2,10 @@
 and grep the final (AQE) plan for the properties that matter at 100 TB —
 pushed filters, broadcast joins, codegen coverage, exchange counts.
 
-Usage: python tools/plan_audit.py [query ...]  → writes PLANS.md
+Usage: python tools/plan_audit.py [--print-only] [query ...]
+Writes PLANS.md with ALL audited sections; with explicit query args the
+file would contain only those sections, so argful runs should pass
+--print-only (print the sections, leave PLANS.md untouched).
 """
 
 from __future__ import annotations
@@ -195,7 +198,33 @@ def main() -> None:
         )
 
     qs["ann_ivf_pq_search"] = _ivf_pq_search
-    only = set(sys.argv[1:]) or {
+
+    def _nbq_lazy(s, d):
+        # lazy twin: the gated variant pins the model frame in the
+        # registry; unpinned + materialize=False exposes the full DAG
+        # (train aggregates -> vocab-keyed weight join -> per-doc sum)
+        from pyspark.sql import functions as F
+
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            classify as CL,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id",
+            "text",
+            (F.col("source") == "src0").cast("int").alias("label"),
+        )
+        model = CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0))
+        return CL.nb_quality_score(docs, model, materialize=False)
+
+    qs["quality_classifier"] = _nbq_lazy
+
+    args = sys.argv[1:]
+    print_only = "--print-only" in args
+    if print_only:
+        args = [a for a in args if a != "--print-only"]
+    only = set(args) or {
+        "quality_classifier",
         "ann_ivf_c256_search",
         "ann_pq_search",
         "ann_ivf_pq_search",
@@ -281,6 +310,9 @@ def main() -> None:
         ]
         print(lines[-4])
         print(lines[-3])
+    if print_only:
+        print("(--print-only: PLANS.md untouched)")
+        return
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote PLANS.md")
