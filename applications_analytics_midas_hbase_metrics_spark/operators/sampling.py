@@ -147,6 +147,43 @@ def stratified_percent_rank(
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
 
 
+def rank_importance_sample(
+    df: DataFrame,
+    rank_col: str,
+    key_col: str,
+    power: int = 1,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Deterministic importance sampling on a [0, 1] quality rank: each
+    row is kept with probability ``rank^power`` — the CCNet/GPT-3
+    "sample by quality" recipe with the raw classifier score replaced
+    by its (per-stratum) percentile rank, which needs no calibration
+    and tilts the kept corpus toward high-quality rows (power=1 keeps
+    ~half, linearly weighted; higher powers sharpen the tilt; the
+    expected keep fraction is 1/(power+1)).
+
+    Cross-engine exact by construction: the rank is an integer ratio,
+    ``power`` is a small integer applied by repeated multiplication
+    (no libm ``pow`` — both engines produce the identical double), and
+    the uniform is the same Fibonacci id-hash bucket as
+    :func:`mixture_sample`, here at full 2^31 resolution (``h / 2^31``
+    is exact — h < 2^31 << 2^53).  Map-side, zero shuffles beyond
+    whatever produced the rank.  Emits ``keep`` 0/1 (rows retained so
+    the decision itself is auditable/gateable; filter on it to
+    materialize the sampled corpus)."""
+    if power < 1:
+        raise ValueError(f"power must be a positive integer, got {power}")
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    u = h / F.lit(float(_MIX_DOMAIN))
+    p = F.col(rank_col)
+    for _ in range(power - 1):
+        p = p * F.col(rank_col)
+    return df.withColumn(keep_col, (u < p).cast("int"))
+
+
 def temperature_mixture(
     df: DataFrame,
     alpha: float = 0.5,

@@ -16,6 +16,7 @@ from ..operators import classify as CL
 from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators import text as T
+from ..operators.sampling import rank_importance_sample, stratified_percent_rank
 from .queries import persist_deferred, register, register_extra, t
 from .queries_ext import _TOKS, _spread
 
@@ -679,3 +680,60 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         CL.nb_quality_train(train), key=f"nbq_model:{sf_dir}"
     )
     return CL.nb_quality_score(docs, model)
+
+
+@register_extra(
+    "quality_importance_sample",
+    # the classifier score feeds a per-source percentile rank and a
+    # rank^2 keep-probability — every term is an integer ratio or a
+    # product of identical doubles, so the keep DECISIONS themselves
+    # hash-match across engines (no libm pow/exp anywhere)
+    oracle=f"""
+    WITH nb AS ({_NB_ORACLE}),
+    src AS (SELECT doc_id AS id, source FROM documents),
+    ranked AS (
+        SELECT nb.id, src.source, nb.score,
+               round(percent_rank() OVER
+                     (PARTITION BY src.source ORDER BY nb.score, nb.id), 6)
+                   AS pct_rank
+        FROM nb JOIN src USING (id)
+    )
+    SELECT id, source, score, pct_rank,
+           CAST(CASE WHEN ((((id % 2147483648) + 2147483648) % 2147483648
+                            * 2246822519) % 2147483648) / 2147483648.0
+                     < pct_rank * pct_rank
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ranked
+    """,
+)
+def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-sampling stage (GPT-3/CCNet recipe,
+    calibration-free): Naive Bayes quality score
+    (operators.classify) -> per-source percentile rank
+    (sampling.stratified_percent_rank, so weak sources are not
+    globally over-pruned) -> keep with probability rank^2
+    (sampling.rank_importance_sample — deterministic Fibonacci-hash
+    uniform, expected keep fraction 1/3 tilted toward high scores).
+    Emits the auditable keep flag per document rather than the
+    filtered corpus, so the sampling DECISION is what the gate
+    hashes."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    model = persist_deferred(
+        CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0)),
+        key=f"nbq_model:{sf_dir}",
+    )
+    scored = CL.nb_quality_score(docs, model).select("id", "score")
+    enriched = scored.join(
+        docs.select(F.col("doc_id").cast("bigint").alias("id"), "source"), "id"
+    )
+    ranked = stratified_percent_rank(
+        enriched, group_col="source", score_col="score", id_col="id"
+    )
+    return rank_importance_sample(ranked, rank_col="pct_rank", key_col="id", power=2).select(
+        "id", "source", "score", "pct_rank", "keep"
+    )

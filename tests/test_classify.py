@@ -101,3 +101,40 @@ def test_nb_score_plan_is_join_not_broadcast_of_docs(spark):
     )
 
     release_lazy_pins()
+
+
+def test_rank_importance_sample_tilts_and_is_deterministic(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        rank_importance_sample,
+    )
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") + 0.0) / (n - 1)).alias("r"),  # exact [0,1] rank
+    )
+    out = rank_importance_sample(df, rank_col="r", key_col="doc_id", power=2)
+    rows = out.collect()
+    kept = [r for r in rows if r.keep == 1]
+    # expected keep fraction for p = r^2 over uniform ranks: 1/3
+    frac = len(kept) / n
+    assert 0.25 < frac < 0.42, frac
+    # tilt: the kept set's mean rank must sit well above the dropped set's
+    mean_kept = sum(r.r for r in kept) / len(kept)
+    dropped = [r for r in rows if r.keep == 0]
+    mean_dropped = sum(r.r for r in dropped) / len(dropped)
+    assert mean_kept > mean_dropped + 0.2, (mean_kept, mean_dropped)
+    # bottom ranks can essentially never survive r^2
+    assert not any(r.keep for r in rows if r.r < 0.02)
+    # deterministic across runs
+    again = {
+        (r.doc_id, r.keep)
+        for r in rank_importance_sample(
+            df, rank_col="r", key_col="doc_id", power=2
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.keep) for r in rows}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power"):
+        rank_importance_sample(df, rank_col="r", key_col="doc_id", power=0)
