@@ -607,6 +607,7 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     materialize: bool = True,
     hash_fn: str = "java",
+    pin=None,
 ) -> DataFrame:
     """Substring-overlap candidate pairs from shared winnowing
     fingerprints — the MOSS detection join: documents sharing >=
@@ -633,7 +634,10 @@ def winnow_overlap_pairs(
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
     )
-    fps = _self_join_ready(fps, materialize)
+    # ``pin`` (df -> df) overrides the materialization — registry
+    # queries pass a keyed persist_deferred so warm repeats claim the
+    # fingerprint frame instead of re-hashing the corpus
+    fps = pin(fps) if pin is not None else _self_join_ready(fps, materialize)
     keep = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
@@ -662,6 +666,7 @@ def winnow_overlap_spans(
     id_col: str = "doc_id",
     materialize: bool = True,
     hash_fn: str = "java",
+    pin=None,
 ) -> DataFrame:
     """MOSS overlap detection WITH localization: like
     :func:`winnow_overlap_pairs`, but built on the positional
@@ -688,7 +693,7 @@ def winnow_overlap_spans(
         df, k=k, w=w, text_col=text_col, id_col=id_col, positions=True,
         hash_fn=hash_fn,
     )
-    pfs = _self_join_ready(pfs, materialize)
+    pfs = pin(pfs) if pin is not None else _self_join_ready(pfs, materialize)
     keep = (
         pfs.select("id", "fp")
         .distinct()

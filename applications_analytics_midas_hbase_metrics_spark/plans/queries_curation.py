@@ -450,7 +450,10 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  The oracle replays fingerprinting, the frequency cutoff,
     and the bucket self-join verbatim."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    return T.winnow_overlap_pairs(docs, k=8, w=4, max_df=20, min_shared=2)
+    return T.winnow_overlap_pairs(
+        docs, k=8, w=4, max_df=20, min_shared=2,
+        pin=lambda df: persist_deferred(df, key=f"winnow_fps_8_4:{sf_dir}"),
+    )
 
 
 def _winnow_spans_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
@@ -513,7 +516,11 @@ def q_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum POSITION arithmetic (first in-window occurrence), the
     distinct-doc frequency cutoff, and the extent aggregate verbatim."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    return T.winnow_overlap_spans(docs, k=8, w=4, max_df=20, min_shared=2)
+    # same corpus/params as winnow_cut's localization stage -> same key
+    return T.winnow_overlap_spans(
+        docs, k=8, w=4, max_df=20, min_shared=2,
+        pin=lambda df: persist_deferred(df, key=f"winnow_pfs_8_4:{sf_dir}"),
+    )
 
 
 def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
@@ -581,7 +588,10 @@ def q_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays interval merging (gaps-and-islands) and the
     substring stitch character-exactly."""
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    spans = T.winnow_overlap_spans(docs, k=8, w=4, max_df=20, min_shared=2)
+    spans = T.winnow_overlap_spans(
+        docs, k=8, w=4, max_df=20, min_shared=2,
+        pin=lambda df: persist_deferred(df, key=f"winnow_pfs_8_4:{sf_dir}"),
+    )
     cut_input = spans.select(
         F.col("id_b").alias("id"),
         F.col("b_start").alias("start"),
