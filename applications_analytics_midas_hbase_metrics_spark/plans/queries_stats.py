@@ -34,6 +34,50 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "approx_quantiles",
+    # Like approx_distinct: a sketch estimate cannot hash-compare across
+    # engines, but its GUARANTEE can.  percentile_approx (GK sketch)
+    # promises rank error <= 1/accuracy; the gated output is the
+    # discrete-quantile sandwich verdict "frac_lt(v) <= p + eps and
+    # frac_le(v) >= p - eps" (tie-robust — the correct validity test
+    # for a quantile drawn from data with repeated values), computed
+    # from exact integer counts.  A broken sketch flips a verdict and
+    # the hash goes red.
+    oracle="""
+    SELECT l_returnflag, 'ok' AS p50_check, 'ok' AS p90_check
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched percentiles (percentile_approx / Greenwald-Khanna) —
+    the quantile path that actually runs at 100 TB, where the exact
+    sort-based percentile is unaffordable; self-checked against the
+    rank-error guarantee the way approx_distinct checks HLL."""
+    li = t(spark, sf_dir, "lineitem")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("ap")
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    eps = 1e-3  # 10x the 1/accuracy rank-error bound
+
+    def check(i: int, target: float, out: str):
+        v = F.element_at("ap", i)
+        lt = F.avg((F.col("l_quantity") < v).cast("double"))
+        le = F.avg((F.col("l_quantity") <= v).cast("double"))
+        return (
+            F.when((lt <= target + eps) & (le >= target - eps), F.lit("ok"))
+            .otherwise(F.lit("bad"))
+            .alias(out)
+        )
+
+    return j.groupBy("l_returnflag").agg(
+        check(1, 0.5, "p50_check"), check(2, 0.9, "p90_check")
+    )
+
+
+@register_extra(
     "approx_distinct",
     # HLL sketches differ per engine, so the raw estimate cannot be
     # hash-compared — but the estimate's ERROR BOUND can: the gated
