@@ -676,6 +676,58 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(queries, hits, floor=5)
 
 
+@register_extra(
+    "ann_ivf_pq_indexed",
+    # identical_ok contract like ann_ivf_indexed: the STORED composite
+    # index (ivf_pq_index written partitioned by list_id, read back)
+    # must return exactly the inline-index search — same (query,
+    # corpus, rank) triples, cosines to 6 decimals.  The stored path is
+    # where probe pruning becomes DYNAMIC PARTITION PRUNING on disk
+    # (the probed list_ids broadcast into the scan's partition filter,
+    # so only nprobe/C of the index files are read — plan-pinned in
+    # tests/test_dedup_similarity.py::test_ivf_pq_stored_index_dpp).
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS identical_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _ann_emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = _ann_cents16(spark, sf_dir, emb)
+    books, codes = _ann_pq_artifacts(spark, sf_dir, emb)
+    inline = SIM.ivf_pq_index(emb, cents, books, m=16, codes=codes)
+    idx_path = scratch_dir("ann_ivf_pq_indexed") + "/index"
+    inline.write.mode("overwrite").partitionBy("list_id").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    k = ["query_id", "corpus_id"]
+    a = SIM.ivf_pq_topk(
+        queries, cents, books, stored, k=10, nprobe=4, m=16
+    ).select(*k, F.col("cos").alias("cos_a"), F.col("rank").alias("rank_a"))
+    b = SIM.ivf_pq_topk(
+        queries, cents, books, inline, k=10, nprobe=4, m=16
+    ).select(*k, F.col("cos").alias("cos_b"), F.col("rank").alias("rank_b"))
+    diff = (
+        a.join(b, k, "full_outer")
+        .filter(
+            F.col("cos_a").isNull()
+            | F.col("cos_b").isNull()
+            | (F.col("cos_a") != F.col("cos_b"))
+            | (F.col("rank_a") != F.col("rank_b"))
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_diff"))
+    )
+    return (
+        queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_diff", F.lit(0)).eqNullSafe(0).alias("identical_ok"),
+        )
+    )
+
+
 #: Incremental-dedup batch construction: exact copies, 70%-prefix
 #: near-dups, and 30%-prefix "new" docs, id-offset per class so the
 #: verdict distribution is known by construction.

@@ -855,3 +855,39 @@ def test_pq_guards_fail_loudly(spark, embeddings):
         SIM.pq_train(corpus, m=7, ksub=4, lloyd_steps=0).collect()
     with pytest.raises(Exception, match="usable"):
         SIM.pq_train(corpus.limit(3), m=8, ksub=16, lloyd_steps=0).collect()
+
+
+def test_ivf_pq_stored_index_dpp(spark, embeddings, tmp_path):
+    """The stored composite index's 100 TB story, plan-pinned: probing
+    becomes DYNAMIC PARTITION PRUNING on disk — the per-query probe
+    list broadcasts into the parquet scan's partition filter, so only
+    the nprobe probed list_id partitions are read.  Also asserts the
+    stored-index search returns the inline-index result exactly."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select("vec_id", vd.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    q = corpus.filter(F.col("vec_id") < 5)
+    cents = SIM.build_ivf_centroids(corpus, num_centroids=8).localCheckpoint(
+        eager=True
+    )
+    books = SIM.pq_train(corpus, m=8, ksub=16, lloyd_steps=1).localCheckpoint(
+        eager=True
+    )
+    inline = SIM.ivf_pq_index(corpus, cents, books, m=8).localCheckpoint(
+        eager=True
+    )
+    path = str(tmp_path / "ivfpq")
+    inline.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    stored = spark.read.parquet(path)
+    out = SIM.ivf_pq_topk(q, cents, books, stored, k=5, nprobe=2, m=8)
+    got = {(r.query_id, r.corpus_id, r.rank, r.cos) for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "probe join must prune stored partitions"
+    want = {
+        (r.query_id, r.corpus_id, r.rank, r.cos)
+        for r in SIM.ivf_pq_topk(
+            q, cents, books, inline, k=5, nprobe=2, m=8
+        ).collect()
+    }
+    assert got == want
