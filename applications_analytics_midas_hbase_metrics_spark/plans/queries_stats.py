@@ -78,6 +78,74 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "sketch_shard_quantiles",
+    # The MERGEABLE-sketch contract, the pattern that matters at
+    # 100 TB: per-shard KLL quantile sketches (kll_sketch_agg_double)
+    # are persistable partial aggregates — a deployment sketches each
+    # ingest shard once and answers corpus-wide quantiles by MERGING
+    # sketches, never re-scanning data.  Both the direct per-group
+    # sketch and the shard-merged sketch must satisfy the KLL rank
+    # guarantee; the gate emits the tie-robust rank-sandwich verdicts
+    # for both paths (exact integer-count fractions vs p +- eps).  All
+    # sketch ops are JVM SQL expressions; the merge is a HOF fold over
+    # the collected per-shard sketch list (bounded: shards per group).
+    oracle="""
+    SELECT l_returnflag, 'ok' AS p50_check, 'ok' AS p90_check,
+           'ok' AS p50_merged_check, 'ok' AS p90_merged_check
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_sketch_shard_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    direct = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(qty).alias("sk")
+    )
+    shards = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("shard")
+    ).agg(F.kll_sketch_agg_double(qty).alias("sk"))
+    merged = shards.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+        F.element_at(F.col("sks"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    ests = direct.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("e90"),
+    ).join(
+        merged.select(
+            "l_returnflag",
+            F.kll_sketch_get_quantile_double(fold, F.lit(0.5)).alias("m50"),
+            F.kll_sketch_get_quantile_double(fold, F.lit(0.9)).alias("m90"),
+        ),
+        "l_returnflag",
+    )
+    j = li.join(F.broadcast(ests), "l_returnflag")
+    eps = 0.03  # KLL default-k normalized rank error is ~1.7%
+
+    def check(est: str, target: float, out: str):
+        v = F.col(est)
+        lt = F.avg((qty < v).cast("double"))
+        le = F.avg((qty <= v).cast("double"))
+        return (
+            F.when((lt <= target + eps) & (le >= target - eps), F.lit("ok"))
+            .otherwise(F.lit("bad"))
+            .alias(out)
+        )
+
+    return j.groupBy("l_returnflag").agg(
+        check("e50", 0.5, "p50_check"),
+        check("e90", 0.9, "p90_check"),
+        check("m50", 0.5, "p50_merged_check"),
+        check("m90", 0.9, "p90_merged_check"),
+    )
+
+
+@register_extra(
     "approx_distinct",
     # HLL sketches differ per engine, so the raw estimate cannot be
     # hash-compared — but the estimate's ERROR BOUND can: the gated
