@@ -356,3 +356,78 @@ def test_pack_chunk_arithmetic_property(token_counts, budget):
         last = max(per_pack)
         for pk, tot in per_pack.items():
             assert tot == budget or pk == last
+
+
+def test_subvectors_concat_roundtrip_random(spark):
+    """PQ's _subvectors must partition the vector exactly: for every
+    divisible (d, m), concatenating the m subvectors reproduces the
+    input, each slice is d/m wide, and nothing is dropped (the
+    truncation bug the round-8 guard exists for, proven structurally
+    on random vectors in one batched job)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.similarity import (
+        _subvectors,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    rid = 0
+    for d, m in ((8, 2), (8, 4), (12, 3), (64, 16), (64, 8), (6, 6), (5, 1)):
+        for _ in range(4):
+            cases.append((rid, m, [rng.uniform(-2, 2) for _ in range(d)]))
+            rid += 1
+    by_m = {}
+    for r, m, v in cases:
+        by_m.setdefault(m, []).append((r, v))
+    for m, rows in by_m.items():
+        df = spark.createDataFrame(rows, "rid int, v array<double>")
+        out = df.select(
+            "rid",
+            "v",
+            F.flatten(_subvectors(F.col("v"), m)).alias("back"),
+            F.transform(_subvectors(F.col("v"), m), F.size).alias("widths"),
+        ).collect()
+        for r in out:
+            assert r.back == r.v, (m, r.rid)
+            assert all(w == len(r.v) // m for w in r.widths), (m, r.rid)
+
+
+def test_winnow_guarantee_random_both_hashes(spark):
+    """The winnowing guarantee on random corpora, for BOTH gram
+    hashes: plant a shared substring of length >= k+w-1 into pairs of
+    otherwise-random docs — every planted pair must share at least one
+    fingerprint; unrelated random doc pairs (different alphabets) must
+    not collide.  One batched job per hash_fn."""
+    import random
+    import string
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    k, w = 8, 4
+    rng = random.Random(11)
+
+    def rand(alpha, n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    rows = []
+    planted = []
+    for i in range(12):
+        shared = rand(string.ascii_lowercase, k + w - 1 + rng.randrange(6))
+        a = rand(string.ascii_lowercase, rng.randrange(5, 25)) + " " + shared
+        b = shared + " " + rand(string.ascii_lowercase, rng.randrange(5, 25))
+        rows += [(2 * i, a), (2 * i + 1, b)]
+        planted.append((2 * i, 2 * i + 1))
+    # disjoint-alphabet controls: can share no 8-gram with the above
+    rows += [(1000, rand("0123456789", 40)), (1001, rand("QRSTUV", 40))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for hash_fn in ("java", "xxhash64"):
+        fps = {}
+        for r in T.winnow_fingerprints(docs, k=k, w=w, hash_fn=hash_fn).collect():
+            fps.setdefault(r.id, set()).add(r.fp)
+        for a, b in planted:
+            assert fps[a] & fps[b], (hash_fn, a, b)
+        assert not (fps[1000] & fps[1001]), hash_fn
+        assert not (fps[0] & fps[1000]), hash_fn
