@@ -147,6 +147,42 @@ def stratified_percent_rank(
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the last
+    step before a training run: break id-order locality (near ids are
+    near-duplicates' favorite hiding place) WITHOUT an RNG, so the
+    shard layout is reproducible run-to-run and engine-to-engine.
+
+    ``shard = high-bits Fibonacci hash of the id`` (uniform across
+    shards, decorrelated from both id order and the mod-100 split
+    buckets — same extractor as :func:`mixture_sample`), and ``pos``
+    numbers rows WITHIN a shard by (hash, id) — a per-shard window, so
+    the sort is partitioned n_shards-wide, never global (the
+    anti-pattern a global ORDER BY rand() shuffle hits at 100 TB).  A
+    writer then partitions by ``shard`` and orders by ``pos``.
+
+    Returns the input columns plus (shard int, pos bigint)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    with_h = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.floor(F.col("_h") * n_shards / F.lit(_MIX_DOMAIN)).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        with_h.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )
+
+
 def rank_importance_sample(
     df: DataFrame,
     rank_col: str,
@@ -171,8 +207,8 @@ def rank_importance_sample(
     whatever produced the rank.  Emits ``keep`` 0/1 (rows retained so
     the decision itself is auditable/gateable; filter on it to
     materialize the sampled corpus)."""
-    if power < 1:
-        raise ValueError(f"power must be a positive integer, got {power}")
+    if not isinstance(power, int) or power < 1:
+        raise ValueError(f"power must be a positive integer, got {power!r}")
     h = F.pmod(
         F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
         F.lit(_MIX_DOMAIN),

@@ -16,7 +16,11 @@ from ..operators import classify as CL
 from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators import text as T
-from ..operators.sampling import rank_importance_sample, stratified_percent_rank
+from ..operators.sampling import (
+    rank_importance_sample,
+    shuffle_shards,
+    stratified_percent_rank,
+)
 from .queries import persist_deferred, register, register_extra, t
 from .queries_ext import _TOKS, _spread
 
@@ -747,3 +751,33 @@ def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_importance_sample(ranked, rank_col="pct_rank", key_col="id", power=2).select(
         "id", "source", "score", "pct_rank", "keep"
     )
+
+
+@register_extra(
+    "shuffle_shards",
+    # exact int64 arithmetic on both sides: the Fibonacci hash, the
+    # high-bit shard extraction, and the per-shard (hash, id) ordering
+    # replay verbatim — the whole shard layout hash-matches
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ((((doc_id % 2147483648) + 2147483648) % 2147483648
+                 * 2246822519) % 2147483648) AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv * 8 // 2147483648 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv * 8 // 2147483648
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle
+    (operators.sampling.shuffle_shards): every doc lands in one of 8
+    shards by the high bits of its Fibonacci id-hash and takes a
+    reproducible position within the shard — RNG-free training-order
+    randomization, per-shard windows only (no global sort), the layout
+    a sharded training-data writer partitions by."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "pos")

@@ -138,3 +138,37 @@ def test_rank_importance_sample_tilts_and_is_deterministic(spark):
 
     with _pytest.raises(ValueError, match="power"):
         rank_importance_sample(df, rank_col="r", key_col="doc_id", power=0)
+
+
+def test_shuffle_shards_layout_properties(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    n = 4000
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, n_shards=8).collect()
+    assert len(out) == n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    # all 8 shards populated, roughly balanced (Fibonacci hash uniform)
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > n / 8 * 0.7 and max(sizes) < n / 8 * 1.3, sizes
+    # positions are 1..|shard| dense per shard
+    for s, rows in by_shard.items():
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1)), s
+    # the shuffle actually breaks id order: adjacent ids rarely stay
+    # adjacent in the same shard
+    posmap = {r.doc_id: (r.shard, r.pos) for r in out}
+    adjacent_kept = sum(
+        1
+        for i in range(n - 1)
+        if posmap[i][0] == posmap[i + 1][0]
+        and abs(posmap[i][1] - posmap[i + 1][1]) == 1
+    )
+    assert adjacent_kept < n * 0.01, adjacent_kept
+    # deterministic
+    again = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(df, 8).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
