@@ -744,6 +744,35 @@ _INCR_BATCH_SQL = f"""
 """
 
 
+def _incr_batch(docs: DataFrame) -> DataFrame:
+    """Spark half of _INCR_BATCH_SQL: exact copies (+1M), 70%-prefix
+    near-dups (+2M), 30%-prefix "new" docs (+3M) — shared by the batch
+    and streaming incremental-dedup gates."""
+    toks = D.tokens("text")
+
+    def prefix(frac):
+        return F.array_join(
+            F.slice(toks, 1, F.ceil(F.size(toks) * frac).cast("int")), " "
+        )
+
+    return (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .union(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                prefix(0.7).alias("text"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                prefix(0.3).alias("text"),
+            )
+        )
+    )
+
+
 @register(
     "dedup_incremental",
     oracle=f"""
@@ -795,29 +824,7 @@ def q_dedup_incremental(
     self-join core (threshold 0.5).  Precedence: exact beats near
     beats new."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = D.tokens("text")
-
-    def prefix(frac):
-        return F.array_join(
-            F.slice(toks, 1, F.ceil(F.size(toks) * frac).cast("int")), " "
-        )
-
-    batch = (
-        docs.filter(F.col("doc_id") % 13 == 0)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-        .union(
-            docs.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                prefix(0.7).alias("text"),
-            )
-        )
-        .union(
-            docs.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + 3_000_000).alias("doc_id"),
-                prefix(0.3).alias("text"),
-            )
-        )
-    )
+    batch = _incr_batch(docs)
     bh = batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
     hh = docs.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
     exact_ids = bh.join(hh, "h", "left_semi").select("doc_id")

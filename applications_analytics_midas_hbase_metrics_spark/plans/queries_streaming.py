@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import scoped_shuffle_partitions
+from ..streaming import dedup_stream as DS
 from ..streaming import ingest_stream as IS
 from ..streaming import stateful as ST
 from .queries import (
@@ -386,3 +387,115 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value_sum", "n_events"), 6).alias("value_sum"),
     )
     return final.select("user_id", "session_start", "n_events", "value_sum")
+
+
+_STREAM_INCR_ORACLE: str
+
+
+def _build_stream_incr_oracle() -> str:
+    from .queries_ext import _INCR_BATCH_SQL, _SHINGLES_SQL, _TOKS
+
+    return """
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    batch AS ({incr}),
+    corpus AS (
+        SELECT doc_id, text, -1 AS bk FROM hist
+        UNION ALL
+        SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS bk FROM batch
+    ),
+    exact AS (
+        SELECT DISTINCT b.doc_id FROM batch b JOIN corpus h
+        ON b.text = h.text AND h.bk < CAST(b.doc_id % 3 AS INT)
+    ),
+    bsh AS (SELECT doc_id, {sh} AS shingles
+            FROM (SELECT doc_id, {toks} AS tks FROM batch)
+            WHERE len(tks) > 0),
+    csh AS (SELECT doc_id, bk, {sh} AS shingles
+            FROM (SELECT doc_id, bk, {toks} AS tks FROM corpus)
+            WHERE len(tks) > 0),
+    near AS (
+        SELECT DISTINCT b.doc_id
+        FROM bsh b JOIN csh h
+          ON h.bk < CAST(b.doc_id % 3 AS INT)
+         AND least(len(b.shingles), len(h.shingles))
+             >= 0.5 * greatest(len(b.shingles), len(h.shingles))
+        WHERE CAST(len(list_intersect(b.shingles, h.shingles)) AS DOUBLE)
+              / (len(b.shingles) + len(h.shingles)
+                 - len(list_intersect(b.shingles, h.shingles))) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           CAST(b.doc_id % 3 AS BIGINT) AS ingest_batch
+    FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
+                 LEFT JOIN near n ON b.doc_id = n.doc_id
+    """.format(
+        incr=_INCR_BATCH_SQL, sh=_SHINGLES_SQL, toks=_TOKS
+    )
+
+
+_STREAM_INCR_ORACLE = _build_stream_incr_oracle()
+
+
+@register_extra(
+    "stream_incremental_dedup",
+    # Sequential semantics, fully SQL-replayed: a batch-k document
+    # classifies against history PLUS micro-batches j < k only (the
+    # store is read before it is appended), never its own batch.
+    # Micro-batch order is pinned by the source files' ascending
+    # mtimes + maxFilesPerTrigger=1, and the emitted ingest_batch
+    # column is part of the hash — a reordered or merged micro-batch
+    # flips the gate red.  Near tier replays true Jaccard >= 0.5 with
+    # the size-ratio prefilter (banding recall at 96/2 is ~1-1e-6 at
+    # the threshold, same argument as dedup_incremental's oracle).
+    oracle=_STREAM_INCR_ORACLE,
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup (streaming.dedup_stream): three
+    micro-batches of incoming documents classify sequentially against
+    a signature store seeded with the history corpus and grown by each
+    processed batch — history is never re-shingled, a batch never
+    self-compares, and the verdict log records which micro-batch made
+    each decision."""
+    import glob
+    import shutil
+
+    from ..plans.queries_ext import _incr_batch
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _incr_batch(docs)
+    d = scratch_dir("stream_incremental_dedup")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    # one file per micro-batch, mtimes ascending: the file stream with
+    # maxFilesPerTrigger=1 then processes b0 -> b1 -> b2 deterministically
+    for k in range(3):
+        tmp = os.path.join(d, f"tmp{k}")
+        batch.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k, 1_000_000_000 + 1000 * k))
+        shutil.rmtree(tmp)
+    store = os.path.join(d, "store")
+    DS.seed_signature_store(docs, store, num_hashes=96)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = DS.stream_incremental_dedup(
+            stream,
+            store,
+            os.path.join(d, "verdicts"),
+            os.path.join(d, "ckpt"),
+            num_hashes=96,
+            threshold=0.5,
+            trigger_available_now=True,
+        )
+        _await(q)
+    return spark.read.parquet(os.path.join(d, "verdicts")).select(
+        "doc_id", "verdict", F.col("ingest_batch").cast("bigint").alias("ingest_batch")
+    )

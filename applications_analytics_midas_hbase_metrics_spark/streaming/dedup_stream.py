@@ -1,0 +1,139 @@
+"""Streaming incremental near-duplicate detection — the batch
+``dedup_incremental`` classifier (operators.dedup.lsh_pairs_between)
+run continuously: every micro-batch of incoming documents is classified
+exact_dup / near_dup / new against a PERSISTED signature store seeded
+with the history corpus and grown by each processed batch, so a
+document is compared against history PLUS every earlier batch — never
+against its own batch (the store is read before it is appended), and
+history is never re-shingled.
+
+This is the deployment shape of continuous corpus ingest at scale: the
+signature store is the durable artifact (fixed-width sha-256 hashes +
+MinHash minima, a few hundred bytes per document — no text retained),
+each micro-batch's work is |batch| x (banding fan-out) against the
+store's band index, and the verdict log is an append-only audit of
+every ingest decision.
+
+foreachBatch (not a stateful operator) because the per-batch work is a
+JOIN against an unboundedly-growing side — state-store APIs hold state
+in the executors' stores, while a signature TABLE stays on disk,
+shared, compactable, and queryable by the batch engine between runs.
+Micro-batches execute strictly sequentially, which is what makes the
+"prior batches only" semantics deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import dedup as D
+
+
+def _prepared(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (id, shingles), empty docs dropped — the same
+    preparation the batch incremental query feeds
+    minhash_signature_frame."""
+    return docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        D.word_shingle_strings("text", 3).alias("shingles"),
+    )
+
+
+def seed_signature_store(
+    docs: DataFrame, store_dir: str, num_hashes: int = 96
+) -> None:
+    """Write the history corpus's signature store: ``hashes/`` holds
+    (id, sha) for the exact tier, ``sigs/`` the MinHash signature frame
+    for the near tier.  Overwrites — seeding is a one-time snapshot
+    build; the streaming job appends to it."""
+    docs.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    ).write.mode("overwrite").parquet(os.path.join(store_dir, "hashes"))
+    D.minhash_signature_frame(_prepared(docs), num_hashes).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_dir, "sigs"))
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    store_dir: str,
+    verdict_dir: str,
+    checkpoint: str,
+    num_hashes: int = 96,
+    threshold: float = 0.5,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Classify a document stream against the growing signature store.
+
+    Per micro-batch, strictly in this order:
+
+      1. exact tier — the batch's sha-256 hashes semi-join ``hashes/``;
+      2. near tier — the batch's signature frame band-joins ``sigs/``
+         (lsh_pairs_between: same band hashes, size-ratio prefilter,
+         exact-Jaccard verify as the batch operator);
+      3. the verdict rows (doc_id, verdict, ingest_batch) append to the
+         verdict log;
+      4. the batch's OWN hashes and signatures append to the store, so
+         later batches — not this one — see them.
+
+    Exactly-once on the verdict log comes from the checkpoint +
+    Parquet's atomic task commits, same contract as stream_to_cells; a
+    replayed batch re-appends its signatures, which is harmless to
+    verdicts (duplicate store rows can only re-flag true duplicates).
+    The store frames are read fresh from disk each batch (no caching) —
+    the listing IS the store version the batch classifies against."""
+    hashes_dir = os.path.join(store_dir, "hashes")
+    sigs_dir = os.path.join(store_dir, "sigs")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # consumed by 4 stages
+        bh = batch.select(
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        ).localCheckpoint(eager=True)
+        store_hashes = spark.read.parquet(hashes_dir)
+        exact_ids = bh.join(
+            store_hashes.select("sha"), "sha", "left_semi"
+        ).select("id")
+        bsig = D.minhash_signature_frame(_prepared(batch), num_hashes)
+        store_sigs = spark.read.parquet(sigs_dir)
+        pairs = D.lsh_pairs_between(
+            bsig,
+            store_sigs,
+            num_hashes=num_hashes,
+            threshold=threshold,
+            # the store side is already a materialized table on disk;
+            # the batch side is small — neither needs a checkpoint pin
+            materialize=False,
+        )
+        near_ids = pairs.select(F.col("id_a").alias("id")).distinct()
+        verdicts = (
+            batch.select(F.col("doc_id").cast("bigint").alias("id"))
+            .join(exact_ids.withColumn("e", F.lit(1)), "id", "left")
+            .join(near_ids.withColumn("n", F.lit(1)), "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("e") == 1, F.lit("exact_dup"))
+                .when(F.col("n") == 1, F.lit("near_dup"))
+                .otherwise(F.lit("new"))
+                .alias("verdict"),
+                F.lit(batch_id).alias("ingest_batch"),
+            )
+        )
+        verdicts.write.mode("append").parquet(verdict_dir)
+        D.release_lazy_pins()  # lsh_pairs_between lazy mode pins both sides
+        bh.write.mode("append").parquet(hashes_dir)
+        bsig.write.mode("append").parquet(sigs_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -301,3 +301,68 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
         (1, 1000): (1, 8.0),   # opened by the gap break in batch 1
         (2, 50): (1, 5.0),
     }
+
+
+def test_stream_incremental_dedup_cross_batch_only(spark, tmp_path):
+    """The store-growth contract: a batch-2 copy of a batch-1 doc is
+    flagged (the store grew between batches); two copies INSIDE one
+    batch are not flagged against each other (the store is read before
+    it is appended); history dups are flagged from batch 0 on; and the
+    signature store ends holding history + all batches."""
+    import glob
+    import os
+    import shutil
+
+    from applications_analytics_midas_hbase_metrics_spark.streaming import (
+        dedup_stream as DS,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "completely different history text here")],
+        ["doc_id", "text"],
+    )
+    batches = {
+        0: [(10, "alpha beta gamma delta epsilon zeta"),   # exact dup of hist 1
+            (11, "fresh unseen content number eleven ok"),
+            (12, "twin text inside one single batch yes"),
+            (13, "twin text inside one single batch yes")],  # intra-batch twin of 12
+        1: [(20, "fresh unseen content number eleven ok"),   # exact dup of batch-0 doc 11
+            (21, "another brand new document appears now")],
+        2: [(30, "twin text inside one single batch yes")],  # dup of batch-0 twins
+    }
+    d = str(tmp_path)
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for k, rows in batches.items():
+        tmp = os.path.join(d, f"tmp{k}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+        shutil.rmtree(tmp)
+    store = os.path.join(d, "store")
+    DS.seed_signature_store(hist, store, num_hashes=32)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = DS.stream_incremental_dedup(
+        stream, store, os.path.join(d, "verdicts"), os.path.join(d, "ckpt"),
+        num_hashes=32, trigger_available_now=True,
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r.doc_id: (r.verdict, r.ingest_batch)
+        for r in spark.read.parquet(os.path.join(d, "verdicts")).collect()
+    }
+    assert got[10] == ("exact_dup", 0)         # vs history
+    assert got[11][0] == "new"
+    assert got[12][0] == "new" and got[13][0] == "new"  # intra-batch: unseen
+    assert got[20] == ("exact_dup", 1)         # vs batch 0
+    assert got[21][0] == "new"
+    assert got[30] == ("exact_dup", 2)         # vs batch-0 twins
+    # the store grew by every batch: 2 hist + 7 batch hash rows
+    n_hashes = spark.read.parquet(os.path.join(store, "hashes")).count()
+    assert n_hashes == 9
