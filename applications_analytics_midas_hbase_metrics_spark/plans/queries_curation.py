@@ -781,3 +781,83 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sharded training-data writer partitions by."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+@register_extra(
+    "quality_sharded_snapshot",
+    # the round-9 curation ops composed end-to-end into ONE manifest
+    # gate: NB quality score -> per-source rank -> rank^2 importance
+    # keep -> exact dedup (lowest id per text) -> deterministic shard
+    # shuffle -> per-shard manifest.  A drift anywhere (a weight, the
+    # rank window, the keep hash, the dedup rule, the shard extractor)
+    # moves a shard's doc or token count and the hash goes red.
+    oracle=f"""
+    WITH nb AS ({{nb}}),
+    src AS (SELECT doc_id AS id, source, text FROM documents),
+    ranked AS (
+        SELECT nb.id, s.source, s.text, nb.n_tokens, nb.score,
+               round(percent_rank() OVER
+                     (PARTITION BY s.source ORDER BY nb.score, nb.id), 6)
+                   AS pr
+        FROM nb JOIN src s ON nb.id = s.id
+    ),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE ((((id % 2147483648) + 2147483648) % 2147483648
+                * 2246822519) % 2147483648) / 2147483648.0 < pr * pr
+    ),
+    dedup AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT min(id) AS id FROM kept GROUP BY text) m ON k.id = m.id
+    ),
+    sharded AS (
+        SELECT *,
+               CAST(((((id % 2147483648) + 2147483648) % 2147483648
+                      * 2246822519) % 2147483648) * 8 // 2147483648 AS INT)
+                   AS shard
+        FROM dedup
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM sharded GROUP BY shard
+    """.format(nb=_NB_ORACLE),
+)
+def q_quality_sharded_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-sampled, deduped, sharded corpus manifest — the round-9
+    curation stages composed the way a pretraining data build chains
+    them (operators.classify -> sampling.stratified_percent_rank ->
+    sampling.rank_importance_sample -> dedup.drop_exact_duplicates ->
+    sampling.shuffle_shards): keep documents with probability
+    rank(quality)^2 within their source, drop exact copies keeping the
+    lowest id, lay the survivors out in 8 reproducible training
+    shards, and emit the per-shard (doc count, token count) manifest a
+    training job validates against."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    model = persist_deferred(
+        CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0)),
+        key=f"nbq_model:{sf_dir}",
+    )
+    scored = CL.nb_quality_score(docs, model)
+    enriched = scored.join(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("id"), "source", "text"
+        ),
+        "id",
+    )
+    ranked = stratified_percent_rank(
+        enriched, group_col="source", score_col="score", id_col="id"
+    )
+    kept = rank_importance_sample(
+        ranked, rank_col="pct_rank", key_col="id", power=2
+    ).filter(F.col("keep") == 1)
+    deduped = D.drop_exact_duplicates(kept, content_col="text", id_col="id")
+    sharded = shuffle_shards(deduped, n_shards=8, key_col="id")
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
