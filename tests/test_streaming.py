@@ -366,3 +366,61 @@ def test_stream_incremental_dedup_cross_batch_only(spark, tmp_path):
     # the store grew by every batch: 2 hist + 7 batch hash rows
     n_hashes = spark.read.parquet(os.path.join(store, "hashes")).count()
     assert n_hashes == 9
+
+
+def test_stream_incremental_dedup_restart_idempotent(spark, tmp_path):
+    """Exactly-once on the verdict log across restarts: re-starting the
+    availableNow job on the SAME checkpoint with no new source files
+    must add zero verdict rows and zero store rows; a new file after
+    restart is processed exactly once against the grown store."""
+    import glob
+    import os
+    import shutil
+
+    from applications_analytics_midas_hbase_metrics_spark.streaming import (
+        dedup_stream as DS,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "history document first and only text")], ["doc_id", "text"]
+    )
+    d = str(tmp_path)
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+
+    def add_file(k, rows):
+        tmp = os.path.join(d, f"tmp{k}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+        shutil.rmtree(tmp)
+
+    add_file(0, [(10, "history document first and only text"), (11, "something new")])
+    store = os.path.join(d, "store")
+    DS.seed_signature_store(hist, store, num_hashes=32)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = DS.stream_incremental_dedup(
+            stream, store, os.path.join(d, "verdicts"), os.path.join(d, "ckpt"),
+            num_hashes=32, trigger_available_now=True,
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    vd = os.path.join(d, "verdicts")
+    assert spark.read.parquet(vd).count() == 2
+    n_store = spark.read.parquet(os.path.join(store, "hashes")).count()
+    run()  # restart, nothing new -> nothing re-processed
+    assert spark.read.parquet(vd).count() == 2
+    assert spark.read.parquet(os.path.join(store, "hashes")).count() == n_store
+    add_file(1, [(20, "something new")])  # dup of doc 11 from batch 0
+    run()
+    got = {r.doc_id: r.verdict for r in spark.read.parquet(vd).collect()}
+    assert len(got) == 3 and got[20] == "exact_dup"
