@@ -76,7 +76,20 @@ def nb_quality_train(
     nd = base.groupBy().agg(
         F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0)).alias("nn"),
-    )
+    ).select(
+        # an empty training corpus yields NULL totals -> NULL weights ->
+        # NULL scores whose engine-specific null comparisons diverge
+        # silently; fail loudly instead (same guard family as pq_train)
+        F.when(
+            F.assert_true(
+                F.coalesce(F.col("np"), F.lit(0))
+                + F.coalesce(F.col("nn"), F.lit(0))
+                > 0,
+                "nb_quality_train: training corpus is empty",
+            ).isNull(),
+            F.struct("np", "nn"),
+        ).alias("_nd")
+    ).select(F.col("_nd.np").alias("np"), F.col("_nd.nn").alias("nn"))
     s = F.lit(float(smooth))
 
     def _w(cp, cn):
@@ -121,10 +134,26 @@ def nb_quality_score(
     Returns (id, n_tokens, score, pred); score rounded to 6 decimals
     (differentially stable: integer counts through ln, same argument
     as ngram_lm_score)."""
+    # a model trained on an empty/token-less corpus is an EMPTY frame
+    # (Catalyst's empty-relation propagation silently removes the
+    # trainer's own guard with it): the global agg below always yields
+    # one row, so asserting the prior exists HERE fires on any scoring
+    # action against a degenerate model instead of emitting NULL scores
+    # whose engine-specific null comparisons diverge
     consts = F.broadcast(
-        model.groupBy().agg(
-            F.first("w_oov").alias("w_oov"), F.first("prior").alias("prior")
+        model.groupBy()
+        .agg(F.first("w_oov").alias("w_oov"), F.first("prior").alias("prior"))
+        .select(
+            F.when(
+                F.assert_true(
+                    F.col("prior").isNotNull(),
+                    "nb_quality_score: model is empty (trained on an "
+                    "empty or token-less corpus)",
+                ).isNull(),
+                F.struct("w_oov", "prior"),
+            ).alias("_c")
         )
+        .select(F.col("_c.w_oov").alias("w_oov"), F.col("_c.prior").alias("prior"))
     )
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"), tokens(text_col).alias("tks")

@@ -76,6 +76,22 @@ _MIX_PRIME = 2246822519
 _MIX_DOMAIN = 2**31
 
 
+def fibonacci_bucket(key_col: str, buckets: int = 100):
+    """The 0..buckets-1 bucket of the Fibonacci id-hash — the shared
+    deterministic uniform behind mixture_sample / rank_importance_sample
+    / shuffle_shards.  Use it wherever a split must be DECORRELATED
+    from modular id sampling (``id % N`` subsets hit every bucket
+    proportionally, while a ``id % k`` split degenerates under an
+    ``id % N`` sample whenever k divides N — the empty-train-set trap
+    the NB classifier's original mod-5 split fell into under the
+    harness's mod-10 corpus sampling)."""
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    return F.floor(h * F.lit(buckets) / F.lit(_MIX_DOMAIN)).cast("int")
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -17,6 +17,7 @@ from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators import text as T
 from ..operators.sampling import (
+    fibonacci_bucket,
     rank_importance_sample,
     shuffle_shards,
     stratified_percent_rank,
@@ -631,13 +632,13 @@ _NB_ORACLE = f"""
         SELECT tk,
                sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS cp,
                sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS cn
-        FROM toks WHERE doc_id % 5 != 0 GROUP BY tk
+        FROM toks WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648 * 2246822519) % 2147483648) * 100 // 2147483648 < 80 GROUP BY tk
     ),
     tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnt),
     nd AS (
         SELECT sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS np,
                sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS nn
-        FROM base WHERE doc_id % 5 != 0
+        FROM base WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648 * 2246822519) % 2147483648) * 100 // 2147483648 < 80
     ),
     model AS (
         SELECT tk,
@@ -674,7 +675,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier curation stage (operators.classify): train a
     multinomial Naive Bayes on "does this doc come from the reference
     source?" (label = source == 'src0', the fastText-quality-filter
-    recipe from CCNet/GPT-3) over the doc_id % 5 != 0 training split,
+    recipe from CCNet/GPT-3) over the 80% Fibonacci-bucket training split
+    (decorrelated from id-modular corpus sampling: a mod-k split goes
+    EMPTY under the harness's id % N sampling when k divides N),
     then score EVERY document with the per-doc log-odds a pipeline
     thresholds or importance-samples on.  The fixture corpus is
     synthetic so the labels are near-chance — what the differential
@@ -687,7 +690,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (F.col("source") == "src0").cast("int").alias("label"),
     )
-    train = docs.filter(F.col("doc_id") % 5 != 0)
+    train = docs.filter(fibonacci_bucket("doc_id") < 80)
     # the model is the persistable artifact; its two consumers (weight
     # join + the w_oov/prior scalar pull) claim one pinned build
     model = persist_deferred(
@@ -738,7 +741,7 @@ def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == "src0").cast("int").alias("label"),
     )
     model = persist_deferred(
-        CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0)),
+        CL.nb_quality_train(docs.filter(fibonacci_bucket("doc_id") < 80)),
         key=f"nbq_model:{sf_dir}",
     )
     scored = CL.nb_quality_score(docs, model).select("id", "score")
@@ -839,7 +842,7 @@ def q_quality_sharded_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == "src0").cast("int").alias("label"),
     )
     model = persist_deferred(
-        CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0)),
+        CL.nb_quality_train(docs.filter(fibonacci_bucket("doc_id") < 80)),
         key=f"nbq_model:{sf_dir}",
     )
     scored = CL.nb_quality_score(docs, model)

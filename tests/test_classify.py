@@ -172,3 +172,20 @@ def test_shuffle_shards_layout_properties(spark):
     # deterministic
     again = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(df, 8).collect()}
     assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+
+
+def test_nb_empty_training_corpus_fails_loudly(spark):
+    """The sampled-corpus trap (round-9 fix): a train split whose
+    modulus divides the harness's corpus-sampling modulus produces an
+    EMPTY training set — NULL weights whose engine-specific null
+    comparisons diverge silently.  The trainer must raise instead."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, label int")
+    model = CL.nb_quality_train(empty)
+    assert model.count() == 0  # the trainer's own frame is just empty...
+    docs = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    # ...so the SCORER is where the loud failure must fire (Catalyst
+    # empty-relation propagation removes the trainer's guard subtree)
+    with _pytest.raises(Exception, match="model is empty"):
+        CL.nb_quality_score(docs, model).collect()

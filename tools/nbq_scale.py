@@ -82,6 +82,9 @@ def main() -> None:
     from applications_analytics_midas_hbase_metrics_spark.operators import (
         classify as CL,
     )
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        fibonacci_bucket,
+    )
     from applications_analytics_midas_hbase_metrics_spark.session import get_spark
 
     spark = get_spark(app_name="midas-nbq-scale", cpus="32")
@@ -93,7 +96,7 @@ def main() -> None:
             "label", (F.col("source") == "src0").cast("int")
         )
         model = CL.nb_quality_train(
-            labeled.filter(F.col("doc_id") % 5 != 0)
+            labeled.filter(fibonacci_bucket("doc_id") < 80)
         ).localCheckpoint(eager=True)
 
         t0 = time.monotonic()

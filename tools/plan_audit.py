@@ -214,7 +214,11 @@ def main() -> None:
             "text",
             (F.col("source") == "src0").cast("int").alias("label"),
         )
-        model = CL.nb_quality_train(docs.filter(F.col("doc_id") % 5 != 0))
+        from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+            fibonacci_bucket,
+        )
+
+        model = CL.nb_quality_train(docs.filter(fibonacci_bucket("doc_id") < 80))
         return CL.nb_quality_score(docs, model, materialize=False)
 
     qs["quality_classifier"] = _nbq_lazy
