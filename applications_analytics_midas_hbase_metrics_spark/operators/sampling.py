@@ -74,6 +74,15 @@ def top_k_per_group(
 #: divergence.
 _MIX_PRIME = 2246822519
 _MIX_DOMAIN = 2**31
+#: Distinct multiplier for SHARD layout (Knuth's golden-ratio prime).
+#: It must differ from _MIX_PRIME: keep-decisions (mixture_sample,
+#: rank_importance_sample) consume the _MIX_PRIME hash, so any stage
+#: reusing that hash downstream inherits its selection bias — a
+#: rank^2-sampled corpus keeps exactly the LOW-hash documents, and
+#: sharding by the same hash would pile them into the low shards (a
+#: measured 24x shard skew before this constant existed; see
+#: tools/qsnap_scale.py / SCALE.md round 9).
+_SHARD_PRIME = 2654435761
 
 
 def fibonacci_bucket(key_col: str, buckets: int = 100):
@@ -173,9 +182,12 @@ def shuffle_shards(
     near-duplicates' favorite hiding place) WITHOUT an RNG, so the
     shard layout is reproducible run-to-run and engine-to-engine.
 
-    ``shard = high-bits Fibonacci hash of the id`` (uniform across
-    shards, decorrelated from both id order and the mod-100 split
-    buckets — same extractor as :func:`mixture_sample`), and ``pos``
+    ``shard = high-bits multiplicative hash of the id`` — under the
+    DEDICATED shard multiplier (``_SHARD_PRIME``), NOT the keep-
+    decision hash: a corpus that reached this operator through
+    mixture/rank sampling consists exactly of low-``_MIX_PRIME``-hash
+    ids, so sharding by that same hash measurably piles survivors into
+    the low shards (24x skew, tools/qsnap_scale.py).  ``pos``
     numbers rows WITHIN a shard by (hash, id) — a per-shard window, so
     the sort is partitioned n_shards-wide, never global (the
     anti-pattern a global ORDER BY rand() shuffle hits at 100 TB).  A
@@ -185,7 +197,8 @@ def shuffle_shards(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = F.pmod(
-        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN)) * F.lit(_MIX_PRIME),
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN))
+        * F.lit(_SHARD_PRIME),
         F.lit(_MIX_DOMAIN),
     )
     with_h = df.withColumn("_h", h).withColumn(

@@ -765,7 +765,7 @@ def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT doc_id,
                ((((doc_id % 2147483648) + 2147483648) % 2147483648
-                 * 2246822519) % 2147483648) AS hv
+                 * 2654435761) % 2147483648) AS hv
         FROM documents
     )
     SELECT doc_id,
@@ -816,7 +816,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded AS (
         SELECT *,
                CAST(((((id % 2147483648) + 2147483648) % 2147483648
-                      * 2246822519) % 2147483648) * 8 // 2147483648 AS INT)
+                      * 2654435761) % 2147483648) * 8 // 2147483648 AS INT)
                    AS shard
         FROM dedup
     )
@@ -845,6 +845,14 @@ def q_quality_sharded_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         CL.nb_quality_train(docs.filter(fibonacci_bucket("doc_id") < 80)),
         key=f"nbq_model:{sf_dir}",
     )
+    return quality_sharded_snapshot_frame(docs, model)
+
+
+def quality_sharded_snapshot_frame(docs, model) -> DataFrame:
+    """The composed chain over an arbitrary labeled (doc_id, text,
+    source, label) corpus and a trained model — split out so
+    tools/qsnap_scale.py times the SAME pipeline on replicated
+    corpora."""
     scored = CL.nb_quality_score(docs, model)
     enriched = scored.join(
         docs.select(

@@ -189,3 +189,33 @@ def test_nb_empty_training_corpus_fails_loudly(spark):
     # empty-relation propagation removes the trainer's guard subtree)
     with _pytest.raises(Exception, match="model is empty"):
         CL.nb_quality_score(docs, model).collect()
+
+
+def test_shards_balanced_after_rank_sampling(spark):
+    """Regression pin for the hash-reuse trap (round 9): the shard
+    extractor must stay uniform over a corpus that was SELECTED by the
+    keep-decision hash — rank^2-sampled survivors are exactly the
+    low-_MIX_PRIME-hash ids, and sharding by that same hash piled them
+    into the low shards (measured 24x min/max skew before the
+    dedicated _SHARD_PRIME)."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        rank_importance_sample,
+        shuffle_shards,
+    )
+
+    n = 8000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") + 0.0) / (n - 1)).alias("r"),
+    )
+    kept = rank_importance_sample(
+        df, rank_col="r", key_col="doc_id", power=2
+    ).filter(F.col("keep") == 1)
+    out = shuffle_shards(kept, n_shards=8, key_col="doc_id").collect()
+    sizes = {}
+    for row in out:
+        sizes[row.shard] = sizes.get(row.shard, 0) + 1
+    assert set(sizes) == set(range(8))
+    mean = len(out) / 8
+    assert max(sizes.values()) < 1.35 * mean, sizes
+    assert min(sizes.values()) > 0.65 * mean, sizes
