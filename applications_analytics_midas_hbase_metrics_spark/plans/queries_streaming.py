@@ -499,3 +499,84 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, "verdicts")).select(
         "doc_id", "verdict", F.col("ingest_batch").cast("bigint").alias("ingest_batch")
     )
+
+
+@register_extra(
+    "ann_ivf_streamed",
+    # identical_ok contract like ann_ivf_indexed: the index built by
+    # STREAMING ingest (3 micro-batches appended to the partitioned
+    # store against a frozen codebook) must return exactly the
+    # inline-rebuilt search over the same vectors — same (query,
+    # corpus, rank) triples, cosines to 6 decimals.  Assignment is
+    # per-row, so append == rebuild is the maintained-index invariant
+    # this gate pins.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS identical_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance (streaming.dedup_stream.
+    stream_ivf_ingest): embedding batches append to the
+    partitioned-by-list coarse index continuously; search over the
+    read-back store must equal a full rebuild."""
+    import glob
+    import shutil
+
+    from ..operators import similarity as SIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    d = scratch_dir("ann_ivf_streamed")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for k in range(3):
+        tmp = os.path.join(d, f"tmp{k}")
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+        shutil.rmtree(tmp)
+    cents = SIM.build_ivf_centroids(emb, num_centroids=16).localCheckpoint(
+        eager=True
+    )
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    with _stream_shuffle_partitions(spark, 8):
+        q = DS.stream_ivf_ingest(
+            stream,
+            cents,
+            os.path.join(d, "index"),
+            os.path.join(d, "ckpt"),
+            trigger_available_now=True,
+        )
+        _await(q)
+    stored = spark.read.parquet(os.path.join(d, "index")).drop("ingest_batch")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = ["query_id", "corpus_id"]
+    a = SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4, index=stored).select(
+        *k, F.col("cos").alias("cos_a"), F.col("rank").alias("rank_a")
+    )
+    b = SIM.ivf_topk(emb, queries, cents, k=10, nprobe=4).select(
+        *k, F.col("cos").alias("cos_b"), F.col("rank").alias("rank_b")
+    )
+    diff = (
+        a.join(b, k, "full_outer")
+        .filter(
+            F.col("cos_a").isNull()
+            | F.col("cos_b").isNull()
+            | (F.col("cos_a") != F.col("cos_b"))
+            | (F.col("rank_a") != F.col("rank_b"))
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_diff"))
+    )
+    return (
+        queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+        .join(diff, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_diff", F.lit(0)).eqNullSafe(0).alias("identical_ok"),
+        )
+    )

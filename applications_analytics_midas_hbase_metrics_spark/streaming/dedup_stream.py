@@ -137,3 +137,45 @@ def stream_incremental_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_ingest(
+    stream: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous IVF index maintenance — the production shape of an
+    embedding store that grows by ingest batches: each micro-batch of
+    vectors is assigned to its nearest coarse centroid (broadcast
+    scoring + map-side-combined argmax, operators.similarity.ivf_index)
+    and APPENDED to the partitioned-by-list_id parquet index.  Search
+    (ivf_topk / ivf_pq_topk over the read-back store) sees every
+    ingested batch without ever rebuilding the index, and probe pruning
+    stays dynamic-partition-pruning on the stored files.
+
+    Assignment is per-row against a FROZEN codebook, so the appended
+    index is row-identical to a full rebuild over the union — the
+    identity the ann_ivf_streamed gate pins.  (Re-training the codebook
+    is a separate, deliberate snapshot operation: a changed codebook
+    invalidates every list assignment, exactly like re-sharding a
+    table.)  Exactly-once from the checkpoint + Parquet's atomic task
+    commits; a replayed batch re-appends rows whose (corpus_id, list)
+    pairs are identical, so dedup-on-read (max_by corpus_id) is the
+    idempotency escape hatch a deployment adds if it needs it."""
+    from ..operators.similarity import ivf_index
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ivf_index(batch, centroids, vec_col=vec_col, id_col=id_col).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        ).write.mode("append").partitionBy("list_id").parquet(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
