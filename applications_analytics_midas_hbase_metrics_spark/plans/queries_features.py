@@ -1,4 +1,5 @@
-"""Feature-engineering queries: TF-IDF, label centroids, L2 norms."""
+"""Feature-engineering queries: TF-IDF, BM25, label centroids, L2
+norms."""
 
 from __future__ import annotations
 
@@ -6,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import embeddings as EMB
+from ..operators.retrieval import bm25_topk
 from ..operators.text import LANG_PROFILES
 from .queries import register, register_extra, t
 from .queries_ext import _EMB_D, _TOKS, _dot_sql, _spread
@@ -36,6 +38,72 @@ _TERMS_SQL = ", ".join(repr(w) for w in _TERMS)
 def q_tfidf_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return EMB.tfidf_for_terms(docs, _TERMS)
+
+
+#: Retrieval batch for the bm25 gate — one Python constant renders both
+#: the Spark query frame and the oracle's VALUES list, so the two
+#: engines score the identical term sets.  Terms are drawn from the
+#: synthetic corpus vocabulary with a spread of document frequencies
+#: (common: the/row; mid: stream/batch; rare-ish co-occurrences) so the
+#: IDF term actually discriminates.
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("fast", "join")),
+    (2, ("window", "scan", "merge")),
+    (3, ("stream", "batch")),
+    (4, ("customer", "filter", "hash")),
+    (5, ("slow", "sort", "key")),
+)
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{term}')" for qid, ts in _BM25_QUERIES for term in ts
+)
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+@register_extra(
+    "bm25_topk",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dlen AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               (SELECT avg(dl) FROM dlen) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+    ),
+    dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1)
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS s
+        FROM tf JOIN dft USING (tok) JOIN dlen USING (doc_id)
+             JOIN q ON q.term = tf.tok, stats
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, round(s, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(s, 6) DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rnk <= {_BM25_K}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        [(qid, term) for qid, ts in _BM25_QUERIES for term in ts],
+        "query_id long, term string",
+    )
+    return bm25_topk(docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
 @register(

@@ -1,0 +1,124 @@
+"""BM25 retrieval: exactness vs an independent pure-Python reference,
+ranking invariants, and two-phase == single-window equivalence."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+)
+from tests.conftest import load
+
+K1, B = 1.2, 0.75
+
+_DOCS = [
+    (1, "the fast join runs a fast scan"),
+    (2, "slow merge  sort\twith a window"),  # whitespace runs collapse
+    (3, "fast fast fast join join scan"),
+    (4, "nothing relevant here at all"),
+    (5, "join the window to the scan"),
+]
+_QUERIES = [(10, "fast"), (10, "join"), (20, "window"), (20, "scan")]
+
+
+def _bm25_ref(docs, queries, k1=K1, b=B):
+    """Independent reference: textbook BM25, per-doc Python floats."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    tf = {i: Counter(v) for i, v in toks.items()}
+    qterms = {}
+    for qid, term in queries:
+        qterms.setdefault(qid, []).append(term)
+    df = Counter()
+    for term in {t for ts in qterms.values() for t in ts}:
+        df[term] = sum(1 for i in toks if term in tf[i])
+    out = {}
+    for qid, ts in qterms.items():
+        for i in toks:
+            s = 0.0
+            for term in ts:
+                f = tf[i][term]
+                if not f:
+                    continue
+                idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1)
+                s += idf * f * (k1 + 1) / (
+                    f + k1 * (1 - b + b * len(toks[i]) / avgdl)
+                )
+            if s:
+                out[(qid, i)] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    return docs, queries
+
+
+def test_bm25_scores_match_reference(spark, frames):
+    docs, queries = frames
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(docs, queries).collect()  # driver-ok: 5-doc fixture
+    }
+    want = _bm25_ref(_DOCS, _QUERIES)
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert got[key] == pytest.approx(s, abs=1e-12), key
+
+
+def test_bm25_only_matching_docs_emitted(spark, frames):
+    docs, queries = frames
+    rows = bm25_scores(docs, queries).collect()  # driver-ok: 5-doc fixture
+    assert all(r.doc_id != 4 for r in rows)  # no query term in doc 4
+
+
+def test_bm25_topk_rank_invariants(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    rows = bm25_topk(docs, queries, k=7).collect()  # driver-ok: k x 2 rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 7
+        # total order: (score DESC, doc_id ASC)
+        keys = [(-r.score, r.doc_id) for r in rs]
+        assert keys == sorted(keys), qid
+
+
+def test_bm25_topk_two_phase_matches_single_window(spark, sf_dir):
+    """The two-phase TakeOrderedAndProject reuse must emit exactly the
+    single-window formulation's rows."""
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    k = 9
+    got = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(docs, queries, k=k).collect()  # driver-ok: k x 2 rows
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    naive = (
+        bm25_scores(docs, queries)
+        .withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    want = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in naive.collect()  # driver-ok: k x 2 rows
+    }
+    assert got == want

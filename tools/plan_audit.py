@@ -6,6 +6,10 @@ Usage: python tools/plan_audit.py [--print-only] [query ...]
 Writes PLANS.md with ALL audited sections; with explicit query args the
 file would contain only those sections, so argful runs should pass
 --print-only (print the sections, leave PLANS.md untouched).
+
+CHECKS pins required plan fragments per query (e.g. a join that must
+stay broadcast); a missing fragment fails the run (nonzero exit), so a
+plan regression cannot silently land in PLANS.md.
 """
 
 from __future__ import annotations
@@ -18,9 +22,17 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.01"
 
 CHECKS = {
-    "cell_prefix_scan": ["PushedFilters: [IsNotNull(row_key), StringStartsWith(row_key"],
+    # the disk-boundary variant is where the prefix predicate must reach
+    # the parquet scan; cell_prefix_scan is its in-memory twin (the scan
+    # there is an ExistingRDD, nothing to push)
+    "store_roundtrip": ["PushedFilters: [IsNotNull(row_key), StringStartsWith(row_key"],
     "meta_enrich": ["BroadcastHashJoin"],
     "cell_lookup": ["BroadcastHashJoin"],
+    # query terms, per-term df, corpus stats and the query fan-out must
+    # ALL ride broadcast: the only shuffles are the (doc, term) tf
+    # aggregation, the per-query score aggregation, and the two-phase
+    # top-k reduction
+    "bm25_topk": ["BroadcastHashJoin"],
 }
 
 
@@ -228,6 +240,7 @@ def main() -> None:
     if print_only:
         args = [a for a in args if a != "--print-only"]
     only = set(args) or {
+        "bm25_topk",
         "quality_classifier",
         "ann_ivf_c256_search",
         "ann_pq_search",
@@ -287,6 +300,7 @@ def main() -> None:
     ]
     from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
 
+    failures: list[str] = []
     for name in [n for n in qs if n in only]:
         # cell_prefix_scan needs an on-disk cell store to show parquet
         # pushdown; the in-memory build shows the agg pipeline instead.
@@ -304,6 +318,10 @@ def main() -> None:
         n_codegen = len(set(re.findall(r"\*\((\d+)\)", final)))
         pushed = re.findall(r"PushedFilters: \[[^\]]+\]", final)
         pushed = [p.replace("\x00", "<NB>") for p in pushed]  # keep PLANS.md text-clean
+        missing = [c for c in CHECKS.get(name, ()) if c not in final]
+        if missing:
+            failures.append(f"{name}: plan lacks {missing}")
+            print(f"FAIL  {name}: expected plan fragments missing: {missing}")
         lines += [
             f"## {name}",
             "",
@@ -316,10 +334,14 @@ def main() -> None:
         print(lines[-3])
     if print_only:
         print("(--print-only: PLANS.md untouched)")
+        if failures:
+            sys.exit(f"PLAN CHECK FAILURES: {failures}")
         return
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote PLANS.md")
+    if failures:
+        sys.exit(f"PLAN CHECK FAILURES: {failures}")
 
 
 if __name__ == "__main__":
