@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..session import scoped_shuffle_partitions
 from ..streaming import dedup_stream as DS
 from ..streaming import ingest_stream as IS
+from ..streaming import join_stream as SJ
 from ..streaming import stateful as ST
 from .queries import (
     CHR0,
@@ -387,6 +388,92 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value_sum", "n_events"), 6).alias("value_sum"),
     )
     return final.select("user_id", "session_start", "n_events", "value_sum")
+
+
+#: view->click correlation window for the stream-stream join gate: 6 h.
+#: ~2.2 events/user/day in the fixture gives each view a realistic
+#: handful of candidate clicks, and plenty of pairs straddle the
+#: mid-month file boundary — the cross-batch join state this gate
+#: exists to verify.
+_SSJ_LAG = 6 * 3600
+
+
+@register_extra(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming.join_stream.stream_interval_join): views and clicks
+    arrive as two independent file streams, each time-split at
+    mid-month into two micro-batches, inner-joined on user within a
+    6 h event-time lag.  A batch-1 view matching a batch-2 click must
+    survive in the symmetric-hash-join state store across the batch
+    boundary — and the 1 h watermark's eviction must NOT drop it (for
+    in-order arrival the eviction bound ``watermark - max_lag`` is
+    strictly older than anything a future right row can match, so the
+    streamed result equals the batch join row-for-row; the oracle IS
+    that batch join)."""
+    import datetime as dt
+
+    mid = dt.datetime(2024, 1, 16)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    vsrc = _time_split_copy(views, "ssj_views", sf_dir, t_col="v_ts", mid=mid)
+    csrc = _time_split_copy(clicks, "ssj_clicks", sf_dir, t_col="c_ts", mid=mid)
+    sv = (
+        spark.readStream.schema(spark.read.parquet(vsrc).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(vsrc)
+    )
+    sc = (
+        spark.readStream.schema(spark.read.parquet(csrc).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+    )
+    joined = SJ.stream_interval_join(
+        sv,
+        sc,
+        key="user_id",
+        left_ts="v_ts",
+        right_ts="c_ts",
+        max_lag_seconds=_SSJ_LAG,
+        watermark="1 hour",
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:12]}"
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return spark.table(sink).select("view_id", "click_id", "user_id", "lag_us")
 
 
 _STREAM_INCR_ORACLE: str
