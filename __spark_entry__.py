@@ -49,8 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation; window_tumbling / doc_fingerprint /
         # multimodal_frames / sample_per_source left in the round-9
         # rotation for winnow_cut / ann_pq / stream_sessionize /
-        # dedup_incremental — subsumed coverage still claims shared
-        # frames when run adjacently in the extra tier.  The ANN family
+        # dedup_incremental, and tfidf_stopwords / window_session left
+        # mid-round-9 for bm25_topk / stream_stream_join (each subsumed
+        # by the stronger gated sibling) — subsumed coverage still
+        # claims shared frames when run adjacently in the extra tier.
+        # The ANN family
         # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
         # order and relays the pinned brute-force truth / codebooks —
         # see queries_ext._ann_brute10.)

@@ -16,7 +16,10 @@ _TERMS = LANG_PROFILES["en"]
 _TERMS_SQL = ", ".join(repr(w) for w in _TERMS)
 
 
-@register(
+@register_extra(
+    # retired to the pytest tier in the round-9 mid-round rotation:
+    # tf/df/idf/doc-length machinery is subsumed (and extended with
+    # ranked retrieval) by the driver-gated bm25_topk
     "tfidf_stopwords",
     oracle=f"""
     WITH toks AS (
@@ -59,7 +62,7 @@ _BM25_VALUES = ", ".join(
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
 
 
-@register_extra(
+@register(
     "bm25_topk",
     oracle=f"""
     WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),

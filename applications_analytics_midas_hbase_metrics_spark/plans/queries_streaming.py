@@ -398,7 +398,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJ_LAG = 6 * 3600
 
 
-@register_extra(
+@register(
     "stream_stream_join",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
