@@ -59,6 +59,121 @@ def seed_signature_store(
     ).parquet(os.path.join(store_dir, "sigs"))
 
 
+def classify_against_store(
+    batch: DataFrame,
+    store_hashes: DataFrame,
+    store_sigs: DataFrame,
+    num_hashes: int = 96,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify ``batch`` (doc_id, text) against a signature store
+    snapshot: exact tier (sha semi-join), near tier (banded LSH +
+    exact-Jaccard verify), verdict per doc.  The per-micro-batch body
+    of :func:`stream_incremental_dedup`, exposed so maintenance
+    operations (compaction, migration) can prove verdict identity
+    against the store they rewrote."""
+    bh = batch.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    exact_ids = bh.join(
+        store_hashes.select("sha"), "sha", "left_semi"
+    ).select("id")
+    bsig = D.minhash_signature_frame(_prepared(batch), num_hashes)
+    pairs = D.lsh_pairs_between(
+        bsig,
+        store_sigs,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        materialize=False,
+    )
+    near_ids = pairs.select(F.col("id_a").alias("id")).distinct()
+    return (
+        batch.select(F.col("doc_id").cast("bigint").alias("id"))
+        .join(exact_ids.withColumn("e", F.lit(1)), "id", "left")
+        .join(near_ids.withColumn("n", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("e") == 1, F.lit("exact_dup"))
+            .when(F.col("n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+def compact_signature_store(
+    spark, store_dir: str, files_per_table: int = 8
+) -> dict:
+    """Rewrite the append-grown signature store into ``files_per_table``
+    deduplicated files per table.
+
+    Every processed micro-batch appends one task-set of small files to
+    ``hashes/`` and ``sigs/``; after k batches the store is O(k x
+    tasks) files and each classification pays the listing + small-file
+    open cost.  Compaction folds replay duplicates (a recovered batch
+    re-appends identical rows — sanctioned by the exactly-once note on
+    stream_incremental_dedup) and rewrites each table sorted by id into
+    a bounded file count.  MUST run between streaming runs (the store
+    version a running job classifies against is the directory listing).
+
+    The rewrite goes to a sibling tmp directory and swaps in via two
+    renames — the same crash contract as the store's appends (parquet
+    atomic task commits): a crash before the first rename leaves the
+    store untouched; between renames the store is absent-but-
+    recoverable from ``<table>.old``.  A production deployment puts a
+    table format (Iceberg/Delta) under this exact operation and gets
+    the swap transactionally; the OPERATOR shape (dedupe -> cluster ->
+    bounded rewrite) is identical.
+
+    Returns per-table (files_before, files_after, rows) — verdict
+    identity is the caller's check (classify_against_store before ==
+    after; pinned in tests/test_compaction.py)."""
+    import shutil
+
+    stats = {}
+    for table, keys in (("hashes", ["id", "sha"]), ("sigs", ["id"])):
+        path = os.path.join(store_dir, table)
+        # Cache fencing, both directions (caught by
+        # tests/test_compaction.py): a prior classification that PINNED
+        # the store frames (lsh_pairs_between lazy mode) leaves an
+        # InMemoryRelation keyed on this path in the cache manager,
+        # which plan-matching substitutes into ANY later read of the
+        # path — compaction would silently dedupe a stale snapshot
+        # (dropping appends that landed after the pin), and post-swap
+        # readers would keep seeing the pre-compaction rows.  Refresh
+        # before reading (compact what is actually on disk) and after
+        # the swap (readers see the rewritten table).
+        spark.catalog.refreshByPath(path)
+        n_before = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        compacted = (
+            spark.read.parquet(path)
+            .dropDuplicates(keys)
+            .repartition(files_per_table)
+            .sortWithinPartitions("id")
+        )
+        tmp = path + ".tmp"
+        compacted.write.mode("overwrite").parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(path)
+        n_after = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        stats[table] = {
+            "files_before": n_before,
+            "files_after": n_after,
+            "rows": rows,
+        }
+    return stats
+
+
 def stream_incremental_dedup(
     stream: DataFrame,
     store_dir: str,
@@ -93,43 +208,24 @@ def stream_incremental_dedup(
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)  # consumed by 4 stages
-        bh = batch.select(
-            F.col("doc_id").cast("bigint").alias("id"),
-            F.sha2(F.col("text"), 256).alias("sha"),
-        ).localCheckpoint(eager=True)
         store_hashes = spark.read.parquet(hashes_dir)
-        exact_ids = bh.join(
-            store_hashes.select("sha"), "sha", "left_semi"
-        ).select("id")
-        bsig = D.minhash_signature_frame(_prepared(batch), num_hashes)
         store_sigs = spark.read.parquet(sigs_dir)
-        pairs = D.lsh_pairs_between(
-            bsig,
-            store_sigs,
-            num_hashes=num_hashes,
-            threshold=threshold,
-            # the store side is already a materialized table on disk;
-            # the batch side is small — neither needs a checkpoint pin
-            materialize=False,
-        )
-        near_ids = pairs.select(F.col("id_a").alias("id")).distinct()
-        verdicts = (
-            batch.select(F.col("doc_id").cast("bigint").alias("id"))
-            .join(exact_ids.withColumn("e", F.lit(1)), "id", "left")
-            .join(near_ids.withColumn("n", F.lit(1)), "id", "left")
-            .select(
-                F.col("id").alias("doc_id"),
-                F.when(F.col("e") == 1, F.lit("exact_dup"))
-                .when(F.col("n") == 1, F.lit("near_dup"))
-                .otherwise(F.lit("new"))
-                .alias("verdict"),
-                F.lit(batch_id).alias("ingest_batch"),
-            )
-        )
+        verdicts = classify_against_store(
+            batch, store_hashes, store_sigs, num_hashes, threshold
+        ).withColumn("ingest_batch", F.lit(batch_id))
         verdicts.write.mode("append").parquet(verdict_dir)
         D.release_lazy_pins()  # lsh_pairs_between lazy mode pins both sides
-        bh.write.mode("append").parquet(hashes_dir)
-        bsig.write.mode("append").parquet(sigs_dir)
+        # append the batch's own store rows AFTER the verdict write, so
+        # a batch never classifies against itself; both recompute from
+        # the checkpointed batch (sha is a cheap map; the signature
+        # pin was just released with the pairs join that used it)
+        batch.select(
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        ).write.mode("append").parquet(hashes_dir)
+        D.minhash_signature_frame(_prepared(batch), num_hashes).write.mode(
+            "append"
+        ).parquet(sigs_dir)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -1,0 +1,110 @@
+"""Signature-store compaction: verdict identity across the rewrite,
+replay-duplicate folding, bounded file counts, and swap atomicity
+artifacts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.streaming.dedup_stream import (
+    _prepared,
+    classify_against_store,
+    compact_signature_store,
+    seed_signature_store,
+)
+from tests.conftest import load
+
+_NH = 96
+
+
+def _append_batch(df, store: str) -> None:
+    """The two store appends a processed micro-batch performs."""
+    df.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    ).write.mode("append").parquet(os.path.join(store, "hashes"))
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        dedup as D,
+    )
+
+    D.minhash_signature_frame(_prepared(df), _NH).write.mode(
+        "append"
+    ).parquet(os.path.join(store, "sigs"))
+
+
+def _probe(spark, docs):
+    """One guaranteed exact_dup, one near_dup (70% prefix), one new."""
+    seeded = docs.orderBy("doc_id").limit(2).collect()  # driver-ok: 2-row fixture
+    rows = [
+        (900001, seeded[0].text),
+        (900002, seeded[1].text[: int(len(seeded[1].text) * 0.7)]),
+        (900003, "zq xv qj zzz unseen gibberish tokens qqq www eee rrr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _verdicts(spark, store, probe):
+    out = classify_against_store(
+        probe,
+        spark.read.parquet(os.path.join(store, "hashes")),
+        spark.read.parquet(os.path.join(store, "sigs")),
+        num_hashes=_NH,
+    )
+    return sorted(
+        (r.doc_id, r.verdict) for r in out.collect()  # driver-ok: 3-row probe
+    )
+
+
+@pytest.fixture(scope="module")
+def compacted(spark, sf_dir, tmp_path_factory):
+    """Seeded store + 3 batch appends + one REPLAYED append (batch 0
+    appended twice — the sanctioned exactly-once recovery artifact),
+    probed before AND after compaction."""
+    store = str(tmp_path_factory.mktemp("sigstore"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed_signature_store(docs, store, num_hashes=_NH)
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 7 == b).select(
+            (F.col("doc_id") + 10_000 * (b + 1)).alias("doc_id"), "text"
+        )
+        _append_batch(batch, store)
+        if b == 0:
+            _append_batch(batch, store)  # replay
+    probe = _probe(spark, docs)
+    before = _verdicts(spark, store, probe)
+    n_unique_h = (
+        spark.read.parquet(os.path.join(store, "hashes"))
+        .dropDuplicates(["id", "sha"])
+        .count()
+    )
+    stats = compact_signature_store(spark, store, files_per_table=4)
+    after = _verdicts(spark, store, probe)
+    return store, before, after, stats, n_unique_h
+
+
+def test_probe_labels_and_verdict_identity(compacted):
+    _, before, after, _, _ = compacted
+    assert [v for _, v in before] == ["exact_dup", "near_dup", "new"]
+    assert after == before
+
+
+def test_file_bounds_and_swap_clean(compacted):
+    store, _, _, stats, _ = compacted
+    for table in ("hashes", "sigs"):
+        assert stats[table]["files_after"] <= 4
+        assert stats[table]["files_after"] < stats[table]["files_before"]
+        assert not os.path.exists(os.path.join(store, table + ".tmp"))
+        assert not os.path.exists(os.path.join(store, table + ".old"))
+
+
+def test_replay_duplicates_folded(spark, compacted):
+    """Compaction must fold the replayed append: unique rows only, and
+    the row count matches the pre-compaction distinct count."""
+    store, _, _, stats, n_unique_h = compacted
+    assert stats["hashes"]["rows"] == n_unique_h
+    for table, keys in (("hashes", ["id", "sha"]), ("sigs", ["id"])):
+        df = spark.read.parquet(os.path.join(store, table))
+        assert df.count() == df.dropDuplicates(keys).count(), table

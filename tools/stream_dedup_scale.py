@@ -102,6 +102,33 @@ def main() -> None:
         if p.get("numInputRows", 0) > 0
     ]
     n_store = spark.read.parquet(os.path.join(store, "hashes")).count()
+
+    # maintenance window: compact the append-grown store, prove verdict
+    # identity on a probe batch, and time a probe classification against
+    # the fragmented vs compacted store
+    probe = spark.read.parquet(os.path.join(src_dir, "b00.parquet"))
+
+    def classify_wall():
+        t0 = time.monotonic()
+        out = DS.classify_against_store(
+            probe,
+            spark.read.parquet(os.path.join(store, "hashes")),
+            spark.read.parquet(os.path.join(store, "sigs")),
+            num_hashes=96,
+        )
+        rows = sorted((r.doc_id, r.verdict) for r in out.collect())
+        from applications_analytics_midas_hbase_metrics_spark.operators.dedup import (
+            release_lazy_pins,
+        )
+
+        release_lazy_pins()
+        return rows, round(time.monotonic() - t0, 2)
+
+    v_before, t_frag = classify_wall()
+    t0 = time.monotonic()
+    cstats = DS.compact_signature_store(spark, store, files_per_table=8)
+    t_compact = round(time.monotonic() - t0, 2)
+    v_after, t_comp = classify_wall()
     print(
         json.dumps(
             {
@@ -110,6 +137,13 @@ def main() -> None:
                 "per_batch_sec": batch_secs,
                 "verdicts": dist,
                 "store_rows_final": n_store,
+                "compaction": {
+                    "stats": cstats,
+                    "compact_sec": t_compact,
+                    "probe_sec_fragmented": t_frag,
+                    "probe_sec_compacted": t_comp,
+                    "verdict_identity": v_before == v_after,
+                },
             }
         )
     )
