@@ -464,7 +464,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
     sink = f"ssj_{uuid.uuid4().hex[:12]}"
-    with _stream_shuffle_partitions(spark, 8):
+    # width 4 (not the streaming default 8): the join keeps FOUR state
+    # stores per partition (key/index x two sides), so store-commit
+    # fixed cost scales steeper in width than single-store ops — at the
+    # fixture's 150 join keys, 8 -> 4 saves ~0.6 s of pure commit
+    # overhead (qbench med 3.94 -> 3.33) with 37 keys/partition
+    with _stream_shuffle_partitions(spark, 4):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
