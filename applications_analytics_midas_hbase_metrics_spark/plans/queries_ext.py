@@ -1883,3 +1883,76 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return W.user_activity_features(ev)
+
+
+@register_extra(
+    "jsonl_scan",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars, ({_TOKS})[1:3] AS head
+    FROM documents
+    """,
+)
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source boundary end-to-end (sources.ingest.read_jsonl,
+    extension surface — the reference's readers stop at CSV/text/JDBC):
+    encode documents as JSON lines (nested meta struct + token-head
+    array), inject two malformed lines, scan back with the explicit
+    no-inference schema in PERMISSIVE mode, and return the typed VALID
+    rows.  The oracle recomputes the expected values straight from
+    documents, so the encode -> parse roundtrip (nested struct
+    flattening, array field, bigint typing) is what's being verified;
+    the corrupt lines must vanish from the typed output (they carry
+    null schema fields) — their capture is pinned separately in
+    tests/test_ingest.py."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import tokens
+    from ..sources.ingest import read_jsonl
+
+    docs = t(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.struct(F.col("source"), F.col("lang")).alias("meta"),
+            F.col("n_chars"),
+            F.slice(tokens("text"), 1, 3).alias("head"),
+        )
+    )
+    path = scratch_dir("jsonl_scan") + "/raw"
+    bad = spark.createDataFrame(
+        [('{"doc_id": 17, "meta": {broken',), ("not json at all",)],
+        "value string",
+    )
+    docs.select(line.alias("value")).union(bad).write.mode(
+        "overwrite"
+    ).text(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("source", StringType()),
+                        StructField("lang", StringType()),
+                    ]
+                ),
+            ),
+            StructField("n_chars", LongType()),
+            StructField("head", ArrayType(StringType())),
+        ]
+    )
+    back = read_jsonl(spark, path, schema, keep_corrupt=True)
+    return back.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id",
+        F.col("meta.source").alias("source"),
+        F.col("meta.lang").alias("lang"),
+        "n_chars",
+        "head",
+    )

@@ -269,3 +269,35 @@ def parse_kv_details(col: F.Column | str, keys: Sequence[str]) -> F.Column:
         )
     )
     return F.struct(*[m.getItem(k).alias(k) for k in keys])
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema — the same no-inference
+    discipline as :func:`read_mupr` (extension surface; the reference's
+    readers stop at CSV/text/JDBC).
+
+    Inference is disabled for the same reason it is on the MUPR path:
+    at 100 TB, schema inference is a full extra pass over the data and
+    yields a schema that drifts with the sample; a declared schema also
+    lets the scan prune unreferenced top-level fields at the parser.
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed lines — broken JSON, arity/type mismatches that
+    fail the whole row — land there with all schema fields null, so an
+    ingest quantifies its bad rows instead of dying on them."""
+    if not keep_corrupt:
+        return spark.read.schema(schema).json(path)
+    full = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -167,3 +167,41 @@ def test_read_jdbc_missing_url_and_unreachable(spark, tmp_path):
     bad.write_text("url=jdbc:derby:memory:nosuchdb\n")  # no ;create=true
     with _pytest.raises(RuntimeError, match="JDBC read failed for url"):
         I.read_jdbc(spark, str(bad), "SELECT 1 FROM SYSIBM.SYSDUMMY1")
+
+
+def test_read_jsonl_corrupt_capture_and_strict(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "c"}\n'
+        "not json at all\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    out = I.read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    rows = out.collect()
+    good = sorted((r.id, r.name) for r in rows if r._corrupt_record is None)
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == [(1, "a"), (2, "b")]
+    # malformed JSON and type-mismatch rows both land in the capture
+    # column with schema fields nulled
+    assert len(bad) == 2
+    assert all(r.id is None for r in bad)
+    assert {r._corrupt_record for r in bad} == {
+        '{"id": "NOT_A_NUMBER", "name": "c"}',
+        "not json at all",
+    }
+
+    # strict variant: no capture column, corrupt rows come back all-null
+    strict = I.read_jsonl(spark, str(p), schema)
+    assert "_corrupt_record" not in strict.columns
+    assert strict.count() == 4
