@@ -24,13 +24,20 @@ Scale shape (the whole point of BM25 on Spark):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens
 from .similarity import _topk_per_query
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "bm25_index_build",
+    "bm25_topk_indexed",
+]
 
 
 def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
@@ -42,6 +49,43 @@ def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
         "doc_id",
         F.size("_toks").cast("double").alias("dl"),
         F.explode("_toks").alias("tok"),
+    )
+
+
+def _norm_queries(queries: DataFrame) -> DataFrame:
+    return queries.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.lower(F.col("term")).alias("term"),
+    )
+
+
+def _score_from_tables(
+    tf: DataFrame, dft: DataFrame, stats: DataFrame, q: DataFrame,
+    k1: float, b: float,
+) -> DataFrame:
+    """The scoring tail shared by the inline and stored-index paths:
+    (doc_id, tok, tf, dl) x (tok, dft) x 1-row stats x (query_id, term)
+    -> (query_id, doc_id, score).  Everything but ``tf`` rides
+    broadcast; ``tf`` must already be restricted to queried terms."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    part = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", (idf * tf_norm).alias("part"))
+    )
+    return (
+        part.join(F.broadcast(q), part["tok"] == q["term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
     )
 
 
@@ -67,10 +111,7 @@ def bm25_scores(
     Returns (query_id, doc_id, score) with score unrounded; callers
     that compare across engines round at the edge
     (:func:`bm25_topk`)."""
-    q = queries.select(
-        F.col("query_id").cast("bigint").alias("query_id"),
-        F.lower(F.col("term")).alias("term"),
-    )
+    q = _norm_queries(queries)
     terms = q.select("term").distinct()
 
     post = _postings(docs, doc_id, text)
@@ -84,39 +125,19 @@ def bm25_scores(
         F.first("dl").alias("dl"),
     )
     # One row per (doc, tok) after the agg => count(*) IS the document
-    # frequency.
+    # frequency.  Correct ONLY because tf is term-filtered upstream of
+    # nothing that drops docs — each matching (doc, tok) survives.
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("dft"))
 
     # Corpus scalars: N over ALL docs (not just matching ones) and the
     # corpus-wide mean token length — one-row aggregate, broadcast back.
     stats = docs.select(
-        F.col(doc_id).cast("bigint").alias("doc_id"),
         F.size(tokens(text)).cast("double").alias("dl"),
     ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-
-    idf = F.log(
-        (F.col("n_docs") - F.col("dft") + F.lit(0.5))
-        / (F.col("dft") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    part = (
-        tf.join(F.broadcast(dft), "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", (idf * tf_norm).alias("part"))
-    )
-    return (
-        part.join(F.broadcast(q), part["tok"] == q["term"])
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("part").alias("score"))
-    )
+    return _score_from_tables(tf, dft, stats, q, k1, b)
 
 
 def bm25_topk(
@@ -139,15 +160,116 @@ def bm25_topk(
     query)."""
     scored = bm25_scores(
         docs, queries, k1=k1, b=b, doc_id=doc_id, text=text
-    ).select(
+    )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, doc_id, score) -> ranked top-k via the two-phase
+    similarity._topk_per_query shape, ranking on the ROUNDED score."""
+    renamed = scored.select(
         "query_id",
         F.col("doc_id").alias("corpus_id"),
         F.round("score", 6).alias("cos"),
     )
-    out = _topk_per_query(scored, k)
+    out = _topk_per_query(renamed, k)
     return out.select(
         "query_id",
         F.col("rank"),
         F.col("corpus_id").alias("doc_id"),
         F.col("cos").alias("score"),
     )
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> None:
+    """Materialize the BM25 index: ``postings/`` (doc_id, tok, tf, dl)
+    hash-partitioned into ``n_buckets`` term buckets, ``dft/`` the full
+    per-term document frequencies, ``stats/`` the one-row corpus
+    scalars.
+
+    This is the production shape the inline query's plan audit calls
+    out: the tokenize + tf aggregation is paid ONCE per corpus
+    snapshot; a query batch then reads only its terms' partitions
+    (:func:`bm25_topk_indexed` prunes on tok_bucket) — the same
+    partition-pruning move as the stored IVF-PQ index's list_id
+    layout.  Bucketing by xxhash64(tok) instead of partitioning by raw
+    tok bounds the directory fanout at n_buckets regardless of
+    vocabulary size (a 100 TB corpus has billions of distinct tokens;
+    one directory per token is a filesystem DoS — and a hot term still
+    shares its bucket file with ~|V|/n_buckets others, so bucket
+    SIZES stay near-uniform even under a Zipfian vocabulary)."""
+    post = _postings(docs, doc_id, text)
+    tf = post.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    # dft over the FULL vocabulary here (no query filter exists yet);
+    # derived from tf, so one row per (doc, tok) — count(*) == df
+    dft = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("dft")
+    )
+    tf.withColumn(
+        "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("tok_bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    dft.write.mode("overwrite").parquet(os.path.join(index_dir, "dft"))
+    docs.select(F.size(tokens(text)).cast("double").alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+
+
+def bm25_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Search a stored BM25 index: identical output contract to
+    :func:`bm25_topk` (identity-gated in plans/queries_features.py).
+
+    The postings scan is restricted TWICE: statically to the query
+    terms' hash buckets (partition pruning — the scan lists only
+    len(buckets) of n_buckets directories) and then exactly to the
+    terms via the broadcast semi-join inside the bucket files.  The
+    bucket set is computed with one bounded jobless-scale collect over
+    the query terms (|terms| rows)."""
+    q = _norm_queries(queries)
+    terms = q.select("term").distinct()
+    buckets = [
+        r.bkt
+        for r in terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bkt")
+        )
+        .distinct()
+        .collect()  # driver-ok: <= |query terms| rows, bounds the scan
+    ]
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("tok_bucket").isin(buckets)
+    )
+    tf = post.join(F.broadcast(terms), post["tok"] == terms["term"]).select(
+        "doc_id", "tok", "tf", "dl"
+    )
+    # the stored dft spans the FULL vocabulary — semi-filter to the
+    # query terms BEFORE it reaches _score_from_tables' broadcast (a
+    # 100 TB corpus has billions of distinct terms; broadcasting the
+    # whole table would be the classic stored-index foot-gun)
+    dft = spark.read.parquet(os.path.join(index_dir, "dft")).join(
+        F.broadcast(terms),
+        F.col("tok") == F.col("term"),
+        "left_semi",
+    )
+    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    return _rank_topk(_score_from_tables(tf, dft, stats, q, k1, b), k)

@@ -61,10 +61,10 @@ _BM25_VALUES = ", ".join(
 )
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
 
-
-@register(
-    "bm25_topk",
-    oracle=f"""
+#: One oracle serves bm25_topk AND bm25_indexed: the stored-index path
+#: must emit the identical ranking, so the differential gate doubles as
+#: an identity gate between the two plans.
+_BM25_ORACLE = f"""
     WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
     toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
     dlen AS (
@@ -98,15 +98,49 @@ _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
     )
     SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score
     FROM ranked WHERE rnk <= {_BM25_K}
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, t(spark, sf_dir, "documents"))
-    queries = spark.createDataFrame(
+    """
+
+
+def _bm25_query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [(qid, term) for qid, ts in _BM25_QUERIES for term in ts],
         "query_id long, term string",
     )
-    return bm25_topk(docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return bm25_topk(
+        docs, _bm25_query_frame(spark), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register_extra("bm25_indexed", oracle=_BM25_ORACLE)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index BM25 (operators.retrieval.bm25_index_build /
+    bm25_topk_indexed): the tokenize + tf aggregation is paid once per
+    corpus snapshot into a tok_bucket-partitioned postings table; the
+    search scans only the query terms' buckets.  Gated against the SAME
+    oracle as bm25_topk, so driver-green here means the stored path is
+    ranking-identical to the inline path.  The index is an input
+    fixture (pure function of the corpus), built once per interpreter
+    like the streaming source copies."""
+    import os
+
+    from ..operators.retrieval import bm25_index_build, bm25_topk_indexed
+    from .queries import stable_scratch_dir
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = os.path.join(stable_scratch_dir(f"bm25_index_{tag}"), "idx")
+    if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+        bm25_index_build(
+            _spread(spark, t(spark, sf_dir, "documents")), idx, n_buckets=64
+        )
+    return bm25_topk_indexed(
+        spark, idx, _bm25_query_frame(spark),
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B, n_buckets=64,
+    )
 
 
 @register(

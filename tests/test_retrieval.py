@@ -122,3 +122,58 @@ def test_bm25_topk_two_phase_matches_single_window(spark, sf_dir):
         for r in naive.collect()  # driver-ok: k x 2 rows
     }
     assert got == want
+
+
+def test_indexed_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path):
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_topk_indexed,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    idx = str(tmp_path / "idx")
+    bm25_index_build(docs, idx, n_buckets=64)
+
+    inline = bm25_topk(docs, queries, k=8)
+    stored = bm25_topk_indexed(spark, idx, queries, k=8, n_buckets=64)
+    key = lambda r: (r.query_id, r.rank, r.doc_id, r.score)  # noqa: E731
+    assert sorted(map(key, stored.collect())) == sorted(  # driver-ok: k x 2 rows
+        map(key, inline.collect())  # driver-ok: k x 2 rows
+    )
+
+    # the postings scan must PRUNE to the query terms' buckets: the
+    # plan's toString truncates the scan line, so pin the pruning on the
+    # FORMATTED explain, which renders PartitionFilters in full — a
+    # non-empty tok_bucket IN (...) with <= 4 buckets of the 64
+    import re
+
+    jvm = spark._jvm
+    es = stored._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[tok_bucket#\d+ IN \(([^)]*)\)", es)
+    assert m, "postings scan lost its partition filter"
+    assert 1 <= len(m.group(1).split(",")) <= 4
+
+
+def test_index_build_writes_bounded_bucket_layout(spark, tmp_path):
+    import os
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        bm25_index_build,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    bm25_index_build(docs, idx, n_buckets=8)
+    parts = [
+        d
+        for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("tok_bucket=")
+    ]
+    assert 0 < len(parts) <= 8
+    # full-vocab df table: one row per distinct token across the corpus
+    dft = spark.read.parquet(os.path.join(idx, "dft"))
+    n_vocab = len({t for _, txt in _DOCS for t in txt.lower().split()})
+    assert dft.count() == n_vocab
