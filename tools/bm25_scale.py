@@ -63,11 +63,29 @@ def main() -> None:
         out = bm25_topk(docs, queries, k=10)
         n_out = out.count()
         wall = time.time() - t0
+
+        # stored-index path: one-time build, then the pruned search
+        import tempfile
+
+        from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+            bm25_index_build,
+            bm25_topk_indexed,
+        )
+
+        idx = tempfile.mkdtemp(prefix="bm25_idx_") + "/idx"
+        t0 = time.time()
+        bm25_index_build(docs, idx, n_buckets=64)
+        t_build = time.time() - t0
+        t0 = time.time()
+        n_idx = bm25_topk_indexed(spark, idx, queries, k=10).count()
+        t_search = time.time() - t0
+        assert n_idx == n_out
         print(
             f"factor={f:3d} docs={n_docs:8,d} postings={total_postings:12,d} "
             f"queried-term postings={filtered:10,d} "
             f"({100.0 * filtered / total_postings:.1f}%) "
-            f"topk rows={n_out} wall={wall:.2f}s"
+            f"topk rows={n_out} inline={wall:.2f}s "
+            f"index build={t_build:.2f}s search={t_search:.2f}s"
         )
 
 
