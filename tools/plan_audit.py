@@ -33,6 +33,10 @@ CHECKS = {
     # aggregation, the per-query score aggregation, and the two-phase
     # top-k reduction
     "bm25_topk": ["BroadcastHashJoin"],
+    # the stored-index search must keep every join broadcast and never
+    # sort-merge the postings side (pruning itself is pinned in
+    # tests/test_retrieval.py — toString truncates PartitionFilters)
+    "bm25_indexed_search": ["BroadcastHashJoin"],
 }
 
 
@@ -235,12 +239,37 @@ def main() -> None:
 
     qs["quality_classifier"] = _nbq_lazy
 
+    def _bm25_indexed_search(s, d):
+        # index built EAGERLY (the one-time artifact); the audited plan
+        # is the recurring per-query-batch search: bucket-pruned
+        # postings scan + broadcast term/df/stats joins + score agg +
+        # two-phase rank
+        import os as _os
+        import tempfile as _tf
+
+        from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+            bm25_index_build,
+            bm25_topk_indexed,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_features import (
+            _bm25_query_frame,
+        )
+
+        idx = _os.path.join(_tf.mkdtemp(prefix="audit_bm25_"), "idx")
+        bm25_index_build(
+            s.read.parquet(f"{d}/documents.parquet"), idx, n_buckets=64
+        )
+        return bm25_topk_indexed(s, idx, _bm25_query_frame(s), k=10)
+
+    qs["bm25_indexed_search"] = _bm25_indexed_search
+
     args = sys.argv[1:]
     print_only = "--print-only" in args
     if print_only:
         args = [a for a in args if a != "--print-only"]
     only = set(args) or {
         "bm25_topk",
+        "bm25_indexed_search",
         "quality_classifier",
         "ann_ivf_c256_search",
         "ann_pq_search",
