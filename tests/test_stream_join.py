@@ -142,3 +142,51 @@ def test_overlapping_non_key_columns_rejected(spark):
             a, b, key="user_id", left_ts="ts", right_ts="ts",
             max_lag_seconds=60,
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_streamed_equals_batch_on_random_fixture(spark, tmp_path, seed):
+    """Randomized equivalence: random users/timestamps around the split
+    plus crafted boundary rows (ts == mid on both sides; lag exactly at
+    the <= 6 h edge; c_ts == v_ts, excluded by the strict >) — the
+    streamed interval join must equal the batch twin row-for-row."""
+    import random
+
+    rng = random.Random(seed)
+    day = dt.datetime(2024, 1, 1)
+
+    def rts():
+        return day + dt.timedelta(seconds=rng.randrange(0, 86_400))
+
+    views = [(i, rng.randrange(1, 5), rts()) for i in range(40)]
+    clicks = [(100 + i, rng.randrange(1, 5), rts()) for i in range(60)]
+    # boundary rows: both exactly at the split; a pair exactly 6 h
+    # apart (included by <=); a pair at zero lag (excluded by >)
+    views += [(90, 9, _MID), (91, 9, _MID - dt.timedelta(hours=6))]
+    clicks += [(190, 9, _MID), (191, 9, _MID + dt.timedelta(hours=1))]
+    root = str(tmp_path)
+    vsrc = _two_file_source(
+        spark, views, "view_id long, user_id long, v_ts timestamp",
+        "v_ts", os.path.join(root, "v"),
+    )
+    csrc = _two_file_source(
+        spark, clicks, "click_id long, user_id long, c_ts timestamp",
+        "c_ts", os.path.join(root, "c"),
+    )
+    out = _run_streamed(spark, vsrc, csrc)
+    batch = stream_interval_join(
+        spark.read.parquet(vsrc),
+        spark.read.parquet(csrc),
+        key="user_id", left_ts="v_ts", right_ts="c_ts",
+        max_lag_seconds=6 * 3600,
+    )
+    key = lambda r: (r.view_id, r.click_id)  # noqa: E731
+    got = sorted(map(key, out.collect()))  # driver-ok: bounded fixture
+    want = sorted(map(key, batch.collect()))  # driver-ok: bounded fixture
+    assert got == want
+    # the crafted rows: view@mid-6h matches click@mid exactly at the
+    # lag edge; view@mid matches neither (c>v strict vs click@mid,
+    # click@mid+1h is a genuine cross-batch... same-batch-2 match)
+    assert (91, 190) in got
+    assert (90, 190) not in got
+    assert (90, 191) in got
