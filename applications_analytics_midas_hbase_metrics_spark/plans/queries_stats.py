@@ -208,3 +208,84 @@ def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.min(F.date_trunc("day", F.col("ts"))).alias("first_day"),
     )
+
+
+@register_extra(
+    "heavy_hitters_cms",
+    # Count-min sketch heavy hitters, the frequency twin of the KLL
+    # quantile gates: the sketch estimate cannot hash-compare across
+    # engines, but (a) the top-k truth can — (tok, true_count) comes
+    # from the exact distributed aggregate and must hash-match DuckDB's
+    # — and (b) the CMS guarantee can: with a FIXED seed the sketch is
+    # deterministic, so "true <= est <= true + eps*N" (one-sided
+    # overcount, never undercount) and "merged shard sketches give the
+    # IDENTICAL estimate" are stable verdicts, not flaky probabilities.
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  tk -> tk != '')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_count
+          FROM toks GROUP BY 1)
+    SELECT tok, true_count, 'ok' AS bound_check, 'ok' AS merge_check
+    FROM c ORDER BY true_count DESC, tok LIMIT 20
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequencies: exact truth (distributed count) + a
+    count_min_sketch built in ONE pass (JVM aggregate, mergeable
+    partials map-side) + an 8-shard sketch build merged driver-side via
+    CountMinSketch.mergeInPlace — the partial-aggregate deployment
+    pattern: sketch each ingest shard once, answer corpus-wide
+    frequency queries by merging sketches, never re-scanning.  The
+    driver touches only BOUNDED state (one 20-row truth, 9 sketch
+    binaries); estimation per probe token is an O(depth) lookup."""
+    from ..operators.dedup import tokens as _tokens
+
+    eps, conf, seed = 1e-3, 0.99, 42
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(
+        F.col("true_count").desc(), "tok"
+    ).limit(20).collect()  # driver-ok: bounded top-k truth
+    n_total = toks.count()
+
+    def cms_bytes(df) -> bytes:
+        row = df.agg(
+            F.count_min_sketch(
+                "tok", F.lit(eps), F.lit(conf), F.lit(seed)
+            ).alias("sk")
+        ).collect()  # driver-ok: ONE sketch binary
+        return bytes(row[0].sk)
+
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    whole = jcms.readFrom(cms_bytes(toks))
+    shard_frames = [
+        toks.withColumn("s", F.pmod(F.xxhash64("tok"), F.lit(8))).filter(
+            F.col("s") == i
+        )
+        for i in range(8)
+    ]
+    merged = jcms.readFrom(cms_bytes(shard_frames[0]))
+    for sf in shard_frames[1:]:
+        merged.mergeInPlace(jcms.readFrom(cms_bytes(sf)))
+
+    bound = eps * n_total
+    rows = []
+    for r in top:
+        est = whole.estimateCount(r.tok)
+        mest = merged.estimateCount(r.tok)
+        ok = r.true_count <= est <= r.true_count + bound
+        rows.append(
+            (
+                r.tok,
+                r.true_count,
+                "ok" if ok else f"bad:{est}",
+                "ok" if mest == est else f"bad:{mest}!={est}",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tok string, true_count long, bound_check string, merge_check string"
+    )

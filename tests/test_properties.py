@@ -431,3 +431,22 @@ def test_winnow_guarantee_random_both_hashes(spark):
             assert fps[a] & fps[b], (hash_fn, a, b)
         assert not (fps[1000] & fps[1001]), hash_fn
         assert not (fps[0] & fps[1000]), hash_fn
+
+
+def test_heavy_hitters_cms_verdicts_and_order(spark):
+    """The CMS gate's contract on the smoke corpus: truth descending
+    with the (count DESC, tok) tiebreak, every bound verdict ok (CMS
+    never undercounts; eps*N caps the overcount), and the 8-shard
+    merged sketch estimating IDENTICALLY to the one-pass sketch (CMS
+    merge is exact counter addition at equal seed/width/depth)."""
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries_stats import (
+        q_heavy_hitters_cms,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_heavy_hitters_cms(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    keys = [(-r.true_count, r.tok) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.bound_check == "ok" for r in rows), rows
+    assert all(r.merge_check == "ok" for r in rows), rows
