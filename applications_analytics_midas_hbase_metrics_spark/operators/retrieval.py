@@ -37,6 +37,8 @@ __all__ = [
     "bm25_topk",
     "bm25_index_build",
     "bm25_topk_indexed",
+    "hashed_cosine_topk",
+    "rrf_fuse",
 ]
 
 
@@ -273,3 +275,61 @@ def bm25_topk_indexed(
     )
     stats = spark.read.parquet(os.path.join(index_dir, "stats"))
     return _rank_topk(_score_from_tables(tf, dft, stats, q, k1, b), k)
+
+
+def hashed_cosine_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Dense-side retrieval over model-free hashed embeddings
+    (embeddings.hashed_embedding): each query's term multiset is
+    embedded as a pseudo-document (order-invariant — the embedding is
+    a per-bucket count), and cosine reduces to a sparse dot product:
+    join the tiny broadcast query vectors to the corpus long-form
+    vectors ON dim_idx and sum value products per (query, doc).  Both
+    sides are L2-normalized upstream, so no per-pair norm work.
+
+    Same output contract as :func:`bm25_topk`."""
+    from .embeddings import hashed_embedding
+
+    dvec = hashed_embedding(docs, dim, text_col=text, id_col=doc_id)
+    qdocs = _norm_queries(queries).groupBy("query_id").agg(
+        F.concat_ws(" ", F.collect_list("term")).alias("text")
+    )
+    qvec = hashed_embedding(qdocs, dim, id_col="query_id").select(
+        F.col("id").alias("query_id"),
+        F.col("dim_idx"),
+        F.col("value").alias("qv"),
+    )
+    scored = (
+        dvec.join(F.broadcast(qvec), "dim_idx")
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.sum(F.col("value") * F.col("qv")).alias("score"))
+    )
+    return _rank_topk(scored, k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (query_id, doc_id, rank):
+    score(q, d) = sum over lists of 1 / (c + rank) — the standard
+    hybrid-retrieval combiner (c=60 from the original RRF paper); a
+    doc missing from a list simply contributes nothing.  Pure
+    aggregation over the (small) per-query top-k lists, so fusion cost
+    is O(queries x k x lists) regardless of corpus size."""
+    from functools import reduce
+
+    u = reduce(
+        DataFrame.unionByName,
+        [r.select("query_id", "doc_id", "rank") for r in rankings],
+    )
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("score")
+    )
+    return _rank_topk(scored, k)

@@ -198,3 +198,111 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(_dot(vd, vd)), 6).alias("l2_norm"),
         F.round(F.sqrt(_dot(normed, normed)), 6).alias("normalized_norm"),
     )
+
+
+#: Hybrid retrieval: per-list depth 20, fused to a final 10 with the
+#: RRF paper's c=60.  The dense side reuses the reference's Java hash
+#: (byte-exact in DuckDB), so the ENTIRE hybrid pipeline — tokenize,
+#: BM25, hash-embed, cosine, both rankings, the fusion — is
+#: engine-reproducible under one differential hash.
+_RRF_DEPTH, _RRF_C = 20, 60
+
+
+def _java_dim_sql(expr: str) -> str:
+    from ..functions.keys import duckdb_java_hash_sql
+
+    return f"CAST((({duckdb_java_hash_sql(expr)}) % 64 + 64) % 64 AS INT)"
+
+
+_HYBRID_ORACLE = f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dlen AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               (SELECT avg(dl) FROM dlen) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+    ),
+    dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
+    bm AS (
+        SELECT q.query_id, tf.doc_id,
+               sum(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1)
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS s
+        FROM tf JOIN dft USING (tok) JOIN dlen USING (doc_id)
+             JOIN q ON q.term = tf.tok, stats
+        GROUP BY 1, 2
+    ),
+    bmr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(s, 6) DESC, doc_id) AS rnk
+        FROM bm
+    ),
+    dtf AS (
+        SELECT doc_id, {_java_dim_sql('tok')} AS dim_idx, count(*) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    dn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM dtf GROUP BY 1),
+    dv AS (SELECT doc_id, dim_idx, round(c / nrm, 6) AS v
+           FROM dtf JOIN dn USING (doc_id)),
+    qtf AS (
+        SELECT query_id, {_java_dim_sql('lower(term)')} AS dim_idx,
+               count(*) AS c
+        FROM q GROUP BY 1, 2
+    ),
+    qn AS (SELECT query_id, sqrt(sum(c * c)) AS nrm FROM qtf GROUP BY 1),
+    qv AS (SELECT query_id, dim_idx, round(c / nrm, 6) AS v
+           FROM qtf JOIN qn USING (query_id)),
+    cs AS (
+        SELECT qv.query_id, dv.doc_id, sum(qv.v * dv.v) AS s
+        FROM qv JOIN dv USING (dim_idx) GROUP BY 1, 2
+    ),
+    csr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(s, 6) DESC, doc_id) AS rnk
+        FROM cs
+    ),
+    u AS (
+        SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= {_RRF_DEPTH}
+        UNION ALL
+        SELECT query_id, doc_id, rnk FROM csr WHERE rnk <= {_RRF_DEPTH}
+    ),
+    rrf AS (
+        SELECT query_id, doc_id, sum(1.0 / ({_RRF_C} + rnk)) AS s
+        FROM u GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, round(s, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(s, 6) DESC, doc_id) AS rnk
+        FROM rrf
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rnk <= {_BM25_K}
+    """
+
+
+@register_extra("hybrid_rrf_topk", oracle=_HYBRID_ORACLE)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.retrieval.rrf_fuse): BM25 top-20 and
+    hashed-embedding cosine top-20 per query, reciprocal-rank-fused to
+    a final 10 — the standard sparse+dense combiner of a modern
+    retrieval stack, here with a model-free dense side (the Java-hash
+    embedding) so BOTH legs and the fusion replay byte-exactly in
+    DuckDB under one differential hash."""
+    from ..operators.retrieval import hashed_cosine_topk, rrf_fuse
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    q = _bm25_query_frame(spark)
+    lex = bm25_topk(docs, q, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B)
+    den = hashed_cosine_topk(docs, q, k=_RRF_DEPTH)
+    return rrf_fuse([lex, den], k=_BM25_K, c=_RRF_C)

@@ -57,6 +57,8 @@ def stream_interval_join(
     overlap = (set(left.columns) & set(right.columns)) - {key}
     if overlap:
         raise ValueError(f"non-key column overlap: {sorted(overlap)}")
+    if "_rkey" in left.columns or "_rkey" in right.columns:
+        raise ValueError("'_rkey' is reserved by stream_interval_join")
     l = left
     r = right.withColumnRenamed(key, "_rkey")
     if left.isStreaming:

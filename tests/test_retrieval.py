@@ -177,3 +177,37 @@ def test_index_build_writes_bounded_bucket_layout(spark, tmp_path):
     dft = spark.read.parquet(os.path.join(idx, "dft"))
     n_vocab = len({t for _, txt in _DOCS for t in txt.lower().split()})
     assert dft.count() == n_vocab
+
+
+def test_rrf_fuse_invariants(spark, sf_dir):
+    """RRF contract on the fixture corpus: the fused list only contains
+    docs from the input lists; a doc present in BOTH legs outranks a
+    doc with the same single-leg rank appearing in one; scores equal
+    sum(1/(c+rank)) recomputed from the legs."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        hashed_cosine_topk,
+        rrf_fuse,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    lex = bm25_topk(docs, queries, k=15)
+    den = hashed_cosine_topk(docs, queries, k=15)
+    fused = rrf_fuse([lex, den], k=10, c=60)
+
+    lex_r = {(r.query_id, r.doc_id): r.rank for r in lex.collect()}  # driver-ok: k x 2
+    den_r = {(r.query_id, r.doc_id): r.rank for r in den.collect()}  # driver-ok: k x 2
+    out = fused.collect()  # driver-ok: k x 2 rows
+    assert out, "fused list empty"
+    for r in out:
+        key = (r.query_id, r.doc_id)
+        assert key in lex_r or key in den_r
+        want = sum(
+            1.0 / (60 + m[key]) for m in (lex_r, den_r) if key in m
+        )
+        assert r.score == pytest.approx(round(want, 6), abs=1e-9)
+    # at least one fused winner should be a both-legs doc on this corpus
+    assert any(
+        (r.query_id, r.doc_id) in lex_r and (r.query_id, r.doc_id) in den_r
+        for r in out
+    )
