@@ -44,9 +44,21 @@ def stream_interval_join(
     right_ts: str,
     max_lag_seconds: int,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join ``left`` x ``right`` on ``key`` where
+    """Join ``left`` x ``right`` on ``key`` where
     ``right_ts in (left_ts, left_ts + max_lag_seconds]``.
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    (right columns null) once the watermark proves no future right row
+    can match it — i.e. when the global watermark passes
+    ``left_ts + max_lag``.  The emission is therefore DELAYED by
+    design: an unmatched row near the head of the stream flushes as
+    soon as the watermark moves past its window; one near the tail is
+    withheld until later input advances the watermark (batch replay of
+    the same data emits exactly the rows whose windows close strictly
+    before ``min over sources(max event time) - watermark_delay`` —
+    the rule the differential gate's oracle encodes).
 
     Both inputs may be streaming or batch frames (the same expression
     tree runs as a symmetric hash join under a stream, a broadcast/SMJ
@@ -65,6 +77,8 @@ def stream_interval_join(
         l = l.withWatermark(left_ts, watermark)
     if right.isStreaming:
         r = r.withWatermark(right_ts, watermark)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     cond = (
         (F.col(key) == F.col("_rkey"))
         & (F.col(right_ts) > F.col(left_ts))
@@ -74,4 +88,4 @@ def stream_interval_join(
             + F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS")
         )
     )
-    return l.join(r, cond, "inner").drop("_rkey")
+    return l.join(r, cond, how).drop("_rkey")

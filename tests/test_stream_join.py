@@ -190,3 +190,60 @@ def test_streamed_equals_batch_on_random_fixture(spark, tmp_path, seed):
     assert (91, 190) in got
     assert (90, 190) not in got
     assert (90, 191) in got
+
+
+def test_left_outer_emits_only_watermark_closed_unmatched(spark, tmp_path):
+    """Outer semantics on a crafted boundary: an unmatched view whose
+    6 h window the final watermark has closed emits with a null click;
+    an unmatched view near the stream tail stays WITHHELD (its window
+    could still be matched by future input); matches emit as usual."""
+    views = [(1, 7, _ts(0)), (2, 7, _ts(8)), (3, 7, _ts(22))]
+    clicks = [(11, 7, _ts(10, 30)), (12, 7, _ts(10))]
+    root = str(tmp_path)
+    vsrc = _two_file_source(
+        spark, views, "view_id long, user_id long, v_ts timestamp",
+        "v_ts", os.path.join(root, "v"),
+    )
+    csrc = _two_file_source(
+        spark, clicks, "click_id long, user_id long, c_ts timestamp",
+        "c_ts", os.path.join(root, "c"),
+    )
+    sv = (
+        spark.readStream.schema(spark.read.parquet(vsrc).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(vsrc)
+    )
+    sc = (
+        spark.readStream.schema(spark.read.parquet(csrc).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+    )
+    joined = stream_interval_join(
+        sv, sc, key="user_id", left_ts="v_ts", right_ts="c_ts",
+        max_lag_seconds=6 * 3600, watermark="1 hour", how="left_outer",
+    )
+    sink = f"tlo_{uuid.uuid4().hex[:10]}"
+    q = (
+        joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.table(sink).collect()  # driver-ok: 3-row fixture
+    }
+    # final watermark = min(max v_ts, max c_ts) - 1h = 9:30:
+    # view 1 (0:00): window closed at 6:00 < 9:30 -> (1, None)
+    # view 2 (8:00): matched by both clicks
+    # view 3 (22:00): unmatched but window open until 28:00 -> withheld
+    assert got == {(1, None), (2, 11), (2, 12)}
+
+
+def test_invalid_how_rejected(spark):
+    a = spark.createDataFrame([(1, _ts(10))], "user_id long, a_ts timestamp")
+    b = spark.createDataFrame([(1, _ts(11))], "user_id long, b_ts timestamp")
+    with pytest.raises(ValueError, match="how must be"):
+        stream_interval_join(
+            a, b, key="user_id", left_ts="a_ts", right_ts="b_ts",
+            max_lag_seconds=60, how="full_outer",
+        )
