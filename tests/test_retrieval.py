@@ -211,3 +211,40 @@ def test_rrf_fuse_invariants(spark, sf_dir):
         (r.query_id, r.doc_id) in lex_r and (r.query_id, r.doc_id) in den_r
         for r in out
     )
+
+
+def test_bm25_matches_reference_on_random_corpora(spark):
+    """Seeded random corpora (Zipf-ish vocab, empty docs, repeated
+    terms, queries mixing present/absent terms): bm25_scores must equal
+    the pure-Python reference to 1e-12 on every (query, doc)."""
+    import random
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(
+                    # Zipf-ish: low-index words much more frequent
+                    vocab[min(int(rng.paretovariate(1.0)) - 1, 11)]
+                    for _ in range(rng.randrange(0, 25))
+                ),
+            )
+            for i in range(30)
+        ]
+        queries = [
+            (qid, term)
+            for qid in (1, 2)
+            for term in rng.sample(vocab + ["absent_term"], 3)
+        ]
+        sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+        sq = spark.createDataFrame(queries, "query_id long, term string")
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_scores(sdocs, sq).collect()  # driver-ok: 30-doc fixture
+        }
+        want = _bm25_ref(docs, queries)
+        assert set(got) == set(want), seed
+        for key, s in want.items():
+            assert got[key] == pytest.approx(s, abs=1e-12), (seed, key)
