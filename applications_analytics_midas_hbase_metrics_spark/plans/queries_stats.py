@@ -262,15 +262,20 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     whole = jcms.readFrom(cms_bytes(toks))
-    shard_frames = [
-        toks.withColumn("s", F.pmod(F.xxhash64("tok"), F.lit(8))).filter(
-            F.col("s") == i
+    # all 8 shard sketches in ONE grouped aggregation (one scan), then
+    # merged driver-side — the shape a sharded ingest actually has
+    shard_rows = (
+        toks.groupBy(F.pmod(F.xxhash64("tok"), F.lit(8)).alias("s"))
+        .agg(
+            F.count_min_sketch(
+                "tok", F.lit(eps), F.lit(conf), F.lit(seed)
+            ).alias("sk")
         )
-        for i in range(8)
-    ]
-    merged = jcms.readFrom(cms_bytes(shard_frames[0]))
-    for sf in shard_frames[1:]:
-        merged.mergeInPlace(jcms.readFrom(cms_bytes(sf)))
+        .collect()  # driver-ok: 8 sketch binaries
+    )
+    merged = jcms.readFrom(bytes(shard_rows[0].sk))
+    for r in shard_rows[1:]:
+        merged.mergeInPlace(jcms.readFrom(bytes(r.sk)))
 
     bound = eps * n_total
     rows = []
