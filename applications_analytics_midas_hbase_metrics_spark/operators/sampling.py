@@ -300,3 +300,67 @@ def temperature_mixture(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+#: Distinct multiplier for token-BUDGET ordering (Murmur3's c1).  Same
+#: decorrelation rule as _SHARD_PRIME: the admission order must not
+#: reuse the keep-decision hash (_MIX_PRIME) or the shard hash
+#: (_SHARD_PRIME) — a budget applied downstream of mixture/rank
+#: sampling or upstream of sharding would otherwise admit a biased
+#: prefix of the other stage's hash order.
+_BUDGET_PRIME = 3432918353
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    weight_col: str,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Admit documents per source until a fixed TOKEN budget is spent —
+    the mixture form training runs actually specify ("200B tokens of
+    web, 50B of code"), complementing temperature_mixture's rate form.
+
+    Admission order is the dedicated-prime multiplicative id-hash
+    (deterministic, engine-replayable, decorrelated from the sampling
+    and shard hashes); a doc is kept while the source's RUNNING
+    INCLUSIVE token total stays <= its budget, so the delivered budget
+    never overshoots and undershoots by at most one document.  Sources
+    absent from ``budgets`` are dropped (budgets are the explicit
+    mixture spec).
+
+    The running total is a per-source window over the hash order — the
+    sort is partitioned per source, never global; a single source too
+    large for one reducer's sort spills (external sort) or graduates to
+    the two-phase distributed prefix sum in operators/packing.py, which
+    is this exact computation factored for that regime.
+
+    Returns the kept rows plus ``cum_tokens`` (the source's running
+    total through this doc)."""
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    b = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_MIX_DOMAIN))
+        * F.lit(_BUDGET_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_b", b.getItem(F.col(source_col)))
+        .filter(F.col("_b").isNotNull())
+        .withColumn("_h", h)
+        .withColumn(
+            "cum_tokens",
+            F.sum(F.col(weight_col).cast("bigint")).over(w),
+        )
+        .filter(F.col("cum_tokens") <= F.col("_b"))
+        .drop("_h", "_b")
+    )

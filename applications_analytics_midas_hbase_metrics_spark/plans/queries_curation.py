@@ -21,6 +21,7 @@ from ..operators.sampling import (
     rank_importance_sample,
     shuffle_shards,
     stratified_percent_rank,
+    token_budget_mixture,
 )
 from .queries import persist_deferred, register, register_extra, t
 from .queries_ext import _TOKS, _spread
@@ -872,3 +873,55 @@ def quality_sharded_snapshot_frame(docs, model) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+#: Token budgets for the budget-mixture gate: three sources with
+#: budgets that truncate at EVERY fixture scale (per-source token
+#: totals are ~1.3k at sf0.001 and grow with sf), plus 17 sources
+#: absent from the spec and therefore dropped.
+_TB_BUDGETS = {"src0": 700, "src1": 400, "src2": 50}
+_TB_VALUES = ", ".join(f"('{s}', {b})" for s, b in _TB_BUDGETS.items())
+
+
+@register_extra(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    b(source, budget) AS (VALUES {_TB_VALUES}),
+    h AS (
+        SELECT d.*, b.budget,
+               (doc_id % 2147483648) * 3432918353 % 2147483648 AS hh
+        FROM d JOIN b USING (source)
+    ),
+    c AS (
+        SELECT doc_id, source, ntok, budget,
+               sum(ntok) OVER (PARTITION BY source ORDER BY hh, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h
+    )
+    SELECT doc_id, source, ntok AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= budget
+    """,
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed per-source TOKEN budgets (operators.sampling.
+    token_budget_mixture) — the "N tokens of web, M of code" mixture
+    spec: hash-ordered admission per source until the running inclusive
+    token total exceeds the budget; unspecified sources dropped.  The
+    dedicated-prime int64 hash replays exactly in DuckDB, so admission
+    order, the running totals, and the cut are all under the
+    differential hash."""
+    from ..operators.dedup import tokens
+
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_mixture(
+        docs, _TB_BUDGETS, weight_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")

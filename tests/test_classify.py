@@ -219,3 +219,81 @@ def test_shards_balanced_after_rank_sampling(spark):
     mean = len(out) / 8
     assert max(sizes.values()) < 1.35 * mean, sizes
     assert min(sizes.values()) > 0.65 * mean, sizes
+
+
+def test_token_budget_mixture_properties(spark, sf_dir):
+    """Budget contract: per-source kept tokens never exceed the budget;
+    the cut is maximal (the next doc in admission order would
+    overshoot); unspecified sources are dropped; output deterministic."""
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.dedup import (
+        tokens,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        _BUDGET_PRIME,
+        _MIX_DOMAIN,
+        token_budget_mixture,
+    )
+    from tests.conftest import load
+
+    budgets = {"src0": 700, "src1": 400, "src2": 50}
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = token_budget_mixture(docs, budgets, weight_col="n_tokens")
+    rows = out.collect()  # driver-ok: bounded by sum(budgets)/min tokens
+    assert rows and {r.source for r in rows} <= set(budgets)
+
+    kept = {}
+    for r in rows:
+        kept.setdefault(r.source, []).append(r)
+    all_docs = {
+        (r.doc_id, r.source): r.n_tokens
+        for r in docs.filter(
+            F.col("source").isin(list(budgets))
+        ).collect()  # driver-ok: 75-doc fixture slice
+    }
+
+    def h(doc_id):
+        return (doc_id % _MIX_DOMAIN) * _BUDGET_PRIME % _MIX_DOMAIN
+
+    for src, b in budgets.items():
+        used = sum(r.n_tokens for r in kept.get(src, []))
+        assert used <= b, src
+        # maximality: the first NOT-kept doc in hash order would overshoot
+        kept_ids = {r.doc_id for r in kept.get(src, [])}
+        rest = sorted(
+            (
+                (h(d), d, n)
+                for (d, s), n in all_docs.items()
+                if s == src and d not in kept_ids
+            )
+        )
+        if rest:
+            assert used + rest[0][2] > b, src
+    # determinism
+    again = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_mixture(
+            docs, budgets, weight_col="n_tokens"
+        ).collect()  # driver-ok: bounded
+    )
+    assert again == sorted((r.doc_id, r.cum_tokens) for r in rows)
+
+
+def test_token_budget_mixture_empty_budgets_rejected(spark, sf_dir):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lit(1).alias("n_tokens")
+    )
+    with _pytest.raises(ValueError, match="at least one source"):
+        token_budget_mixture(docs, {}, weight_col="n_tokens")
