@@ -72,7 +72,8 @@ def main() -> None:
             bm25_topk_indexed,
         )
 
-        idx = tempfile.mkdtemp(prefix="bm25_idx_") + "/idx"
+        idx_root = tempfile.mkdtemp(prefix="bm25_idx_")
+        idx = idx_root + "/idx"
         t0 = time.time()
         bm25_index_build(docs, idx, n_buckets=64)
         t_build = time.time() - t0
@@ -80,6 +81,9 @@ def main() -> None:
         n_idx = bm25_topk_indexed(spark, idx, queries, k=10).count()
         t_search = time.time() - t0
         assert n_idx == n_out
+        import shutil
+
+        shutil.rmtree(idx_root, ignore_errors=True)
         print(
             f"factor={f:3d} docs={n_docs:8,d} postings={total_postings:12,d} "
             f"queried-term postings={filtered:10,d} "
