@@ -1956,3 +1956,32 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "head",
     )
+
+
+@register_extra(
+    "orc_scan",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           l_returnflag AS rflag,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem WHERE l_orderkey % 8 = 0 AND l_quantity > 25
+    """,
+)
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage boundary end-to-end (sources.ingest.read_orc): write
+    a lineitem slice as ORC, read it back with column pruning and a
+    pushed predicate, return the typed rows — the oracle recomputes
+    straight from lineitem, so the encode -> ORC scan roundtrip (types,
+    projection, pushdown) is what's verified."""
+    from ..sources.ingest import read_orc
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 0)
+    path = scratch_dir("orc_scan") + "/store"
+    li.select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    ).write.mode("overwrite").orc(path)
+    return read_orc(spark, path, columns=["okey", "rflag", "qty"]).filter(
+        F.col("qty") > 25
+    )

@@ -301,3 +301,15 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """ORC scan (extension surface, same contract as the parquet cell
+    reads): columnar projection and predicate pushdown reach the ORC
+    reader exactly as they do parquet — a deployment migrating between
+    the two formats keeps every plan property.  ``columns`` prunes at
+    the scan."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -205,3 +205,22 @@ def test_read_jsonl_corrupt_capture_and_strict(spark, tmp_path):
     strict = I.read_jsonl(spark, str(p), schema)
     assert "_corrupt_record" not in strict.columns
     assert strict.count() == 4
+
+
+def test_read_orc_pushdown_and_pruning(spark, tmp_path):
+    """The ORC scan must keep parquet's plan properties: the predicate
+    reaches the reader (PushedFilters) and unreferenced columns are
+    pruned from ReadSchema."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "orc")
+    spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).write.orc(p)
+    out = I.read_orc(spark, p, columns=["id", "grp"]).filter(F.col("grp") == 3)
+    assert out.count() == len([i for i in range(1000) if i % 7 == 3])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]" in plan
+    assert "payload" not in plan.split("ReadSchema")[1][:200]
