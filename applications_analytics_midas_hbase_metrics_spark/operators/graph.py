@@ -218,3 +218,72 @@ def quality_representatives(
         score_col,
         (F.row_number().over(w) == 1).cast("bigint").alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    power-iteration sibling of :func:`connected_components`' label
+    propagation (extension surface; the reference has no graph ops).
+
+    FIXED iteration count, not convergence-tested: a deterministic,
+    engine-replayable result (the differential oracle unrolls the same
+    n_iter rounds as CTEs) and the deployment norm anyway — production
+    PageRank runs a budgeted iteration count.  Every node must have at
+    least one out-edge (symmetrize upstream if needed): dangling-mass
+    redistribution is deliberately out of scope, keeping each round ONE
+    join + ONE aggregate.
+
+    Scale shape per round: ranks (node-keyed) join edges (src-keyed) —
+    both shuffles key-partitioned, contributions combine map-side in
+    the dst aggregation; nothing is ever all-pairs and the rank vector
+    never leaves the cluster.  The driver loop only BUILDS the plan
+    (n_iter is a small constant); with larger n_iter, localCheckpoint
+    per round would bound lineage growth like the CC loop does.
+
+    Returns (node, rank) with rank unrounded."""
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    base = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(n_iter):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # every node has out-edges by contract; symmetrized graphs give
+        # every node in-edges too, but keep the no-in-edge case correct
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

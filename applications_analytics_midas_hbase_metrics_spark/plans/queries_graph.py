@@ -200,3 +200,60 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.quality_representatives(
         scored, labels, id_col="id", score_col="quality_score"
     )
+
+
+def _pr_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain — the SQL replay of exactly
+    ``n_iter`` PageRank rounds over the symmetrized supplier<->part
+    co-occurrence graph."""
+    e = """
+    e AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(l_partkey + 1000000 AS BIGINT),
+               CAST(l_suppkey AS BIGINT) FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+    pr{k} AS (
+        SELECT nodes.node,
+               (1 - {damping}) / nn.n
+               + {damping} * coalesce(s.x, 0) AS r
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / d.deg) AS x
+            FROM e JOIN deg d USING (src)
+                 JOIN pr{k - 1} p ON p.node = e.src
+            GROUP BY 1
+        ) s USING (node), nn
+    )""")
+    return (
+        "WITH " + e + "," + ",".join(steps)
+        + f"\n    SELECT node, round(r, 9) AS rank FROM pr{n_iter}"
+    )
+
+
+@register_extra("pagerank_coview", oracle=_pr_oracle())
+def q_pagerank_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power-iteration rounds (operators.graph.pagerank) over the
+    symmetrized supplier<->part graph from lineitem — the iterative-
+    algorithm gate beyond label propagation: damping, out-degree
+    normalization, and per-round join+aggregate all replay in the
+    oracle's unrolled CTE chain, so every intermediate round is under
+    the differential hash transitively."""
+    from .queries import t
+
+    li = t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + 1_000_000).cast("bigint").alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return G.pagerank(edges, n_iter=5).select(
+        "node", F.round("rank", 9).alias("rank")
+    )

@@ -59,3 +59,48 @@ def test_quality_representatives(spark):
         11: (10, 0),
         50: (50, 1),
     }
+
+
+def _pr_ref(edges, n_iter=5, d=0.85):
+    """Pure-Python power iteration, same contract as graph.pagerank."""
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: (1 - d) / n for v in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_reference_on_small_graphs(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.graph import (
+        pagerank,
+    )
+
+    graphs = [
+        [(1, 2), (2, 1)],                          # 2-cycle: 0.5 / 0.5
+        [(1, 2), (2, 3), (3, 1)],                  # 3-cycle: uniform
+        # symmetrized star: hub 1 <-> leaves 2..5
+        [(1, k) for k in (2, 3, 4, 5)]
+        + [(k, 1) for k in (2, 3, 4, 5)],
+        # asymmetric but every node has an out-edge
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 2)],
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, n_iter=5).collect()  # driver-ok: tiny graph
+        }
+        want = _pr_ref(edges)
+        assert set(got) == set(want)
+        for v, x in want.items():
+            assert got[v] == pytest.approx(x, abs=1e-12), (edges, v)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
