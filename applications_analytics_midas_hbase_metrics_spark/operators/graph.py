@@ -226,6 +226,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     power-iteration sibling of :func:`connected_components`' label
@@ -243,8 +244,11 @@ def pagerank(
     both shuffles key-partitioned, contributions combine map-side in
     the dst aggregation; nothing is ever all-pairs and the rank vector
     never leaves the cluster.  The driver loop only BUILDS the plan
-    (n_iter is a small constant); with larger n_iter, localCheckpoint
-    per round would bound lineage growth like the CC loop does.
+    (n_iter is a small constant); for larger budgets pass
+    ``checkpoint_every`` to localCheckpoint the rank vector every k
+    rounds, bounding lineage/plan growth exactly like the CC loop
+    (value-identical — checkpointing only truncates lineage; pinned in
+    tests/test_graph.py).
 
     Returns (node, rank) with rank unrounded."""
     e = edges.select(
@@ -262,7 +266,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     base = F.lit(1.0 - damping) / F.col("n")
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             e.join(deg, "src")
             .join(ranks, F.col("src") == F.col("node"))
@@ -286,4 +290,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -104,3 +104,23 @@ def test_pagerank_matches_reference_on_small_graphs(spark):
         for v, x in want.items():
             assert got[v] == pytest.approx(x, abs=1e-12), (edges, v)
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_checkpointing_is_value_identical(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=6).collect()  # driver-ok: tiny graph
+    }
+    ck = {
+        r.node: r.rank
+        for r in pagerank(
+            df, n_iter=6, checkpoint_every=2
+        ).collect()  # driver-ok: tiny graph
+    }
+    assert ck == plain
