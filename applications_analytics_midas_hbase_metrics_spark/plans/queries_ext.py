@@ -1985,3 +1985,42 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path, columns=["okey", "rflag", "qty"]).filter(
         F.col("qty") > 25
     )
+
+
+@register_extra(
+    "schema_evolution_scan",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END AS rflag
+    FROM lineitem WHERE l_orderkey % 16 = 0 OR l_orderkey % 16 = 1
+    """,
+)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-generation schema drift under the gate: generation 1
+    writes (okey, qty), generation 2 appends files that ADDED a column
+    (okey, qty, rflag) — the additive-evolution pattern every
+    long-lived ingest hits.  ``mergeSchema`` reconciles the footers at
+    scan time; generation-1 rows surface the new column as NULL, which
+    the oracle recomputes from lineitem (parity of okey is the
+    generation marker).  Plan note: mergeSchema pays a per-file footer
+    read at listing — a deployment promotes the union schema into the
+    table definition after backfill and turns the option back off."""
+    li = t(spark, sf_dir, "lineitem")
+    path = scratch_dir("schema_evolution") + "/store"
+    g1 = li.filter(F.col("l_orderkey") % 16 == 0).select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    g2 = li.filter(F.col("l_orderkey") % 16 == 1).select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_returnflag").alias("rflag"),
+    )
+    g1.write.mode("overwrite").parquet(path)
+    g2.write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("okey", "qty", "rflag")
+    )
