@@ -174,6 +174,48 @@ def compact_signature_store(
     return stats
 
 
+def recover_signature_store(store_dir: str) -> dict:
+    """Heal the store after a crash anywhere in
+    :func:`compact_signature_store`'s swap window.  Idempotent; call
+    before seeding/streaming against a store that may have died
+    mid-compaction.
+
+    Per table, the on-disk states and their resolutions:
+
+    - table present, ``.old``/``.tmp`` residue -> compaction finished
+      (or never started) but cleanup didn't: drop residue.
+    - table ABSENT, ``.old`` present -> crashed between the two
+      renames: restore ``.old`` (the pre-compaction store — appends are
+      never lost; the compaction is simply not applied).
+    - table absent, only ``.tmp`` -> crashed after removing the
+      original (cannot happen in the current two-rename order, but a
+      future reorder might): promote the fully-written tmp.
+    """
+    import shutil
+
+    actions = {}
+    for table in ("hashes", "sigs"):
+        path = os.path.join(store_dir, table)
+        old, tmp = path + ".old", path + ".tmp"
+        if os.path.exists(path):
+            act = "ok"
+            if os.path.exists(old) or os.path.exists(tmp):
+                shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
+                act = "residue_cleared"
+        elif os.path.exists(old):
+            os.rename(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            act = "restored_pre_compaction"
+        elif os.path.exists(tmp):
+            os.rename(tmp, path)
+            act = "promoted_tmp"
+        else:
+            act = "missing"
+        actions[table] = act
+    return actions
+
+
 def stream_incremental_dedup(
     stream: DataFrame,
     store_dir: str,

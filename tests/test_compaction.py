@@ -108,3 +108,45 @@ def test_replay_duplicates_folded(spark, compacted):
     for table, keys in (("hashes", ["id", "sha"]), ("sigs", ["id"])):
         df = spark.read.parquet(os.path.join(store, table))
         assert df.count() == df.dropDuplicates(keys).count(), table
+
+
+def test_recover_signature_store_all_crash_states(spark, tmp_path):
+    """Simulate every state the swap window can leave and verify the
+    idempotent resolutions — including verdict equivalence after a
+    mid-swap restore (the pre-compaction store answers identically)."""
+    from applications_analytics_midas_hbase_metrics_spark.streaming.dedup_stream import (
+        recover_signature_store,
+    )
+    from tests.conftest import SF_SMOKE
+
+    store = str(tmp_path / "store")
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    seed_signature_store(docs, store, num_hashes=_NH)
+    probe = _probe(spark, docs)
+    healthy = _verdicts(spark, store, probe)
+
+    # state 1: residue next to a healthy table
+    os.makedirs(os.path.join(store, "hashes.tmp"))
+    os.makedirs(os.path.join(store, "sigs.old"))
+    acts = recover_signature_store(store)
+    assert acts == {"hashes": "residue_cleared", "sigs": "residue_cleared"}
+    assert not os.path.exists(os.path.join(store, "hashes.tmp"))
+    assert not os.path.exists(os.path.join(store, "sigs.old"))
+
+    # state 2: crashed between renames — table gone, .old holds the data
+    os.rename(os.path.join(store, "hashes"), os.path.join(store, "hashes.old"))
+    acts = recover_signature_store(store)
+    assert acts["hashes"] == "restored_pre_compaction"
+    assert acts["sigs"] == "ok"
+    spark.catalog.refreshByPath(os.path.join(store, "hashes"))
+    assert _verdicts(spark, store, probe) == healthy
+
+    # state 3: only a fully-written tmp remains
+    os.rename(os.path.join(store, "sigs"), os.path.join(store, "sigs.tmp"))
+    acts = recover_signature_store(store)
+    assert acts["sigs"] == "promoted_tmp"
+    spark.catalog.refreshByPath(os.path.join(store, "sigs"))
+    assert _verdicts(spark, store, probe) == healthy
+
+    # idempotent on a healthy store
+    assert recover_signature_store(store) == {"hashes": "ok", "sigs": "ok"}
