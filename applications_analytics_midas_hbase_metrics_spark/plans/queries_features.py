@@ -129,9 +129,13 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.retrieval import bm25_index_build, bm25_topk_indexed
-    from .queries import stable_scratch_dir
+    from .queries import sample_mod, stable_scratch_dir
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    # key the stable index on the MIDAS_SAMPLE_MOD scoping too — the
+    # corpus t() loads is shaped by it, so a sampled sweep and an
+    # unsampled run sharing one interpreter must not reuse each
+    # other's postings (the _BPE_MERGE_CACHE lesson)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_m{sample_mod() or 0}"
     idx = os.path.join(stable_scratch_dir(f"bm25_index_{tag}"), "idx")
     if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
         bm25_index_build(
