@@ -248,3 +248,33 @@ def test_bm25_matches_reference_on_random_corpora(spark):
         assert set(got) == set(want), seed
         for key, s in want.items():
             assert got[key] == pytest.approx(s, abs=1e-12), (seed, key)
+
+
+def test_bm25_indexed_stable_index_not_reused_across_sample_mod(spark):
+    """The once-per-interpreter postings index is keyed on the
+    MIDAS_SAMPLE_MOD scoping: a sampled run first must not leave a
+    sampled index behind for the unsampled run (the BPE merge-cache
+    bug class)."""
+    import os
+
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries import (
+        EXTRA_QUERIES,
+    )
+    import applications_analytics_midas_hbase_metrics_spark.plans.queries_features  # noqa: F401
+    from tests.conftest import SF_SMOKE
+
+    prev = os.environ.get("MIDAS_SAMPLE_MOD")
+    try:
+        os.environ["MIDAS_SAMPLE_MOD"] = "10"
+        sampled = EXTRA_QUERIES["bm25_indexed"](spark, SF_SMOKE).collect()  # driver-ok: 50 rows
+        assert sampled and all(r.doc_id % 10 == 0 for r in sampled)
+        os.environ.pop("MIDAS_SAMPLE_MOD")
+        full = EXTRA_QUERIES["bm25_indexed"](spark, SF_SMOKE).collect()  # driver-ok: 50 rows
+        # a stale sampled index can only surface %10==0 docs; the full
+        # corpus ranking must include others
+        assert any(r.doc_id % 10 != 0 for r in full)
+    finally:
+        if prev is None:
+            os.environ.pop("MIDAS_SAMPLE_MOD", None)
+        else:
+            os.environ["MIDAS_SAMPLE_MOD"] = prev
