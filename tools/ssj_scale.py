@@ -11,7 +11,11 @@ stateOperators.numRowsTotal from each progress event: the claim holds
 if state PLATEAUS after the first batch instead of accumulating the
 whole input.
 
-Usage: python tools/ssj_scale.py [n_batches]   (default 8)
+Usage: python tools/ssj_scale.py [n_batches] [provider]
+(defaults: 8 batches, hdfs; provider "rocksdb" switches the state
+store to RocksDBStateStoreProvider — the production choice once state
+outgrows executor heap: state lives off-heap/on-disk with changelog
+checkpointing instead of full-snapshot JVM maps)
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+PROVIDER = sys.argv[2] if len(sys.argv) > 2 else "hdfs"
 
 
 def main() -> None:
@@ -94,6 +99,12 @@ def main() -> None:
         sv, sc, key="user_id", left_ts="v_ts", right_ts="c_ts",
         max_lag_seconds=6 * 3600, watermark="1 hour",
     )
+    if PROVIDER == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     sink = f"ssjsc_{uuid.uuid4().hex[:10]}"
     with scoped_shuffle_partitions(spark, 8):
         q = (
@@ -119,6 +130,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "provider": PROVIDER,
                 "n_batches": N,
                 "views": n_views,
                 "clicks": n_clicks,
