@@ -310,3 +310,47 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_topk(docs, q, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B)
     den = hashed_cosine_topk(docs, q, k=_RRF_DEPTH)
     return rrf_fuse([lex, den], k=_BM25_K, c=_RRF_C)
+
+
+@register_extra(
+    "retrieval_decontaminate",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT DISTINCT doc_id FROM ({_HYBRID_ORACLE})
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_retrieval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-by-retrieval (the recall-first complement of the
+    n-gram `decontaminate` gate): each eval probe retrieves its hybrid
+    top-10 (BM25 + hashed-cosine RRF) and the union of retrieved docs
+    is flagged for removal; the gate reports kept/flagged counts per
+    source.  Composes the retrieval stack into the curation surface —
+    the flag set is the small side (queries x k), so the corpus-side
+    cost is one broadcast anti-join after the retrieval legs."""
+    from ..operators.retrieval import hashed_cosine_topk, rrf_fuse
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    q = _bm25_query_frame(spark)
+    lex = bm25_topk(docs, q, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B)
+    den = hashed_cosine_topk(docs, q, k=_RRF_DEPTH)
+    flagged = (
+        rrf_fuse([lex, den], k=_BM25_K, c=_RRF_C)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("_f", F.lit(0))).cast("bigint").alias("n_flagged"),
+        )
+    )
