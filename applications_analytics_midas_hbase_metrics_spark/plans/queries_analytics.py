@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import joins as J
 from .queries import register, register_extra, t
+from .queries_ext import _TOKS, _spread
 
 
 # ---------------------------------------------------------------------------
@@ -264,5 +265,64 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_id",
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
             "value_sum",
+        )
+    )
+
+
+@register_extra(
+    "corpus_report",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, lang,
+               CAST(len({_TOKS}) AS BIGINT) AS nt,
+               sha256(text) AS h
+        FROM documents
+    ),
+    dup AS (
+        SELECT h FROM d GROUP BY h HAVING count(*) > 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM d LEFT JOIN dup USING (h)
+    GROUP BY 1
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first query a corpus owner runs: one pass of per-source
+    health numbers — doc/token volumes, corpus-WIDE exact-duplicate
+    membership (a doc counts as dup if its content hash repeats
+    anywhere, not just within its source), language spread.  All
+    map-side expressions feeding two aggregations; the duplicate-hash
+    set joins back hash-keyed (never row-wise text)."""
+    from ..operators.dedup import tokens
+
+    d = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("nt"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    dup = (
+        d.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        d.join(dup, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("bigint").alias(
+                "n_exact_dup_docs"
+            ),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
