@@ -326,3 +326,55 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+@register_extra(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT 'view' AS stage,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL SELECT 'view>click',
+           CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL SELECT 'view>click>purchase',
+           CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (the metrics-system workload family the reference
+    serves): users reaching view, then a click strictly after their
+    FIRST view, then a purchase strictly after that first qualifying
+    click.  Each stage is one filtered aggregate joined to the previous
+    stage's per-user frontier — user-keyed joins against frontiers that
+    only shrink, no window over the whole event stream and no
+    per-user event collection."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(etype, prev, tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(tcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol + "n"))
+
+    v = stage("view", None, "t0").withColumnRenamed("t0n", "t1")
+    c = stage("click", v, "t1").withColumnRenamed("t1n", "t2")
+    p = stage("purchase", c, "t2").withColumnRenamed("t2n", "t3")
+    rows = [
+        ("view", v),
+        ("view>click", c),
+        ("view>click>purchase", p),
+    ]
+    out = None
+    for name, frame in rows:
+        one = frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(F.lit(name).alias("stage"), "n_users")
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -925,3 +925,52 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mixture(
         docs, _TB_BUDGETS, weight_col="n_tokens"
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register_extra(
+    "ngram_novelty",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN length(lower(text)) >= 5
+                 THEN list_transform(range(1, length(lower(text)) - 3),
+                                     i -> substr(lower(text), CAST(i AS INT), 5))
+                 ELSE [lower(text)] END)) AS gram
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           round(avg(CASE WHEN f.first_doc = g.doc_id
+                          THEN 1.0 ELSE 0.0 END), 6) AS novelty
+    FROM g JOIN f USING (gram) GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty score: the fraction of a doc's distinct
+    char-5-grams whose FIRST corpus occurrence (min doc_id — the same
+    keep-lowest canonicalization as the dedup family) is this doc.  A
+    near-copy of earlier material scores ~0, fresh content ~1 — the
+    redundancy-weighting signal novelty-aware sampling consumes.
+
+    Scale shape: explode -> one min-aggregate keyed on the gram -> one
+    join back on the gram -> per-doc avg; nothing all-pairs.  The gram
+    key here is the RAW 5-gram string (byte-exact DuckDB replay); the
+    production swap is xxhash64(gram) so only 8-byte keys shuffle —
+    the same swap winnowing documents for its gram hash."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    g = docs.select(
+        "doc_id", F.explode(D.char_ngrams("text", 5)).alias("gram")
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg((F.col("first_doc") == F.col("doc_id")).cast("double")),
+                6,
+            ).alias("novelty")
+        )
+    )
