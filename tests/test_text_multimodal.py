@@ -656,3 +656,36 @@ def test_winnow_xxhash64_properties(spark):
 
     with _pytest.raises(ValueError, match="hash_fn"):
         T.winnow_fingerprints(docs, hash_fn="md5")
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    """An exact later copy owns none of its grams (novelty 0); the
+    original and a fresh doc own all of theirs (novelty 1); a half
+    borrowed doc lands strictly between."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "abcdefghijklmnop"),
+        (2, "abcdefghijklmnop"),          # exact copy, higher id
+        (3, "zzzzyyyyxxxxwwww"),          # fresh
+        (4, "abcdefgh" + "QRSTUVWX"),     # half borrowed from doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from applications_analytics_midas_hbase_metrics_spark.operators import dedup as D
+
+    g = docs.select("doc_id", F.explode(D.char_ngrams("text", 5)).alias("gram"))
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nov = {
+        r.doc_id: r.novelty
+        for r in g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg((F.col("first_doc") == F.col("doc_id")).cast("double")), 6
+            ).alias("novelty")
+        )
+        .collect()  # driver-ok: 4-doc fixture
+    }
+    assert nov[1] == 1.0 and nov[3] == 1.0
+    assert nov[2] == 0.0
+    assert 0.0 < nov[4] < 1.0
