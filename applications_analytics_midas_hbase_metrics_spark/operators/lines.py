@@ -1,0 +1,121 @@
+"""Line-level boilerplate removal (extension tier — no reference
+counterpart; the technique is the public CCNet / RefinedWeb line-dedup
+pass: drop lines that repeat across many documents — headers, footers,
+navigation chrome — while preserving the order of the surviving lines).
+
+Scale design (100 TB): the line-frequency table is keyed by the line
+TEXT, whose hot keys are exactly the boilerplate we are hunting — but
+the aggregation is a two-phase count with map-side combine (the first
+shuffle is keyed by (line, doc_id) for the distinct-doc count, so no
+single reducer sees a hot line's full fan-in), and only lines with
+``doc_freq >= min_doc_freq`` survive the filter, so the frame joined
+back against the corpus is the SMALL boilerplate dictionary, not the
+full line table.  That join broadcasts; the only big shuffles are the
+(line, doc) distinct aggregation and the per-doc reassembly groupBy.
+
+At very large corpora the line text itself is a wide shuffle key;
+``hash_lines=True`` shuffles ``xxhash64(line)`` instead (8 bytes/key)
+for both the frequency count and the dictionary join — the standard
+fingerprint substitution, collision-safe at corpus scale for a 64-bit
+space in the same way the chunk-dedup hash is (operators/versions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_doc_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """The boilerplate dictionary: (``line``, ``doc_freq``) for every
+    line occurring in at least ``min_doc_freq`` DISTINCT documents.
+
+    With ``hash_lines`` the output key column is ``line_h``
+    (xxhash64) instead of the raw text — the narrow-shuffle form.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    )
+    if hash_lines:
+        lines = lines.select("_doc", F.xxhash64("line").alias("line_h"))
+        key = "line_h"
+    else:
+        key = "line"
+    return (
+        lines.select(key, "_doc")
+        .distinct()  # (line, doc) pairs — shuffle key includes doc: no hot-line reducer
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= int(min_doc_freq))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    *,
+    min_doc_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Remove boilerplate lines (doc_freq >= ``min_doc_freq``) from every
+    document, preserving the original order of the kept lines.
+
+    Returns (id, ``clean_text``, ``n_kept``, ``n_removed``) — one row
+    per input document (a document whose every line is boilerplate
+    yields an empty ``clean_text`` and ``n_kept = 0``).
+
+    The reassembly sorts each doc's surviving (pos, line) structs with
+    ``array_sort`` inside one aggregation — no window, no second
+    shuffle beyond the per-doc groupBy.
+    """
+    bad = boilerplate_lines(
+        docs,
+        min_doc_freq=min_doc_freq,
+        id_col=id_col,
+        text_col=text_col,
+        sep=sep,
+        hash_lines=hash_lines,
+    ).withColumn("_bad", F.lit(1))
+
+    lines = docs.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    if hash_lines:
+        join_key = ["line_h"]
+        lines = lines.withColumn("line_h", F.xxhash64("line"))
+    else:
+        join_key = ["line"]
+    # the dictionary is the FILTERED frequent set — small by
+    # construction; let AQE/broadcast pick it up (hinted explicitly:
+    # a boilerplate dictionary that does not fit in an executor means
+    # min_doc_freq was set to ~1 and the operator is being misused)
+    flagged = lines.join(
+        F.broadcast(bad.select(*join_key, "_bad")), join_key, "left"
+    )
+    keep_struct = F.when(
+        F.col("_bad").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(keep_struct)).alias("_kept"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_lines"),
+    )
+    return out.select(
+        id_col,
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["line"]), sep
+        ).alias("clean_text"),
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        (F.col("_n_lines") - F.size("_kept")).cast("bigint").alias("n_removed"),
+    )

@@ -1,0 +1,65 @@
+"""Time-series regularization: dense-bucket gap-fill with forward fill
+(extension tier — the resample/ffill operation metric pipelines apply
+before rate comparisons and joins against regular series; no reference
+counterpart, but it generalizes the reference's windowed metric rollups
+to gapped inputs).
+
+Scale design (100 TB of events): the observed frame aggregates to one
+row per (key, bucket) FIRST — map-side combinable, so raw event volume
+never reaches the spine join — and the spine is generated per key from
+its (min, max) bucket pair, so spine width is data-dependent, not a
+global calendar cross join.  The forward fill is one window per key
+ordered by bucket; partitioning is by series key, so a key's whole
+spine must fit a partition — true for any per-user/per-device series
+(bounded buckets/key), while a single global series at nanosecond
+buckets would instead use the two-phase prefix propagation
+sequence_packing ships (operators/packing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_forward(
+    obs: DataFrame,
+    *,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Densify ``obs`` (one row per (key, integer bucket)) to every
+    bucket in each key's [min, max] range and forward-fill the value.
+
+    Returns one row per (key, bucket) with the observation count
+    (0 on generated gap rows, column ``n_obs`` unless ``count_col``
+    names an existing count) and ``<value_col>_filled`` — the most
+    recent observed value at or before the bucket.  The first bucket
+    per key is observed by construction, so the filled column is never
+    null."""
+    bounds = obs.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(bucket_col),
+    )
+    if count_col is None:
+        count_col = "n_obs"
+        obs = obs.withColumn(count_col, F.lit(1).cast("bigint"))
+    joined = spine.join(obs, [key_col, bucket_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        bucket_col,
+        F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
+        F.last(value_col, ignorenulls=True)
+        .over(w)
+        .alias(f"{value_col}_filled"),
+    )

@@ -378,3 +378,93 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("stage"), "n_users")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register_extra(
+    "gapfill_hourly",
+    oracle="""
+    WITH o AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+               round(avg(value), 6) AS v,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+          FROM o GROUP BY 1),
+    s AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hour FROM b),
+    j AS (SELECT s.user_id, s.hour, o.v, coalesce(o.n_obs, 0) AS n_obs
+          FROM s LEFT JOIN o USING (user_id, hour))
+    SELECT user_id, hour, n_obs,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM j
+    """,
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators.timeseries.gapfill_forward):
+    per-user hourly mean event value densified over each user's
+    [first, last] hour with forward fill — the resample/ffill pass a
+    metric pipeline applies before rate math.  ~90% of output rows are
+    generated gap rows (105k out vs 10k events at sf0.01), so the
+    differential exercises spine generation, the left join, and the
+    running last-non-null window, not just the aggregate.  The hourly
+    mean is rounded BEFORE the fill on both engines, so carried values
+    stay byte-identical."""
+    from ..operators import timeseries as TS
+
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
+        .cast("bigint")
+        .alias("hour"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    return TS.gapfill_forward(
+        obs, key_col="user_id", bucket_col="hour", value_col="v",
+        count_col="n_obs",
+    ).select("user_id", "hour", "n_obs", F.col("v_filled"))
+
+
+@register_extra(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                     AS day_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted once per (cohort, day-offset) they return on — the
+    product-analytics staple next to funnel_conversion.  Two
+    aggregates and one user-keyed join; the first-activity frontier is
+    per-user (one row), so the join side is the small frame and the
+    distinct bounds each user's contribution at one per active day."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -974,3 +974,127 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty")
         )
     )
+
+
+@register_extra(
+    "line_dedup",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               '=== ' || source || ' ===' || chr(10) ||
+               substr(text, 1, CAST(length(text) // 2 AS INT)) || chr(10) ||
+               'lang: ' || lang || chr(10) ||
+               substr(text, CAST(length(text) // 2 AS INT) + 1) || chr(10) ||
+               '--- corpus footer ---' AS text
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        FROM staged
+    ),
+    f AS (SELECT line, count(DISTINCT doc_id) AS doc_freq FROM l GROUP BY 1),
+    k AS (SELECT l.doc_id, l.pos, l.line
+          FROM l JOIN f USING (line) WHERE f.doc_freq < 5),
+    a AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM k GROUP BY 1),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+          FROM l GROUP BY 1)
+    SELECT s.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           n.n_lines - coalesce(a.n_kept, 0) AS n_removed
+    FROM staged s JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal
+    (operators.lines.strip_boilerplate): lines occurring in >= 5
+    distinct documents (injected per-source headers, per-lang markers
+    and a global footer — the corpus tables are single-line, so the
+    fixture stages multi-line docs deterministically on BOTH engines)
+    are stripped; each doc's surviving lines re-join in original order.
+    The differential covers the frequency threshold, the order-stable
+    reassembly, and the empty-document edge (all lines boilerplate)."""
+    from ..operators import lines as L
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("=== "), F.col("source"), F.lit(" ===")),
+            F.expr("substring(text, 1, length(text) div 2)"),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.expr("substring(text, length(text) div 2 + 1, length(text))"),
+            F.lit("--- corpus footer ---"),
+        ).alias("text"),
+    )
+    return L.strip_boilerplate(staged, min_doc_freq=5).select(
+        "doc_id", "clean_text", "n_kept", "n_removed"
+    )
+
+
+@register_extra(
+    "fuzzy_vocab_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(
+                   range(1, len(tks)),
+                   i -> tks[CAST(i AS INT)] || '_' || tks[CAST(i AS INT) + 1]
+               )) AS term
+        FROM d WHERE len(tks) >= 2
+    ),
+    ty AS (
+        SELECT substr(bg0, 1, 2) || substr(bg0, 4) AS term
+        FROM (SELECT tks[1] || '_' || tks[2] AS bg0
+              FROM d WHERE doc_id % 7 = 0 AND len(tks) >= 2)
+        WHERE length(bg0) >= 4
+    ),
+    v AS (SELECT DISTINCT term FROM
+          (SELECT term FROM bg UNION ALL SELECT term FROM ty))
+    SELECT l.term AS a, r.term AS b
+    FROM v l JOIN v r ON l.term < r.term
+    WHERE levenshtein(l.term, r.term) = 1
+    """,
+)
+def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-pair detection over a bigram vocabulary
+    (operators.fuzzy.fuzzy_pairs, the FastSS deletion-neighborhood
+    join): the vocabulary is every adjacent-token bigram plus a
+    deterministic single-character-deletion corruption of the first
+    bigram of docs with doc_id % 7 == 0 (the corpus vocabulary is too
+    clean to contain natural typos).  Spark generates candidates
+    through the O(N·L) neighborhood equi-join; the oracle brute-forces
+    the O(N²) cross join with exact levenshtein — sound+complete
+    blocking means the two enumerate the IDENTICAL pair set."""
+    from ..operators import fuzzy as FZ
+    from ..operators.dedup import tokens
+
+    d = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", tokens("text").alias("tks")
+    )
+    bigrams = d.filter(F.size("tks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tks) - 1),"
+                " i -> concat(tks[i-1], '_', tks[i]))"
+            )
+        ).alias("term")
+    )
+    typos = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.size("tks") >= 2))
+        .select(F.expr("concat(tks[0], '_', tks[1])").alias("bg0"))
+        .filter(F.length("bg0") >= 4)
+        .select(
+            F.concat(
+                F.expr("substring(bg0, 1, 2)"), F.expr("substring(bg0, 4)")
+            ).alias("term")
+        )
+    )
+    vocab = bigrams.unionByName(typos)
+    return FZ.fuzzy_pairs(vocab, term_col="term")

@@ -257,3 +257,48 @@ def q_pagerank_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges, n_iter=5).select(
         "node", F.round("rank", 9).alias("rank")
     )
+
+
+@register_extra(
+    "triangle_count",
+    oracle="""
+    WITH gi AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    e AS (
+        SELECT l.i AS a, r.i AS b
+        FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM e e3
+                      WHERE e3.a = e1.a AND e3.b = e2.b)
+    ),
+    nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the part co-purchase affinity graph
+    (operators.graph.cooccurrence_edges + triangle_node_counts): edges
+    are part pairs sharing >= 2 orders (the support filter is the scale
+    bound — it drops the sf0.01 edge set 115,729 -> 3,638 before the
+    quadratic wedge join), triangles enumerate once each in a < b < c
+    orientation via wedge join + closing semi-join.  The oracle replays
+    the identical support-filtered graph with an EXISTS closure, so
+    orientation, support threshold and per-node attribution are all
+    under the hash."""
+    from .queries import t
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_support=2
+    )
+    return G.triangle_node_counts(edges)

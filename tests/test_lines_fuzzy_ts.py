@@ -1,0 +1,226 @@
+"""Unit tests for the round-9 batch-2 operators: line-level boilerplate
+removal (operators/lines.py), deletion-neighborhood fuzzy pairs
+(operators/fuzzy.py), gap-fill forward (operators/timeseries.py), and
+triangle counting (operators/graph.py)."""
+
+from __future__ import annotations
+
+from applications_analytics_midas_hbase_metrics_spark.operators import fuzzy as FZ
+from applications_analytics_midas_hbase_metrics_spark.operators import graph as G
+from applications_analytics_midas_hbase_metrics_spark.operators import lines as L
+from applications_analytics_midas_hbase_metrics_spark.operators import (
+    timeseries as TS,
+)
+
+# ---------------------------------------------------------------------------
+# lines.strip_boilerplate
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_strip_boilerplate_threshold_and_order(spark):
+    # "HDR" appears in 3 docs, "FTR" in 2; min_doc_freq=3 strips only HDR
+    docs = _docs(
+        spark,
+        [
+            (1, "HDR\nalpha\nbeta\nFTR"),
+            (2, "HDR\ngamma\nFTR"),
+            (3, "HDR\ndelta"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in L.strip_boilerplate(docs, min_doc_freq=3).collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta\nFTR", 3, 1),
+        2: ("gamma\nFTR", 2, 1),
+        3: ("delta", 1, 1),
+    }
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    docs = _docs(spark, [(i, "same\nsame2") for i in range(1, 6)])
+    out = L.strip_boilerplate(docs, min_doc_freq=2).collect()
+    assert all(r.clean_text == "" and r.n_kept == 0 and r.n_removed == 2 for r in out)
+    assert len(out) == 5
+
+
+def test_strip_boilerplate_doc_freq_is_distinct_docs(spark):
+    # a line repeated 10x INSIDE one doc is not boilerplate (doc_freq=1)
+    docs = _docs(
+        spark,
+        [(1, "\n".join(["echo"] * 10) + "\nunique"), (2, "other")],
+    )
+    out = {r.doc_id: r.n_removed for r in
+           L.strip_boilerplate(docs, min_doc_freq=2).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_strip_boilerplate_hashed_path_identical(spark):
+    docs = _docs(
+        spark,
+        [(i, f"HDR\nbody {i}\nmid\nFTR {i % 2}") for i in range(1, 9)],
+    )
+    raw = sorted(
+        (r.doc_id, r.clean_text, r.n_kept, r.n_removed)
+        for r in L.strip_boilerplate(docs, min_doc_freq=3).collect()
+    )
+    hashed = sorted(
+        (r.doc_id, r.clean_text, r.n_kept, r.n_removed)
+        for r in L.strip_boilerplate(
+            docs, min_doc_freq=3, hash_lines=True
+        ).collect()
+    )
+    assert raw == hashed
+
+
+def test_boilerplate_lines_dictionary(spark):
+    docs = _docs(spark, [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")])
+    got = {
+        r.line: r.doc_freq
+        for r in L.boilerplate_lines(docs, min_doc_freq=2).collect()
+    }
+    assert got == {"a": 3, "b": 2}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy.fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_known_cases(spark):
+    vocab = spark.createDataFrame(
+        [("cat",), ("car",), ("cart",), ("at",), ("dog",), ("dig",), ("ab",), ("ba",)],
+        ["term"],
+    )
+    got = sorted((r.a, r.b) for r in FZ.fuzzy_pairs(vocab).collect())
+    # substitution cat/car, insertion car/cart + cat/cart? lev(cat,cart)=1
+    # (insert r), deletion cat/at, dog/dig substitution; ab/ba is lev 2
+    # (shares deletion key "a"/"b") and MUST be filtered out
+    expect = sorted(
+        (a, b)
+        for a in ["cat", "car", "cart", "at", "dog", "dig", "ab", "ba"]
+        for b in ["cat", "car", "cart", "at", "dog", "dig", "ab", "ba"]
+        if a < b and _lev(a, b) == 1
+    )
+    assert got == expect
+    assert ("ab", "ba") not in got
+
+
+def test_fuzzy_pairs_matches_brute_force_random(spark):
+    # deterministic pseudo-random vocabulary over a 3-letter alphabet:
+    # dense enough that every edit-kind pair occurs
+    import itertools
+
+    vocab_terms = sorted(
+        {
+            "".join(w)
+            for n in (1, 2, 3, 4)
+            for w in itertools.product("abc", repeat=n)
+        }
+    )
+    vocab = spark.createDataFrame([(t,) for t in vocab_terms], ["term"])
+    got = sorted((r.a, r.b) for r in FZ.fuzzy_pairs(vocab).collect())
+    expect = sorted(
+        (a, b)
+        for i, a in enumerate(vocab_terms)
+        for b in vocab_terms[i + 1 :]
+        if _lev(a, b) == 1
+    )
+    assert got == expect
+    assert len(got) > 100  # non-degenerate
+
+
+def test_fuzzy_pairs_dedupes_vocab_and_skips_empty(spark):
+    vocab = spark.createDataFrame(
+        [("aa",), ("aa",), ("ab",), ("",), (None,)], ["term"]
+    )
+    got = sorted((r.a, r.b) for r in FZ.fuzzy_pairs(vocab).collect())
+    assert got == [("aa", "ab")]
+
+
+# ---------------------------------------------------------------------------
+# timeseries.gapfill_forward
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_forward_fills_and_counts(spark):
+    obs = spark.createDataFrame(
+        [("u1", 10, 1.5, 2), ("u1", 13, 9.0, 1), ("u2", 5, 4.0, 3)],
+        ["k", "b", "v", "n_obs"],
+    )
+    out = {
+        (r.k, r.b): (r.n_obs, r.v_filled)
+        for r in TS.gapfill_forward(
+            obs, key_col="k", bucket_col="b", value_col="v", count_col="n_obs"
+        ).collect()
+    }
+    assert out == {
+        ("u1", 10): (2, 1.5),
+        ("u1", 11): (0, 1.5),
+        ("u1", 12): (0, 1.5),
+        ("u1", 13): (1, 9.0),
+        ("u2", 5): (3, 4.0),
+    }
+
+
+def test_gapfill_forward_default_count_col(spark):
+    obs = spark.createDataFrame([("u", 1, 2.0), ("u", 3, 7.0)], ["k", "b", "v"])
+    rows = TS.gapfill_forward(
+        obs, key_col="k", bucket_col="b", value_col="v"
+    ).collect()
+    got = {(r.b): (r.n_obs, r.v_filled) for r in rows}
+    assert got == {1: (1, 2.0), 2: (0, 2.0), 3: (1, 7.0)}
+
+
+# ---------------------------------------------------------------------------
+# graph.cooccurrence_edges + triangle_node_counts
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_edges_support_and_orientation(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "y"), (2, "x"), (3, "x"), (3, "z"), (1, "x")],
+        ["g", "i"],
+    )
+    e1 = sorted(
+        (r.a, r.b)
+        for r in G.cooccurrence_edges(
+            df, group_col="g", item_col="i", min_support=1
+        ).collect()
+    )
+    assert e1 == [("x", "y"), ("x", "z")]
+    e2 = sorted(
+        (r.a, r.b)
+        for r in G.cooccurrence_edges(
+            df, group_col="g", item_col="i", min_support=2
+        ).collect()
+    )
+    assert e2 == [("x", "y")]  # x,y share groups 1 and 2
+
+
+def test_triangle_node_counts(spark):
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a
+    # dangling chain 5-6 that is in no triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (5, 6)], ["a", "b"]
+    )
+    got = {r.node: r.n_tri for r in G.triangle_node_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert sum(got.values()) % 3 == 0  # each triangle contributes 3
