@@ -63,3 +63,38 @@ def gapfill_forward(
         .over(w)
         .alias(f"{value_col}_filled"),
     )
+
+
+def debounce_bursts(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse bursts: consecutive rows of the same key closer than
+    ``gap_seconds`` apart form one burst (gaps-and-islands); returns one
+    row per burst with its start time and size — the debounce pass
+    telemetry pipelines apply to retry storms and double-clicks before
+    rate metrics.
+
+    One window pass computes the island boundaries (lag + running sum of
+    boundary flags), one per-key-burst aggregate emits the result; both
+    partition by the series key, so no global sort and no driver state.
+    ``order_cols`` breaks timestamp ties deterministically (defaults to
+    the timestamp alone)."""
+    order = [ts_col] + list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    sec = F.col(ts_col).cast("double")
+    start = (
+        F.lag(sec).over(w).isNull()
+        | ((sec - F.lag(sec).over(w)) > float(gap_seconds))
+    ).cast("bigint")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = df.withColumn("_island", F.sum(start).over(wsum))
+    return islands.groupBy(*key_cols, "_island").agg(
+        F.min(ts_col).alias("burst_start"),
+        F.max(ts_col).alias("burst_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).drop("_island")

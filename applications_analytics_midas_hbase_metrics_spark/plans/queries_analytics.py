@@ -468,3 +468,171 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@register_extra(
+    "event_debounce",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 7200
+                    THEN 1 ELSE 0 END AS start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT user_id, ts,
+               sum(start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM d
+    )
+    SELECT user_id, min(ts) AS burst_start, max(ts) AS burst_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id, island
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse (operators.timeseries.debounce_bursts): per-user
+    event runs closer than 2 h apart fold into one burst row (start,
+    end, size) — the gaps-and-islands debounce telemetry applies to
+    retry storms before rate metrics.  ~17% of inter-event gaps at
+    sf0.01 are under the threshold, so the differential sees real
+    multi-event bursts, singleton bursts, and the per-key first-row
+    boundary."""
+    from ..operators import timeseries as TS
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return TS.debounce_bursts(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        gap_seconds=7200,
+        order_cols=["event_id"],
+    )
+
+
+@register_extra(
+    "event_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag window -> pair counts -> row-normalized probabilities.  The
+    windowed lag partitions by user (no global sort); the transition
+    matrix itself is event_type² — constant-size, so the normalization
+    window runs on a frame the driver could hold, never on raw events."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@register_extra(
+    "hourly_anomalies",
+    oracle="""
+    WITH o AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+               round(avg(value), 6) AS v,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+          FROM o GROUP BY 1),
+    s AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hour FROM b),
+    j AS (SELECT s.user_id, s.hour, o.v, coalesce(o.n_obs, 0) AS n_obs
+          FROM s LEFT JOIN o USING (user_id, hour)),
+    fill AS (
+        SELECT user_id, hour, n_obs,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS vf
+        FROM j
+    ),
+    stats AS (
+        SELECT user_id, hour, n_obs, vf,
+               avg(vf) OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(vf) OVER (PARTITION BY user_id) AS sd
+        FROM fill
+    )
+    SELECT user_id, hour, round(vf, 6) AS v,
+           round((vf - mu) / sd, 4) AS z
+    FROM stats
+    WHERE n_obs > 0 AND sd > 1e-9 AND abs((vf - mu) / sd) > 2.5
+    """,
+)
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flags over the regularized series — the composition gate
+    for gapfill_forward: observed hours whose filled-series z-score
+    (vs the user's own spine-wide mean/stddev) exceeds 2.5.  Composing
+    through the gap-fill matters: the spine-weighted baseline weights a
+    carried value by how LONG it persisted, which is the
+    time-weighted baseline a raw per-observation average gets wrong."""
+    from pyspark.sql import Window
+
+    from ..operators import timeseries as TS
+
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
+        .cast("bigint")
+        .alias("hour"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    filled = TS.gapfill_forward(
+        obs, key_col="user_id", bucket_col="hour", value_col="v",
+        count_col="n_obs",
+    )
+    wu = Window.partitionBy("user_id")
+    stats = filled.select(
+        "user_id",
+        "hour",
+        "n_obs",
+        F.col("v_filled").alias("vf"),
+        F.avg("v_filled").over(wu).alias("mu"),
+        F.stddev_samp("v_filled").over(wu).alias("sd"),
+    )
+    z = (F.col("vf") - F.col("mu")) / F.col("sd")
+    return stats.filter(
+        (F.col("n_obs") > 0) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+    ).select(
+        "user_id",
+        "hour",
+        F.round("vf", 6).alias("v"),
+        F.round(z, 4).alias("z"),
+    )

@@ -224,3 +224,49 @@ def test_triangle_node_counts(spark):
     got = {r.node: r.n_tri for r in G.triangle_node_counts(edges).collect()}
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
     assert sum(got.values()) % 3 == 0  # each triangle contributes 3
+
+
+def test_debounce_bursts_islands(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # burst A: three events within gap
+        ("u1", ts(0), 1), ("u1", ts(50), 2), ("u1", ts(90), 3),
+        # burst B: exactly gap+1 after last -> new island
+        ("u1", ts(191), 4),
+        # boundary: exactly gap apart is SAME burst (strict >)
+        ("u1", ts(291), 5),
+        # other key unaffected
+        ("u2", ts(10), 6),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid"])
+    out = sorted(
+        (r.k, r.burst_start, r.burst_end, r.n_events)
+        for r in TS.debounce_bursts(
+            df, key_cols=["k"], ts_col="ts", gap_seconds=100,
+            order_cols=["eid"],
+        ).collect()
+    )
+    assert out == [
+        ("u1", ts(0), ts(90), 3),
+        ("u1", ts(191), ts(291), 2),
+        ("u2", ts(10), ts(10), 1),
+    ]
+
+
+def test_debounce_single_events_pass_through(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(hours=i), i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid"])
+    out = TS.debounce_bursts(
+        df, key_cols=["k"], ts_col="ts", gap_seconds=60, order_cols=["eid"]
+    ).collect()
+    assert len(out) == 5
+    assert all(r.n_events == 1 and r.burst_start == r.burst_end for r in out)
