@@ -1,0 +1,104 @@
+"""Fixed-iteration Lloyd's k-means over embedding columns (extension
+tier).  build_ivf_centroids (operators/similarity.py) is the PRODUCTION
+k-means — hash-spread seeding, tuned for the IVF/PQ index builds; this
+module is the DIFFERENTIALLY VERIFIABLE form: deterministic lowest-id
+seeding and per-iteration centroid quantization, so every assignment
+and every centroid of every round replays exactly in an unrolled SQL
+oracle (the same fixed-iteration pattern as graph.pagerank).
+
+Cross-engine determinism is engineered, not hoped for:
+
+- centroids are rounded to ``round_decimals`` BEFORE every distance
+  evaluation — embedding values are exact (float->double widening),
+  so both engines feed bit-identical operands into the distance;
+- the squared-distance is a strict LEFT FOLD in array order
+  (``F.aggregate`` here, ``list_reduce`` in the oracle) — the same
+  additions in the same order give bit-identical sums, so the argmin
+  needs no tolerance;
+- argmin ties break on centroid id (min over (dist, cid));
+- per-dimension means are averaged distributed-side then rounded —
+  the one place summation order differs, absorbed by the quantization.
+
+Scale shape per iteration: one broadcast of the k×d centroid table
+into a map-side cross + fold + struct-min aggregate (shuffles only
+(id, cid, dist)), one posexplode + (cid, dim)-keyed mean (shuffles
+(cid, pos, val) — bounded by n·d, with map-side partial aggregation).
+Nothing is driver-side; k and d ride broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmeans_fixed(
+    vecs: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Run exactly ``iters`` assignment rounds (with a centroid update
+    between consecutive rounds) from lowest-``id_col`` seeds; returns
+    the final assignment (id, ``cluster``, ``dist`` — the fold-exact
+    squared distance, rounded for output)."""
+    r = int(round_decimals)
+    wseed = Window.orderBy(id_col)
+    cents = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: F.round(x, r)).alias("c"),
+        )
+    )
+
+    assign = None
+    for i in range(iters):
+        d = vecs.crossJoin(F.broadcast(cents))
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("c"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            d.select(
+                id_col,
+                F.struct(dist.alias("dist"), F.col("cid").alias("cid")).alias(
+                    "_m"
+                ),
+            )
+            .groupBy(id_col)
+            .agg(F.min("_m").alias("_m"))
+            .select(
+                id_col,
+                F.col("_m.cid").alias("cluster"),
+                F.col("_m.dist").alias("dist"),
+            )
+        )
+        if i < iters - 1:
+            ex = assign.join(vecs, id_col).select(
+                "cluster", F.posexplode(vec_col).alias("pos", "val")
+            )
+            cents = (
+                ex.groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), r).alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("_cm")
+                )
+                .select(
+                    F.col("cluster").alias("cid"),
+                    F.transform(F.col("_cm"), lambda s: s["m"]).alias("c"),
+                )
+            )
+    return assign.select(
+        id_col, "cluster", F.round("dist", r).alias("dist")
+    )

@@ -354,7 +354,7 @@ def token_budget_mixture(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("_b", b.getItem(F.col(source_col)))
+        df.withColumn("_b", b[F.col(source_col)])
         .filter(F.col("_b").isNotNull())
         .withColumn("_h", h)
         .withColumn(
@@ -364,3 +364,49 @@ def token_budget_mixture(
         .filter(F.col("cum_tokens") <= F.col("_b"))
         .drop("_h", "_b")
     )
+
+
+#: Distinct multiplier for the weighted-sample key (must differ from
+#: _MIX_PRIME/_SHARD_PRIME/_BUDGET_PRIME: each deterministic decision
+#: gets its own hash stream — see fibonacci_bucket's decorrelation
+#: note and the shard-skew measurement behind _SHARD_PRIME).
+_ES_PRIME = 2971215073
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``k`` rows
+    per stratum: the Efraimidis-Spirakis A-ES scheme (keep the k
+    largest u^(1/w), i.e. the k smallest -ln(u)/w) with the repo's
+    multiplicative id-hash standing in for the uniform u — so the
+    sample is reproducible, oracle-comparable, and decorrelated from
+    every other hash-keyed decision by its own multiplier.
+
+    The exponential key is QUANTIZED to 1e-6 (floor) before ranking and
+    tie-broken by id: libm ``ln`` is not bit-identical across engines,
+    and an unquantized ranking could flip two adjacent keys that differ
+    below libm's ulp.  Selection runs through top_k_per_group's
+    two-phase top-k, so no stratum's full row set funnels through one
+    task."""
+    dom = 2**31
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(dom)) * F.lit(_ES_PRIME),
+        F.lit(dom),
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(dom + 1))
+    wgt = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key_q = F.floor(-F.log(u) / wgt * F.lit(1_000_000.0)).cast("bigint")
+    # unique global order key: quantized ES key in the high bits, the
+    # unique id as tiebreak in the low bits (key_q <= ~2.2e7, id < 2^31
+    # -> the combination stays inside int64)
+    keyed = df.withColumn("es_key", key_q).withColumn(
+        "_ord", F.col("es_key") * F.lit(dom) + F.col(key_col).cast("bigint")
+    )
+    out = top_k_per_group(keyed, strat_col, "_ord", k)
+    return out.drop("_ord")

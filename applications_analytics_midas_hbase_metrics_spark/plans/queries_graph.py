@@ -302,3 +302,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, group_col="l_orderkey", item_col="l_partkey", min_support=2
     )
     return G.triangle_node_counts(edges)
+
+
+def _km_oracle(k: int = 8, iters: int = 2, r: int = 6) -> str:
+    """Unrolled Lloyd's-iteration CTE chain — the SQL replay of exactly
+    ``iters`` assignment rounds from lowest-id seeds, with the same
+    per-round centroid quantization and left-fold distance the Spark
+    operator uses (operators/clustering.py)."""
+
+    def dist(c: str) -> str:
+        return f"""list_reduce(list_transform(range(1, len(v.e) + 1),
+               i -> (v.e[CAST(i AS INT)] - {c}.c[CAST(i AS INT)])
+                    * (v.e[CAST(i AS INT)] - {c}.c[CAST(i AS INT)])),
+               (x, y) -> x + y)"""
+
+    parts = [
+        f"""
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(e, x -> round(x, {r})) AS c
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    d{it} AS (
+        SELECT v.vec_id, c{it - 1}.cid, {dist(f"c{it - 1}")} AS dist
+        FROM v CROSS JOIN c{it - 1}
+    ),
+    a{it} AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rnk
+            FROM d{it}) WHERE rnk = 1
+    )""")
+        if it < iters:
+            parts.append(f"""
+    u{it} AS (
+        SELECT a{it}.cid AS cid,
+               unnest(range(1, len(v.e) + 1)) AS pos,
+               unnest(v.e) AS val
+        FROM a{it} JOIN v USING (vec_id)
+    ),
+    c{it} AS (
+        SELECT cid, array_agg(m ORDER BY pos) AS c
+        FROM (SELECT cid, pos, round(avg(val), {r}) AS m
+              FROM u{it} GROUP BY 1, 2)
+        GROUP BY cid
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n    SELECT vec_id, cid AS cluster, round(dist, {r}) AS dist"
+        + f" FROM a{iters}"
+    )
+
+
+@register_extra("kmeans_fixed", oracle=_km_oracle())
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's rounds over the embedding table
+    (operators.clustering.kmeans_fixed): deterministic lowest-id seeds,
+    per-round centroid quantization, left-fold distances — so the
+    oracle's unrolled CTE chain replays every assignment of every round
+    under the differential hash, the same fixed-iteration verification
+    pattern as pagerank_coview.  build_ivf_centroids stays the
+    production (hash-seeded) k-means; this gate proves the Lloyd's
+    update itself."""
+    from pyspark.sql import functions as F
+
+    from ..operators import clustering as CLU
+    from .queries import t
+
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return CLU.kmeans_fixed(vecs, k=8, iters=2)

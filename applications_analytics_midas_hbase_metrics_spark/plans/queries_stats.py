@@ -294,3 +294,98 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tok string, true_count long, bound_check string, merge_check string"
     )
+
+
+@register_extra(
+    "user_value_trend",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               epoch(ts) / 86400.0
+                   - min(epoch(ts) / 86400.0) OVER (PARTITION BY user_id)
+                   AS x
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, x), 6) AS slope,
+           round(regr_intercept(value, x), 6) AS intercept
+    FROM e GROUP BY 1
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over days-since-first-
+    activity (regr_slope / regr_intercept — both engines implement the
+    numerically-stable co-moment form).  Centering x per user is the
+    numerical guard: absolute epoch-days (~19,700) against a ~30-day
+    activity span would put the variance 6 orders of magnitude below
+    the mean's square, exactly the cancellation regime the centered
+    regression avoids.  One window for the per-user minimum, one
+    grouped aggregate — both partition by user."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # fractional epoch: cast-to-double keeps the microseconds, matching
+    # DuckDB's epoch(ts); unix_timestamp would truncate to seconds
+    days = F.col("ts").cast("double") / F.lit(86400.0)
+    wu = Window.partitionBy("user_id")
+    e = ev.select(
+        "user_id",
+        "value",
+        (days - F.min(days).over(wu)).alias("x"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(value, x)"), 6).alias("intercept"),
+    )
+
+
+@register_extra(
+    "weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len({{toks}}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(-ln(((doc_id % 2147483648) * 2971215073
+                                % 2147483648 + 1) / 2147483649.0)
+                          / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                          * 1000000) AS BIGINT) AS es_key
+        FROM d
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY es_key * 2147483648 + doc_id) AS r
+        FROM keyed
+    )
+    SELECT doc_id, source, n_tokens, es_key
+    FROM rk WHERE r <= 25
+    """.replace("{toks}", "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk != '')"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 25 docs per source
+    (operators.sampling.weighted_sample_topk): the Efraimidis-Spirakis
+    exponential key over the repo's deterministic multiplicative hash,
+    weighted by token count — long documents are proportionally likelier
+    to be kept, the sampling a token-budgeted mixture actually wants.
+    The key is floor-quantized at 1e-6 before ranking (libm ln is not
+    bit-identical across engines) and tie-broken by id, so the kept set
+    is exactly reproducible; selection runs the two-phase top-k, never
+    a whole-stratum sort."""
+    from ..operators.dedup import tokens
+    from ..operators.sampling import weighted_sample_topk
+    from .queries_ext import _spread
+
+    d = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return weighted_sample_topk(
+        d, 25, weight_col="n_tokens", strat_col="source", key_col="doc_id"
+    ).select("doc_id", "source", "n_tokens", "es_key")

@@ -270,3 +270,88 @@ def test_debounce_single_events_pass_through(spark):
     ).collect()
     assert len(out) == 5
     assert all(r.n_events == 1 and r.burst_start == r.burst_end for r in out)
+
+
+# ---------------------------------------------------------------------------
+# clustering.kmeans_fixed + sampling.weighted_sample_topk
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_fixed_separated_clusters(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        clustering as CLU,
+    )
+
+    # two tight groups far apart; seeds (lowest ids 0,1) start one in
+    # each group, so 2 rounds converge to the exact means
+    pts = [
+        (0, [0.0, 0.0]), (2, [1.0, 0.0]), (4, [0.0, 1.0]),
+        (1, [100.0, 100.0]), (3, [101.0, 100.0]), (5, [100.0, 101.0]),
+    ]
+    vecs = spark.createDataFrame(pts, ["vec_id", "e"])
+    out = {r.vec_id: (r.cluster, r.dist) for r in
+           CLU.kmeans_fixed(vecs, k=2, iters=2).collect()}
+    assert {i: out[i][0] for i in sorted(out)} == {
+        0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1,
+    }
+    # centroid of group A is (1/3, 1/3): dist for (0,0) is 2*(1/3)^2
+    assert abs(out[0][1] - 2 * (1 / 3) ** 2) < 1e-5
+
+
+def test_kmeans_fixed_deterministic(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        clustering as CLU,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 11).cast("double"),
+        ).alias("e"),
+    )
+    a = sorted(map(tuple, CLU.kmeans_fixed(vecs, k=4, iters=3).collect()))
+    b = sorted(map(tuple, CLU.kmeans_fixed(vecs, k=4, iters=3).collect()))
+    assert a == b
+    assert len(a) == 40
+
+
+def test_weighted_sample_topk_prefers_heavy_and_is_deterministic(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from pyspark.sql import functions as F
+
+    # 200 light docs (w=1) + 200 heavy docs (w=50) in one stratum
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.when(F.col("id") < 200, F.lit(1)).otherwise(F.lit(50))
+        .cast("bigint").alias("w"),
+    )
+    kept = weighted_sample_topk(
+        df, 40, weight_col="w", strat_col="source", key_col="doc_id"
+    )
+    rows = kept.collect()
+    assert len(rows) == 40
+    n_heavy = sum(1 for r in rows if r.doc_id >= 200)
+    assert n_heavy >= 30  # 50x weight must dominate the kept set
+    again = sorted(r.doc_id for r in weighted_sample_topk(
+        df, 40, weight_col="w", strat_col="source", key_col="doc_id"
+    ).collect())
+    assert again == sorted(r.doc_id for r in rows)
+
+
+def test_weighted_sample_topk_small_group_returns_all(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 1), (3, "b", 9)], ["doc_id", "source", "w"]
+    )
+    out = weighted_sample_topk(
+        df, 10, weight_col="w", strat_col="source", key_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]

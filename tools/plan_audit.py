@@ -37,6 +37,9 @@ CHECKS = {
     # sort-merge the postings side (pruning itself is pinned in
     # tests/test_retrieval.py — toString truncates PartitionFilters)
     "bm25_indexed_search": ["BroadcastHashJoin"],
+    # the boilerplate dictionary (doc_freq >= k lines — small by
+    # construction) must ride broadcast back onto the line stream
+    "line_dedup": ["BroadcastHashJoin"],
 }
 
 
@@ -301,6 +304,12 @@ def main() -> None:
         "decontaminate",
         "semantic_dedup",
         "dedup_incremental",
+        "line_dedup",
+        "fuzzy_vocab_pairs",
+        "triangle_count",
+        "gapfill_hourly",
+        "event_debounce",
+        "hourly_anomalies",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
