@@ -1038,10 +1038,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
-    "fuzzy_vocab_pairs",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+#: Shared DuckDB fixture for the fuzzy-vocabulary family: every
+#: adjacent-token bigram plus a deterministic single-character-deletion
+#: corruption of the first bigram of docs with doc_id % 7 == 0 (the
+#: corpus vocabulary is too clean to contain natural typos).  Yields a
+#: CTE body ending in ``v(term)``.
+_FUZZY_VOCAB_SQL = f"""
+    d AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
     bg AS (
         SELECT unnest(list_transform(
                    range(1, len(tks)),
@@ -1056,23 +1059,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE length(bg0) >= 4
     ),
     v AS (SELECT DISTINCT term FROM
-          (SELECT term FROM bg UNION ALL SELECT term FROM ty))
-    SELECT l.term AS a, r.term AS b
-    FROM v l JOIN v r ON l.term < r.term
-    WHERE levenshtein(l.term, r.term) = 1
-    """,
-)
-def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typo-pair detection over a bigram vocabulary
-    (operators.fuzzy.fuzzy_pairs, the FastSS deletion-neighborhood
-    join): the vocabulary is every adjacent-token bigram plus a
-    deterministic single-character-deletion corruption of the first
-    bigram of docs with doc_id % 7 == 0 (the corpus vocabulary is too
-    clean to contain natural typos).  Spark generates candidates
-    through the O(N·L) neighborhood equi-join; the oracle brute-forces
-    the O(N²) cross join with exact levenshtein — sound+complete
-    blocking means the two enumerate the IDENTICAL pair set."""
-    from ..operators import fuzzy as FZ
+          (SELECT term FROM bg UNION ALL SELECT term FROM ty))"""
+
+
+def _typo_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_FUZZY_VOCAB_SQL` (one ``term`` column,
+    duplicates allowed — fuzzy_pairs distincts)."""
     from ..operators.dedup import tokens
 
     d = _spread(spark, t(spark, sf_dir, "documents")).select(
@@ -1096,5 +1088,109 @@ def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term")
         )
     )
-    vocab = bigrams.unionByName(typos)
-    return FZ.fuzzy_pairs(vocab, term_col="term")
+    return bigrams.unionByName(typos)
+
+
+@register_extra(
+    "fuzzy_vocab_pairs",
+    oracle=f"""
+    WITH {_FUZZY_VOCAB_SQL}
+    SELECT l.term AS a, r.term AS b
+    FROM v l JOIN v r ON l.term < r.term
+    WHERE levenshtein(l.term, r.term) = 1
+    """,
+)
+def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-pair detection over the shared bigram+typo vocabulary
+    fixture (_typo_vocab / _FUZZY_VOCAB_SQL) via
+    operators.fuzzy.fuzzy_pairs: Spark generates candidates through the
+    O(N·L) deletion-neighborhood equi-join; the oracle brute-forces the
+    O(N²) cross join with exact levenshtein — sound+complete blocking
+    means the two enumerate the IDENTICAL pair set (measured 163x
+    faster than brute force at a 20k-term vocabulary,
+    tools/fuzzy_scale.py)."""
+    from ..operators import fuzzy as FZ
+
+    return FZ.fuzzy_pairs(_typo_vocab(spark, sf_dir), term_col="term")
+
+
+@register_extra(
+    "vocab_canonicalize",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_VOCAB_SQL},
+    p AS (
+        SELECT l.term AS a, r.term AS b
+        FROM v l JOIN v r ON l.term < r.term
+        WHERE levenshtein(l.term, r.term) = 1
+    ),
+    e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    reach(tm, rt) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, reach.rt FROM reach JOIN e ON e.a = reach.tm
+    ),
+    comp AS (SELECT tm, min(rt) AS canon FROM reach GROUP BY 1),
+    mapped AS (
+        SELECT v.term, coalesce(comp.canon, v.term) AS canonical
+        FROM v LEFT JOIN comp ON comp.tm = v.term
+    )
+    SELECT term, canonical,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+               AS cluster_size
+    FROM mapped
+    """,
+)
+def q_vocab_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end vocabulary canonicalization — the composition the
+    fuzzy family exists for: deletion-neighborhood pairs
+    (operators/fuzzy.py) become edges, connected components collapse
+    typo chains (a->b->c variants land in ONE cluster even when a and
+    c are distance 2 apart), and every term maps to its cluster's
+    lexicographically-smallest member.  Terms are dense-ranked to
+    bigint ids for the numeric CC loop (rank order = lexicographic
+    order, so min-id == min-term); production at web-vocabulary scale
+    swaps the global rank for xxhash64 ids and carries the min-term
+    reduction through the label, the same swap the winnowing gram hash
+    documents.  The oracle replays the closure over raw term strings
+    with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from ..operators import fuzzy as FZ
+    from ..operators import graph as G
+
+    vocab = _typo_vocab(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    ids = vocab.select(
+        "term",
+        F.row_number().over(Window.orderBy("term")).cast("bigint").alias("tid"),
+    )
+    pairs = FZ.fuzzy_pairs(vocab, term_col="term")
+    edges = (
+        pairs.join(ids.withColumnRenamed("term", "a"), "a")
+        .withColumnRenamed("tid", "id_a")
+        .join(
+            ids.withColumnRenamed("term", "b").withColumnRenamed(
+                "tid", "id_b"
+            ),
+            "b",
+        )
+        .select("id_a", "id_b")
+    )
+    labels = G.connected_components(edges)
+    canon_term = ids.select(
+        F.col("tid").alias("cluster_id"), F.col("term").alias("canonical")
+    )
+    mapped = (
+        ids.join(labels, ids.tid == labels.id, "left")
+        .select(
+            "term",
+            F.coalesce("cluster_id", "tid").alias("cluster_id"),
+        )
+        .join(canon_term, "cluster_id")
+        .select("term", "canonical")
+    )
+    wc = Window.partitionBy("canonical")
+    return mapped.select(
+        "term",
+        "canonical",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+    )

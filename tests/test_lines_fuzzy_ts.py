@@ -355,3 +355,29 @@ def test_weighted_sample_topk_small_group_returns_all(spark):
         df, 10, weight_col="w", strat_col="source", key_col="doc_id"
     )
     assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_vocab_canonicalize_chain_collapses(spark):
+    # typo chain cat - cot - coat: cat/coat are distance 2 apart but
+    # must land in ONE cluster through the cot bridge; dog isolated
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vocab = spark.createDataFrame(
+        [("cat",), ("cot",), ("coat",), ("dog",)], ["term"]
+    )
+    ids = vocab.select(
+        "term",
+        F.row_number().over(Window.orderBy("term")).cast("bigint").alias("tid"),
+    )
+    pairs = FZ.fuzzy_pairs(vocab)
+    edges = (
+        pairs.join(ids.withColumnRenamed("term", "a"), "a")
+        .withColumnRenamed("tid", "id_a")
+        .join(ids.withColumnRenamed("term", "b").withColumnRenamed("tid", "id_b"), "b")
+        .select("id_a", "id_b")
+    )
+    labels = {r.id: r.cluster_id for r in G.connected_components(edges).collect()}
+    tid = {r.term: r.tid for r in ids.collect()}
+    assert labels[tid["cat"]] == labels[tid["cot"]] == labels[tid["coat"]]
+    assert tid["dog"] not in labels  # no edges -> not in the pair graph

@@ -41,13 +41,24 @@ def main() -> None:
     for rep in REPS:
         docs = base
         if rep > 1:
+            # replica bodies must stay UNIQUE (suffix the text): verbatim
+            # copies would push every body line over min_doc_freq at
+            # rep >= 5 and the measurement would degenerate to
+            # strip-everything (observed before this suffix existed:
+            # 10,010 dictionary lines and 100% removal at 16x)
             docs = base.crossJoin(
                 spark.range(rep).select(F.col("id").alias("_r"))
             ).select(
                 (F.col("doc_id") * rep + F.col("_r")).alias("doc_id"),
                 "source",
                 "lang",
-                "text",
+                # tag BOTH ends: the staging step splits the text into
+                # two half-lines, and each half must differ per replica
+                F.concat(
+                    F.lit("r"), F.col("_r"), F.lit(" "),
+                    F.col("text"),
+                    F.lit(" r"), F.col("_r"),
+                ).alias("text"),
             )
         staged = docs.select(
             "doc_id",
