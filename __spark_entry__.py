@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mid-round-9 for bm25_topk / stream_stream_join (each subsumed
         # by the stronger gated sibling) — subsumed coverage still
         # claims shared frames when run adjacently in the extra tier.
+        # Late round 9: topk_orders / pivot_events / lang_id /
+        # label_centroid_features left (limit, conditional-agg reshape,
+        # map-side text scoring, and per-label centroid math are each
+        # covered by a stronger gated sibling) for line_dedup /
+        # kmeans_fixed / vocab_canonicalize / gapfill_hourly.
         # The ANN family
         # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
         # order and relays the pinned brute-force truth / codebooks —

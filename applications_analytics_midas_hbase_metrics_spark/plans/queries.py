@@ -885,7 +885,9 @@ def q_blob_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
+    # rotated OUT late round 9 (subsumed: the limit/TOP-n surface is
+    # exercised by window_rank and every two-phase top-k gate)
     "topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -380,7 +380,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate late round 9: spine generation +
+    # forward-fill window over a 90%-gap output
     "gapfill_hourly",
     oracle="""
     WITH o AS (

@@ -976,7 +976,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate late round 9: the CCNet line-dedup
+    # pass (frequency threshold + order-stable reassembly)
     "line_dedup",
     oracle="""
     WITH staged AS (
@@ -1114,7 +1116,9 @@ def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FZ.fuzzy_pairs(_typo_vocab(spark, sf_dir), term_col="term")
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate late round 9: fuzzy pairs -> CC ->
+    # canonical-term composition
     "vocab_canonicalize",
     oracle=f"""
     WITH RECURSIVE {_FUZZY_VOCAB_SQL},

@@ -1206,7 +1206,10 @@ _LANG_SCORES_SQL = ",\n".join(
 )
 
 
-@register(
+@register_extra(
+    # rotated OUT late round 9 (subsumed: map-side text scoring is
+    # driver-gated via quality_score; the lang profiles stay pytest-
+    # and extra-tier-verified)
     "lang_id",
     oracle=f"""
     WITH s AS (

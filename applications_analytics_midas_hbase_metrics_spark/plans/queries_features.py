@@ -147,7 +147,9 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated OUT late round 9 (subsumed: kmeans_fixed gates the same
+    # per-group per-dimension mean math inside the Lloyd update)
     "label_centroid_features",
     oracle=f"""
     WITH vecs AS (SELECT vec_id, label, {_EMB_D} AS v FROM embeddings),
@@ -353,4 +355,94 @@ def q_retrieval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(F.coalesce("_f", F.lit(0))).cast("bigint").alias("n_flagged"),
         )
+    )
+
+
+@register_extra(
+    "source_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS tks FROM documents),
+    bg AS (
+        SELECT source,
+               unnest(list_transform(
+                   range(1, len(tks)),
+                   i -> tks[CAST(i AS INT)] || '_' || tks[CAST(i AS INT) + 1]
+               )) AS term
+        FROM d WHERE len(tks) >= 2
+    ),
+    tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+           FROM bg GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT source, term FROM bg) GROUP BY 1),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n FROM bg),
+    sc AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               CAST(floor(tf.tf * ln(CAST(ns.n AS DOUBLE) / df.df)
+                          * 1000000000) AS BIGINT) AS s
+        FROM tf JOIN df USING (term), ns
+    )
+    SELECT source, term, tf, df, s AS score_q
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY s DESC, term) AS r FROM sc)
+    WHERE r <= 5
+    """,
+)
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF source labeling: each source's 5 most distinguishing
+    bigram terms (term frequency within the source × log inverse
+    source-frequency — the cluster-labeling flavor of TF-IDF, scored
+    at the GROUP level so the matrix is sources × vocabulary, never
+    documents × vocabulary).  The score is floor-quantized at 1e-9
+    before ranking (libm ln), ties break on the term — the same
+    determinism recipe as weighted_sample.  Group-level scoring keeps
+    everything small: tf is one (source, term) aggregate with map-side
+    combine, df one distinct-aggregate over it."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import tokens
+
+    d = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "source", tokens("text").alias("tks")
+    )
+    bg = d.filter(F.size("tks") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tks) - 1),"
+                " i -> concat(tks[i-1], '_', tks[i]))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = (
+        bg.select("source", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    n_sources = bg.select(
+        F.countDistinct("source").cast("bigint").alias("n")
+    )
+    sc = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * F.lit(1_000_000_000.0)
+            ).cast("bigint").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_q"), "term")
+    return (
+        sc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select("source", "term", "tf", "df", "score_q")
     )

@@ -361,7 +361,10 @@ def _km_oracle(k: int = 8, iters: int = 2, r: int = 6) -> str:
     )
 
 
-@register_extra("kmeans_fixed", oracle=_km_oracle())
+@register(
+    # rotated INTO the driver gate late round 9: the Lloyd-update
+    # differential (every round replayed in the unrolled oracle)
+    "kmeans_fixed", oracle=_km_oracle())
 def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd's rounds over the embedding table
     (operators.clustering.kmeans_fixed): deterministic lowest-id seeds,

@@ -12,7 +12,10 @@ from .queries import register, register_extra, t
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-@register(
+@register_extra(
+    # rotated OUT late round 9 (subsumed: conditional-aggregation
+    # reshaping is driver-gated via rollup_revenue; cube_events keeps
+    # the grouping-set surface in the extra tier)
     "pivot_events",
     oracle="""
     SELECT user_id % 10 AS user_bucket,
@@ -100,4 +103,58 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(split.alias("split")).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """Unrolled Morton-interleave SQL over (x, y) — the DuckDB replay of
+    operators.layout.zorder_value's literal-shift expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((x >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((y >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register_extra(
+    "zorder_layout",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id % 256 AS x,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256 AS y
+        FROM events
+    ),
+    z AS (SELECT x, y, CAST({_zorder_sql()} AS BIGINT) AS zv FROM d)
+    SELECT zv // 256 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics (operators.layout.zorder_value): events
+    keyed by (user bucket, hour bucket), Morton-interleaved, then
+    rolled up per 256-value z-range — the per-file min/max stats a
+    z-ordered write would expose to the scan pruner.  The differential
+    pins the interleave bit-exactly (every zbucket's population and
+    both dimensions' min/max); the bounded x/y ranges per bucket ARE
+    the data-skipping property, visible in the output: a filter on
+    EITHER dimension prunes most buckets."""
+    from ..operators.layout import zorder_value
+
+    ev = t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("bigint").alias("x"),
+        F.pmod(
+            (F.col("ts").cast("double") / F.lit(3600.0)).cast("bigint"),
+            F.lit(256),
+        ).cast("bigint").alias("y"),
+    )
+    z = ev.select("x", "y", zorder_value(["x", "y"], bits=8).alias("zv"))
+    return z.groupBy((F.col("zv") / F.lit(256)).cast("bigint").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
     )

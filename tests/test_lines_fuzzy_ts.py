@@ -381,3 +381,36 @@ def test_vocab_canonicalize_chain_collapses(spark):
     tid = {r.term: r.tid for r in ids.collect()}
     assert labels[tid["cat"]] == labels[tid["cot"]] == labels[tid["coat"]]
     assert tid["dog"] not in labels  # no edges -> not in the pair graph
+
+
+def test_zorder_value_known_and_locality(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.layout import (
+        zorder_value,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, 5), (7, 2), (0, 0), (255, 255)], ["x", "y"]
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_value(["x", "y"]).alias("z")).collect()
+    }
+    # hand-interleaved references (x bits -> even positions, y -> odd)
+    assert got == {(3, 5): 39, (7, 2): 29, (0, 0): 0, (255, 255): 65535}
+
+    # locality: any 256-value z-range spans at most 16 values per axis
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("int").alias("y")
+    )
+    spans = (
+        grid.select(zorder_value(["x", "y"]).alias("z"), "x", "y")
+        .groupBy((F.col("z") / 256).cast("int").alias("zb"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .agg(F.max("dx"), F.max("dy"))
+        .first()
+    )
+    assert spans[0] <= 15 and spans[1] <= 15
