@@ -263,3 +263,256 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register_extra(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by (filtered) order
+    count, zero-order customers included.  Scale plan: aggregate the
+    FACT side first (orders -> one row per custkey), then outer-join
+    the pre-shrunk counts to customers — the outer join moves one row
+    per customer instead of one row per order, and the null group
+    (`c_count = 0`) falls out of the coalesce, not out of grouping a
+    customer x orders row explosion."""
+    counts = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+@register_extra(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, enriched with customer — the group-then-semi-join
+    planner shape.  The HAVING aggregate runs once and its survivor
+    set (tiny by construction: the threshold is the point) is
+    BROADCAST as the semi filter into the re-read fact, so the big
+    lineitem table is never shuffled on a speculative key; the final
+    per-order aggregate reuses the already-filtered rows and the top-n
+    is TakeOrderedAndProject, never a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey", "sq")
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            F.col("l_orderkey") == F.col("bk"),
+        )
+        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(20)
+    )
+
+
+@register_extra(
+    "q22_dormant_balances",
+    oracle="""
+    WITH cutoff AS (
+        SELECT avg(CAST(c_acctbal AS DOUBLE)) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c, cutoff
+    WHERE CAST(c.c_acctbal AS DOUBLE) > cutoff.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — scalar-aggregate subquery + anti-join.  The scalar avg is
+    a 1-row broadcast cross (never a driver collect); the NOT EXISTS
+    is a LEFT ANTI join against the date-pruned distinct buyer set
+    (the date filter pushes to the orders scan, and distinct-ing
+    projects orders down to its join key before the anti shuffle)."""
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal"))
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register_extra(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_nationkey = 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+)
+def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier variety per part attribute
+    group, with a NOT-IN supplier blocklist.  The blocklist rewrites
+    to a broadcast LEFT ANTI (safe here: s_suppkey is non-null by
+    schema, so NOT IN == anti-join); part attributes ride a broadcast
+    into the fact scan, and the count(DISTINCT) is Spark's two-phase
+    partial-distinct expand, not a per-group set collect."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    blocked = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+        .limit(30)
+    )
+
+
+@register_extra(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation PAIR by year —
+    the disjunctive cross-nation predicate.  Both nation filters push
+    into their dimension scans BEFORE the broadcast (each side ships
+    only the two named nations' suppliers/customers), so the OR-pair
+    predicate evaluates over an already-pruned join, never as a
+    post-hoc filter on the full fact x dims product."""
+    nations = ("NATION_1", "NATION_2")
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    n2 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
