@@ -56,6 +56,20 @@ CHECKS = {
     "q18_large_volume_orders": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # scalar-subquery avg = 1-row broadcast; NOT EXISTS = anti join
     "q22_dormant_balances": ["LeftAnti"],
+    # EXISTS must plan as a SEMI join (equi key + non-equi residual),
+    # never an inner join + distinct
+    "q4_order_priority": ["LeftSemi"],
+    # the whole WHERE must reach the parquet scan (toString truncates
+    # the filter list ~100 chars in, so pin the visible prefix) and the
+    # scan must read ONLY the four referenced columns
+    "q6_forecast_revenue": [
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda",
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>",
+    ],
+    # the part dimension rides broadcast; the ratio is ONE agg pass
+    "q14_promo_effect": ["BroadcastHashJoin"],
 }
 
 
@@ -341,6 +355,10 @@ def main() -> None:
         "q16_supplier_variety",
         "q18_large_volume_orders",
         "q22_dormant_balances",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q12_priority_lateness",
+        "q14_promo_effect",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
