@@ -685,3 +685,220 @@ def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register_extra(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+        SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS price
+        FROM lineitem l GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, min(price) AS min_price FROM offer GROUP BY 1
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           o.price AS min_price
+    FROM offer o
+    JOIN best b ON o.l_partkey = b.l_partkey AND o.price = b.min_price
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 25
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the group-wise MIN join-back (the correlated
+    "cost = (SELECT min ...)" subquery) — the testdata has no
+    partsupp, so the offer table is each supplier's best observed
+    lineitem price per part.  The per-part min re-aggregates the
+    already part-keyed offer table and rides BROADCAST back onto it
+    (the min table is one row per part — always dimension-sized);
+    every dimension (part, supplier, nation, region) is a broadcast
+    too, so the only shuffle is the offer aggregation itself.  min()
+    over raw doubles involves no arithmetic, so the join-back equality
+    is exact on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    offer = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.min("l_extendedprice").alias("price"))
+    best = offer.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        offer.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("price") == F.col("min_price")),
+        )
+        .join(F.broadcast(part), offer.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), offer.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("price").alias("min_price"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(25)
+        .drop("s_suppkey")
+    )
+
+
+@register_extra(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) hitting the quarter's MAX revenue —
+    the scalar-subquery-on-a-derived-view shape.  The revenue view is
+    computed ONCE and self-joined against its own 1-row max (exact
+    decimal equality — never double); the max rides a broadcast, so
+    the view is not re-scanned shuffled.  Supplier and nation are
+    broadcast dims."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    best = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        revenue.join(F.broadcast(best), revenue.total_rev == best.max_rev)
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register_extra(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY 1) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: the correlated per-part AVG subquery — decorrelated
+    into a pre-aggregate joined back onto the fact scan.  The per-part
+    avg table is one row per part (dimension-sized) and rides
+    BROADCAST; quantities are integer-valued doubles, so sum/count —
+    and therefore the 0.5*avg threshold — is EXACT in any summation
+    order on both engines.  Only the final /7 ratio is rounded."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register_extra(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the three-way DISJUNCTION of conjunctive predicates
+    spanning both join sides.  The partkey equi-join survives as a
+    BROADCAST hash join with the OR residual evaluated post-match —
+    never a nested-loop over the disjunction; the part side is
+    pre-filtered to the union of the three brand/size envelopes
+    (derivable because every disjunct constrains brand+size), so the
+    broadcast ships only candidate parts."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 25))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

@@ -70,6 +70,16 @@ CHECKS = {
     ],
     # the part dimension rides broadcast; the ratio is ONE agg pass
     "q14_promo_effect": ["BroadcastHashJoin"],
+    # group-wise min join-back: the per-part min (dimension-sized)
+    # and every dim ride broadcast; top-n never globally sorts
+    "q2_min_cost_supplier": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # the 1-row max of the revenue view rides broadcast back onto it
+    "q15_top_supplier": ["BroadcastHashJoin"],
+    # the decorrelated per-part avg is dimension-sized -> broadcast
+    "q17_small_quantity_revenue": ["BroadcastHashJoin"],
+    # the OR-residual must NOT demote the partkey equi join to a
+    # nested loop
+    "q19_discounted_revenue": ["BroadcastHashJoin"],
 }
 
 
@@ -359,6 +369,10 @@ def main() -> None:
         "q6_forecast_revenue",
         "q12_priority_lateness",
         "q14_promo_effect",
+        "q2_min_cost_supplier",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
