@@ -902,3 +902,272 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@register_extra(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share inside one region's demand
+    for one part type, by year.  The seven-table join is ONE fact scan
+    plus six broadcast dims (region filter pre-applied to the
+    customer-nation chain BEFORE broadcast, part type pre-filtered);
+    numerator and denominator come out of a single conditional-agg
+    pass in exact decimal — only the final share is double (rounded
+    to 6, hash-stable)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = t(spark, sf_dir, "nation")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = t(spark, sf_dir, "nation")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == n2.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register_extra(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) * 0.01
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    part-name pattern (no partsupp in the testdata, so unit cost is
+    1% of p_retailprice — the plan shape, a five-table star with a
+    LIKE-filtered part dim, is the point).  Part/supplier/nation ride
+    broadcast; orders joins on the co-partitioned orderkey; profit is
+    exact decimal until the final cast."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.01).cast(
+        "decimal(3,2)"
+    ) * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register_extra(
+    "q11_important_parts",
+    oracle="""
+    WITH vals AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey = 3
+        GROUP BY 1
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.002 FROM vals)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the scalar-subquery HAVING (no partsupp, so value
+    is one nation's shipped extendedprice per part).  The per-part
+    aggregate is computed ONCE; its own re-aggregated 1-row total
+    rides back as a broadcast nested-loop (cross) join — never a
+    second scan of the fact table; the threshold compare stays in
+    exact decimal."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    total = vals.agg(
+        (F.sum("value") * F.lit(0.002).cast("decimal(6,3)")).alias("threshold")
+    )
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register_extra(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        HAVING sum(l.l_quantity) > 300
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over an aggregate-derived key set (no
+    partsupp, so the inner query is "shipped >300 units of PROMO
+    parts this year" instead of availqty-vs-half-demand).  The inner
+    HAVING survivor set is supplier-keyed — always dimension-sized —
+    and rides back as a BROADCAST LEFT SEMI onto the supplier dim;
+    quantity sums are exact (integer-valued doubles)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    keys = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(keys), supp.s_suppkey == keys.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register_extra(
+    "q21_lone_returner",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair of correlated
+    self-joins on the fact table (no receipt/commit dates, so the
+    blame predicate is "this supplier's line was the order's ONLY
+    return in a multi-supplier order").  Both subqueries plan as
+    orderkey-equi SEMI/ANTI joins with the supplier-inequality as the
+    residual — all three lineitem sides shuffle on the SAME orderkey,
+    so at 100 TB they co-partition into one exchange lineage; the
+    supplier dim rides broadcast, and the top-20 is a TakeOrdered,
+    never a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("k3")) & (l1.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -80,6 +80,16 @@ CHECKS = {
     # the OR-residual must NOT demote the partkey equi join to a
     # nested loop
     "q19_discounted_revenue": ["BroadcastHashJoin"],
+    # seven-table star: every dim chain rides broadcast
+    "q8_market_share": ["BroadcastHashJoin"],
+    "q9_product_profit": ["BroadcastHashJoin"],
+    # the 1-row global-total threshold rides back as a broadcast
+    # nested-loop join, never a rescan of the fact
+    "q11_important_parts": ["BroadcastNestedLoopJoin"],
+    # IN over an agg-derived key set = broadcast SEMI onto the dim
+    "q20_promo_suppliers": ["LeftSemi"],
+    # EXISTS + NOT EXISTS self-join pair; top-20 is a TakeOrdered
+    "q21_lone_returner": ["LeftSemi", "LeftAnti", "TakeOrderedAndProject"],
 }
 
 
@@ -373,6 +383,11 @@ def main() -> None:
         "q15_top_supplier",
         "q17_small_quantity_revenue",
         "q19_discounted_revenue",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q20_promo_suppliers",
+        "q21_lone_returner",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
