@@ -46,6 +46,8 @@ def kmeans_fixed(
     the final assignment (id, ``cluster``, ``dist`` — the fold-exact
     squared distance, rounded for output)."""
     r = int(round_decimals)
+    # bounded-global-window-ok: numbers the k seed rows AFTER limit(k)
+    # below — the window's input is k rows, never the corpus
     wseed = Window.orderBy(id_col)
     cents = (
         vecs.orderBy(id_col)

@@ -1165,6 +1165,9 @@ def q_vocab_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = _typo_vocab(spark, sf_dir).distinct().localCheckpoint(eager=True)
     ids = vocab.select(
         "term",
+        # bounded-global-window-ok: ranks the distinct VOCAB (dictionary-
+        # sized by construction, never the corpus); the docstring names
+        # the xxhash64-id swap for web-scale vocabularies
         F.row_number().over(Window.orderBy("term")).cast("bigint").alias("tid"),
     )
     pairs = FZ.fuzzy_pairs(vocab, term_col="term")
