@@ -1037,18 +1037,23 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, CAST(value AS DOUBLE) AS value
     FROM vals
-    WHERE value > (SELECT sum(value) * 0.002 FROM vals)
+    WHERE value * (SELECT count(*) FROM vals)
+          > (SELECT 2 * sum(value) FROM vals)
     ORDER BY value DESC, l_partkey
     """,
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE
-    GLOBAL TOTAL — the scalar-subquery HAVING (no partsupp, so value
-    is one nation's shipped extendedprice per part).  The per-part
-    aggregate is computed ONCE; its own re-aggregated 1-row total
-    rides back as a broadcast nested-loop (cross) join — never a
-    second scan of the fact table; the threshold compare stays in
-    exact decimal."""
+    """TPC-H Q11 shape: groups whose value exceeds a threshold derived
+    from the GLOBAL aggregate — the scalar-subquery HAVING (no
+    partsupp, so value is one nation's shipped extendedprice per
+    part).  The threshold is SCALE-INVARIANT (value above 2x the mean
+    part value — a fixed fraction of the total goes empty as the part
+    count grows 10x) and DIVISION-FREE (value * n_parts > 2 * total:
+    exact decimal x bigint on both engines, so no row can flip on a
+    rounding boundary).  The per-part aggregate is computed ONCE; its
+    own re-aggregated 1-row (total, count) rides back as a broadcast
+    nested-loop (cross) join — never a second scan of the fact
+    table."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     vals = (
@@ -1057,11 +1062,12 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
     )
     total = vals.agg(
-        (F.sum("value") * F.lit(0.002).cast("decimal(6,3)")).alias("threshold")
+        F.sum("value").alias("total_value"),
+        F.count("*").cast("bigint").alias("n_parts"),
     )
     return (
         vals.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(F.col("value") * F.col("n_parts") > 2 * F.col("total_value"))
         .select("l_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
