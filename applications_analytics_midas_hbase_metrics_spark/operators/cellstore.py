@@ -312,3 +312,124 @@ def decode_cells(
         "col_name",
         *[val_parts.getItem(i).alias(n) for i, n in enumerate(value_names)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge: CDC upsert/delete, rewriting ONLY touched salt partitions
+# ---------------------------------------------------------------------------
+
+
+def merge_cells(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    buckets: int = SALT_BUCKETS,
+    chunks_per_salt: int = 1,
+) -> dict:
+    """MERGE a CDC batch into the on-disk cell store in place.
+
+    ``changes`` carries ``(row_key, col_name, values)`` plus an optional
+    ``op`` column (``'U'`` upsert — replace the cell or insert it;
+    ``'D'`` delete the cell; missing column = all upserts).  The
+    reference's only mutation is write-or-append (Utils.scala:244-252,
+    K3/K4); MERGE is the missing third verb a long-lived store needs
+    (late data, corrections, GDPR deletes).
+
+    Scale design — the rewrite is bounded by the TOUCHED PARTITIONS,
+    never the store:
+
+    * the batch's salt set is computed first (``<= buckets`` values —
+      driver-safe by construction), and the store is read WITH a salt
+      partition filter, so untouched partitions are never scanned, let
+      alone rewritten;
+    * old cell versions fall out via a (row_key, col_name) LEFT ANTI
+      join against the batch — one shuffle keyed like every other
+      cell-store operation (a deployment that bucketed the store by
+      row_key runs it exchange-free on the store side);
+    * the merged partitions are written to a sibling tmp directory from
+      the live read lineage (no localCheckpoint materialization of the
+      store), then swapped in with one rename per touched partition —
+      the same crash contract as the signature-store compaction
+      (streaming/dedup_stream.py): a crash before the first rename
+      leaves the store untouched; a production deployment puts
+      Iceberg/Delta's transactional MERGE under this exact operator
+      shape;
+    * ``spark.catalog.refreshByPath`` fences BOTH sides of the swap so
+      pinned/cached plans can neither feed the merge a stale snapshot
+      nor serve readers the pre-merge files.
+
+    Returns ``{"touched_salts", "rows_written", "untouched_partitions"}``.
+    """
+    import os
+    import shutil
+
+    if "op" not in changes.columns:
+        changes = changes.withColumn("op", F.lit("U"))
+    salt = (
+        salt_bucket_vec(F.col("row_key"))
+        if buckets == SALT_BUCKETS
+        else salt_bucket(F.col("row_key"), buckets)
+    )
+    ch = changes.select(
+        "row_key", "col_name", "values", "op", salt.alias("salt")
+    ).localCheckpoint(eager=True)  # reused by key-set, upserts AND touched scan
+    touched = sorted(
+        r.salt
+        for r in ch.select("salt").distinct().collect()  # driver-ok: <= buckets rows
+    )
+    if not touched:
+        return {
+            "touched_salts": [],
+            "rows_written": 0,
+            "untouched_partitions": buckets,
+        }
+
+    # fence IN: merge what is actually on disk, not a pinned snapshot
+    spark.catalog.refreshByPath(path)
+    current = spark.read.parquet(path).filter(F.col("salt").isin(touched))
+    keys = ch.select("row_key", "col_name")
+    survivors = current.join(keys, ["row_key", "col_name"], "left_anti")
+    upserts = ch.filter(F.col("op") != "D").select(
+        "row_key", "col_name", "values", "salt"
+    )
+    merged = survivors.select(
+        "row_key", "col_name", "values", "salt"
+    ).unionByName(upserts)
+    # keep the store's compaction layout: one sorted file per
+    # (salt, chunk), row_key-ordered for row-group pruning
+    if chunks_per_salt > 1:
+        merged = merged.repartition(
+            F.col("salt"), F.pmod(F.xxhash64("row_key"), F.lit(chunks_per_salt))
+        )
+    else:
+        merged = merged.repartition("salt")
+    merged = merged.sortWithinPartitions("salt", "row_key", "col_name")
+
+    tmp = path + ".merge_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("salt").parquet(tmp)
+    # explicit schema: a batch that deletes a whole partition leaves tmp
+    # with zero data files, and inference would fail on the empty dir
+    rows_written = spark.read.schema(merged.schema).parquet(tmp).count()
+
+    old_root = path + ".merge_old"
+    shutil.rmtree(old_root, ignore_errors=True)
+    os.makedirs(old_root)
+    for s in touched:
+        src = os.path.join(tmp, f"salt={s}")
+        dst = os.path.join(path, f"salt={s}")
+        if os.path.exists(dst):
+            os.rename(dst, os.path.join(old_root, f"salt={s}"))
+        # a touched salt whose every cell was deleted has no tmp dir:
+        # the rename above already removed it from the store
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(old_root)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # fence OUT: readers must see the swapped partitions
+    spark.catalog.refreshByPath(path)
+    return {
+        "touched_salts": touched,
+        "rows_written": rows_written,
+        "untouched_partitions": buckets - len(touched),
+    }

@@ -1226,6 +1226,113 @@ def q_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "cell_merge",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    upd AS (
+        SELECT DISTINCT
+               concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 401 = 0
+    ),
+    del AS (
+        SELECT DISTINCT
+               concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 403 = 0 AND l_orderkey % 401 != 0
+    ),
+    ins AS (
+        SELECT concat('NEW', {CHR0}, n_nationkey) AS row_key,
+               'q' AS col_name, concat('ins:', n_name) AS vals
+        FROM nation
+    ),
+    merged AS (
+        SELECT c.row_key, c.col_name, c.vals, c.n_vals FROM cells c
+        WHERE NOT EXISTS (SELECT 1 FROM upd u
+                          WHERE u.row_key = c.row_key
+                            AND u.col_name = c.col_name)
+          AND NOT EXISTS (SELECT 1 FROM del d
+                          WHERE d.row_key = c.row_key
+                            AND d.col_name = c.col_name)
+        UNION ALL
+        SELECT row_key, col_name, concat('upd:', col_name) AS vals,
+               CAST(1 AS BIGINT) AS n_vals
+        FROM upd
+        UNION ALL
+        SELECT row_key, col_name, vals, CAST(1 AS BIGINT) AS n_vals
+        FROM ins
+    )
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals,
+           CAST({duckdb_salt_sql('row_key')} AS INT) AS salt
+    FROM merged
+    """,
+)
+def q_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (CDC upsert/insert/delete) into the on-disk salted store
+    under a differential gate: write the full lineitem cell store, then
+    merge ONE batch carrying all three verbs — updates (every 401st
+    order's cells get replacement values), deletes (every 403rd,
+    disjoint from the updates), inserts (a nation-derived set of brand
+    new row keys) — and read the WHOLE store back.  The oracle replays
+    merge semantics relationally (anti-join + union), so a merge that
+    drops a survivor partition, resurrects a deleted cell, misplaces an
+    insert's salt partition, or double-applies an update hash-
+    mismatches; the salt column comes from the PARTITION DIRECTORY the
+    row landed in, so physical placement is under the hash too.  The
+    partition-bounded-rewrite and cache-fencing claims are pinned in
+    tests/test_cellstore.py."""
+    cells = lineitem_cells(spark, sf_dir)
+    store = scratch_dir("cell_merge") + "/store"
+    CS.write_cells(cells, store, mode="overwrite")
+    li = t(spark, sf_dir, "lineitem")
+
+    def keyset(cond):
+        return (
+            li.filter(cond)
+            .select(
+                row_key("l_returnflag", "l_linestatus", "l_orderkey").alias(
+                    "row_key"
+                ),
+                F.col("l_partkey").cast("string").alias("col_name"),
+            )
+            .distinct()
+        )
+
+    upd = keyset(F.col("l_orderkey") % 401 == 0).select(
+        "row_key",
+        "col_name",
+        F.array(F.concat(F.lit("upd:"), F.col("col_name"))).alias("values"),
+        F.lit("U").alias("op"),
+    )
+    dele = keyset(
+        (F.col("l_orderkey") % 403 == 0) & (F.col("l_orderkey") % 401 != 0)
+    ).select(
+        "row_key",
+        "col_name",
+        F.lit(None).cast("array<string>").alias("values"),
+        F.lit("D").alias("op"),
+    )
+    ins = t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("NEW"), F.lit("\x00"), F.col("n_nationkey").cast("string")
+        ).alias("row_key"),
+        F.lit("q").alias("col_name"),
+        F.array(F.concat(F.lit("ins:"), F.col("n_name"))).alias("values"),
+        F.lit("U").alias("op"),
+    )
+    CS.merge_cells(spark, store, upd.unionByName(dele).unionByName(ins))
+    back = spark.read.parquet(store)
+    return back.select(
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+        F.col("salt").cast("int").alias("salt"),
+    )
+
+
 # Extension queries (dedup / similarity / text / multimodal / windows /
 # analytics) register themselves on import.
 from . import queries_ext  # noqa: E402, F401  (registry side-effect)

@@ -107,3 +107,146 @@ def test_decode_cells_roundtrips_lineitem(cells, lineitem):
     assert dec.count() == orig.count()
     assert dec.exceptAll(orig).count() == 0
     assert orig.exceptAll(dec).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# merge_cells: CDC upsert/delete, partition-bounded rewrite
+# ---------------------------------------------------------------------------
+
+
+def _store_files(path):
+    import glob
+    import os
+
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/salt=*/*.parquet")
+    }
+
+
+def test_merge_cells_semantics_and_partition_bound(cells, spark, tmp_path):
+    """MERGE must (a) implement exact upsert/insert/delete semantics,
+    (b) leave every UNTOUCHED salt partition's files byte-identical
+    (same names, same mtimes — the partition-bounded-rewrite claim),
+    and (c) be idempotent for a pure-upsert batch."""
+    import pyspark.sql.types as T
+
+    path = str(tmp_path / "store")
+    CS.write_cells(cells, path, mode="overwrite")
+    before = cells.select("row_key", "col_name", "values", "salt")
+    files_before = _store_files(path)
+
+    # batch: update 2 existing cells, insert 1 new, delete 1 existing
+    sample = [
+        (r.row_key, r.col_name)
+        for r in cells.orderBy("row_key", "col_name").limit(3).collect()
+    ]  # driver-ok: 3 rows
+    (u1, u2, dele) = sample
+    schema = T.StructType(
+        [
+            T.StructField("row_key", T.StringType()),
+            T.StructField("col_name", T.StringType()),
+            T.StructField("values", T.ArrayType(T.StringType())),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            (u1[0], u1[1], ["updated-1"], "U"),
+            (u2[0], u2[1], ["updated-2a", "updated-2b"], "U"),
+            ("NEWKEY\x00zz", "q1", ["inserted"], "U"),
+            (dele[0], dele[1], None, "D"),
+        ],
+        schema,
+    )
+    stats = CS.merge_cells(spark, path, batch)
+    assert stats["rows_written"] > 0
+    assert stats["untouched_partitions"] == CS.SALT_BUCKETS - len(
+        stats["touched_salts"]
+    )
+
+    # (a) exact semantics vs an independently computed expectation
+    got = spark.read.parquet(path).select(
+        "row_key", "col_name", "values", "salt"
+    )
+    keys = batch.select("row_key", "col_name")
+    expected = before.join(keys, ["row_key", "col_name"], "left_anti").unionByName(
+        spark.createDataFrame(
+            [
+                (u1[0], u1[1], ["updated-1"]),
+                (u2[0], u2[1], ["updated-2a", "updated-2b"]),
+                ("NEWKEY\x00zz", "q1", ["inserted"]),
+            ],
+            "row_key string, col_name string, values array<string>",
+        ).withColumn(
+            "salt", CS.salt_bucket_vec(F.col("row_key"))
+        )
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # (b) untouched partitions: identical file names AND mtimes
+    files_after = _store_files(path)
+    touched = set(stats["touched_salts"])
+    for f, mtime in files_before.items():
+        salt_val = int(f.split("salt=")[1].split("/")[0])
+        if salt_val not in touched:
+            assert files_after.get(f) == mtime, f
+    # ...and at least one partition really was untouched, or the claim
+    # is vacuous for this batch
+    untouched_on_disk = {
+        int(f.split("salt=")[1].split("/")[0]) for f in files_before
+    } - touched
+    assert untouched_on_disk
+
+    # (c) idempotent for the upsert subset
+    stats2 = CS.merge_cells(spark, path, batch.filter(F.col("op") == "U"))
+    again = spark.read.parquet(path).select(
+        "row_key", "col_name", "values", "salt"
+    )
+    assert again.exceptAll(expected).count() == 0
+    assert expected.exceptAll(again).count() == 0
+    assert stats2["touched_salts"]
+
+
+def test_merge_cells_fences_cached_reads(cells, spark, tmp_path):
+    """A reader plan cached BEFORE the merge must not serve the
+    pre-merge snapshot afterwards (refreshByPath on the way out), and
+    the merge itself must not consume a stale pinned scan (refresh on
+    the way in)."""
+    path = str(tmp_path / "store")
+    CS.write_cells(cells, path, mode="overwrite")
+    pinned = spark.read.parquet(path)
+    pinned.cache()
+    n0 = pinned.count()
+
+    target = cells.limit(1).collect()[0]  # driver-ok: 1 row
+    batch = spark.createDataFrame(
+        [(target.row_key, target.col_name, None, "D")],
+        "row_key string, col_name string, values array<string>, op string",
+    )
+    CS.merge_cells(spark, path, batch)
+    assert spark.read.parquet(path).count() == n0 - 1
+    pinned.unpersist()
+
+
+def test_merge_cells_delete_entire_salt(cells, spark, tmp_path):
+    """Deleting EVERY cell of a salt partition removes that partition
+    directory instead of writing an empty one."""
+    import os
+
+    path = str(tmp_path / "store")
+    CS.write_cells(cells, path, mode="overwrite")
+    some_salt = cells.select("salt").first().salt
+    doomed = (
+        spark.read.parquet(path)
+        .filter(F.col("salt") == some_salt)
+        .select("row_key", "col_name")
+        .withColumn("values", F.lit(None).cast("array<string>"))
+        .withColumn("op", F.lit("D"))
+    )
+    CS.merge_cells(spark, path, doomed)
+    assert not os.path.exists(f"{path}/salt={some_salt}")
+    assert (
+        spark.read.parquet(path).filter(F.col("salt") == some_salt).count() == 0
+    )
