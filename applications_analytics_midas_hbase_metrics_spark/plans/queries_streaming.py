@@ -26,12 +26,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.keys import duckdb_salt_sql
 from ..session import scoped_shuffle_partitions
 from ..streaming import dedup_stream as DS
 from ..streaming import ingest_stream as IS
 from ..streaming import join_stream as SJ
 from ..streaming import stateful as ST
 from .queries import (
+    _CELLS_SQL,
     CHR0,
     esc_ctrl,
     esc_ctrl_sql,
@@ -721,4 +723,230 @@ def q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.coalesce("n_diff", F.lit(0)).eqNullSafe(0).alias("identical_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: change-log stream MERGEd into the cell store
+# ---------------------------------------------------------------------------
+
+
+def _cdc_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Three ordered CDC batch files (explicit mtimes, the sessionize
+    recipe) against the lineitem cell store:
+
+      batch 0: update every 401st order's cells to v1; insert NEW
+               nation keys TWICE in one batch (seq 10 'ins0', seq 11
+               'ins1') — the within-batch last-writer-wins probe
+      batch 1: re-update every 802nd order's cells to v2 (a subset of
+               batch 0's updates — cross-batch overwrite); delete every
+               403rd order's cells (disjoint from 401 at every SF:
+               401*403 > max orderkey)
+      batch 2: delete the NEW nation keys with nationkey%4==0; insert
+               NEW2 region keys
+    """
+    import glob
+    import shutil
+
+    from .queries import row_key as _row_key
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(stable_scratch_dir(f"stream_cdc_apply_{tag}"), "src")
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    li = t(spark, sf_dir, "lineitem")
+
+    def keyset(cond):
+        return (
+            li.filter(cond)
+            .select(
+                _row_key("l_returnflag", "l_linestatus", "l_orderkey").alias(
+                    "row_key"
+                ),
+                F.col("l_partkey").cast("string").alias("col_name"),
+            )
+            .distinct()
+        )
+
+    def chg(df, val_expr, op, seq):
+        values = (
+            F.array(val_expr)
+            if val_expr is not None
+            else F.lit(None).cast("array<string>")
+        )
+        return df.select(
+            "row_key",
+            "col_name",
+            values.alias("values"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("bigint").alias("seq"),
+        )
+
+    nation_keys = t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("NEW"), F.lit("\x00"), F.col("n_nationkey").cast("string")
+        ).alias("row_key"),
+        F.lit("q").alias("col_name"),
+        "n_nationkey",
+        "n_name",
+    )
+    b0 = chg(
+        keyset(F.col("l_orderkey") % 401 == 0),
+        F.concat(F.lit("v1:"), F.col("col_name")),
+        "U",
+        1,
+    ).unionByName(
+        chg(
+            nation_keys.filter(F.col("n_nationkey") % 2 == 0),
+            F.concat(F.lit("ins0:"), F.col("n_name")),
+            "U",
+            10,
+        ).unionByName(
+            chg(
+                nation_keys.filter(F.col("n_nationkey") % 2 == 0),
+                F.concat(F.lit("ins1:"), F.col("n_name")),
+                "U",
+                11,
+            )
+        )
+    )
+    b1 = chg(
+        keyset(F.col("l_orderkey") % 802 == 0),
+        F.concat(F.lit("v2:"), F.col("col_name")),
+        "U",
+        20,
+    ).unionByName(chg(keyset(F.col("l_orderkey") % 403 == 0), None, "D", 21))
+    b2 = chg(
+        nation_keys.filter(F.col("n_nationkey") % 4 == 0), None, "D", 30
+    ).unionByName(
+        chg(
+            t(spark, sf_dir, "region").select(
+                F.concat(
+                    F.lit("NEW2"),
+                    F.lit("\x00"),
+                    F.col("r_regionkey").cast("string"),
+                ).alias("row_key"),
+                F.lit("q").alias("col_name"),
+                "r_name",
+            ),
+            F.concat(F.lit("ins3:"), F.col("r_name")),
+            "U",
+            31,
+        )
+    )
+    for i, frame in enumerate((b0, b1, b2)):
+        tmp = os.path.join(d, f"_tmp{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{i:02d}.parquet")
+        shutil.move(src_file, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+@register_extra(
+    "stream_cdc_apply",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    upd1 AS (
+        SELECT DISTINCT
+               concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 401 = 0
+    ),
+    upd2 AS (
+        SELECT DISTINCT
+               concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 802 = 0
+    ),
+    del2 AS (
+        SELECT DISTINCT
+               concat_ws({CHR0}, l_returnflag, l_linestatus, l_orderkey) AS row_key,
+               CAST(l_partkey AS VARCHAR) AS col_name
+        FROM lineitem WHERE l_orderkey % 403 = 0
+    ),
+    final AS (
+        SELECT c.row_key, c.col_name, c.vals, c.n_vals FROM cells c
+        WHERE NOT EXISTS (SELECT 1 FROM upd1 u
+                          WHERE u.row_key = c.row_key
+                            AND u.col_name = c.col_name)
+          AND NOT EXISTS (SELECT 1 FROM del2 x
+                          WHERE x.row_key = c.row_key
+                            AND x.col_name = c.col_name)
+        UNION ALL
+        SELECT u.row_key, u.col_name, concat('v1:', u.col_name),
+               CAST(1 AS BIGINT)
+        FROM upd1 u
+        WHERE NOT EXISTS (SELECT 1 FROM upd2 v
+                          WHERE v.row_key = u.row_key
+                            AND v.col_name = u.col_name)
+        UNION ALL
+        -- orderkey 0 divides 401, 802 AND 403: its cells carry both the
+        -- v2 update (seq 20) and the delete (seq 21) in one batch, and
+        -- the HIGHER seq wins — the delete; the overlap is deliberate
+        -- (it probes within-batch U-then-D compaction)
+        SELECT u.row_key, u.col_name, concat('v2:', u.col_name),
+               CAST(1 AS BIGINT)
+        FROM upd2 u
+        WHERE NOT EXISTS (SELECT 1 FROM del2 x
+                          WHERE x.row_key = u.row_key
+                            AND x.col_name = u.col_name)
+        UNION ALL
+        SELECT concat('NEW', {CHR0}, n_nationkey), 'q',
+               concat('ins1:', n_name), CAST(1 AS BIGINT)
+        FROM nation WHERE n_nationkey % 2 = 0 AND n_nationkey % 4 != 0
+        UNION ALL
+        SELECT concat('NEW2', {CHR0}, r_regionkey), 'q',
+               concat('ins3:', r_name), CAST(1 AS BIGINT)
+        FROM region
+    )
+    SELECT {esc_ctrl_sql('row_key')} AS row_key, col_name,
+           {esc_ctrl_sql('vals')} AS vals, n_vals,
+           CAST({duckdb_salt_sql('row_key')} AS INT) AS salt
+    FROM final
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply under a differential gate: the full lineitem
+    cell store is written once, then a three-micro-batch change log
+    (updates, a cross-batch re-update, deletes, inserts, a within-batch
+    seq collision) streams through stream_cdc_merge (foreachBatch →
+    merge_cells), and the WHOLE final store — values AND partition-dir
+    salt — is read back under the hash.  The oracle replays the change
+    log relationally in log order, so a wrong batch order, a lost
+    delete, a resurrected cell, a seq-compaction miss (ins0 surviving
+    over ins1), or a misplaced insert all hash-mismatch."""
+    from ..operators import cellstore as CS
+    from .queries import lineitem_cells
+
+    cells = lineitem_cells(spark, sf_dir)
+    d = scratch_dir("stream_cdc_apply")
+    store = os.path.join(d, "store")
+    CS.write_cells(cells, store, mode="overwrite")
+    src = _cdc_batches(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = IS.stream_cdc_merge(
+            stream,
+            store,
+            os.path.join(d, "ckpt"),
+            trigger_available_now=True,
+        )
+        _await(q)
+    back = spark.read.parquet(store)
+    return back.select(
+        esc_ctrl("row_key").alias("row_key"),
+        F.col("col_name"),
+        esc_ctrl(F.array_join("values", "\n")).alias("vals"),
+        F.size("values").cast("bigint").alias("n_vals"),
+        F.col("salt").cast("int").alias("salt"),
     )

@@ -57,3 +57,48 @@ def stream_to_cells(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cdc_merge(
+    change_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Apply a CDC change stream (Debezium-shaped: ``row_key``,
+    ``col_name``, ``values``, ``op`` in {'U','D'}, monotone ``seq``) to
+    the salted cell store: each micro-batch is first compacted to the
+    LATEST change per cell (max ``seq`` — a batch may carry several
+    changes to one key; last writer wins), then MERGEd via
+    ``operators.cellstore.merge_cells`` — upserts replace the cell,
+    deletes drop it, and only the batch's touched salt partitions are
+    rewritten.
+
+    Delivery semantics: the checkpoint gives at-least-once batch
+    delivery, and a REPLAYED batch re-merges the same compacted change
+    set — upserts overwrite with identical values, deletes of absent
+    cells are no-ops — so the store state is exactly-once effective.
+    Cross-batch ordering is the file-source arrival order (the CDC
+    contract: a log-ordered feed); within a batch the seq compaction
+    restores order regardless of row layout."""
+    from pyspark.sql.window import Window
+
+    from ..operators.cellstore import merge_cells
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("row_key", "col_name").orderBy(
+            F.col("seq").desc()
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("row_key", "col_name", "values", "op")
+        )
+        merge_cells(batch.sparkSession, store_path, latest)
+
+    writer = change_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
