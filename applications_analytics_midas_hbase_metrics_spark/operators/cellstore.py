@@ -412,6 +412,17 @@ def merge_cells(
     # with zero data files, and inference would fail on the empty dir
     rows_written = spark.read.schema(merged.schema).parquet(tmp).count()
 
+    # the manifest makes a crash anywhere in the swap window
+    # deterministically recoverable (recover_cell_store rolls FORWARD:
+    # tmp is complete by the time the manifest exists); it is removed
+    # BEFORE the old/tmp cleanup, so "manifest present" always implies
+    # "old_root untouched by cleanup" — no ambiguous states
+    import json
+
+    manifest = path + ".merge_manifest"
+    with open(manifest, "w") as fh:
+        json.dump({"touched_salts": touched}, fh)
+
     old_root = path + ".merge_old"
     shutil.rmtree(old_root, ignore_errors=True)
     os.makedirs(old_root)
@@ -424,6 +435,7 @@ def merge_cells(
         # the rename above already removed it from the store
         if os.path.exists(src):
             os.rename(src, dst)
+    os.remove(manifest)
     shutil.rmtree(old_root)
     shutil.rmtree(tmp, ignore_errors=True)
     # fence OUT: readers must see the swapped partitions
@@ -433,3 +445,57 @@ def merge_cells(
         "rows_written": rows_written,
         "untouched_partitions": buckets - len(touched),
     }
+
+
+def recover_cell_store(path: str, spark: SparkSession | None = None) -> dict:
+    """Heal a cell store after a crash anywhere in
+    :func:`merge_cells`'s swap window.  Idempotent; call before using a
+    store whose last merge may have died.
+
+    The contract: the manifest is written only AFTER the merged tmp
+    partitions are fully materialized, and removed BEFORE old/tmp
+    cleanup begins.  So:
+
+    * manifest present → the merge's outcome is fully determined; roll
+      FORWARD per touched salt (promote the tmp partition, or apply a
+      whole-partition delete whose rename had not happened yet);
+    * manifest absent → any leftover tmp/old dirs are pre-swap or
+      post-swap debris; the store itself is consistent — just clean up.
+    """
+    import json
+    import os
+    import shutil
+
+    manifest = path + ".merge_manifest"
+    tmp = path + ".merge_tmp"
+    old_root = path + ".merge_old"
+    rolled = 0
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            touched = json.load(fh)["touched_salts"]
+        for s in touched:
+            src = os.path.join(tmp, f"salt={s}")
+            dst = os.path.join(path, f"salt={s}")
+            old = os.path.join(old_root, f"salt={s}")
+            if os.path.exists(src):
+                # not yet promoted: move the current partition aside
+                # (crash hit before or between this salt's renames)
+                if os.path.exists(dst):
+                    os.makedirs(old_root, exist_ok=True)
+                    os.rename(dst, old)
+                os.rename(src, dst)
+                rolled += 1
+            elif not os.path.exists(old) and os.path.exists(dst):
+                # whole-partition delete whose removal rename had not
+                # happened (tmp never had this salt, old proves the
+                # rename didn't run): apply it now
+                os.makedirs(old_root, exist_ok=True)
+                os.rename(dst, old)
+                rolled += 1
+            # else: this salt's swap already completed
+        os.remove(manifest)
+    shutil.rmtree(old_root, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if spark is not None:
+        spark.catalog.refreshByPath(path)
+    return {"rolled_forward": rolled}

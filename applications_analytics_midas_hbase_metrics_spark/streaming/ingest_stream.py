@@ -83,9 +83,14 @@ def stream_cdc_merge(
     restores order regardless of row layout."""
     from pyspark.sql.window import Window
 
-    from ..operators.cellstore import merge_cells
+    from ..operators.cellstore import merge_cells, recover_cell_store
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # a restarted stream may land on a store whose previous merge
+        # died mid-swap: heal first (idempotent, a few stat calls when
+        # there is nothing to do), then the checkpoint replays the
+        # batch and the idempotent merge converges
+        recover_cell_store(store_path, batch.sparkSession)
         w = Window.partitionBy("row_key", "col_name").orderBy(
             F.col("seq").desc()
         )

@@ -250,3 +250,104 @@ def test_merge_cells_delete_entire_salt(cells, spark, tmp_path):
     assert (
         spark.read.parquet(path).filter(F.col("salt") == some_salt).count() == 0
     )
+
+
+@pytest.mark.parametrize("crash_after_renames", [0, 1, 3])
+def test_merge_cells_crash_recovery_rolls_forward(
+    cells, spark, tmp_path, monkeypatch, crash_after_renames
+):
+    """A crash anywhere in the swap window (simulated by os.rename
+    dying after N calls) must be healed by recover_cell_store to the
+    FULLY MERGED state — the manifest makes roll-forward deterministic,
+    including an in-flight whole-partition delete."""
+    import os as _os
+
+    path = str(tmp_path / "store")
+    CS.write_cells(cells, path, mode="overwrite")
+    before = cells.select("row_key", "col_name", "values", "salt")
+
+    # batch: updates across several salts + a whole-partition delete
+    doomed_salt = cells.select("salt").first().salt
+    upd = (
+        cells.filter(F.col("salt") != doomed_salt)
+        .limit(50)
+        .select(
+            "row_key",
+            "col_name",
+            F.array(F.lit("crashed-update")).alias("values"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = (
+        cells.filter(F.col("salt") == doomed_salt)
+        .select("row_key", "col_name")
+        .withColumn("values", F.lit(None).cast("array<string>"))
+        .withColumn("op", F.lit("D"))
+    )
+    batch = upd.unionByName(dele).localCheckpoint(eager=True)
+
+    expected = (
+        before.join(
+            batch.select("row_key", "col_name"),
+            ["row_key", "col_name"],
+            "left_anti",
+        )
+        .unionByName(
+            batch.filter(F.col("op") == "U").select(
+                "row_key",
+                "col_name",
+                "values",
+                CS.salt_bucket_vec(F.col("row_key")).alias("salt"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        if calls["n"] >= crash_after_renames:
+            raise RuntimeError("simulated crash mid-swap")
+        calls["n"] += 1
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        CS.merge_cells(spark, path, batch)
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # the crash left manifest + tmp (and maybe old) behind
+    assert _os.path.exists(path + ".merge_manifest")
+    stats = CS.recover_cell_store(path, spark)
+    assert stats["rolled_forward"] > 0
+    assert not _os.path.exists(path + ".merge_manifest")
+    assert not _os.path.exists(path + ".merge_tmp")
+    assert not _os.path.exists(path + ".merge_old")
+
+    got = spark.read.parquet(path).select(
+        "row_key", "col_name", "values", "salt"
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert not _os.path.exists(f"{path}/salt={doomed_salt}")
+
+    # idempotent: a second recover is a no-op
+    assert CS.recover_cell_store(path, spark)["rolled_forward"] == 0
+
+
+def test_recover_cell_store_noop_without_manifest(cells, spark, tmp_path):
+    """Leftover tmp/old debris WITHOUT a manifest (pre-swap or
+    post-cleanup crash) is removed and the store is untouched."""
+    import os as _os
+
+    path = str(tmp_path / "store")
+    CS.write_cells(cells, path, mode="overwrite")
+    n0 = spark.read.parquet(path).count()
+    _os.makedirs(path + ".merge_tmp/salt=0", exist_ok=True)
+    _os.makedirs(path + ".merge_old/salt=1", exist_ok=True)
+    stats = CS.recover_cell_store(path, spark)
+    assert stats["rolled_forward"] == 0
+    assert not _os.path.exists(path + ".merge_tmp")
+    assert not _os.path.exists(path + ".merge_old")
+    assert spark.read.parquet(path).count() == n0
