@@ -325,6 +325,7 @@ def merge_cells(
     changes: DataFrame,
     buckets: int = SALT_BUCKETS,
     chunks_per_salt: int = 1,
+    extra_partition_cols: Sequence[str] = (),
 ) -> dict:
     """MERGE a CDC batch into the on-disk cell store in place.
 
@@ -358,11 +359,30 @@ def merge_cells(
       pinned/cached plans can neither feed the merge a stale snapshot
       nor serve readers the pre-merge files.
 
-    Returns ``{"touched_salts", "rows_written", "untouched_partitions"}``.
+    ``extra_partition_cols`` supports the (date, salt)-style layouts
+    ``write_cells`` produces: the change batch must carry those columns,
+    the touched set becomes LEAF partitions (date=D/salt=S), and a
+    one-day backfill scans and swaps only that day's dirs — the same
+    code path, which is what makes MERGE cheap at 100 TB.  A batch
+    touching more than 4096 leaves is rejected (that workload belongs
+    on the compaction path).
+
+    Returns ``{"touched_partitions", "touched_salts", "rows_written",
+    "untouched_partitions"}`` (the last is None under a nested layout,
+    where the total leaf count is unknown without listing).
     """
+    import json
     import os
     import shutil
+    from functools import reduce
+    from operator import and_, or_
 
+    extras = list(extra_partition_cols)
+    for c in extras:
+        if c not in changes.columns:
+            raise ValueError(
+                f"extra partition column {c!r} missing from the change batch"
+            )
     if "op" not in changes.columns:
         changes = changes.withColumn("op", F.lit("U"))
     salt = (
@@ -370,15 +390,26 @@ def merge_cells(
         if buckets == SALT_BUCKETS
         else salt_bucket(F.col("row_key"), buckets)
     )
+    parts = [*extras, "salt"]
     ch = changes.select(
-        "row_key", "col_name", "values", "op", salt.alias("salt")
+        "row_key", "col_name", "values", "op", *extras, salt.alias("salt")
     ).localCheckpoint(eager=True)  # reused by key-set, upserts AND touched scan
-    touched = sorted(
-        r.salt
-        for r in ch.select("salt").distinct().collect()  # driver-ok: <= buckets rows
+    combos = sorted(
+        tuple(r)
+        for r in ch.select(*parts).distinct().collect()  # driver-ok: bounded below
     )
+    # a CDC batch touches few leaf partitions by nature (few dates x
+    # <= `buckets` salts); a batch that violates that belongs on the
+    # compaction path, not a per-partition swap
+    if len(combos) > 4096:
+        raise ValueError(
+            f"change batch touches {len(combos)} leaf partitions; "
+            "bound it (e.g. merge per date) or rewrite via compact_cells"
+        )
+    touched = ["/".join(f"{c}={v}" for c, v in zip(parts, combo)) for combo in combos]
     if not touched:
         return {
+            "touched_partitions": [],
             "touched_salts": [],
             "rows_written": 0,
             "untouched_partitions": buckets,
@@ -386,28 +417,36 @@ def merge_cells(
 
     # fence IN: merge what is actually on disk, not a pinned snapshot
     spark.catalog.refreshByPath(path)
-    current = spark.read.parquet(path).filter(F.col("salt").isin(touched))
+    combo_filter = reduce(
+        or_,
+        (
+            reduce(and_, (F.col(c) == v for c, v in zip(parts, combo)))
+            for combo in combos
+        ),
+    )
+    current = spark.read.parquet(path).filter(combo_filter)
     keys = ch.select("row_key", "col_name")
     survivors = current.join(keys, ["row_key", "col_name"], "left_anti")
     upserts = ch.filter(F.col("op") != "D").select(
-        "row_key", "col_name", "values", "salt"
+        "row_key", "col_name", "values", *parts
     )
     merged = survivors.select(
-        "row_key", "col_name", "values", "salt"
+        "row_key", "col_name", "values", *parts
     ).unionByName(upserts)
     # keep the store's compaction layout: one sorted file per
-    # (salt, chunk), row_key-ordered for row-group pruning
+    # (partition, chunk), row_key-ordered for row-group pruning
     if chunks_per_salt > 1:
         merged = merged.repartition(
-            F.col("salt"), F.pmod(F.xxhash64("row_key"), F.lit(chunks_per_salt))
+            *(F.col(c) for c in parts),
+            F.pmod(F.xxhash64("row_key"), F.lit(chunks_per_salt)),
         )
     else:
-        merged = merged.repartition("salt")
-    merged = merged.sortWithinPartitions("salt", "row_key", "col_name")
+        merged = merged.repartition(*parts)
+    merged = merged.sortWithinPartitions(*parts, "row_key", "col_name")
 
     tmp = path + ".merge_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("salt").parquet(tmp)
+    merged.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
     # explicit schema: a batch that deletes a whole partition leaves tmp
     # with zero data files, and inference would fail on the empty dir
     rows_written = spark.read.schema(merged.schema).parquet(tmp).count()
@@ -417,23 +456,24 @@ def merge_cells(
     # tmp is complete by the time the manifest exists); it is removed
     # BEFORE the old/tmp cleanup, so "manifest present" always implies
     # "old_root untouched by cleanup" — no ambiguous states
-    import json
-
     manifest = path + ".merge_manifest"
     with open(manifest, "w") as fh:
-        json.dump({"touched_salts": touched}, fh)
+        json.dump({"touched": touched}, fh)
 
     old_root = path + ".merge_old"
     shutil.rmtree(old_root, ignore_errors=True)
     os.makedirs(old_root)
-    for s in touched:
-        src = os.path.join(tmp, f"salt={s}")
-        dst = os.path.join(path, f"salt={s}")
+    for rel in touched:
+        src = os.path.join(tmp, rel)
+        dst = os.path.join(path, rel)
         if os.path.exists(dst):
-            os.rename(dst, os.path.join(old_root, f"salt={s}"))
-        # a touched salt whose every cell was deleted has no tmp dir:
-        # the rename above already removed it from the store
+            aside = os.path.join(old_root, rel)
+            os.makedirs(os.path.dirname(aside), exist_ok=True)
+            os.rename(dst, aside)
+        # a touched partition whose every cell was deleted has no tmp
+        # dir: the rename above already removed it from the store
         if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
     os.remove(manifest)
     shutil.rmtree(old_root)
@@ -441,9 +481,15 @@ def merge_cells(
     # fence OUT: readers must see the swapped partitions
     spark.catalog.refreshByPath(path)
     return {
-        "touched_salts": touched,
+        "touched_partitions": touched,
+        # salt-only convenience view (the common layout)
+        "touched_salts": sorted(
+            {int(rel.rsplit("salt=", 1)[1]) for rel in touched}
+        ),
         "rows_written": rows_written,
-        "untouched_partitions": buckets - len(touched),
+        "untouched_partitions": buckets - len(touched)
+        if not extras
+        else None,
     }
 
 
@@ -457,8 +503,8 @@ def recover_cell_store(path: str, spark: SparkSession | None = None) -> dict:
     cleanup begins.  So:
 
     * manifest present → the merge's outcome is fully determined; roll
-      FORWARD per touched salt (promote the tmp partition, or apply a
-      whole-partition delete whose rename had not happened yet);
+      FORWARD per touched leaf partition (promote the tmp partition, or
+      apply a whole-partition delete whose rename had not happened yet);
     * manifest absent → any leftover tmp/old dirs are pre-swap or
       post-swap debris; the store itself is consistent — just clean up.
     """
@@ -472,27 +518,28 @@ def recover_cell_store(path: str, spark: SparkSession | None = None) -> dict:
     rolled = 0
     if os.path.exists(manifest):
         with open(manifest) as fh:
-            touched = json.load(fh)["touched_salts"]
-        for s in touched:
-            src = os.path.join(tmp, f"salt={s}")
-            dst = os.path.join(path, f"salt={s}")
-            old = os.path.join(old_root, f"salt={s}")
+            touched = json.load(fh)["touched"]
+        for rel in touched:
+            src = os.path.join(tmp, rel)
+            dst = os.path.join(path, rel)
+            old = os.path.join(old_root, rel)
             if os.path.exists(src):
                 # not yet promoted: move the current partition aside
-                # (crash hit before or between this salt's renames)
+                # (crash hit before or between this partition's renames)
                 if os.path.exists(dst):
-                    os.makedirs(old_root, exist_ok=True)
+                    os.makedirs(os.path.dirname(old), exist_ok=True)
                     os.rename(dst, old)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
                 rolled += 1
             elif not os.path.exists(old) and os.path.exists(dst):
                 # whole-partition delete whose removal rename had not
-                # happened (tmp never had this salt, old proves the
+                # happened (tmp never had this leaf, old proves the
                 # rename didn't run): apply it now
-                os.makedirs(old_root, exist_ok=True)
+                os.makedirs(os.path.dirname(old), exist_ok=True)
                 os.rename(dst, old)
                 rolled += 1
-            # else: this salt's swap already completed
+            # else: this partition's swap already completed
         os.remove(manifest)
     shutil.rmtree(old_root, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -351,3 +351,81 @@ def test_recover_cell_store_noop_without_manifest(cells, spark, tmp_path):
     assert not _os.path.exists(path + ".merge_tmp")
     assert not _os.path.exists(path + ".merge_old")
     assert spark.read.parquet(path).count() == n0
+
+
+def test_merge_cells_nested_partition_layout(cells, spark, tmp_path):
+    """The (date, salt)-style layout: merge must scan and swap ONLY the
+    touched (ds, salt) LEAF dirs — the other date's files stay
+    byte-identical — and semantics must hold across the nested swap."""
+    import os as _os
+
+    path = str(tmp_path / "store")
+    # two synthetic "days", deterministic per row_key
+    dated = cells.withColumn(
+        "ds", F.pmod(F.xxhash64("row_key"), F.lit(2)).cast("int")
+    )
+    CS.write_cells(dated, path, mode="overwrite", extra_partition_cols=["ds"])
+    files_before = {
+        f: _os.stat(f).st_mtime_ns
+        for f in __import__("glob").glob(f"{path}/ds=*/salt=*/*.parquet")
+    }
+
+    # backfill day 0 only: update 5 cells, delete 2
+    day0 = dated.filter(F.col("ds") == 0)
+    upd = day0.limit(5).select(
+        "row_key",
+        "col_name",
+        F.array(F.lit("backfilled")).alias("values"),
+        F.lit("U").alias("op"),
+        "ds",
+    )
+    dele = (
+        day0.orderBy(F.col("row_key").desc(), F.col("col_name").desc())
+        .limit(2)
+        .select(
+            "row_key",
+            "col_name",
+            F.lit(None).cast("array<string>").alias("values"),
+            F.lit("D").alias("op"),
+            "ds",
+        )
+    )
+    batch = upd.unionByName(dele).localCheckpoint(eager=True)
+    stats = CS.merge_cells(
+        spark, path, batch, extra_partition_cols=["ds"]
+    )
+    assert all(rel.startswith("ds=0/") for rel in stats["touched_partitions"])
+    assert stats["untouched_partitions"] is None
+
+    # every ds=1 file untouched
+    files_after = {
+        f: _os.stat(f).st_mtime_ns
+        for f in __import__("glob").glob(f"{path}/ds=*/salt=*/*.parquet")
+    }
+    for f, mtime in files_before.items():
+        if "/ds=1/" in f:
+            assert files_after.get(f) == mtime, f
+
+    # semantics across the nested swap
+    got = spark.read.parquet(path).select(
+        "row_key", "col_name", "values", "ds", "salt"
+    )
+    expected = (
+        dated.select("row_key", "col_name", "values", "ds", "salt")
+        .join(
+            batch.select("row_key", "col_name"),
+            ["row_key", "col_name"],
+            "left_anti",
+        )
+        .unionByName(
+            batch.filter(F.col("op") == "U").select(
+                "row_key",
+                "col_name",
+                "values",
+                "ds",
+                CS.salt_bucket_vec(F.col("row_key")).alias("salt"),
+            )
+        )
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
