@@ -505,6 +505,83 @@ def ngram_lm_score(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    word2phrase-style phrase miner a tokenizer-prep pipeline runs to
+    decide which adjacent pairs ("new york", "machine learning") should
+    fuse into single vocabulary units before BPE training.
+
+    ``PMI(a,b) = ln((B(a,b)/M) / ((U(a)/N) * (U(b)/N)))`` with B/U the
+    corpus bigram/unigram counts and M/N their totals; ``min_count``
+    cuts the low-frequency noise PMI is notoriously loud on (a pair
+    seen once between two rare words maxes the score).
+
+    Scale shape: both count tables aggregate with map-side combine
+    keyed on grams, so a Zipfian hot token contributes ONE row per
+    distinct bigram to the score join, never one per occurrence — the
+    same pre-aggregation-by-construction that de-skewed the bigram LM
+    (:func:`ngram_lm_score`).  The unigram table joins twice (once per
+    pair side) as a first-class DataFrame — at web scale the
+    vocabulary outgrows broadcast; the gram-keyed equi-join IS the
+    scale path.  N and M are one-row aggregates and ride a broadcast
+    cross join.  The top-k is TakeOrderedAndProject (per-partition
+    heads, never a global sort materialization).
+
+    Determinism: PMI is computed on integer-ratio doubles with an
+    identical parenthesization in the DuckDB oracle, floor-quantized
+    at 1e-9; ties break on (term_a, term_b).  Returns (term_a, term_b,
+    pair_count, pmi_q, pmi)."""
+    base = df.select(tokens(text_col).alias("tks"))
+    base = _self_join_ready(base, materialize)  # feeds pairs AND unigrams
+    pairs = (
+        base.filter(F.size("tks") >= 2)
+        .select(F.explode(adjacent_pairs("tks")).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    pairs = _self_join_ready(pairs, materialize)  # scores AND totals M
+    uni = (
+        base.select(F.explode("tks").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    uni = _self_join_ready(uni, materialize)  # joins twice + totals N
+    n_tot = uni.groupBy().agg(F.sum("u").alias("n"))
+    m_tot = pairs.groupBy().agg(F.sum("bc").alias("m"))
+    pmi = (
+        F.col("bc") / F.col("m")
+    ) / ((F.col("ua") / F.col("n")) * (F.col("ub") / F.col("n")))
+    return (
+        pairs.filter(F.col("bc") >= min_count)
+        .join(uni.select(F.col("a"), F.col("u").alias("ua")), "a")
+        .join(
+            uni.select(F.col("a").alias("b"), F.col("u").alias("ub")), "b"
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("bc").cast("bigint").alias("pair_count"),
+            F.floor(F.log(pmi) * F.lit(1_000_000_000.0))
+            .cast("bigint")
+            .alias("pmi_q"),
+            F.round(F.log(pmi), 6).alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi_q").desc(), F.col("term_a"), F.col("term_b")
+        )
+        .limit(top_k)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 8,

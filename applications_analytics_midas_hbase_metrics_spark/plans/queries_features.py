@@ -446,3 +446,50 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= 5)
         .select("source", "term", "tf", "df", "score_q")
     )
+
+
+@register_extra(
+    "pmi_collocations",
+    oracle=f"""
+    WITH d AS (SELECT {_TOKS} AS tks FROM documents),
+    pr AS (
+        SELECT tks[CAST(i AS INT)] AS a, tks[CAST(i AS INT) + 1] AS b
+        FROM (SELECT tks, unnest(range(1, len(tks))) AS i
+              FROM d WHERE len(tks) >= 2)
+    ),
+    pairs AS (SELECT a, b, count(*) AS bc FROM pr GROUP BY 1, 2),
+    uni AS (SELECT a, count(*) AS u
+            FROM (SELECT unnest(tks) AS a FROM d) GROUP BY 1),
+    nt AS (SELECT sum(u) AS n FROM uni),
+    mt AS (SELECT sum(bc) AS m FROM pairs),
+    sc AS (
+        SELECT pairs.a AS term_a, pairs.b AS term_b,
+               CAST(pairs.bc AS BIGINT) AS pair_count,
+               ln((pairs.bc / mt.m)
+                  / ((ua.u / nt.n) * (ub.u / nt.n))) AS raw
+        FROM pairs
+        JOIN uni ua ON ua.a = pairs.a
+        JOIN uni ub ON ub.a = pairs.b
+        CROSS JOIN nt CROSS JOIN mt
+        WHERE pairs.bc >= 5
+    )
+    SELECT term_a, term_b, pair_count,
+           CAST(floor(raw * 1000000000) AS BIGINT) AS pmi_q,
+           round(raw, 6) AS pmi
+    FROM sc
+    ORDER BY pmi_q DESC, term_a, term_b
+    LIMIT 100
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators.text.pmi_collocations): the
+    word2phrase-style phrase pass over the corpus — top-100 adjacent
+    pairs by pointwise mutual information at min_count=5.  Counts,
+    totals, the double arithmetic's parenthesization, the 1e-9 floor
+    quantization and the (pmi_q, term_a, term_b) tie-break all replay
+    exactly in DuckDB; ln() runs on identical integer-ratio doubles in
+    both engines."""
+    from ..operators import text as T
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.pmi_collocations(docs, min_count=5, top_k=100)

@@ -689,3 +689,42 @@ def test_ngram_novelty_copy_scores_zero(spark):
     assert nov[1] == 1.0 and nov[3] == 1.0
     assert nov[2] == 0.0
     assert 0.0 < nov[4] < 1.0
+
+
+def test_pmi_collocations_exact_counts(spark):
+    """Hand-computed PMI on a fixed corpus: 'a b' appears 6 times,
+    unigrams and totals are known, so the quantized score is exactly
+    floor(ln((bc/M) / ((ua/N)*(ub/N))) * 1e9)."""
+    import math
+
+    rows = [(i, "a b x") for i in range(6)] + [(100, "x y x y x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.pmi_collocations(df, min_count=2, top_k=10).collect()
+    by_pair = {(r.term_a, r.term_b): r for r in out}
+    # corpus tokens: 6*3 + 5 = 23; pairs: 6*2 + 4 = 16
+    n, m = 23.0, 16.0
+    ua, ub, bc = 6.0, 6.0, 6.0  # 'a', 'b', ('a','b')
+    want = math.floor(
+        math.log((bc / m) / ((ua / n) * (ub / n))) * 1e9
+    )
+    got = by_pair[("a", "b")]
+    assert got.pair_count == 6
+    assert got.pmi_q == want
+    # min_count=2 cuts nothing that appears once: ('b','x') appears 6x,
+    # ('x','y') 2x (wait: 'x y x y x' pairs are xy, yx, xy, yx -> 2 each)
+    assert ("x", "y") in by_pair and by_pair[("x", "y")].pair_count == 2
+    # ordering: descending pmi_q, ties on terms
+    qs = [r.pmi_q for r in out]
+    assert qs == sorted(qs, reverse=True)
+
+
+def test_pmi_min_count_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "p q"), (2, "r s"), (3, "r s")],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.term_a, r.term_b)
+        for r in T.pmi_collocations(df, min_count=2, top_k=10).collect()
+    }
+    assert pairs == {("r", "s")}
