@@ -362,3 +362,76 @@ def triangle_node_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFr
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first search: (node, dist) with dist the
+    MINIMUM hop count from any seed, up to ``max_hops``; unreachable
+    nodes are absent.  The frontier-expansion sibling of
+    :func:`connected_components`' label propagation and
+    :func:`pagerank`'s power iteration — reachability-with-depth is
+    the graph query curation pipelines run to bound contamination
+    blast radius (documents within k link-hops of a flagged seed set)
+    or to scope a crawl frontier.
+
+    Per superstep: the CURRENT frontier (never the full visited set)
+    joins the edge list src-keyed, the successor set deduplicates
+    (min-dist semantics need each node once), and a left-anti join
+    against the visited frame drops already-settled nodes — so a node
+    settles at its FIRST (= minimum) depth, exactly the recursive
+    oracle's ``min(d)``.  Each frontier is localCheckpoint-ed: the
+    visited frame is a union of small checkpointed levels, so superstep
+    plans stay constant-size instead of re-deriving every prior level.
+    The loop exits EARLY on an empty frontier (the emptiness probe
+    reads the checkpoint just written, not a recomputation).
+
+    Scale shape: work per superstep is O(|frontier| + touched edges),
+    keyed shuffles only — frontier join src-keyed, dedup node-keyed,
+    anti-join node-keyed.  Shuffle width follows the edge count like
+    the CC loop.  Nothing is ever all-pairs; the visited set never
+    leaves the cluster."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).localCheckpoint(eager=True)
+    spark = e.sparkSession
+    width = max(2, min(
+        spark.sparkContext.defaultParallelism,
+        e.count() // _EDGES_PER_PARTITION + 1,
+    ))
+    frontier = (
+        seeds.select(F.col(node).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    visited = frontier
+    with _loop_confs(spark, width):
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(e["dst"].alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(h).cast("bigint"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.union(nxt)
+            frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

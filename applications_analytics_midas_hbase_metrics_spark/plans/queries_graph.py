@@ -384,3 +384,52 @@ def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     return CLU.kmeans_fixed(vecs, k=8, iters=2)
+
+
+@register_extra(
+    "bfs_reach",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        FROM lineitem WHERE l_quantity < 5
+        UNION
+        SELECT CAST(l_partkey + 1000000 AS BIGINT),
+               CAST(l_suppkey AS BIGINT)
+        FROM lineitem WHERE l_quantity < 5
+    ),
+    walk(node, d) AS (
+        SELECT CAST(s_suppkey AS BIGINT), 0
+        FROM supplier WHERE s_suppkey % 17 = 0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN e ON e.src = w.node WHERE w.d < 4
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1
+    """,
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators.graph.bfs_distances): minimum hop
+    distance from the seed suppliers (s_suppkey % 17 == 0) over the
+    SPARSE symmetrized supplier<->part graph (lineitem rows with
+    l_quantity < 5 — the filter keeps the fixture graph from collapsing
+    to diameter 2, so depths 0..4 all occur).  Frontier expansion,
+    first-settle-wins min-dist semantics and the hop cap all replay in
+    the oracle's recursive CTE (UNION-deduplicated (node, d) tuples,
+    min(d) per node); isolated seeds report distance 0 on both sides."""
+    from .queries import t
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 5)
+    fwd = li.select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("l_partkey") + 1_000_000).cast("bigint").alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 17 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return G.bfs_distances(edges, seeds, max_hops=4)

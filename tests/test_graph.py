@@ -124,3 +124,46 @@ def test_pagerank_checkpointing_is_value_identical(spark):
         ).collect()  # driver-ok: tiny graph
     }
     assert ck == plain
+
+
+def test_bfs_distances_chain_and_min_path(spark):
+    """Chain 1-2-3-4-5 plus a shortcut 1-4: node 4 settles at its
+    MINIMUM depth (1 via the shortcut, not 3 via the chain); node 5
+    follows at 2; hop cap cuts the tail; isolated seeds report 0."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node bigint")
+    got = {
+        (r.node, r.dist)
+        for r in bfs_distances(e, seeds, max_hops=10).collect()
+    }
+    assert got == {(1, 0), (99, 0), (2, 1), (4, 1), (3, 2), (5, 2)}
+    capped = {
+        (r.node, r.dist)
+        for r in bfs_distances(e, seeds, max_hops=1).collect()
+    }
+    assert capped == {(1, 0), (99, 0), (2, 1), (4, 1)}
+    # max_hops=0: seeds only
+    zero = {
+        (r.node, r.dist)
+        for r in bfs_distances(e, seeds, max_hops=0).collect()
+    }
+    assert zero == {(1, 0), (99, 0)}
+
+
+def test_bfs_distances_early_exit_and_dup_seeds(spark):
+    """Duplicate seed rows collapse; the loop exits when the frontier
+    empties (hop budget far beyond the graph diameter still returns
+    the exact reachable set)."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (1,)], "node bigint")
+    got = {
+        (r.node, r.dist)
+        for r in bfs_distances(e, seeds, max_hops=50).collect()
+    }
+    assert got == {(1, 0), (2, 1)}
