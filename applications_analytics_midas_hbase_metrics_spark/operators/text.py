@@ -7,7 +7,7 @@ external SQL engine, so every operator is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.keys import java_hash
@@ -501,6 +501,79 @@ def ngram_lm_score(
             "id",
             F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
             "lm_score",
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    middle_pct: int = 50,
+    tail_pct: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning + bucket-conditioned keep
+    sampling: score every document with the corpus's own bigram LM
+    (:func:`ngram_lm_score`), split each language into head / middle /
+    tail thirds by score (head = best mean log-probability = lowest
+    perplexity), then keep ALL of the head, ``middle_pct``% of the
+    middle and ``tail_pct``% of the tail — the exact shape of the
+    CCNet curation recipe (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data").
+
+    The thirds are RANK-based, not ntile: bucket boundaries come from
+    ``(rank-1) * 3 < k * n`` over a total order (score desc nulls
+    last, id), so equal rounded scores land deterministically and the
+    DuckDB oracle replays the split exactly.  The keep decision uses
+    the Fibonacci id-hash bucket (operators.sampling.fibonacci_bucket)
+    — decorrelated from modular id sampling like every other sampler
+    here.
+
+    Scale shape: scoring is the LM's gram-keyed joins; the split adds
+    ONE window over (lang) — a per-language sort, the unavoidable cost
+    of exact quantile thirds.  At 100 TB one would swap the window for
+    approx-percentile score cutoffs (two scans, no sort); the rank
+    form is the oracle-exact gate for the identical keep semantics.
+
+    Returns (id, lang, bucket, kept)."""
+    from .sampling import fibonacci_bucket
+
+    scored = ngram_lm_score(
+        df, text_col=text_col, id_col=id_col, materialize=materialize
+    )
+    lang = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(lang_col).alias("lang"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col("id")
+    )
+    wn = Window.partitionBy("lang")
+    r3 = (F.row_number().over(w) - 1) * 3
+    n = F.count(F.lit(1)).over(wn)
+    bucket = (
+        F.when(r3 < n, F.lit("head"))
+        .when(r3 < 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    fib = fibonacci_bucket("id")
+    return (
+        scored.join(lang, "id")
+        .select("id", "lang", bucket.alias("bucket"))
+        .select(
+            "id",
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == "head", F.lit(1))
+            .when(
+                (F.col("bucket") == "middle") & (fib < middle_pct), F.lit(1)
+            )
+            .when((F.col("bucket") == "tail") & (fib < tail_pct), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("kept"),
         )
     )
 

@@ -965,9 +965,10 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repeated_ngram_spans(docs, n=4, min_count=2)
 
 
-@register(
-    "ngram_lm_score",
-    oracle=f"""
+#: Full bigram-LM scoring oracle (id, n_pairs, lm_score) — shared by
+#: ngram_lm_score and the CCNet bucketing gate (perplexity_buckets),
+#: which wraps it as a subquery.
+_LM_SCORE_SQL = f"""
     WITH tk AS (
         SELECT doc_id, {_TOKS} AS tks FROM documents
     ),
@@ -998,8 +999,10 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(a.np, 0) AS BIGINT) AS n_pairs,
            a.s AS lm_score
     FROM tk t LEFT JOIN agg a USING (doc_id)
-    """,
-)
+    """
+
+
+@register("ngram_lm_score", oracle=_LM_SCORE_SQL)
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram LM quality scoring
     (operators.text.ngram_lm_score — the CCNet/KenLM-style perplexity
@@ -1010,6 +1013,60 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio doubles in both engines."""
     docs = t(spark, sf_dir, "documents")
     return T.ngram_lm_score(docs)
+
+
+#: Fibonacci id-hash bucket 0..99 — SQL replay of
+#: operators.sampling.fibonacci_bucket (same fragment the mixture /
+#: classifier-split oracles inline).
+def _fib_sql(col: str) -> str:
+    return (
+        f"(((({col} % 2147483648) + 2147483648) % 2147483648"
+        " * 2246822519) % 2147483648) * 100 // 2147483648"
+    )
+
+
+@register_extra(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH lm AS ({_LM_SCORE_SQL}),
+    j AS (
+        SELECT lm.id, d.lang, lm.lm_score
+        FROM lm JOIN documents d ON d.doc_id = lm.id
+    ),
+    rk AS (
+        SELECT id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY lm_score DESC NULLS LAST, id) AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    ),
+    b AS (
+        SELECT id, lang,
+               CASE WHEN (r - 1) * 3 < n THEN 'head'
+                    WHEN (r - 1) * 3 < 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rk
+    )
+    SELECT id, lang, bucket,
+           CAST(CASE WHEN bucket = 'head' THEN 1
+                     WHEN bucket = 'middle'
+                          AND {_fib_sql('id')} < 50 THEN 1
+                     WHEN bucket = 'tail'
+                          AND {_fib_sql('id')} < 10 THEN 1
+                     ELSE 0 END AS BIGINT) AS kept
+    FROM b
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet curation split (operators.text.perplexity_buckets): each
+    language's documents partition into head/middle/tail thirds by
+    self-trained bigram-LM score, keeping 100%/50%/10% per bucket via
+    the Fibonacci id-hash.  The LM scoring, the rank-based third
+    boundaries (deterministic under rounded-score ties: order is
+    (score desc nulls last, id)) and the hash keep-rule all replay
+    exactly in DuckDB."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.perplexity_buckets(docs)
 
 
 @register_extra(

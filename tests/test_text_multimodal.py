@@ -728,3 +728,38 @@ def test_pmi_min_count_filter(spark):
         for r in T.pmi_collocations(df, min_count=2, top_k=10).collect()
     }
     assert pairs == {("r", "s")}
+
+
+def test_perplexity_buckets_thirds_and_keep_rule(spark):
+    """Six docs, one language: rank thirds put exactly 2 docs per
+    bucket; head always kept; middle/tail keep by the Fibonacci hash
+    (replayed in-test), and docs with <2 tokens (NULL score) sink to
+    the tail end of the order."""
+    rows = [
+        (1, "a a a a a a a a", "en"),   # repeated bigram -> high score
+        (2, "a a a a a a a b", "en"),
+        (3, "a b a b c d e f", "en"),
+        (4, "c d e f g h i j", "en"),
+        (5, "k l m n o p q r", "en"),
+        (6, "solo", "en"),              # 1 token -> NULL score -> last
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.id: r for r in T.perplexity_buckets(df).collect()}
+    assert len(out) == 6
+    buckets = [out[i].bucket for i in (1, 2, 3, 4, 5, 6)]
+    # 2 per third; doc 6 (NULL score) must be in the tail
+    assert buckets.count("head") == 2
+    assert buckets.count("middle") == 2
+    assert buckets.count("tail") == 2
+    assert out[6].bucket == "tail"
+    # replay the keep rule
+    def fib(i: int) -> int:
+        return ((i % 2**31) * 2246822519 % 2**31) * 100 // 2**31
+    for i, r in out.items():
+        if r.bucket == "head":
+            want = 1
+        elif r.bucket == "middle":
+            want = 1 if fib(i) < 50 else 0
+        else:
+            want = 1 if fib(i) < 10 else 0
+        assert r.kept == want, (i, r.bucket, fib(i))
