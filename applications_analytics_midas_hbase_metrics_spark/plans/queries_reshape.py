@@ -158,3 +158,51 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+_UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register_extra(
+    "unpivot_metrics",
+    oracle="""
+    WITH m AS (
+        """
+    + "\n        UNION ALL ".join(
+        f"SELECT l_returnflag, '{c}' AS metric, {c} AS value FROM lineitem"
+        for c in _UNPIVOT_METRICS
+    )
+    + """
+    )
+    SELECT l_returnflag, metric,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the pivot's inverse): four lineitem
+    measure columns melt into (metric, value) rows via
+    ``DataFrame.unpivot`` — ONE ``Expand`` operator in-plan (each input
+    row emits its 4 long rows map-side, no join, no shuffle before the
+    partial aggregate), never a self-union of 4 scans.  The per-
+    (returnflag, metric) totals sum as DECIMAL(18,2) — exact, order-
+    independent — then cast to double, the same determinism recipe as
+    every money aggregate here; the oracle replays the melt as a
+    UNION ALL."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            list(_UNPIVOT_METRICS),
+            "metric",
+            "value",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -389,3 +389,37 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         d, 25, weight_col="n_tokens", strat_col="source", key_col="doc_id"
     ).select("doc_id", "source", "n_tokens", "es_key")
+
+
+@register_extra(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 23)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 24 buckets of 25k with
+    both tails clamped into the edge buckets — FIXED bounds, so the
+    bucket id is a pure map-side expression (no data-dependent min/max
+    pass, no global scan before binning) and the whole query is one
+    scan + one keyed aggregate with map-side combine.  Totals sum as
+    exact DECIMAL before the double cast."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 25000.0), F.lit(0)),
+        F.lit(23),
+    ).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
