@@ -90,6 +90,13 @@ CHECKS = {
     "q20_promo_suppliers": ["LeftSemi"],
     # EXISTS + NOT EXISTS self-join pair; top-20 is a TakeOrdered
     "q21_lone_returner": ["LeftSemi", "LeftAnti", "TakeOrderedAndProject"],
+    # the melt must be ONE Expand over one scan, never a 4-way
+    # self-union (4 scans) of the fact table
+    "unpivot_metrics": ["Expand"],
+    # the top-100 must stay a two-phase TakeOrdered (per-partition
+    # heads), never a global Sort materialization; N/M totals ride
+    # broadcast
+    "pmi_collocations": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
 }
 
 
@@ -324,6 +331,33 @@ def main() -> None:
 
     qs["bm25_indexed_search"] = _bm25_indexed_search
 
+    def _pmi_lazy(s, d):
+        # lazy twin: the gated variant localCheckpoints its three reuse
+        # points (tokens/pairs/unigrams), which would truncate the
+        # audited plan at ExistingRDDs and hide the count-aggregate and
+        # gram-keyed join exchanges
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return T.pmi_collocations(docs, min_count=5, top_k=100, materialize=False)
+
+    qs["pmi_collocations"] = _pmi_lazy
+
+    def _perplexity_lazy(s, d):
+        # lazy twin of the CCNet bucketing gate (scoring reuse points
+        # un-checkpointed); adds the one per-language window over the
+        # LM score DAG
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return T.perplexity_buckets(docs, materialize=False)
+
+    qs["perplexity_buckets"] = _perplexity_lazy
+
     args = sys.argv[1:]
     print_only = "--print-only" in args
     if print_only:
@@ -388,6 +422,10 @@ def main() -> None:
         "q11_important_parts",
         "q20_promo_suppliers",
         "q21_lone_returner",
+        "unpivot_metrics",
+        "value_histogram",
+        "pmi_collocations",
+        "perplexity_buckets",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
@@ -402,8 +440,9 @@ def main() -> None:
         "LAZY twins (materialize=False) so the full DAG is inspectable; the",
         "gated variants eagerly localCheckpoint mid-pipeline, which would",
         "truncate the audited plan to an ExistingRDD subtree. Queries built",
-        "on connected_components (dedup_clusters, dedup_corpus) checkpoint",
-        "unconditionally per superstep and are not plan-audited here.",
+        "on connected_components (dedup_clusters, dedup_corpus) and the",
+        "BFS frontier loop (bfs_reach) checkpoint unconditionally per",
+        "superstep and are not plan-audited here.",
         "",
         "The gated ANN rows (ann_ivf, ann_pq) are recall-verification",
         "COMPOSITES (search + brute-force truth + centroid/codebook build",
