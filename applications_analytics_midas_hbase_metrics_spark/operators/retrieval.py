@@ -333,3 +333,100 @@ def rrf_fuse(
         F.sum(F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("score")
     )
     return _rank_topk(scored, k)
+
+
+def _char_trigrams(col: str) -> Column:
+    """Distinct character 3-grams of an (already-normalized) string
+    column, by NAME (the sliding substring needs the column twice
+    inside one SQL lambda) — one JVM HOF projection, no explode here
+    so callers pick the row shape."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(char_length({col}) - 2, 0)),"
+            f" i -> substring({col}, i, 3))"
+        )
+    )
+
+
+def trigram_substring_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k_grams: int = 4,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    qid: str = "qid",
+    q: str = "q",
+) -> DataFrame:
+    """Substring search over an inverted character-trigram index: which
+    documents CONTAIN each query string (case-insensitive) — the
+    LIKE-'%q%' accelerator.  A full-corpus `contains` scan reads every
+    byte per query; the index touches only the posting lists of each
+    query's ``k_grams`` RAREST trigrams, intersects them (a document
+    must hold ALL selected grams to be a candidate), and verifies the
+    survivors with one exact `contains` — so the selection strategy is
+    pure pruning and can never change the result set.
+
+    Rarest-first selection is the load-bearing scale choice: a hot
+    trigram ("the" in English) has a posting list proportional to the
+    corpus; the rarest grams bound candidate fanout by the SMALLEST
+    lists.  A query gram absent from the whole corpus (df 0) ranks
+    rarest, intersects to an empty candidate set and correctly returns
+    no matches without scanning anything.
+
+    Scale shape: postings build is one projection + explode + distinct
+    per doc (gram-keyed aggregate for df); candidate counting is a
+    gram-keyed join + (query, doc) count-match aggregate; the query
+    frame and its selected grams ride broadcast; verify joins only the
+    candidate ids back to the text.  Queries shorter than 3 characters
+    cannot produce a trigram and fail LOUDLY (assert_true) rather than
+    silently matching nothing.
+
+    Returns (qid, doc_id)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(doc_id).cast("bigint").alias("doc_id"),
+        F.lower(F.col(text)).alias("t"),
+    )
+    # the guard rides INSIDE the q projection (assert_true returns NULL
+    # on success, so the `when` passes the string through) — a separate
+    # guard column would be pruned unevaluated by Catalyst
+    qn = queries.select(
+        F.col(qid).cast("bigint").alias("qid"),
+        F.when(
+            F.assert_true(
+                F.length(F.col(q)) >= 3,
+                F.concat(
+                    F.lit("trigram query shorter than 3 chars: "), F.col(q)
+                ),
+            ).isNull(),
+            F.lower(F.col(q)),
+        ).alias("q"),
+    )
+    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    qg = qn.select("qid", F.explode(_char_trigrams("q")).alias("g"))
+    df_g = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("qid").orderBy(
+        F.coalesce("df", F.lit(0)).asc(), F.col("g")
+    )
+    sel = (
+        qg.join(df_g, "g", "left")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k_grams)
+        .select("qid", "g")
+    )
+    n_sel = sel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_sel"))
+    cand = (
+        dg.join(F.broadcast(sel), "g")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(n_sel), "qid")
+        .filter(F.col("n_hit") == F.col("n_sel"))
+        .select("qid", "doc_id")
+    )
+    return (
+        cand.join(d, "doc_id")
+        .join(F.broadcast(qn), "qid")
+        .filter(F.instr("t", F.col("q").cast("string")) > 0)
+        .select("qid", "doc_id")
+    )

@@ -493,3 +493,40 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     return T.pmi_collocations(docs, min_count=5, top_k=100)
+
+
+_TRIGRAM_QUERIES = (
+    (0, "table value"),
+    (1, "merge batch"),
+    (2, "slow filter"),
+    (3, "the line sort"),
+    (4, "zebra"),
+)
+_TRIGRAM_Q_SQL = ", ".join(f"({i}, '{s}')" for i, s in _TRIGRAM_QUERIES)
+
+
+@register_extra(
+    "trigram_search",
+    oracle=f"""
+    SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
+    FROM documents d
+    JOIN (VALUES {_TRIGRAM_Q_SQL}) AS q(qid, s)
+      ON contains(lower(d.text), lower(q.s))
+    """,
+)
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-trigram substring search
+    (operators.retrieval.trigram_substring_search): five literal
+    queries (incl. one with zero corpus matches) against the documents
+    table.  The oracle is the semantic ground truth — a plain
+    case-insensitive `contains` join — so the whole index path
+    (posting build, rarest-4 gram selection, intersection count,
+    exact verify) is proven to be pure pruning: any candidate-set bug
+    that drops or invents a match breaks the hash."""
+    from ..operators.retrieval import trigram_substring_search
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        list(_TRIGRAM_QUERIES), "qid bigint, q string"
+    )
+    return trigram_substring_search(docs, queries, k_grams=4)

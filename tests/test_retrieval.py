@@ -278,3 +278,51 @@ def test_bm25_indexed_stable_index_not_reused_across_sample_mod(spark):
             os.environ.pop("MIDAS_SAMPLE_MOD", None)
         else:
             os.environ["MIDAS_SAMPLE_MOD"] = prev
+
+
+def test_trigram_search_matches_contains_truth(spark):
+    """Index result == plain contains() scan for every k_grams: the
+    selection is pruning only."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        trigram_substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta delta"),
+            (3, "GAMMA rays and alpha particles"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma ray"), (3, "xyz")],
+        "qid bigint, q string",
+    )
+    truth = {
+        (qi, di)
+        for di, txt in [(r.doc_id, r.text.lower()) for r in docs.collect()]
+        for qi, qq in [(r.qid, r.q.lower()) for r in qs.collect()]
+        if qq in txt
+    }
+    for k in (1, 2, 8):
+        got = {
+            (r.qid, r.doc_id)
+            for r in trigram_substring_search(docs, qs, k_grams=k).collect()
+        }
+        assert got == truth, k
+
+
+def test_trigram_search_short_query_fails_loudly(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        trigram_substring_search,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    qs = spark.createDataFrame([(0, "ab")], "qid bigint, q string")
+    with pytest.raises(Exception) as ei:
+        trigram_substring_search(docs, qs).collect()
+    assert "trigram query shorter" in str(ei.value)
