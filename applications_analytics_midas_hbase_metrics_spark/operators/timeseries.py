@@ -98,3 +98,57 @@ def debounce_bursts(
         F.max(ts_col).alias("burst_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     ).drop("_island")
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "hour",
+    value_cents: str = "xq",
+    window_rows: int = 12,
+) -> DataFrame:
+    """Exponentially-weighted moving average (decay 1/2 per step) over
+    the trailing ``window_rows`` observations of each key's series —
+    the smoothing pass a monitoring/trend pipeline runs before
+    thresholding, as the time-DECAY sibling of the uniform sliding
+    window (window_sliding) and the z-score detector
+    (hourly_anomalies).
+
+    ``ewma_t = (sum over lag l of x_{t-l} * 2^-l) / (sum of 2^-l)``.
+
+    Determinism is the design: inputs arrive as integer CENTS
+    (``value_cents``), the dyadic weights are exact powers of two, and
+    both sums run in bigint via one indexed-lambda fold over the
+    frame-ordered value list — so the only floating-point op is the
+    final division, identical in any engine and any partitioning.  A
+    float-weighted formulation (pow(0.5, l) * x summed as doubles)
+    would be partial-aggregation-order-dependent and could never hash
+    against an oracle.
+
+    Scale shape: ONE window per key (rows-frame, no range scan), the
+    fold is a JVM higher-order function over <= window_rows elements —
+    map-side after the window sort, no extra shuffle, no UDF.
+
+    Returns the input columns plus (n_obs, ewma)."""
+    if not (1 <= window_rows <= 62):
+        raise ValueError("window_rows must be in [1, 62] (bigint shifts)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    vals = F.collect_list(value_cents).over(w)
+    r = window_rows
+    num = F.expr(
+        f"aggregate(transform(_vals, (x, i) -> x * shiftleft(1L,"
+        f" {r} - size(_vals) + i)), 0L, (a, b) -> a + b)"
+    )
+    den = (
+        F.expr(f"shiftleft(1L, {r}) - shiftleft(1L, {r} - size(_vals))")
+    ).cast("double") * 100.0
+    return (
+        df.withColumn("_vals", vals)
+        .withColumn("n_obs", F.size("_vals").cast("bigint"))
+        .withColumn("ewma", F.round(num.cast("double") / den, 6))
+        .drop("_vals")
+    )

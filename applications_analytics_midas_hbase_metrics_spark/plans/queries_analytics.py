@@ -638,3 +638,53 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vf", 6).alias("v"),
         F.round(z, 4).alias("z"),
     )
+
+
+@register_extra(
+    "ewma_user_value",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS xq
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id, hour, xq,
+               list(xq) OVER (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS vals
+        FROM h
+    )
+    SELECT user_id, hour, xq,
+           CAST(len(vals) AS BIGINT) AS n_obs,
+           round(list_sum(list_transform(vals,
+                     (v, i) -> v * (CAST(1 AS BIGINT)
+                               << (12 - len(vals) + i - 1))))
+                 / (((CAST(1 AS BIGINT) << 12)
+                     - (CAST(1 AS BIGINT) << (12 - len(vals))))
+                    * 100.0), 6) AS ewma
+    FROM w
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay smoothing (operators.timeseries.ewma_smooth): EWMA
+    with decay 1/2 over each user's trailing 12 hourly value sums.
+    The cent quantization, the bigint dyadic-weight fold and the final
+    single division replay exactly in DuckDB (indexed list_transform,
+    1-based there vs Spark's 0-based transform — the exponent
+    arithmetic accounts for it), so the smoothed series is under the
+    hash bit-for-bit."""
+    from ..operators.timeseries import ewma_smooth
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("xq")
+    )
+    return ewma_smooth(
+        hourly, key_col="user_id", order_col="hour", value_cents="xq",
+        window_rows=12,
+    )

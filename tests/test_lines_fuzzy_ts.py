@@ -5,6 +5,8 @@ triangle counting (operators/graph.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from applications_analytics_midas_hbase_metrics_spark.operators import fuzzy as FZ
 from applications_analytics_midas_hbase_metrics_spark.operators import graph as G
 from applications_analytics_midas_hbase_metrics_spark.operators import lines as L
@@ -414,3 +416,35 @@ def test_zorder_value_known_and_locality(spark):
         .first()
     )
     assert spans[0] <= 15 and spans[1] <= 15
+
+
+def test_ewma_smooth_exact_dyadic(spark):
+    """EWMA replays the closed form exactly: weights are powers of 1/2
+    over the frame, ties to a pure-Python reference on cents."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    series = [(1, i, (i * 37) % 500 + 1) for i in range(1, 31)]
+    df = spark.createDataFrame(series, "user_id bigint, hour bigint, xq bigint")
+    got = {r.hour: (r.n_obs, r.ewma) for r in ewma_smooth(df, window_rows=12).collect()}
+    xs = {h: x for _, h, x in series}
+    for t in range(1, 31):
+        lo = max(1, t - 11)
+        vals = [xs[i] for i in range(lo, t + 1)]  # oldest -> newest
+        num = sum(v * 0.5 ** (len(vals) - 1 - i) for i, v in enumerate(vals))
+        den = sum(0.5 ** (len(vals) - 1 - i) for i in range(len(vals))) * 100
+        assert got[t][0] == len(vals)
+        assert got[t][1] == pytest.approx(num / den, abs=1e-6)
+
+
+def test_ewma_window_rows_guard(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1)], "user_id bigint, hour bigint, xq bigint")
+    with pytest.raises(ValueError):
+        ewma_smooth(df, window_rows=0)
+    with pytest.raises(ValueError):
+        ewma_smooth(df, window_rows=63)
