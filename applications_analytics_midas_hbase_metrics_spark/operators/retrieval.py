@@ -382,16 +382,26 @@ def trigram_substring_search(
     silently matching nothing.
 
     Returns (qid, doc_id)."""
-    from pyspark.sql import Window
+    d = _norm_docs_text(docs, doc_id, text)
+    qn = _norm_substring_queries(queries, qid, q)
+    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    df_g = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams)
+    return _intersect_and_verify(dg, sel, n_sel, d, qn)
 
-    d = docs.select(
+
+def _norm_docs_text(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+    return docs.select(
         F.col(doc_id).cast("bigint").alias("doc_id"),
         F.lower(F.col(text)).alias("t"),
     )
+
+
+def _norm_substring_queries(queries: DataFrame, qid: str, q: str) -> DataFrame:
     # the guard rides INSIDE the q projection (assert_true returns NULL
     # on success, so the `when` passes the string through) — a separate
     # guard column would be pruned unevaluated by Catalyst
-    qn = queries.select(
+    return queries.select(
         F.col(qid).cast("bigint").alias("qid"),
         F.when(
             F.assert_true(
@@ -403,9 +413,15 @@ def trigram_substring_search(
             F.lower(F.col(q)),
         ).alias("q"),
     )
-    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+
+
+def _select_rarest_grams(qn: DataFrame, df_g: DataFrame, k_grams: int):
+    """(qid, g) of each query's ``k_grams`` rarest trigrams (df asc,
+    gram tiebreak; corpus-absent grams are df 0 = rarest), plus the
+    per-query selected count for the intersection's count-match."""
+    from pyspark.sql import Window
+
     qg = qn.select("qid", F.explode(_char_trigrams("q")).alias("g"))
-    df_g = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("qid").orderBy(
         F.coalesce("df", F.lit(0)).asc(), F.col("g")
     )
@@ -416,6 +432,19 @@ def trigram_substring_search(
         .select("qid", "g")
     )
     n_sel = sel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_sel"))
+    return sel, n_sel
+
+
+def _intersect_and_verify(
+    dg: DataFrame,
+    sel: DataFrame,
+    n_sel: DataFrame,
+    d: DataFrame,
+    qn: DataFrame,
+) -> DataFrame:
+    """Candidates = docs holding ALL selected grams (count-match over
+    the gram-keyed posting join); exact `contains` verify on the
+    survivors only."""
     cand = (
         dg.join(F.broadcast(sel), "g")
         .groupBy("qid", "doc_id")
@@ -427,6 +456,78 @@ def trigram_substring_search(
     return (
         cand.join(d, "doc_id")
         .join(F.broadcast(qn), "qid")
-        .filter(F.instr("t", F.col("q").cast("string")) > 0)
+        .filter(F.instr("t", F.col("q")) > 0)
         .select("qid", "doc_id")
     )
+
+
+def trigram_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> None:
+    """Materialize the substring-search index: ``postings/`` (doc_id,
+    g) hash-partitioned into ``n_buckets`` gram buckets plus
+    ``gram_df/`` the per-gram document frequencies — the stored-artifact
+    shape of :func:`trigram_substring_search`, built once per corpus
+    snapshot exactly like the BM25 index (bm25_index_build): bucketing
+    by xxhash64(g) bounds directory fanout at n_buckets regardless of
+    how many distinct trigrams the corpus holds, and a recurring query
+    batch then reads ONLY its selected grams' partitions."""
+    d = _norm_docs_text(docs, doc_id, text)
+    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    dg.withColumn(
+        "g_bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("g_bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    dg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "gram_df"))
+
+
+def trigram_search_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    docs: DataFrame,
+    k_grams: int = 4,
+    *,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    qid: str = "qid",
+    q: str = "q",
+) -> DataFrame:
+    """Search a stored trigram index: identical output contract to
+    :func:`trigram_substring_search` (identity-gated in
+    plans/queries_features.py).
+
+    The postings scan is restricted TWICE: statically to the SELECTED
+    grams' hash buckets (partition pruning — the rarest-k selection
+    runs first, against the small gram_df table, so only
+    queries x k_grams buckets are ever listed) and then exactly to the
+    grams via the broadcast join inside the bucket files.  ``docs`` is
+    needed only for the final exact-contains verify of the candidate
+    ids."""
+    d = _norm_docs_text(docs, doc_id, text)
+    qn = _norm_substring_queries(queries, qid, q)
+    df_g = spark.read.parquet(os.path.join(index_dir, "gram_df"))
+    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams)
+    buckets = [
+        r.bkt
+        for r in sel.select(
+            F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("bkt")
+        )
+        .distinct()
+        .collect()  # driver-ok: <= |queries| * k_grams rows, bounds the scan
+    ]
+    dg = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("g_bucket").isin(buckets))
+        .select("doc_id", "g")
+    )
+    return _intersect_and_verify(dg, sel, n_sel, d, qn)

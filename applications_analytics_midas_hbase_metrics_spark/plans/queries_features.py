@@ -530,3 +530,39 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_TRIGRAM_QUERIES), "qid bigint, q string"
     )
     return trigram_substring_search(docs, queries, k_grams=4)
+
+
+@register_extra(
+    "trigram_indexed",
+    oracle=f"""
+    SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
+    FROM documents d
+    JOIN (VALUES {_TRIGRAM_Q_SQL}) AS q(qid, s)
+      ON contains(lower(d.text), lower(q.s))
+    """,
+)
+def q_trigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index substring search
+    (operators.retrieval.trigram_index_build / trigram_search_indexed):
+    the posting explode + df aggregation is paid once per corpus
+    snapshot into a g_bucket-partitioned postings table; the search
+    lists only the selected rarest grams' buckets.  Gated against the
+    SAME contains-truth oracle as trigram_search, so green here means
+    the stored path is result-identical to the inline path AND to the
+    semantic ground truth."""
+    import os
+
+    from ..operators.retrieval import trigram_index_build, trigram_search_indexed
+    from .queries import sample_mod, stable_scratch_dir
+
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_m{sample_mod() or 0}"
+    idx = os.path.join(stable_scratch_dir(f"trigram_index_{tag}"), "idx")
+    if not os.path.exists(os.path.join(idx, "gram_df", "_SUCCESS")):
+        trigram_index_build(
+            _spread(spark, t(spark, sf_dir, "documents")), idx, n_buckets=64
+        )
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        list(_TRIGRAM_QUERIES), "qid bigint, q string"
+    )
+    return trigram_search_indexed(spark, idx, queries, docs, k_grams=4)

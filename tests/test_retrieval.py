@@ -326,3 +326,43 @@ def test_trigram_search_short_query_fails_loudly(spark):
     with pytest.raises(Exception) as ei:
         trigram_substring_search(docs, qs).collect()
     assert "trigram query shorter" in str(ei.value)
+
+
+def test_trigram_indexed_identical_to_inline(spark, tmp_path):
+    """Stored-index search returns exactly the inline result (and the
+    contains truth) on a corpus with hot and rare grams."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        trigram_index_build,
+        trigram_search_indexed,
+        trigram_substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common filler text block {i % 7} rare{'x' * (i % 3)}")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "filler"), (1, "rarexx"), (2, "block 3"), (3, "absent-gram")],
+        "qid bigint, q string",
+    )
+    idx = str(tmp_path / "idx")
+    trigram_index_build(docs, idx, n_buckets=16)
+    inline = {
+        (r.qid, r.doc_id)
+        for r in trigram_substring_search(docs, qs, k_grams=4).collect()
+    }
+    stored = {
+        (r.qid, r.doc_id)
+        for r in trigram_search_indexed(
+            spark, idx, qs, docs, k_grams=4, n_buckets=16
+        ).collect()
+    }
+    assert stored == inline
+    truth = {
+        (qi, di)
+        for di, txt in [(r.doc_id, r.text.lower()) for r in docs.collect()]
+        for qi, qq in [(r.qid, r.q.lower()) for r in qs.collect()]
+        if qq in txt
+    }
+    assert stored == truth
