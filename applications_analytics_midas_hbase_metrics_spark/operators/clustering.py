@@ -104,3 +104,90 @@ def kmeans_fixed(
     return assign.select(
         id_col, "cluster", F.round("dist", r).alias("dist")
     )
+
+
+def pca_power_top(
+    vecs: DataFrame,
+    *,
+    iters: int = 3,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Leading singular direction of the raw embedding matrix by
+    ``iters`` rounds of power iteration on X'X — the whitening /
+    dominant-direction primitive an embedding pipeline runs before
+    ABTT-style postprocessing ("All-but-the-Top": dominant directions
+    carry corpus-wide bias and are removed before similarity search).
+
+    Uncentered by design (the top direction of X itself, not the
+    covariance): embedding corpora are what this runs on, and keeping
+    the recurrence one matvec makes every round exactly replayable in
+    an unrolled SQL oracle — the same differential-determinism recipe
+    as :func:`kmeans_fixed`:
+
+    - the iterate v is ROUNDED to ``round_decimals`` after every
+      normalization, so both engines feed bit-identical operands into
+      the next round's dot products;
+    - each row's score s = x·v is a strict LEFT FOLD in array order
+      (F.aggregate / list_reduce) — bit-identical across engines;
+    - the per-dimension sum w_i = Σ_rows x_i·s is the one place
+      summation order differs (distributed vs sequential), absorbed by
+      the quantization exactly as kmeans' centroid means are.
+
+    Scale shape per round: v (d doubles) rides a broadcast cross join;
+    the matvec is ONE pass — per-row fold, posexplode, (pos)-keyed sum
+    with map-side combine — so the shuffle is O(d × partitions) rows,
+    never O(n); the d-row normalization reduce is a single-row
+    aggregate.  The driver never sees data; iteration count is a small
+    constant like pagerank's.
+
+    Returns (pos, loading) — d rows, the unit top direction rounded."""
+    import math
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    r = int(round_decimals)
+    spark = vecs.sparkSession
+    v0 = round(1.0 / math.sqrt(d), r)
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(v0).cast("double") for _ in range(d)]).alias("v")
+    )
+    x = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("x"))
+    for _ in range(iters):
+        s = x.crossJoin(F.broadcast(vdf)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias("s"),
+        )
+        w = (
+            s.select("s", F.posexplode("x").alias("pos", "xi"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("xi") * F.col("s")).alias("w"))
+        )
+        vdf = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda st: st["w"],
+            ).alias("wl")
+        ).select(
+            F.transform(
+                "wl",
+                lambda wi: F.round(
+                    wi
+                    / F.sqrt(
+                        F.aggregate(
+                            "wl", F.lit(0.0), lambda acc, y: acc + y * y
+                        )
+                    ),
+                    r,
+                ),
+            ).alias("v")
+        )
+    return vdf.select(F.posexplode("v").alias("pos", "loading")).select(
+        F.col("pos").cast("bigint").alias("pos"), "loading"
+    )

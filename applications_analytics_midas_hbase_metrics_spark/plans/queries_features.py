@@ -566,3 +566,59 @@ def q_trigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_TRIGRAM_QUERIES), "qid bigint, q string"
     )
     return trigram_search_indexed(spark, idx, queries, docs, k_grams=4)
+
+
+def _pca_oracle(iters: int = 3, d: int = 64, r: int = 6) -> str:
+    """Unrolled power-iteration CTE chain — the SQL replay of exactly
+    ``iters`` quantized matvec rounds (the pagerank/kmeans_fixed
+    oracle pattern applied to X'X)."""
+    import math
+
+    v0 = round(1.0 / math.sqrt(d), r)
+    sq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(wl, y -> y * y)), (acc, x) -> acc + x)"
+    )
+    parts = [
+        f"x AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings)",
+        f"v0 AS (SELECT list_transform(range(1, {d + 1}),"
+        f" i -> CAST({v0} AS DOUBLE)) AS v)",
+    ]
+    prev = "v0"
+    for k in range(1, iters + 1):
+        parts += [
+            f"s{k} AS (SELECT x.vec_id, {_dot_sql('x.v', f'{prev}.v')} AS s"
+            f" FROM x, {prev})",
+            f"w{k} AS (SELECT u.i AS pos, sum(x.v[u.i] * s{k}.s) AS w"
+            f" FROM x JOIN s{k} USING (vec_id),"
+            f" (SELECT unnest(range(1, {d + 1})) AS i) u GROUP BY 1)",
+            f"l{k} AS (SELECT list(w ORDER BY pos) AS wl FROM w{k})",
+            f"v{k} AS (SELECT list_transform(wl,"
+            f" y -> round(y / sqrt({sq}), {r})) AS v FROM l{k})",
+        ]
+        prev = f"v{k}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(u.i - 1 AS BIGINT) AS pos, v[u.i] AS loading"
+        f" FROM {prev}, (SELECT unnest(range(1, {d + 1})) AS i) u"
+    )
+
+
+@register_extra("pca_top_direction", oracle=_pca_oracle())
+def q_pca_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three quantized power-iteration rounds on X'X over the
+    embeddings table (operators.clustering.pca_power_top) — the
+    dominant-direction primitive behind All-but-the-Top embedding
+    postprocessing.  Every round's dot products are strict left folds
+    on quantized iterates, so the oracle's unrolled CTE chain replays
+    each intermediate vector under the differential hash exactly —
+    convergence on the near-isotropic fixture (spectral gap 1.008) is
+    deliberately NOT the claim; the recurrence is (pytest drives it to
+    cos >= 0.999 on a gapped matrix)."""
+    from ..operators.clustering import pca_power_top
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return pca_power_top(emb, iters=3, d=64)

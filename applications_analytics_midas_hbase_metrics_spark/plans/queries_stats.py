@@ -423,3 +423,87 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@register_extra(
+    "corr_metrics",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+               AS r_qty_price,
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+               AS r_qty_disc,
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+               AS r_price_disc
+    FROM s
+    """,
+)
+def q_corr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the three lineitem measures in
+    ONE scan: the nine sufficient statistics (sums, squares, cross
+    products) aggregate as exact DECIMAL — order-independent, so the
+    only floating-point arithmetic is the final closed form on ten
+    scalars, identical in any engine and any partitioning.  The
+    built-in ``corr()`` aggregates in doubles (partial-order-dependent
+    last bits) and could never hash against an oracle; this is also
+    the formulation that scales — one map-side-combined pass for ANY
+    number of column pairs, vs one shuffle per pair."""
+    li = t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq).cast("double").alias("sq"),
+        F.sum(dp).cast("double").alias("sp"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(dq * dq).cast("double").alias("sqq"),
+        F.sum(dp * dp).cast("double").alias("spp"),
+        F.sum(dd * dd).cast("double").alias("sdd"),
+        F.sum(dq * dp).cast("double").alias("sqp"),
+        F.sum(dq * dd).cast("double").alias("sqd"),
+        F.sum(dp * dd).cast("double").alias("spd"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    sqp, sqd, spd = F.col("sqp"), F.col("sqd"), F.col("spd")
+    return s.select(
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sqp - sq * sp)
+            / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+            6,
+        ).alias("r_qty_price"),
+        F.round(
+            (n * sqd - sq * sd)
+            / F.sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)),
+            6,
+        ).alias("r_qty_disc"),
+        F.round(
+            (n * spd - sp * sd)
+            / F.sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)),
+            6,
+        ).alias("r_price_disc"),
+    )

@@ -448,3 +448,42 @@ def test_ewma_window_rows_guard(spark):
         ewma_smooth(df, window_rows=0)
     with pytest.raises(ValueError):
         ewma_smooth(df, window_rows=63)
+
+
+def test_pca_power_converges_on_gapped_matrix(spark):
+    """On a matrix with a genuine dominant direction, 5 quantized
+    power rounds align with numpy's SVD top singular vector to
+    cos >= 0.999; the returned direction is unit-norm."""
+    import numpy as np
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.clustering import (
+        pca_power_top,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.normal(size=n) * 5.0, u) + rng.normal(size=(n, d)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id bigint, e array<double>",
+    )
+    v = np.array(
+        [r.loading for r in sorted(
+            pca_power_top(df, iters=5, d=d).collect(), key=lambda r: r.pos
+        )]
+    )
+    _, _, vt = np.linalg.svd(X, full_matrices=False)
+    assert abs(float(v @ vt[0])) / float(np.linalg.norm(v)) >= 0.999
+    assert float(np.linalg.norm(v)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pca_power_iters_guard(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.clustering import (
+        pca_power_top,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, e array<double>")
+    with pytest.raises(ValueError):
+        pca_power_top(df, iters=0, d=2)
