@@ -191,3 +191,50 @@ def pca_power_top(
     return vdf.select(F.posexplode("v").alias("pos", "loading")).select(
         F.col("pos").cast("bigint").alias("pos"), "loading"
     )
+
+
+def abtt_remove_top(
+    vecs: DataFrame,
+    loading: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """All-but-the-Top embedding correction (Mu & Viswanath, ICLR'18):
+    subtract each vector's projection onto the dominant direction —
+    ``x' = x - (x·v) v`` — the postprocessing step that measurably
+    improves similarity search on anisotropic embedding corpora.
+    ``loading`` is :func:`pca_power_top`'s (pos, loading) output.
+
+    Map-side only: the direction rides one broadcast (d doubles), the
+    projection is a strict left-fold dot plus one zip_with per row —
+    no shuffle at any corpus size.  Both the scalar component and the
+    corrected coordinates quantize at ``round_decimals``, and x and v
+    are exact on both engines, so the whole correction replays in the
+    differential oracle bit-for-bit.
+
+    Returns (id, component, corrected)."""
+    r = int(round_decimals)
+    vdf = loading.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "loading"))),
+            lambda st: st["loading"],
+        ).alias("v")
+    )
+    s = F.aggregate(
+        F.zip_with(vec_col, "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(vdf))
+        .withColumn("_s", s)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round("_s", r).alias("component"),
+            F.zip_with(
+                vec_col, "v", lambda a, b: F.round(a - F.col("_s") * b, r)
+            ).alias("corrected"),
+        )
+    )

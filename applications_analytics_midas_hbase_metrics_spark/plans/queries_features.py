@@ -622,3 +622,36 @@ def q_pca_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     return pca_power_top(emb, iters=3, d=64)
+
+
+@register_extra(
+    "abtt_corrected",
+    oracle=f"""
+    WITH pca AS ({_pca_oracle()}),
+    vl AS (SELECT list(loading ORDER BY pos) AS v FROM pca),
+    sc AS (
+        SELECT x.vec_id, x.v AS xv, vl.v AS dv,
+               {_dot_sql('x.v', 'vl.v')} AS s
+        FROM (SELECT vec_id, {_EMB_D} AS v FROM embeddings) x, vl
+    )
+    SELECT vec_id AS id, round(s, 6) AS component,
+           list_transform(range(1, 65),
+               i -> round(xv[i] - s * dv[i], 6)) AS corrected
+    FROM sc
+    """,
+)
+def q_abtt_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top correction composed on the PCA gate
+    (operators.clustering.abtt_remove_top): the dominant direction
+    from pca_power_top is projected out of every embedding.  The
+    oracle chains the unrolled power-iteration CTE with the per-row
+    projection, so direction, scalar component and every corrected
+    coordinate are all under one differential hash."""
+    from ..operators.clustering import abtt_remove_top, pca_power_top
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    v = pca_power_top(emb, iters=3, d=64)
+    return abtt_remove_top(emb, v)

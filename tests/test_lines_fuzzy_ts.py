@@ -487,3 +487,33 @@ def test_pca_power_iters_guard(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, e array<double>")
     with pytest.raises(ValueError):
         pca_power_top(df, iters=0, d=2)
+
+
+def test_abtt_removes_component_and_reconstructs(spark):
+    """After correction, every vector is orthogonal to the removed
+    direction (within rounding), and component*v + corrected
+    reconstructs the input."""
+    import numpy as np
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.clustering import (
+        abtt_remove_top,
+        pca_power_top,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 120
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.normal(size=n) * 4.0, u) + rng.normal(size=(n, d)) * 0.2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id bigint, e array<double>",
+    )
+    loading = pca_power_top(df, iters=5, d=d)
+    v = np.array([r.loading for r in sorted(loading.collect(), key=lambda r: r.pos)])
+    out = abtt_remove_top(df, loading).collect()
+    for r in out:
+        c = np.array(r.corrected)
+        assert abs(float(c @ v)) < 1e-3          # orthogonal (quantized)
+        recon = c + r.component * v
+        assert np.allclose(recon, X[r.id], atol=1e-4)
