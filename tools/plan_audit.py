@@ -97,6 +97,10 @@ CHECKS = {
     # heads), never a global Sort materialization; N/M totals ride
     # broadcast
     "pmi_collocations": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+    # selected grams, count-match targets and the query strings must
+    # all ride broadcast onto the posting/text sides
+    "trigram_search": ["BroadcastHashJoin"],
+    "trigram_indexed_search": ["BroadcastHashJoin"],
 }
 
 
@@ -358,6 +362,30 @@ def main() -> None:
 
     qs["perplexity_buckets"] = _perplexity_lazy
 
+    def _trigram_indexed_search(s, d):
+        # index built EAGERLY (the one-time artifact); the audited plan
+        # is the recurring search: rarest-gram selection against the
+        # stored gram_df, bucket-pruned postings scan, count-match
+        # intersection, exact-contains verify
+        import os as _os
+        import tempfile as _tf
+
+        from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+            trigram_index_build,
+            trigram_search_indexed,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_features import (
+            _TRIGRAM_QUERIES,
+        )
+
+        idx = _os.path.join(_tf.mkdtemp(prefix="audit_trigram_"), "idx")
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        trigram_index_build(docs, idx, n_buckets=64)
+        queries = s.createDataFrame(list(_TRIGRAM_QUERIES), "qid bigint, q string")
+        return trigram_search_indexed(s, idx, queries, docs, k_grams=4)
+
+    qs["trigram_indexed_search"] = _trigram_indexed_search
+
     args = sys.argv[1:]
     print_only = "--print-only" in args
     if print_only:
@@ -426,6 +454,12 @@ def main() -> None:
         "value_histogram",
         "pmi_collocations",
         "perplexity_buckets",
+        "trigram_search",
+        "trigram_indexed_search",
+        "ewma_user_value",
+        "corr_metrics",
+        "pca_top_direction",
+        "abtt_corrected",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
