@@ -206,3 +206,42 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+@register_extra(
+    "grouping_sets_events",
+    oracle="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(grouping(event_type) * 2
+                + grouping(user_id % 10) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+    """,
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit mixed GROUPING SETS (the shape rollup/cube can't
+    express: a detail set, one partial set, and the grand total but NO
+    (user_bucket)-only set) with grouping_id disambiguating the NULL
+    groups — one Expand over one scan, exactly like rollup/cube/
+    unpivot, never a UNION of three aggregations.  Totals sum as
+    exact DECIMAL before the double cast."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupingSets(
+            [["event_type", "user_bucket"], ["event_type"], []],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("double").alias("total"),
+        )
+    )
