@@ -688,3 +688,80 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, key_col="user_id", order_col="hour", value_cents="xq",
         window_rows=12,
     )
+
+
+@register_extra(
+    "top_session_paths",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess
+        FROM s
+    ),
+    p AS (
+        SELECT array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:3], '>')
+                   AS path
+        FROM g GROUP BY user_id, sess
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path mining: 30-minute-gap sessions per user, each
+    session reduced to its first three event types in (ts, event_id)
+    order, top-20 paths by frequency — the funnel-discovery flavor of
+    path analytics (funnel_conversion checks a KNOWN ordering; this
+    surfaces the orderings that exist).
+
+    Determinism: the in-session order is a total order (ts, event_id),
+    the per-session event list is collected UNORDERED then array_sort-ed
+    on a (ts, event_id, type) struct — collect_list order is not a
+    contract, the sort is — and the top-20 ties break on the path
+    string.  Scale shape: one per-user window for the session break
+    flags (keyed), one (user, session) aggregate, one path count with
+    map-side combine, TakeOrdered top-20."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    s = ev.withColumn(
+        "brk", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("sess", F.sum("brk").over(w))
+    paths = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda st: st["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
