@@ -433,3 +433,53 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("node"))
     )
     return G.bfs_distances(edges, seeds, max_hops=4)
+
+
+@register_extra(
+    "contamination_radius",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    corpus AS ({_NEARDUP_DOCS_SQL}),
+    seeds AS (SELECT doc_id AS node FROM corpus WHERE doc_id % 11 = 0),
+    walk(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.d < 2
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1
+    """,
+)
+def q_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination blast radius: flagged documents (doc_id % 11 == 0
+    plays the flag) expand through the near-duplicate pair graph —
+    everything within 2 hops is the quarantine set a curation pass
+    would hold back, because a near-dup of a near-dup of a leaked eval
+    document is itself suspect.  Composes the LSH pair table (claimed
+    from the registry when a dedup family member just built it — same
+    pin key as dedup_clusters) with operators.graph.bfs_distances; the
+    oracle chains the brute-force pair CTE with the recursive walk."""
+    key_p = f"minhash_pairs:{sf_dir}"
+    pairs = claim_deferred(key_p, spark)
+    if pairs is None:
+        pairs = D.minhash_near_duplicates(
+            _neardup_docs(spark, sf_dir), threshold=0.5, materialize=False
+        )
+        pairs = persist_deferred(pairs, key=key_p)
+    fwd = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _neardup_docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return G.bfs_distances(edges, seeds, max_hops=2)
