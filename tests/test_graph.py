@@ -167,3 +167,15 @@ def test_bfs_distances_early_exit_and_dup_seeds(spark):
         for r in bfs_distances(e, seeds, max_hops=50).collect()
     }
     assert got == {(1, 0), (2, 1)}
+
+
+def test_bfs_empty_seeds_and_no_edges(spark):
+    from applications_analytics_midas_hbase_metrics_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    no_seeds = spark.createDataFrame([], "node bigint")
+    assert bfs_distances(e, no_seeds, max_hops=3).collect() == []
+    seeds = spark.createDataFrame([(7,)], "node bigint")
+    no_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {(r.node, r.dist) for r in bfs_distances(no_edges, seeds, max_hops=3).collect()}
+    assert got == {(7, 0)}

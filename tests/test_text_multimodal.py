@@ -763,3 +763,21 @@ def test_perplexity_buckets_thirds_and_keep_rule(spark):
         else:
             want = 1 if fib(i) < 10 else 0
         assert r.kept == want, (i, r.bucket, fib(i))
+
+
+def test_pmi_empty_and_below_min_count(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert T.pmi_collocations(empty, min_count=1, top_k=5).collect() == []
+    ones = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    assert T.pmi_collocations(ones, min_count=2, top_k=5).collect() == []
+
+
+def test_perplexity_buckets_single_doc_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "x y", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.id: r for r in T.perplexity_buckets(df).collect()}
+    # each language has one doc: rank 1 of 1 -> head -> kept
+    assert out[1].bucket == "head" and out[1].kept == 1
+    assert out[2].bucket == "head" and out[2].kept == 1
