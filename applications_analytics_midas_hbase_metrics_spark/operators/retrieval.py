@@ -445,8 +445,15 @@ def _intersect_and_verify(
     """Candidates = docs holding ALL selected grams (count-match over
     the gram-keyed posting join); exact `contains` verify on the
     survivors only."""
+    # DISTINCT grams per (query, doc) before the count-match: postings
+    # are distinct per doc by construction, but a streamed index that
+    # replayed a batch re-appends rows — counting distinct grams keeps
+    # the intersection exact under at-least-once appends (>= would
+    # admit them too; distinct-count keeps the invariant n_hit <= n_sel)
     cand = (
         dg.join(F.broadcast(sel), "g")
+        .select("qid", "doc_id", "g")
+        .distinct()
         .groupBy("qid", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .join(F.broadcast(n_sel), "qid")
@@ -515,7 +522,15 @@ def trigram_search_indexed(
     ids."""
     d = _norm_docs_text(docs, doc_id, text)
     qn = _norm_substring_queries(queries, qid, q)
-    df_g = spark.read.parquet(os.path.join(index_dir, "gram_df"))
+    # sum on read: the batch-built index writes one row per gram, a
+    # STREAMED index (stream_trigram_ingest) appends per-batch partial
+    # counts — the aggregate is a no-op on the former and the correct
+    # fold on the latter (vocabulary-sized either way)
+    df_g = (
+        spark.read.parquet(os.path.join(index_dir, "gram_df"))
+        .groupBy("g")
+        .agg(F.sum("df").alias("df"))
+    )
     sel, n_sel = _select_rarest_grams(qn, df_g, k_grams)
     buckets = [
         r.bkt

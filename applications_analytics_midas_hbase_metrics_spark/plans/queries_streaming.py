@@ -950,3 +950,63 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("values").cast("bigint").alias("n_vals"),
         F.col("salt").cast("int").alias("salt"),
     )
+
+
+@register_extra(
+    "trigram_streamed",
+    # FULL oracle (not just an identity gate): the index maintained by
+    # streaming ingest must answer substring search identically to the
+    # semantic contains-truth join — the same oracle as trigram_search
+    # and trigram_indexed, so all three paths triangulate
+    oracle="""
+    SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
+    FROM documents d
+    JOIN (VALUES (0, 'table value'), (1, 'merge batch'),
+                 (2, 'slow filter'), (3, 'the line sort'),
+                 (4, 'zebra')) AS q(qid, s)
+      ON contains(lower(d.text), lower(q.s))
+    """,
+)
+def q_trigram_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring-index maintenance (streaming.dedup_stream
+    .stream_trigram_ingest): three document micro-batches append
+    trigram postings + partial gram-df counts to the bucket-partitioned
+    store; trigram_search_indexed over the read-back store must return
+    the exact contains-truth result set."""
+    import glob
+    import shutil
+
+    from ..operators.retrieval import trigram_search_indexed
+    from ..plans.queries_features import _TRIGRAM_QUERIES
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scratch_dir("trigram_streamed")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for k in range(3):
+        tmp = os.path.join(d, f"tmp{k}")
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+        shutil.rmtree(tmp)
+    idx = os.path.join(d, "index")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = DS.stream_trigram_ingest(
+            stream,
+            idx,
+            os.path.join(d, "ckpt"),
+            n_buckets=64,
+            trigger_available_now=True,
+        )
+        _await(q)
+    queries = spark.createDataFrame(
+        list(_TRIGRAM_QUERIES), "qid bigint, q string"
+    )
+    return trigram_search_indexed(spark, idx, queries, docs, k_grams=4)

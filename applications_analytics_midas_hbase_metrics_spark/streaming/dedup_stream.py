@@ -317,3 +317,49 @@ def stream_ivf_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_trigram_ingest(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous substring-index maintenance — the streaming sibling
+    of operators.retrieval.trigram_index_build, shaped exactly like
+    :func:`stream_ivf_ingest`: each micro-batch of documents explodes
+    to its distinct character trigrams and APPENDS to the
+    g_bucket-partitioned postings store, plus a per-batch partial
+    (g, df) count to the gram_df store.  trigram_search_indexed sums
+    gram_df on read and distinct-counts the intersection, so search
+    over the maintained index sees every ingested batch without a
+    rebuild — and stays EXACT even if an at-least-once replay
+    re-appends a batch (postings duplicates collapse in the
+    distinct-count; doubled partial dfs can only re-rank the rarest-k
+    selection, which is pure pruning).  Exactly-once from the
+    checkpoint + Parquet's atomic task commits is the normal regime;
+    the gate pins streamed == batch-rebuilt == contains-truth."""
+    from ..operators.retrieval import _char_trigrams, _norm_docs_text
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        dg = _norm_docs_text(batch, doc_id, text).select(
+            "doc_id", F.explode(_char_trigrams("t")).alias("g")
+        )
+        dg.withColumn(
+            "g_bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
+        ).withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).partitionBy("g_bucket").parquet(os.path.join(index_dir, "postings"))
+        dg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        ).write.mode("append").parquet(os.path.join(index_dir, "gram_df"))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

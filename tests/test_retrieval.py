@@ -366,3 +366,44 @@ def test_trigram_indexed_identical_to_inline(spark, tmp_path):
         if qq in txt
     }
     assert stored == truth
+
+
+def test_trigram_search_exact_under_replayed_append(spark, tmp_path):
+    """An at-least-once replay re-appends a batch's postings and
+    partial dfs; the distinct-count intersection and summed-df
+    selection must leave the result set exactly the contains truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        _char_trigrams,
+        _norm_docs_text,
+        trigram_index_build,
+        trigram_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta alpha")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    trigram_index_build(docs, idx, n_buckets=8)
+    # replay: re-append doc 2's postings and partial dfs a second time
+    dup = _norm_docs_text(docs.filter(F.col("doc_id") == 2), "doc_id", "text")
+    dg = dup.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    dg.withColumn("g_bucket", F.pmod(F.xxhash64("g"), F.lit(8))).write.mode(
+        "append"
+    ).partitionBy("g_bucket").parquet(os.path.join(idx, "postings"))
+    dg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "append"
+    ).parquet(os.path.join(idx, "gram_df"))
+    qs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], "qid bigint, q string"
+    )
+    got = {
+        (r.qid, r.doc_id)
+        for r in trigram_search_indexed(spark, idx, qs, docs, k_grams=4,
+                                        n_buckets=8).collect()
+    }
+    assert got == {(0, 1), (0, 3), (1, 1), (1, 2), (2, 2)}
