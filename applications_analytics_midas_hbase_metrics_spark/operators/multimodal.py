@@ -225,6 +225,23 @@ def decode_image_real(payload: bytes) -> dict:
             f"unsupported BMP variant (bpp={bpp}, compression={compression})"
         )
     rows = abs(height)
+    arr = _bmp_rows(payload, off, width, height)
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": float(arr.mean()),
+        "width": width,
+        "height": rows,
+    }
+
+
+def _bmp_rows(payload: bytes, off: int, width: int, height: int):
+    """The (rows, width*3) top-down uint8 pixel array of a parsed
+    uncompressed 24-bit BMP (padding stripped, bottom-up order
+    flipped) — shared by decode_image_real's statistics and
+    patchify_images' tile math."""
+    import numpy as np
+
+    rows = abs(height)
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     if off + row_bytes * rows > len(payload):
         raise ValueError("truncated BMP payload")
@@ -232,12 +249,86 @@ def decode_image_real(payload: bytes) -> dict:
     arr = arr.reshape(rows, row_bytes)[:, : width * 3]
     if height > 0:  # positive height = bottom-up row order
         arr = arr[::-1]
-    return {
-        "n_bytes": len(payload),
-        "mean_byte": float(arr.mean()),
-        "width": width,
-        "height": rows,
-    }
+    return arr
+
+
+def patchify_images(
+    df: DataFrame,
+    patch: int = 2,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ViT-style patch grid over decoded images: each uncompressed
+    24-bit BMP payload splits into ``patch``×``patch``-pixel tiles
+    (FULL tiles only — the trailing remainder is dropped, the standard
+    ViT convention of resizing to a multiple of the patch size
+    upstream) and every tile reports its mean byte value — the
+    cheapest stand-in for the per-patch embedding a vision tower would
+    compute, with the Spark-side plumbing (Arrow batching, per-row
+    error isolation, deterministic tile order) being the real subject.
+
+    Tile sums are exact integers (≤ patch²·3·255 « 2⁵³), so the mean
+    is bit-identical in any summation order and the closed-form pixel
+    fixture replays in SQL.  Undecodable payloads emit ONE
+    (patch_row=-1, patch_col=-1, patch_mean=NULL) row instead of
+    failing the task — the extract_features error-isolation contract.
+
+    Returns (id, patch_row, patch_col, patch_mean)."""
+    from collections.abc import Iterator as _Iter
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rid = int(getattr(row, id_col))
+                payload = getattr(row, payload_col)
+                try:
+                    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+                        raise NotImplementedError("not an uncompressed BMP")
+                    off = int.from_bytes(payload[10:14], "little")
+                    width = int.from_bytes(payload[18:22], "little", signed=True)
+                    height = int.from_bytes(payload[22:26], "little", signed=True)
+                    bpp = int.from_bytes(payload[28:30], "little")
+                    comp = int.from_bytes(payload[30:34], "little")
+                    if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+                        raise NotImplementedError("unsupported BMP variant")
+                    px = _bmp_rows(payload, off, width, height).reshape(
+                        abs(height), width, 3
+                    )
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    out.append((rid, -1, -1, None))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                for pr in range(h // patch):
+                    for pc in range(w // patch):
+                        tile = px[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        out.append(
+                            (
+                                rid,
+                                pr,
+                                pc,
+                                round(
+                                    int(tile.astype(np.int64).sum())
+                                    / (patch * patch * 3),
+                                    6,
+                                ),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["id", "patch_row", "patch_col", "patch_mean"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        run,
+        "id bigint, patch_row bigint, patch_col bigint, patch_mean double",
+    )
 
 
 def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -2084,3 +2084,46 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("okey", "qty", "rflag")
     )
+
+
+@register_extra(
+    "multimodal_patchify",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT d.doc_id, d.w, pr.r AS pr, pc.c AS pc
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 3)) AS r) pr ON pr.r < d.h // 2
+        JOIN (SELECT unnest(range(0, 4)) AS c) pc ON pc.c < d.w // 2
+    ),
+    px AS (
+        SELECT g.doc_id, g.pr, g.pc,
+               (7 * g.doc_id
+                + 13 * (((2 * g.pr + dr.r) * g.w + 2 * g.pc + dc.c) * 3
+                        + ch.c)) % 256 AS v
+        FROM grid g
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS r) dr
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS c) dc
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+    )
+    SELECT doc_id AS id, pr AS patch_row, pc AS patch_col,
+           round(CAST(sum(v) AS DOUBLE) / 12.0, 6) AS patch_mean
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction under the differential gate
+    (operators.multimodal.patchify_images): the closed-form BMP
+    payloads decode, split into 2×2-pixel tiles (full tiles only), and
+    each tile's mean byte must equal the oracle's direct recomputation
+    from the pixel rule — so the binary round trip, the bottom-up row
+    flip, the padding strip and the tile indexing are all under the
+    hash."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.synthesize_bmp_payloads(docs, id_col="doc_id")
+    return MM.patchify_images(mm, patch=2)

@@ -781,3 +781,26 @@ def test_perplexity_buckets_single_doc_lang(spark):
     # each language has one doc: rank 1 of 1 -> head -> kept
     assert out[1].bucket == "head" and out[1].kept == 1
     assert out[2].bucket == "head" and out[2].kept == 1
+
+
+def test_patchify_hand_checked_and_error_isolated(spark):
+    """A 4x2 image with known pixels yields exactly 2 full 2x2 tiles
+    with hand-computed means; a garbage payload emits the single
+    (-1, -1, NULL) isolation row."""
+    import numpy as np
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        (1, MM.encode_bmp(px)),
+        (2, b"not a bmp at all, clearly"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {(r.id, r.patch_row, r.patch_col): r.patch_mean
+           for r in MM.patchify_images(df, patch=2).collect()}
+    # tile (0,0): rows 0-1, cols 0-1 -> byte indices {0..5} u {12..17}
+    t00 = (sum(range(0, 6)) + sum(range(12, 18))) / 12
+    t01 = (sum(range(6, 12)) + sum(range(18, 24))) / 12
+    assert got[(1, 0, 0)] == round(t00, 6)
+    assert got[(1, 0, 1)] == round(t01, 6)
+    assert got[(2, -1, -1)] is None
+    assert len(got) == 3
