@@ -765,3 +765,46 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@register_extra(
+    "range_window_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_1h_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS trailing_1h_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW trailing time-range aggregate — the RANGE-frame window
+    mechanism (every event sees its user's exact trailing hour,
+    microsecond-bounded), distinct from the bucketed sliding windows
+    (window_sliding) and the row-count frames (ewma_user_value): the
+    frame edge moves with each row's own timestamp, and equal-ts peer
+    rows share their frame in both engines by RANGE semantics.  Sums
+    are exact DECIMAL before the double cast; the order key is integer
+    microseconds on both sides (a seconds cast would merge sub-second
+    neighbors; DuckDB's epoch() returns fractional doubles — epoch_us
+    is the exact mirror of unix_micros)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_1h_n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_total"),
+    )
