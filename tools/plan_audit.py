@@ -101,6 +101,9 @@ CHECKS = {
     # all ride broadcast onto the posting/text sides
     "trigram_search": ["BroadcastHashJoin"],
     "trigram_indexed_search": ["BroadcastHashJoin"],
+    # explicit mixed sets must be ONE Expand over one scan, never a
+    # UNION of three aggregations
+    "grouping_sets_events": ["Expand"],
 }
 
 
@@ -460,6 +463,9 @@ def main() -> None:
         "corr_metrics",
         "pca_top_direction",
         "abtt_corrected",
+        "grouping_sets_events",
+        "top_session_paths",
+        "range_window_user",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
