@@ -653,6 +653,22 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    a, rate, ch = _wav_pcm(fmt, data)
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "n_samples": a.shape[0],
+        "n_channels": ch,
+        "mean_abs": float(np.abs(a.astype(np.int32)).mean()),
+    }
+
+
+def _wav_pcm(fmt: bytes, data: bytes):
+    """(samples (n, ch) int16 view, sample_rate, n_channels) of parsed
+    fmt/data chunks — shared by decode_wav's statistics and
+    frame_audio's windowing.  16-bit integer PCM only."""
+    import numpy as np
+
     codec = int.from_bytes(fmt[0:2], "little")
     ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
@@ -663,14 +679,88 @@ def decode_wav(payload: bytes) -> dict:
         )
     if len(data) % (ch * 2):
         raise ValueError("WAV data length is not a whole number of frames")
-    a = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
-    return {
-        "n_bytes": len(payload),
-        "sample_rate": rate,
-        "n_samples": a.shape[0],
-        "n_channels": ch,
-        "mean_abs": float(np.abs(a.astype(np.int32)).mean()),
-    }
+    return np.frombuffer(data, dtype="<i2").reshape(-1, ch), rate, ch
+
+
+def frame_audio(
+    df: DataFrame,
+    frame: int = 8,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level audio features — the audio sibling of
+    :func:`patchify_images`: each 16-bit PCM WAV payload splits into
+    non-overlapping ``frame``-sample windows (FULL frames only, the
+    trailing remainder dropped) and every window reports its mean
+    absolute amplitude and its peak — the per-frame level features a
+    speech-data curation pass thresholds on (silence trimming, clip
+    detection) before any model-based VAD.
+
+    Frame sums are exact integers (≤ frame·ch·32768 « 2⁵³), so the
+    means are bit-identical in any summation order and the closed-form
+    sample fixture replays in SQL.  Undecodable payloads emit ONE
+    (frame_idx=-1, NULLs) row — the per-row isolation contract.
+
+    Returns (id, frame_idx, frame_mean_abs, frame_peak)."""
+    from collections.abc import Iterator as _Iter
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rid = int(getattr(row, id_col))
+                payload = getattr(row, payload_col)
+                try:
+                    if (
+                        payload is None
+                        or len(payload) < 44
+                        or payload[:4] != b"RIFF"
+                        or payload[8:12] != b"WAVE"
+                    ):
+                        raise NotImplementedError("not a RIFF/WAVE payload")
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= len(payload):
+                        cid = payload[pos : pos + 4]
+                        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                        body = payload[pos + 8 : pos + 8 + ln]
+                        if len(body) < ln:
+                            raise ValueError(f"truncated WAV chunk {cid!r}")
+                        if cid == b"fmt ":
+                            fmt = body
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + ln + (ln & 1)
+                    if fmt is None or data is None:
+                        raise ValueError("WAV missing fmt or data chunk")
+                    a, _rate, ch = _wav_pcm(fmt, data)
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    out.append((rid, -1, None, None))
+                    continue
+                aa = np.abs(a.astype(np.int64))
+                for fi in range(a.shape[0] // frame):
+                    win = aa[fi * frame : (fi + 1) * frame]
+                    out.append(
+                        (
+                            rid,
+                            fi,
+                            round(int(win.sum()) / (frame * ch), 6),
+                            int(win.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "frame_idx", "frame_mean_abs", "frame_peak"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        run,
+        "id bigint, frame_idx bigint, frame_mean_abs double, "
+        "frame_peak bigint",
+    )
 
 
 def extract_audio_features(

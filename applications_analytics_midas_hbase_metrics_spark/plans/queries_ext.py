@@ -2127,3 +2127,41 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     mm = MM.synthesize_bmp_payloads(docs, id_col="doc_id")
     return MM.patchify_images(mm, patch=2)
+
+
+@register_extra(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples
+        FROM documents
+    ),
+    fr AS (
+        SELECT d.doc_id, f.i AS frame_idx, d.n_samples
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 9)) AS i) f
+          ON f.i < d.n_samples // 8
+    ),
+    sm AS (
+        SELECT doc_id, frame_idx,
+               abs((5 * doc_id + 7 * (frame_idx * 8 + s.k)) % 4096 - 2048)
+                   AS v
+        FROM fr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) s
+    )
+    SELECT doc_id AS id, frame_idx,
+           round(CAST(sum(v) AS DOUBLE) / 8.0, 6) AS frame_mean_abs,
+           CAST(max(v) AS BIGINT) AS frame_peak
+    FROM sm GROUP BY 1, 2
+    """,
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features under the differential gate
+    (operators.multimodal.frame_audio): the closed-form PCM payloads
+    decode through the real RIFF walk, split into 8-sample frames
+    (full frames only), and each frame's mean |amplitude| and peak
+    must equal the oracle's direct recomputation from the sample rule
+    — chunk padding, little-endian frames and window indexing all
+    under the hash."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    mm = MM.synthesize_wav_payloads(docs, id_col="doc_id")
+    return MM.frame_audio(mm, frame=8)

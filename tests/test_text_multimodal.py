@@ -804,3 +804,22 @@ def test_patchify_hand_checked_and_error_isolated(spark):
     assert got[(1, 0, 1)] == round(t01, 6)
     assert got[(2, -1, -1)] is None
     assert len(got) == 3
+
+
+def test_frame_audio_hand_checked_and_error_isolated(spark):
+    """A 20-sample mono WAV yields 2 full 8-sample frames with
+    hand-computed mean-abs/peak (trailing 4 samples dropped); garbage
+    emits the (-1, NULL, NULL) isolation row."""
+    import numpy as np
+
+    samples = np.array([(-1) ** i * (i * 100) for i in range(20)], dtype=np.int16)
+    rows = [(1, MM.encode_wav(samples)), (2, b"RIFFbroken")]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {(r.id, r.frame_idx): (r.frame_mean_abs, r.frame_peak)
+           for r in MM.frame_audio(df, frame=8).collect()}
+    f0 = np.abs(samples[:8].astype(np.int64))
+    f1 = np.abs(samples[8:16].astype(np.int64))
+    assert got[(1, 0)] == (round(int(f0.sum()) / 8, 6), int(f0.max()))
+    assert got[(1, 1)] == (round(int(f1.sum()) / 8, 6), int(f1.max()))
+    assert got[(2, -1)] == (None, None)
+    assert len(got) == 3
