@@ -407,3 +407,40 @@ def test_trigram_search_exact_under_replayed_append(spark, tmp_path):
                                         n_buckets=8).collect()
     }
     assert got == {(0, 1), (0, 3), (1, 1), (1, 2), (2, 2)}
+
+
+def test_trigram_search_randomized_vs_contains_truth(spark):
+    """Seeded random corpora over a tiny alphabet (dense trigram
+    collisions, repeated substrings, punctuation and spaces) — the
+    index must equal the Python contains truth on every (query, doc)
+    pair, at several k_grams."""
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        trigram_substring_search,
+    )
+
+    rng = random.Random(42)
+    alphabet = "ab c.!"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    queries = [
+        (qi, "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 7))))
+        for qi in range(12)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(queries, "qid bigint, q string")
+    truth = {
+        (qi, di)
+        for di, txt in docs
+        for qi, qq in queries
+        if qq.lower() in txt.lower()
+    }
+    for k in (2, 4):
+        got = {
+            (r.qid, r.doc_id)
+            for r in trigram_substring_search(ddf, qdf, k_grams=k).collect()
+        }
+        assert got == truth, k

@@ -823,3 +823,35 @@ def test_frame_audio_hand_checked_and_error_isolated(spark):
     assert got[(1, 1)] == (round(int(f1.sum()) / 8, 6), int(f1.max()))
     assert got[(2, -1)] == (None, None)
     assert len(got) == 3
+
+
+def test_pmi_randomized_vs_python_brute_force(spark):
+    """Seeded random corpus: every (pair, count, pmi_q) must equal a
+    pure-Python recomputation of the same closed form."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    words = ["a", "b", "c", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    uni, pairs = Counter(), Counter()
+    for _, txt in docs:
+        tks = txt.split()
+        uni.update(tks)
+        pairs.update(zip(tks, tks[1:]))
+    n, m = sum(uni.values()), sum(pairs.values())
+    want = {}
+    for (a, b), bc in pairs.items():
+        if bc >= 3:
+            pmi = math.log((bc / m) / ((uni[a] / n) * (uni[b] / n)))
+            want[(a, b)] = (bc, math.floor(pmi * 1e9))
+    got = {
+        (r.term_a, r.term_b): (r.pair_count, r.pmi_q)
+        for r in T.pmi_collocations(df, min_count=3, top_k=1000).collect()
+    }
+    assert got == want
