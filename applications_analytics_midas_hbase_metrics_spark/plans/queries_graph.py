@@ -483,3 +483,70 @@ def q_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("node"))
     )
     return G.bfs_distances(edges, seeds, max_hops=2)
+
+
+@register_extra(
+    "item_item_cosine",
+    oracle="""
+    WITH gi AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    c AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM gi GROUP BY 1),
+    co AS (
+        SELECT l.i AS a, r.i AS b, CAST(count(*) AS BIGINT) AS co
+        FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT a, b, co,
+           CAST(floor(co / sqrt(CAST(ca.n AS DOUBLE) * cb.n)
+                      * 1000000000) AS BIGINT) AS cos_q
+    FROM co JOIN c ca ON ca.i = co.a JOIN c cb ON cb.i = co.b
+    ORDER BY cos_q DESC, a, b LIMIT 50
+    """,
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity over the order
+    baskets: cosine on the binary co-occurrence matrix,
+    ``co(a,b) / sqrt(n(a)·n(b))``, support >= 2, top-50 — the
+    "customers who bought X also bought Y" primitive, and the
+    NORMALIZED sibling of the PMI collocations (PMI rewards surprise,
+    cosine rewards overlap).  Scale shape: the distinct (basket, item)
+    projection bounds the wedge join input; co-occurrence counts
+    aggregate with map-side combine; the vocabulary-sized count table
+    joins twice gram-keyed; top-50 is TakeOrdered.  The support filter
+    is the quadratic bound — exactly triangle_count's recipe on the
+    same graph."""
+    from .queries import t
+
+    li = t(spark, sf_dir, "lineitem")
+    gi = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+    ).distinct()
+    c = gi.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    left = gi.select("g", F.col("i").alias("a"))
+    right = gi.select("g", F.col("i").alias("b"))
+    co = (
+        left.join(right, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    return (
+        co.join(c.select(F.col("i").alias("a"), F.col("n").alias("na")), "a")
+        .join(c.select(F.col("i").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "co",
+            F.floor(
+                F.col("co")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                * F.lit(1_000_000_000.0)
+            )
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+        .orderBy(F.desc("cos_q"), "a", "b")
+        .limit(50)
+    )
