@@ -1056,9 +1056,13 @@ def q_mupr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     # rotated INTO the driver gate in round 6 (extra-tier green in
-    # r4-r5): the S4 header-CSV boundary gets a driver-hard row
+    # r4-r5); rotated back OUT at the end of round 9 — three rounds of
+    # driver-hard rows for the S4 header-CSV boundary, coverage
+    # continues under the identical extra-tier check; the slot goes to
+    # pmi_collocations (the round-9 phrase-mining family's first
+    # driver-hard row)
     "trigger_csv_scan",
     oracle="""
     SELECT 'path_' || CAST(o_orderkey AS VARCHAR) AS file_path,

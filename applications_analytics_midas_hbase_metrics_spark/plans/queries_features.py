@@ -448,7 +448,10 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate at the end of round 9 (extra-tier
+    # green since landing): the phrase-mining family's driver-hard row;
+    # trigger_csv_scan rotated out (S4 coverage continues extra-tier)
     "pmi_collocations",
     oracle=f"""
     WITH d AS (SELECT {_TOKS} AS tks FROM documents),
