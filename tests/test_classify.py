@@ -185,9 +185,17 @@ def test_nb_empty_training_corpus_fails_loudly(spark):
     model = CL.nb_quality_train(empty)
     assert model.count() == 0  # the trainer's own frame is just empty...
     docs = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
-    # ...so the SCORER is where the loud failure must fire (Catalyst
-    # empty-relation propagation removes the trainer's guard subtree)
-    with _pytest.raises(Exception, match="model is empty"):
+    # ...so the loud failure fires at scoring time.  WHICH guard's
+    # message surfaces is AQE-timing-dependent: when empty-relation
+    # propagation removes the trainer's guard subtree before any stage
+    # runs, the scorer's own "model is empty" count-guard fires; when
+    # the trainer's aggregate stage materializes first, its
+    # "training corpus is empty" assert_true wins the race.  Both are
+    # the designed loud failures — the contract is that ONE of them
+    # raises instead of NULL weights flowing silently.
+    with _pytest.raises(
+        Exception, match="model is empty|training corpus is empty"
+    ):
         CL.nb_quality_score(docs, model).collect()
 
 
