@@ -166,6 +166,10 @@ def nb_quality_score(
     )
     scored = (
         doctoks.join(model.select("tk", "w"), "tk", "left")
+        # consts carries its F.broadcast hint from the definition above —
+        # an aggregate's size ESTIMATE is not guaranteed small to the
+        # planner, so the 1-row frame is hinted once and both crossJoins
+        # inherit it (plan pinned broadcast-only in PLANS.md).
         .crossJoin(consts)
         .groupBy("id")
         .agg(

@@ -340,10 +340,17 @@ def _char_trigrams(col: str) -> Column:
     column, by NAME (the sliding substring needs the column twice
     inside one SQL lambda) — one JVM HOF projection, no explode here
     so callers pick the row shape."""
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0]), so strings shorter
+    # than 3 chars would otherwise emit bogus 1-2-char "grams" (and empty
+    # strings an empty gram) that persist into stored postings/gram_df;
+    # the length filter guarantees every emitted gram is exactly 3 chars.
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(char_length({col}) - 2, 0)),"
-            f" i -> substring({col}, i, 3))"
+        F.filter(
+            F.expr(
+                f"transform(sequence(1, greatest(char_length({col}) - 2, 0)),"
+                f" i -> substring({col}, i, 3))"
+            ),
+            lambda g: F.length(g) == 3,
         )
     )
 

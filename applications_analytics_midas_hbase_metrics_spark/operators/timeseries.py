@@ -129,9 +129,21 @@ def ewma_smooth(
     fold is a JVM higher-order function over <= window_rows elements —
     map-side after the window sort, no extra shuffle, no UDF.
 
-    Returns the input columns plus (n_obs, ewma)."""
-    if not (1 <= window_rows <= 62):
-        raise ValueError("window_rows must be in [1, 62] (bigint shifts)")
+    Returns the input columns plus (n_obs, ewma).
+
+    Overflow bound: the numerator multiplies each value by up to
+    ``2^(window_rows-1)`` in bigint (Java long WRAPS silently on
+    overflow — no error).  The window is therefore capped at 40, which
+    keeps the weighted sum exact for |value_cents| up to ~2^22 per
+    observation (~$42k in cents) with 2^63 headroom for the fold —
+    realistic cent magnitudes.  The previous [1, 62] advertisement was
+    unsafe: at 62, |value| >= 5 already wrapped."""
+    if not (1 <= window_rows <= 40):
+        raise ValueError(
+            "window_rows must be in [1, 40]: the dyadic weights shift "
+            "values left by up to window_rows-1 bits in bigint, and "
+            "beyond 40 realistic cent magnitudes silently wrap"
+        )
     w = (
         Window.partitionBy(key_col)
         .orderBy(order_col)

@@ -696,7 +696,8 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -735,9 +736,14 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Gap compare in integer MICROSECONDS on both sides (oracle uses
+    # epoch_us) — a seconds cast truncates and a gap in (1800, 1801)s
+    # could break a session in one engine but not the other (the same
+    # epoch() trap range_window_user documents).
+    mu = F.unix_micros(F.col("ts"))
+    gap = mu - F.lag(mu).over(w)
     s = ev.withColumn(
-        "brk", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "brk", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     ).withColumn("sess", F.sum("brk").over(w))
     paths = (
         s.groupBy("user_id", "sess")

@@ -446,8 +446,27 @@ def test_ewma_window_rows_guard(spark):
     df = spark.createDataFrame([(1, 1, 1)], "user_id bigint, hour bigint, xq bigint")
     with pytest.raises(ValueError):
         ewma_smooth(df, window_rows=0)
+    # [1, 62] was the old advertised range, but beyond 40 the dyadic
+    # bigint weights silently WRAP for realistic cent magnitudes
+    # (|x| >= 5 at 62) — the bound is now the safe one.
     with pytest.raises(ValueError):
-        ewma_smooth(df, window_rows=63)
+        ewma_smooth(df, window_rows=41)
+
+
+def test_ewma_no_overflow_at_max_window(spark):
+    # At the cap (40) a large-cent series must stay exact: 41 rows of
+    # +/- 4_000_000 cents ($40k) through the full 40-row frame; every
+    # EWMA is bounded by max|x|/100 dollars — a silent bigint wrap
+    # would blow far past it.
+    rows = [(1, h, 4_000_000 if h % 2 else -4_000_000) for h in range(41)]
+    df = spark.createDataFrame(rows, "user_id bigint, hour bigint, xq bigint")
+    from applications_analytics_midas_hbase_metrics_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    out = ewma_smooth(df, window_rows=40).collect()
+    assert len(out) == 41
+    assert all(abs(r.ewma) <= 40_000.0 for r in out)
 
 
 def test_pca_power_converges_on_gapped_matrix(spark):

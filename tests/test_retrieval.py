@@ -368,6 +368,27 @@ def test_trigram_indexed_identical_to_inline(spark, tmp_path):
     assert stored == truth
 
 
+def test_char_trigrams_short_strings_emit_nothing(spark):
+    """Spark's sequence(1, 0) is DESCENDING ([1, 0]), so pre-fix a
+    2-char string emitted two bogus sub-3-char 'grams' (and '' an empty
+    gram) that persisted junk postings/gram_df rows.  Every emitted
+    gram must now be exactly 3 chars; strings shorter than 3 emit an
+    empty array."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        _char_trigrams,
+    )
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abcd",)], "t string"
+    )
+    got = {r.t: r.g for r in df.select("t", _char_trigrams("t").alias("g")).collect()}
+    assert got[""] == []
+    assert got["a"] == []
+    assert got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert sorted(got["abcd"]) == ["abc", "bcd"]
+
+
 def test_trigram_search_exact_under_replayed_append(spark, tmp_path):
     """An at-least-once replay re-appends a batch's postings and
     partial dfs; the distinct-count intersection and summed-df
