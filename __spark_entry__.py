@@ -58,6 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map-side text scoring, and per-label centroid math are each
         # covered by a stronger gated sibling) for line_dedup /
         # kmeans_fixed / vocab_canonicalize / gapfill_hourly.
+        # Round 10: gapfill_hourly / train_val_test_split /
+        # stream_running_totals / pack_chunks / winnow_overlap_pairs /
+        # chunk_dedup left (each subsumed by a stronger gated sibling —
+        # chunk_dedup by the NEW substring_dedup, its exact boundary-free
+        # superset) for substring_dedup + the five never-gated
+        # high-value rows: quality_classifier, pca_top_direction,
+        # pagerank_coview, bfs_reach, q9_product_profit.
         # The ANN family
         # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
         # order and relays the pinned brute-force truth / codebooks —

@@ -961,6 +961,137 @@ def cut_spans(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_fn: str = "exact",
+    materialize: bool = True,
+    pin=None,
+) -> DataFrame:
+    """EXACT substring-duplication detection at k-token granularity —
+    the ExactSubstr dedup modality of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed without
+    a suffix array: a duplicated token span of length >= ``k`` contains
+    a duplicated k-token shingle at EVERY in-span start position, and a
+    k-shingle with corpus frequency >= ``min_count`` IS a duplicated
+    span of exactly k tokens — so marking every shingle whose exact
+    text occurs >= min_count times in the corpus covers precisely the
+    duplicated-span positions, deterministically and with zero
+    sampling (the winnowing pipeline detects the SAME spans
+    probabilistically per window selection; this is its exact sibling).
+
+    Shape: shingling is ONE map-side JVM projection per document — the
+    token start offsets come from a linear character scan for space
+    positions (the normalized text is single-spaced), each shingle is a
+    ``substring(nm, s, e - s + 1)`` slice, no per-token accumulator and
+    no tokenize-explode-window shuffle.  The only shuffles are the
+    shingle-frequency count (map-side partial combine, skew-safe for
+    boilerplate mega-shingles — a hot shingle partially aggregates to
+    one row per map task) and the left-semi join of positions against
+    the >= min_count keys; shuffle ROWS are proportional to corpus
+    TOKENS, never to pairs.
+
+    ``key_fn`` selects the count/join key:
+
+    * ``"exact"`` (default) — the shingle text itself: collision-proof
+      and byte-exact DuckDB-replayable; shuffle BYTES carry ~k tokens
+      per row.
+    * ``"xxhash64"`` — a 64-bit hash of the shingle: identical plan,
+      8-byte fixed-width keys (the 100 TB shuffle-byte path); false
+      positives are hash collisions, probability-bounded by
+      n_shingles²/2^65, and equivalence with "exact" on real corpora is
+      pinned in tests.
+
+    Returns (id, start, end): 1-based inclusive character offsets into
+    the NORMALIZED text (the ``cut_spans`` convention) of every
+    duplicated shingle occurrence — all copies are marked, per the
+    ExactSubstr rule; feed to :func:`cut_spans` to merge and cut.
+    No counterpart in the reference (extension surface, SURVEY.md §7
+    phase 7)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
+    if key_fn not in ("exact", "xxhash64"):
+        raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
+    ).filter(F.length("nm") > 0)
+    # token start offsets = 1 ++ (space positions + 1): one linear char
+    # scan (the normalization guarantees single spaces, so every space
+    # terminates exactly one token)
+    offs = (
+        "concat(array(1), transform("
+        " filter(sequence(1, char_length(nm)), p -> substring(nm, p, 1) = ' '),"
+        " p -> p + 1))"
+    )
+    # shingle i covers tokens i..i+k-1 = chars [offs[i], offs[i+k]-2]
+    # (offs[i+k]-1 is the trailing space), or to end-of-text for the
+    # last shingle.  The array-wrap `transform(array(<offs>), o -> ...)`
+    # is a LET BINDING: it forces the offsets array to evaluate once per
+    # document — as a plain withColumn, projection collapse would inline
+    # the whole char scan into every element_at and the build would go
+    # quadratic (measured 17.6 s -> 1.9 s at sf0.1).  The size(o) >= k
+    # guard also keeps the sequence() ascending (sequence(1, 0) is
+    # DESCENDING in Spark) and lets short docs emit an empty array.
+    ivs = F.expr(f"""
+        flatten(transform(array({offs}), o ->
+          if(size(o) >= {k},
+            transform(sequence(1, size(o) - {k} + 1), i ->
+              struct(element_at(o, i) as s,
+                     if(i + {k} <= size(o), element_at(o, i + {k}) - 2,
+                        char_length(nm)) as e)),
+            array())))
+    """)
+    shingle = F.expr("substring(nm, iv.s, iv.e - iv.s + 1)")
+    key = shingle if key_fn == "exact" else F.xxhash64(shingle)
+    rows = src.select("id", "nm", F.explode(ivs).alias("iv")).select(
+        "id",
+        F.col("iv.s").alias("start"),
+        F.col("iv.e").alias("end"),
+        key.alias("_sh"),
+    )
+    # consumed on BOTH sides (frequency count + semi join) — pin so the
+    # shingling projection runs once; at 100 TB prefer pin=persist-to-
+    # disk or recompute over the default localCheckpoint
+    rows = pin(rows) if pin is not None else _self_join_ready(rows, materialize)
+    hot = (
+        rows.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_sh")
+    )
+    return rows.join(hot, "_sh", "left_semi").select("id", "start", "end")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_fn: str = "exact",
+    materialize: bool = True,
+    pin=None,
+) -> DataFrame:
+    """ExactSubstr dedup end-to-end: detect every duplicated k-token
+    span (:func:`exact_substring_spans`), merge overlapping/adjacent
+    occurrences per document, and CUT them from the normalized text
+    (:func:`cut_spans`) — ALL copies are removed, the Lee et al. 2022
+    rule (duplicated boilerplate carries no training signal in any
+    copy).  Spans shorter than k tokens are kept by construction.
+
+    Returns (id, n_spans, cut_chars, text_cut) over ALL input documents
+    (untouched docs pass through normalized)."""
+    spans = exact_substring_spans(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col,
+        key_fn=key_fn, materialize=materialize, pin=pin,
+    )
+    return cut_spans(df, spans, text_col=text_col, id_col=id_col)
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

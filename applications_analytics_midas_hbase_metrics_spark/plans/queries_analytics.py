@@ -380,9 +380,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    # rotated INTO the driver gate late round 9: spine generation +
-    # forward-fill window over a 90%-gap output
+@register_extra(
+    # rotated INTO the driver gate late round 9; rotated back OUT in
+    # round 10 for substring_dedup (spine generation + forward-fill is
+    # coverage-subsumed by the gated window family: interval_join_events,
+    # rollup_revenue, quantiles) — still differentially verified here
     "gapfill_hourly",
     oracle="""
     WITH o AS (

@@ -76,10 +76,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    # rotated INTO the driver gate in round 7 (new this round): the
-    # boundary-splitting chunk emission gets a driver-hard row beside
-    # the gated sequence_packing it extends
+@register_extra(
+    # rotated INTO the driver gate in round 7; rotated back OUT in round
+    # 10 for quality_classifier — the chunk emission extends the gated
+    # sequence_packing prefix-sum machinery (subsumed coverage)
     "pack_chunks",
     oracle=f"""
     WITH tk AS (
@@ -445,7 +445,11 @@ def _winnow_pairs_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
     """
 
 
-@register(
+@register_extra(
+    # rotated OUT of the driver gate in round 10 for pagerank_coview:
+    # the value-only detection join is coverage-subsumed by the gated
+    # winnow_cut (positional superset + interval cut over the same
+    # fingerprint pipeline)
     "winnow_overlap_pairs", oracle=_winnow_pairs_oracle(8, 4, 20, 2)
 )
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,20 +533,12 @@ def q_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
-    pairs = _winnow_spans_oracle(k, w, max_df, min_shared).strip()
-    # reuse the spans oracle verbatim as a CTE body (strip its WITH)
-    assert pairs.startswith("WITH")
-    pairs_body = pairs[len("WITH"):].rsplit("SELECT", 1)
-    inner_ctes, final_select = pairs_body[0], "SELECT" + pairs_body[1]
-    return f"""
-    WITH {inner_ctes.rstrip()}, pairs AS ({final_select}),
-    sp AS (SELECT id_b AS id, b_start AS s, b_end AS e FROM pairs),
-    ad AS (
-        SELECT doc_id AS id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
-        FROM documents
-    ),
+#: Interval-merge (gaps-and-islands) + substring-stitch CTE TAIL shared
+#: by every span-cut oracle (winnow_cut, substring_dedup): expects the
+#: caller's WITH to define ``ad(id, nm)`` — ALL documents, normalized —
+#: and ``sp(id, s, e)`` — the raw 1-based inclusive character spans to
+#: cut.  Replays operators.text.cut_spans character-exactly.
+_CUT_STITCH_TAIL = """
     so AS (
         SELECT id, s, e,
                max(e) OVER (PARTITION BY id ORDER BY s, e
@@ -579,6 +575,24 @@ def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
            END AS text_cut
     FROM ad d
     LEFT JOIN sagg a USING (id) LEFT JOIN snsp n USING (id)
+"""
+
+
+def _winnow_cut_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
+    pairs = _winnow_spans_oracle(k, w, max_df, min_shared).strip()
+    # reuse the spans oracle verbatim as a CTE body (strip its WITH)
+    assert pairs.startswith("WITH")
+    pairs_body = pairs[len("WITH"):].rsplit("SELECT", 1)
+    inner_ctes, final_select = pairs_body[0], "SELECT" + pairs_body[1]
+    return f"""
+    WITH {inner_ctes.rstrip()}, pairs AS ({final_select}),
+    sp AS (SELECT id_b AS id, b_start AS s, b_end AS e FROM pairs),
+    ad AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    {_CUT_STITCH_TAIL}
     """
 
 
@@ -604,6 +618,70 @@ def q_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_end").alias("end"),
     )
     return T.cut_spans(docs, cut_input)
+
+
+def _substring_dedup_oracle(k: int, min_count: int) -> str:
+    """DuckDB twin of operators.text.exact_substring_dedup: token start
+    offsets via one cumulative-length window over the unnested tokens
+    (arithmetically identical to the Spark side's space-position scan:
+    off(i) = i + sum of lengths of tokens 1..i-1), k-token shingles as
+    list slices, exact-text frequency >= min_count, then the shared
+    interval-merge + stitch tail."""
+    return f"""
+    WITH ad AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    tk AS (
+        SELECT id, nm, string_split(nm, ' ') AS toks
+        FROM ad WHERE length(nm) > 0
+    ),
+    tok AS (
+        SELECT id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS ord
+        FROM tk
+    ),
+    off AS (
+        SELECT id, ord,
+               CAST(ord + coalesce(sum(length(tok)) OVER (
+                       PARTITION BY id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS INT) AS s
+        FROM tok
+    ),
+    shg AS (
+        SELECT o.id, o.s,
+               array_to_string(t.toks[o.ord : o.ord + {k - 1}], ' ') AS sh
+        FROM off o JOIN tk t USING (id)
+        WHERE o.ord + {k - 1} <= len(t.toks)
+    ),
+    sh2 AS (SELECT id, s, CAST(s + length(sh) - 1 AS INT) AS e, sh FROM shg),
+    hot AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) >= {min_count}),
+    sp AS (SELECT id, s, e FROM sh2 JOIN hot USING (sh)),
+    {_CUT_STITCH_TAIL}
+    """
+
+
+@register("substring_dedup", oracle=_substring_dedup_oracle(20, 2))
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup (operators.text.exact_substring_dedup) —
+    the ExactSubstr modality of Lee et al. 2022, the exact sibling of
+    the sampled winnow_cut pipeline: every span of >= 20 tokens whose
+    exact text occurs >= 2 times in the corpus is cut from ALL copies;
+    spans shorter than 20 tokens are untouched.  Detection is
+    deterministic (no window sampling): a duplicated >= k-token span is
+    covered at every position by a duplicated k-shingle, so the
+    shingle-frequency mark is character-exactly the duplicated-span
+    cover.  Shuffle rows are proportional to corpus TOKENS (shingle
+    count), never to document pairs; the oracle replays tokenization
+    offsets, shingling, the frequency cut, interval merge, and the
+    substring stitch character-exactly."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return T.exact_substring_dedup(
+        docs, k=20, min_count=2,
+        pin=lambda df: persist_deferred(df, key=f"substr_sh_20:{sf_dir}"),
+    )
 
 
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
@@ -671,7 +749,10 @@ _NB_ORACLE = f"""
 """
 
 
-@register_extra("quality_classifier", oracle=_NB_ORACLE)
+@register(
+    # rotated INTO the driver gate in round 10 (never gated before):
+    # the NB train+score pipeline gets a driver-hard row
+    "quality_classifier", oracle=_NB_ORACLE)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier curation stage (operators.classify): train a
     multinomial Naive Bayes on "does this doc come from the reference

@@ -607,7 +607,11 @@ def _pca_oracle(iters: int = 3, d: int = 64, r: int = 6) -> str:
     )
 
 
-@register_extra("pca_top_direction", oracle=_pca_oracle())
+@register(
+    # rotated INTO the driver gate in round 10 (never gated before):
+    # the quantized power-iteration / unrolled-CTE oracle gets a
+    # driver-hard row
+    "pca_top_direction", oracle=_pca_oracle())
 def q_pca_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three quantized power-iteration rounds on X'X over the
     embeddings table (operators.clustering.pca_power_top) — the

@@ -238,7 +238,9 @@ def _pr_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     )
 
 
-@register_extra("pagerank_coview", oracle=_pr_oracle())
+@register(
+    # rotated INTO the driver gate in round 10 (never gated before)
+    "pagerank_coview", oracle=_pr_oracle())
 def q_pagerank_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five power-iteration rounds (operators.graph.pagerank) over the
     symmetrized supplier<->part graph from lineitem — the iterative-
@@ -386,7 +388,8 @@ def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLU.kmeans_fixed(vecs, k=8, iters=2)
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 10 (never gated before)
     "bfs_reach",
     oracle="""
     WITH RECURSIVE e AS (

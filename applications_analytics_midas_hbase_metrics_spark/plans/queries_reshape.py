@@ -79,7 +79,10 @@ def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated OUT of the driver gate in round 10 for pca_top_direction:
+    # the multiplicative-hash split filter is coverage-subsumed by the
+    # gated mixture-sampling family (same map-side hash-mod mechanism)
     "train_val_test_split",
     oracle="""
     SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'

@@ -149,7 +149,10 @@ def q_stream_cell_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated OUT of the driver gate in round 10 for bfs_reach: the
+    # simplest streaming aggregate is coverage-subsumed by the gated
+    # stream_cell_build / stream_sessionize / stream_stream_join trio
     "stream_running_totals",
     oracle="""
     SELECT user_id,

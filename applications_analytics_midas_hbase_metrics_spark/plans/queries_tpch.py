@@ -129,7 +129,10 @@ def q_cell_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VER.latest_versions(vcells, k=2)
 
 
-@register(
+@register_extra(
+    # rotated OUT of the driver gate in round 10 for q9_product_profit:
+    # fixed-boundary chunk dedup is coverage-subsumed by the gated
+    # substring_dedup (the exact, boundary-free superset)
     "chunk_dedup",
     oracle=f"""
     WITH corpus AS ({_DUP_DOCS_SQL}),
@@ -976,7 +979,9 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate in round 10 (never gated before): the
+    # heaviest TPC-H planner shape (6-table join + per-part reorder)
     "q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,

@@ -598,6 +598,65 @@ def test_winnow_cut_removes_detected_overlap(spark):
     assert redetect.count() == 0
 
 
+def test_exact_substring_spans_hand_checked(spark):
+    """ExactSubstr semantics at k=3: every k-token shingle whose exact
+    text occurs >= 2 times corpus-wide is marked at ALL occurrences
+    (cross-doc AND within-doc); shorter shared runs are untouched;
+    merged cuts are character-exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee xx yy"),
+            (2, "pp qq aa bb cc dd ee rr"),
+            (3, "zz ww vv zz ww vv"),           # within-doc duplication
+            (4, "aa bb short shared run only"),  # 2-token overlap: kept
+            (5, ""),
+            (6, "uu tt"),                        # < k tokens: no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in T.exact_substring_dedup(docs, k=3).collect()}
+    # docs 1+2 share the exact 5-token run "aa bb cc dd ee": its three
+    # k=3 shingles are all duplicated, so the merged cut is the full run
+    # in BOTH copies (the all-copies rule)
+    assert out[1].text_cut == " xx yy" and out[1].cut_chars == 14
+    assert out[2].text_cut == "pp qq  rr" and out[2].cut_chars == 14
+    # "zz ww vv" occurs twice INSIDE doc 3: both occurrences cut
+    assert out[3].text_cut == " " and out[3].cut_chars == 16
+    # the 2-token "aa bb" overlap is below k: untouched
+    assert out[4].text_cut == "aa bb short shared run only"
+    assert out[4].cut_chars == 0
+    assert out[5].text_cut == "" and out[5].n_spans == 0
+    assert out[6].text_cut == "uu tt" and out[6].n_spans == 0
+    # re-detection over the cut corpus is clean
+    cut_corpus = spark.createDataFrame(
+        [(i, r.text_cut) for i, r in out.items()], ["doc_id", "text"]
+    )
+    redetect = T.exact_substring_spans(cut_corpus, k=3)
+    assert redetect.count() == 0
+    with pytest.raises(ValueError):
+        T.exact_substring_spans(docs, k=1)
+    with pytest.raises(ValueError):
+        T.exact_substring_spans(docs, k=3, key_fn="md5")
+
+
+def test_exact_substring_keyfn_equivalence(spark, sf_dir):
+    """The 8-byte xxhash64 shuffle-key path marks the identical span
+    set as the collision-proof exact-text path on the real documents
+    fixture (collision probability ~ n²/2^65 — a disagreement here
+    would be a logic bug, not bad luck)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id, r.start, r.end)
+        for r in T.exact_substring_spans(docs, k=12).collect()
+    }
+    hashed = {
+        (r.id, r.start, r.end)
+        for r in T.exact_substring_spans(docs, k=12, key_fn="xxhash64").collect()
+    }
+    assert exact == hashed
+    assert len(exact) > 0  # the fixture has real duplicated spans
+
+
 def test_winnow_xxhash64_properties(spark):
     """The production-hash path (hash_fn='xxhash64'): the winnowing
     GUARANTEE and the structural invariants are hash-agnostic, so they

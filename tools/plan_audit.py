@@ -104,6 +104,10 @@ CHECKS = {
     # explicit mixed sets must be ONE Expand over one scan, never a
     # UNION of three aggregations
     "grouping_sets_events": ["Expand"],
+    # the duplicated-shingle mark must be a SEMI join of positions
+    # against the >= min_count keys (broadcast at this SF), never an
+    # inner join that could fan positions out per duplicate
+    "substring_dedup": ["LeftSemi"],
 }
 
 
@@ -389,6 +393,20 @@ def main() -> None:
 
     qs["trigram_indexed_search"] = _trigram_indexed_search
 
+    def _substring_dedup_lazy(s, d):
+        # lazy twin: the gated variant localCheckpoints the shingle
+        # frame (consumed by the frequency count AND the semi join),
+        # which would truncate the audited plan at an ExistingRDD and
+        # hide the shingle-keyed exchanges
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return T.exact_substring_dedup(docs, k=20, materialize=False)
+
+    qs["substring_dedup"] = _substring_dedup_lazy
+
     args = sys.argv[1:]
     print_only = "--print-only" in args
     if print_only:
@@ -466,6 +484,7 @@ def main() -> None:
         "grouping_sets_events",
         "top_session_paths",
         "range_window_user",
+        "substring_dedup",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
