@@ -363,6 +363,7 @@ def trigram_substring_search(
     text: str = "text",
     qid: str = "qid",
     q: str = "q",
+    gram_key: str = "text",
 ) -> DataFrame:
     """Substring search over an inverted character-trigram index: which
     documents CONTAIN each query string (case-insensitive) — the
@@ -388,13 +389,35 @@ def trigram_substring_search(
     cannot produce a trigram and fail LOUDLY (assert_true) rather than
     silently matching nothing.
 
+    ``gram_key`` selects the posting/join key: ``"text"`` (default) —
+    the gram string itself, DuckDB-replayable; ``"xxhash64"`` — the
+    8-byte gram hash, the production fixed-width join-key swap.  The
+    result set is IDENTICAL either way (pinned in tests): gram
+    selection is pure pruning and the exact `contains` verify runs on
+    the survivors, so even a hash collision can only admit a candidate
+    the verify then rejects — exactness never rests on the hash.
+
     Returns (qid, doc_id)."""
     d = _norm_docs_text(docs, doc_id, text)
     qn = _norm_substring_queries(queries, qid, q)
-    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    gk = _gram_key_fn(gram_key)
+    dg = d.select(
+        "doc_id", F.explode(_char_trigrams("t")).alias("_gs")
+    ).select("doc_id", gk(F.col("_gs")).alias("g"))
     df_g = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams)
+    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams, gram_key=gram_key)
     return _intersect_and_verify(dg, sel, n_sel, d, qn)
+
+
+def _gram_key_fn(gram_key: str):
+    """Identity for ``"text"``, 64-bit hash for ``"xxhash64"``."""
+    if gram_key not in ("text", "xxhash64"):
+        raise ValueError(
+            f"gram_key must be 'text' or 'xxhash64', got {gram_key!r}"
+        )
+    if gram_key == "text":
+        return lambda c: c
+    return F.xxhash64
 
 
 def _norm_docs_text(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
@@ -422,13 +445,21 @@ def _norm_substring_queries(queries: DataFrame, qid: str, q: str) -> DataFrame:
     )
 
 
-def _select_rarest_grams(qn: DataFrame, df_g: DataFrame, k_grams: int):
+def _select_rarest_grams(
+    qn: DataFrame, df_g: DataFrame, k_grams: int, gram_key: str = "text"
+):
     """(qid, g) of each query's ``k_grams`` rarest trigrams (df asc,
     gram tiebreak; corpus-absent grams are df 0 = rarest), plus the
-    per-query selected count for the intersection's count-match."""
+    per-query selected count for the intersection's count-match.
+    With ``gram_key="xxhash64"`` the tiebreak orders on the hash —
+    a DIFFERENT (equally valid) pruning selection, which cannot change
+    the verified result set."""
     from pyspark.sql import Window
 
-    qg = qn.select("qid", F.explode(_char_trigrams("q")).alias("g"))
+    gk = _gram_key_fn(gram_key)
+    qg = qn.select(
+        "qid", F.explode(_char_trigrams("q")).alias("_gs")
+    ).select("qid", gk(F.col("_gs")).alias("g"))
     w = Window.partitionBy("qid").orderBy(
         F.coalesce("df", F.lit(0)).asc(), F.col("g")
     )
@@ -482,6 +513,7 @@ def trigram_index_build(
     n_buckets: int = 64,
     doc_id: str = "doc_id",
     text: str = "text",
+    gram_key: str = "text",
 ) -> None:
     """Materialize the substring-search index: ``postings/`` (doc_id,
     g) hash-partitioned into ``n_buckets`` gram buckets plus
@@ -490,9 +522,19 @@ def trigram_index_build(
     snapshot exactly like the BM25 index (bm25_index_build): bucketing
     by xxhash64(g) bounds directory fanout at n_buckets regardless of
     how many distinct trigrams the corpus holds, and a recurring query
-    batch then reads ONLY its selected grams' partitions."""
+    batch then reads ONLY its selected grams' partitions.
+
+    ``gram_key="xxhash64"`` stores 8-byte gram hashes instead of the
+    gram strings (fixed-width postings + join keys — the production
+    swap; exactness is unaffected because the search's contains-verify
+    never rests on the hash).  The search MUST be called with the same
+    ``gram_key`` the index was built with — the two key spaces do not
+    intersect."""
     d = _norm_docs_text(docs, doc_id, text)
-    dg = d.select("doc_id", F.explode(_char_trigrams("t")).alias("g"))
+    gk = _gram_key_fn(gram_key)
+    dg = d.select(
+        "doc_id", F.explode(_char_trigrams("t")).alias("_gs")
+    ).select("doc_id", gk(F.col("_gs")).alias("g"))
     dg.withColumn(
         "g_bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
     ).write.mode("overwrite").partitionBy("g_bucket").parquet(
@@ -515,10 +557,12 @@ def trigram_search_indexed(
     text: str = "text",
     qid: str = "qid",
     q: str = "q",
+    gram_key: str = "text",
 ) -> DataFrame:
     """Search a stored trigram index: identical output contract to
     :func:`trigram_substring_search` (identity-gated in
-    plans/queries_features.py).
+    plans/queries_features.py).  ``gram_key`` must match the build
+    (see :func:`trigram_index_build`).
 
     The postings scan is restricted TWICE: statically to the SELECTED
     grams' hash buckets (partition pruning — the rarest-k selection
@@ -538,7 +582,7 @@ def trigram_search_indexed(
         .groupBy("g")
         .agg(F.sum("df").alias("df"))
     )
-    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams)
+    sel, n_sel = _select_rarest_grams(qn, df_g, k_grams, gram_key=gram_key)
     buckets = [
         r.bkt
         for r in sel.select(

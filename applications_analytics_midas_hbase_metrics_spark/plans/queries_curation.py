@@ -1226,59 +1226,18 @@ def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_vocab_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end vocabulary canonicalization — the composition the
-    fuzzy family exists for: deletion-neighborhood pairs
-    (operators/fuzzy.py) become edges, connected components collapse
-    typo chains (a->b->c variants land in ONE cluster even when a and
-    c are distance 2 apart), and every term maps to its cluster's
-    lexicographically-smallest member.  Terms are dense-ranked to
-    bigint ids for the numeric CC loop (rank order = lexicographic
-    order, so min-id == min-term); production at web-vocabulary scale
-    swaps the global rank for xxhash64 ids and carries the min-term
-    reduction through the label, the same swap the winnowing gram hash
-    documents.  The oracle replays the closure over raw term strings
-    with a recursive CTE."""
-    from pyspark.sql import Window
-
+    """End-to-end vocabulary canonicalization
+    (operators.fuzzy.canonicalize_vocab) — the composition the fuzzy
+    family exists for: deletion-neighborhood pairs become edges,
+    connected components collapse typo chains (a->b->c variants land
+    in ONE cluster even when a and c are distance 2 apart), and every
+    term maps to its cluster's lexicographically-smallest member.
+    The gated run uses id_fn="rank" (dense-ranked bigint ids, oracle-
+    replayable); id_fn="xxhash64" is the web-vocabulary-scale swap
+    with no global window, pinned output-identical in pytest (the
+    canonical member reduces from term strings, never id order).  The
+    oracle replays the closure over raw term strings with a recursive
+    CTE."""
     from ..operators import fuzzy as FZ
-    from ..operators import graph as G
 
-    vocab = _typo_vocab(spark, sf_dir).distinct().localCheckpoint(eager=True)
-    ids = vocab.select(
-        "term",
-        # bounded-global-window-ok: ranks the distinct VOCAB (dictionary-
-        # sized by construction, never the corpus); the docstring names
-        # the xxhash64-id swap for web-scale vocabularies
-        F.row_number().over(Window.orderBy("term")).cast("bigint").alias("tid"),
-    )
-    pairs = FZ.fuzzy_pairs(vocab, term_col="term")
-    edges = (
-        pairs.join(ids.withColumnRenamed("term", "a"), "a")
-        .withColumnRenamed("tid", "id_a")
-        .join(
-            ids.withColumnRenamed("term", "b").withColumnRenamed(
-                "tid", "id_b"
-            ),
-            "b",
-        )
-        .select("id_a", "id_b")
-    )
-    labels = G.connected_components(edges)
-    canon_term = ids.select(
-        F.col("tid").alias("cluster_id"), F.col("term").alias("canonical")
-    )
-    mapped = (
-        ids.join(labels, ids.tid == labels.id, "left")
-        .select(
-            "term",
-            F.coalesce("cluster_id", "tid").alias("cluster_id"),
-        )
-        .join(canon_term, "cluster_id")
-        .select("term", "canonical")
-    )
-    wc = Window.partitionBy("canonical")
-    return mapped.select(
-        "term",
-        "canonical",
-        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
-    )
+    return FZ.canonicalize_vocab(_typo_vocab(spark, sf_dir), id_fn="rank")

@@ -102,6 +102,11 @@ def main() -> None:
     queries = E.queries()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     result: dict = {"metric": "total_query_wall_sec", "unit": "sec", "sf": sf}
+    # External-tenant load contaminated several round-9 runs 1.5-2x
+    # (SCALE.md "bench noise" sections); record the box state on BOTH
+    # ends so every BENCH_r*.json is self-describing and cross-round
+    # comparisons can be load-qualified without re-running anything.
+    load_before = os.getloadavg()
 
     detail: dict = dict(result)
     if not cold_only:
@@ -123,6 +128,18 @@ def main() -> None:
     # headline number was lost.  Keep the LAST stdout line compact
     # (headline totals only, well under 1.5 kB) and write the per-query /
     # claims detail to a sidecar next to this script.
+    load_after = os.getloadavg()
+    result["load_1m"] = [round(load_before[0], 2), round(load_after[0], 2)]
+    # loadavg > n_cpus/4 at either end of a local[32] sweep means
+    # external tenants were competing for the box during the run —
+    # flag it so a consumer treats the numbers as an upper bound
+    # rather than a regression signal
+    result["load_flag"] = bool(
+        max(load_before[0], load_after[0]) > int(cpus) / 4
+    )
+    detail["load_before"] = [round(x, 2) for x in load_before]
+    detail["load_after"] = [round(x, 2) for x in load_after]
+
     detail.update(result)
     detail["n_queries"] = len(queries)
     detail_path = os.path.join(

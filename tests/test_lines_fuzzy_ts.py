@@ -149,6 +149,60 @@ def test_fuzzy_pairs_matches_brute_force_random(spark):
     assert len(got) > 100  # non-degenerate
 
 
+def test_fuzzy_pairs_position_keys_identical(spark):
+    # The (variant, deletion-position) production keying must enumerate
+    # the IDENTICAL pair set as the plain-variant keying: equal-length
+    # distance-1 pairs share the deletion key at their differing
+    # position; length±1 pairs meet through the shorter term's
+    # self-form, emitted at every position.  The dense 3-letter
+    # alphabet exercises every edit kind AND the hot-short-variant
+    # buckets the refinement exists to split.
+    import itertools
+
+    vocab_terms = sorted(
+        {
+            "".join(w)
+            for n in (1, 2, 3, 4)
+            for w in itertools.product("abc", repeat=n)
+        }
+    )
+    vocab = spark.createDataFrame([(t,) for t in vocab_terms], ["term"])
+    plain = sorted((r.a, r.b) for r in FZ.fuzzy_pairs(vocab).collect())
+    positional = sorted(
+        (r.a, r.b)
+        for r in FZ.fuzzy_pairs(vocab, position_keys=True).collect()
+    )
+    assert plain == positional
+    assert len(plain) > 100
+
+
+def test_canonicalize_vocab_id_fn_invariant(spark):
+    # The xxhash64 id swap (no global rank window) must produce the
+    # IDENTICAL (term, canonical, cluster_size) output as the rank ids:
+    # the canonical member reduces from term STRINGS per cluster, so id
+    # order never leaks into the result.  Chain a->b->c (distance 2
+    # endpoints) collapses into one cluster either way.
+    vocab = spark.createDataFrame(
+        [("cat",), ("cot",), ("coat",), ("dog",), ("lonely",)], ["term"]
+    )
+    by_rank = sorted(
+        tuple(r) for r in FZ.canonicalize_vocab(vocab, id_fn="rank").collect()
+    )
+    by_hash = sorted(
+        tuple(r) for r in FZ.canonicalize_vocab(vocab, id_fn="xxhash64").collect()
+    )
+    assert by_rank == by_hash
+    assert by_rank == [
+        ("cat", "cat", 3),
+        ("coat", "cat", 3),
+        ("cot", "cat", 3),
+        ("dog", "dog", 1),
+        ("lonely", "lonely", 1),
+    ]
+    with pytest.raises(ValueError):
+        FZ.canonicalize_vocab(vocab, id_fn="md5")
+
+
 def test_fuzzy_pairs_dedupes_vocab_and_skips_empty(spark):
     vocab = spark.createDataFrame(
         [("aa",), ("aa",), ("ab",), ("",), (None,)], ["term"]

@@ -312,6 +312,59 @@ def test_trigram_search_matches_contains_truth(spark):
             for r in trigram_substring_search(docs, qs, k_grams=k).collect()
         }
         assert got == truth, k
+        # the 8-byte hashed-gram production keys select a possibly
+        # DIFFERENT rarest-gram set (hash tiebreak) but the verified
+        # result is the same contains truth — exactness never rests
+        # on the gram key
+        got_h = {
+            (r.qid, r.doc_id)
+            for r in trigram_substring_search(
+                docs, qs, k_grams=k, gram_key="xxhash64"
+            ).collect()
+        }
+        assert got_h == truth, k
+    with pytest.raises(ValueError):
+        trigram_substring_search(docs, qs, gram_key="md5")
+
+
+def test_trigram_indexed_hashed_grams_identical(spark, tmp_path):
+    """A gram_key='xxhash64' index (8-byte postings) searched with the
+    matching flag reproduces the text-keyed result exactly."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        trigram_index_build,
+        trigram_search_indexed,
+        trigram_substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta delta"),
+            (3, "GAMMA rays and alpha particles"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma ray"), (3, "xyz")],
+        "qid bigint, q string",
+    )
+    idx = str(tmp_path / "idxh")
+    trigram_index_build(docs, idx, n_buckets=8, gram_key="xxhash64")
+    got = {
+        (r.qid, r.doc_id)
+        for r in trigram_search_indexed(
+            spark, idx, qs, docs, k_grams=4, n_buckets=8, gram_key="xxhash64"
+        ).collect()
+    }
+    want = {
+        (r.qid, r.doc_id)
+        for r in trigram_substring_search(docs, qs, k_grams=4).collect()
+    }
+    assert got == want
+    # stored postings are fixed-width bigints, not strings
+    post = spark.read.parquet(f"{idx}/postings")
+    assert dict(post.dtypes)["g"] == "bigint"
 
 
 def test_trigram_search_short_query_fails_loudly(spark):

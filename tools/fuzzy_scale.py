@@ -78,6 +78,46 @@ def main() -> None:
             line += f"  |  brute {t_bf:.1f}s pairs={n_bf} (identical)"
         print(line)
 
+    # -----------------------------------------------------------------
+    # Hot-short-variant skew: a vocabulary with heavy mass at 3-4 chars
+    # over a tiny alphabet makes single deletion variants ("ab", "aab")
+    # shared by HUNDREDS of terms — the quadratic-bucket case the
+    # positional key refinement exists for.  Both key shapes must
+    # enumerate the identical pair set while the (variant, position)
+    # join splits each hot bucket into per-position groups.
+    # -----------------------------------------------------------------
+    print("-- hot-short-variant skew (length-4 base-26, dense) --")
+    for n in [50_000, 100_000, 300_000]:
+        # dense short vocabulary: N distinct length-4 terms sampled from
+        # the 457k-term base-26 space (~10-20% density), so every
+        # length-3 deletion variant is shared by ~dozens of terms and
+        # the plain-variant buckets join quadratically
+        short = spark.range(n).select(
+            (F.xxhash64(F.col("id").cast("string")) % 456_976).alias("h")
+        ).select(
+            F.expr(
+                "concat(transform(sequence(0, 3), i ->"
+                " substring('abcdefghijklmnopqrstuvwxyz',"
+                "           int(abs(h) / power(26, i)) % 26 + 1, 1)))"
+            ).alias("cs")
+        ).select(F.array_join("cs", "").alias("term"))
+        vocab = short.localCheckpoint(eager=True)
+        n_terms = vocab.distinct().count()
+
+        t0 = time.time()
+        n_plain = FZ.fuzzy_pairs(vocab).count()
+        t_plain = time.time() - t0
+
+        t0 = time.time()
+        n_pos = FZ.fuzzy_pairs(vocab, position_keys=True).count()
+        t_pos = time.time() - t0
+
+        assert n_plain == n_pos, f"positional keys diverge: {n_plain} vs {n_pos}"
+        print(
+            f"N={n_terms}: plain {t_plain:.1f}s  positional {t_pos:.1f}s"
+            f"  pairs={n_plain} (identical)"
+        )
+
 
 if __name__ == "__main__":
     main()

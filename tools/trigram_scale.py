@@ -90,6 +90,24 @@ def main() -> None:
             ).collect()
         }
         dt_idx = time.time() - t0
+        # production gram keys: 8-byte hashed postings, same result
+        # (exactness rests on the contains verify, never the key)
+        idx_h = os.path.join(root, f"idxh_{factor}")
+        t0 = time.time()
+        trigram_index_build(
+            docs, idx_h, n_buckets=N_BUCKETS, gram_key="xxhash64"
+        )
+        dt_build_h = time.time() - t0
+        t0 = time.time()
+        hits_h = {
+            (r.qid, r.doc_id)
+            for r in trigram_search_indexed(
+                spark, idx_h, queries, docs, k_grams=4,
+                n_buckets=N_BUCKETS, gram_key="xxhash64",
+            ).collect()
+        }
+        dt_idx_h = time.time() - t0
+        assert hits_h == hits, f"hashed gram keys diverge at {factor}x"
         t0 = time.time()
         base = {(r.qid, r.doc_id) for r in contains_scan(docs, queries).collect()}
         dt_scan = time.time() - t0
@@ -132,8 +150,13 @@ def main() -> None:
             f"({total_post / max(exact_post, 1):.0f}x)  "
             f"matches {len(hits)}  agree {agree}"
         )
+        print(
+            f"           hashed grams: build {dt_build_h:6.2f}s  "
+            f"indexed-search {dt_idx_h:6.2f}s  (identical result set)"
+        )
         assert agree
         shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx_h, ignore_errors=True)
         factor *= 4
     shutil.rmtree(root, ignore_errors=True)
 
