@@ -1015,44 +1015,7 @@ def exact_substring_spans(
         raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
     if key_fn not in ("exact", "xxhash64"):
         raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
-    ).filter(F.length("nm") > 0)
-    # token start offsets = 1 ++ (space positions + 1): one linear char
-    # scan (the normalization guarantees single spaces, so every space
-    # terminates exactly one token)
-    offs = (
-        "concat(array(1), transform("
-        " filter(sequence(1, char_length(nm)), p -> substring(nm, p, 1) = ' '),"
-        " p -> p + 1))"
-    )
-    # shingle i covers tokens i..i+k-1 = chars [offs[i], offs[i+k]-2]
-    # (offs[i+k]-1 is the trailing space), or to end-of-text for the
-    # last shingle.  The array-wrap `transform(array(<offs>), o -> ...)`
-    # is a LET BINDING: it forces the offsets array to evaluate once per
-    # document — as a plain withColumn, projection collapse would inline
-    # the whole char scan into every element_at and the build would go
-    # quadratic (measured 17.6 s -> 1.9 s at sf0.1).  The size(o) >= k
-    # guard also keeps the sequence() ascending (sequence(1, 0) is
-    # DESCENDING in Spark) and lets short docs emit an empty array.
-    ivs = F.expr(f"""
-        flatten(transform(array({offs}), o ->
-          if(size(o) >= {k},
-            transform(sequence(1, size(o) - {k} + 1), i ->
-              struct(element_at(o, i) as s,
-                     if(i + {k} <= size(o), element_at(o, i + {k}) - 2,
-                        char_length(nm)) as e)),
-            array())))
-    """)
-    shingle = F.expr("substring(nm, iv.s, iv.e - iv.s + 1)")
-    key = shingle if key_fn == "exact" else F.xxhash64(shingle)
-    rows = src.select("id", "nm", F.explode(ivs).alias("iv")).select(
-        "id",
-        F.col("iv.s").alias("start"),
-        F.col("iv.e").alias("end"),
-        key.alias("_sh"),
-    )
+    rows = _shingle_position_rows(df, k, text_col, id_col, key_fn)
     # consumed on BOTH sides (frequency count + semi join) — pin so the
     # shingling projection runs once; at 100 TB prefer pin=persist-to-
     # disk or recompute over the default localCheckpoint
@@ -1064,6 +1027,126 @@ def exact_substring_spans(
         .select("_sh")
     )
     return rows.join(hot, "_sh", "left_semi").select("id", "start", "end")
+
+
+def _shingle_position_rows(
+    df: DataFrame, k: int, text_col: str, id_col: str, key_fn: str
+) -> DataFrame:
+    """(id, start, end, _sh) — one row per k-token shingle position of
+    every document, one map-side JVM projection.
+
+    Token start offsets = 1 ++ (space positions + 1): one linear char
+    scan (normalization guarantees single spaces, so every space
+    terminates exactly one token).  Shingle i covers tokens i..i+k-1 =
+    chars [offs[i], offs[i+k]-2] (offs[i+k]-1 is the trailing space),
+    or to end-of-text for the last shingle.  The array-wrap
+    ``transform(array(<offs>), o -> ...)`` below is a LET BINDING: it
+    forces the offsets array to evaluate once per document — as a
+    plain withColumn, projection collapse would inline the whole char
+    scan into every element_at and the build would go quadratic
+    (measured 17.6 s -> 1.9 s at sf0.1).  The size(o) >= k guard also
+    keeps the sequence() ascending (sequence(1, 0) is DESCENDING in
+    Spark) and lets short docs emit an empty array."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
+    ).filter(F.length("nm") > 0)
+    offs = (
+        "concat(array(1), transform("
+        " filter(sequence(1, char_length(nm)), p -> substring(nm, p, 1) = ' '),"
+        " p -> p + 1))"
+    )
+    ivs = F.expr(f"""
+        flatten(transform(array({offs}), o ->
+          if(size(o) >= {k},
+            transform(sequence(1, size(o) - {k} + 1), i ->
+              struct(element_at(o, i) as s,
+                     if(i + {k} <= size(o), element_at(o, i + {k}) - 2,
+                        char_length(nm)) as e)),
+            array())))
+    """)
+    shingle = F.expr("substring(nm, iv.s, iv.e - iv.s + 1)")
+    key = shingle if key_fn == "exact" else F.xxhash64(shingle)
+    return src.select("id", "nm", F.explode(ivs).alias("iv")).select(
+        "id",
+        F.col("iv.s").alias("start"),
+        F.col("iv.e").alias("end"),
+        key.alias("_sh"),
+    )
+
+
+def substring_shingle_keys(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_fn: str = "exact",
+) -> DataFrame:
+    """The DISTINCT k-token shingle keys of a corpus — the persisted
+    artifact of incremental substring dedup (the analogue of the
+    minhash signature store): one column ``_sh``, one row per distinct
+    shingle, so a history corpus is shingled ONCE and every later
+    batch joins against fixed-width keys (``key_fn="xxhash64"``) or
+    the shingle strings (``"exact"``) without ever re-reading history
+    text.  Write it bucket-partitioned by ``pmod(xxhash64(_sh), n)``
+    for bounded layout, exactly like the BM25/trigram stores."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
+    if key_fn not in ("exact", "xxhash64"):
+        raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
+    return (
+        _shingle_position_rows(df, k, text_col, id_col, key_fn)
+        .select("_sh")
+        .distinct()
+    )
+
+
+def exact_substring_dedup_incremental(
+    batch: DataFrame,
+    history_keys: DataFrame,
+    k: int = 20,
+    min_count_batch: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_fn: str = "exact",
+    materialize: bool = True,
+    pin=None,
+) -> DataFrame:
+    """Incremental ExactSubstr dedup — the production shape: cut from
+    an incoming BATCH every >= k-token span that already exists in the
+    HISTORY corpus (its shingle key appears in ``history_keys``, a
+    :func:`substring_shingle_keys` frame or a read-back of its stored
+    parquet) OR occurs >= ``min_count_batch`` times within the batch
+    itself — i.e. exactly the spans the full-union dedup would cut
+    from the batch, computed WITHOUT re-shingling history.
+
+    Shape: batch shingling is the same map-side projection as the
+    self-contained operator; the within-batch frequency count and the
+    history semi-join are both keyed on the shingle, so shuffle rows
+    are proportional to batch TOKENS plus one fixed-width key per
+    distinct HISTORY shingle — history text never moves again, and
+    nothing is pairwise.  History docs are never modified (the
+    incremental contract: history already went through dedup).
+
+    Returns the :func:`cut_spans` frame over the batch."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
+    if key_fn not in ("exact", "xxhash64"):
+        raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
+    rows = _shingle_position_rows(batch, k, text_col, id_col, key_fn)
+    rows = pin(rows) if pin is not None else _self_join_ready(rows, materialize)
+    hot_batch = (
+        rows.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count_batch)
+        .select("_sh")
+    )
+    in_hist = rows.join(
+        history_keys.select("_sh").distinct(), "_sh", "left_semi"
+    )
+    in_batch = rows.join(hot_batch, "_sh", "left_semi")
+    spans = in_hist.unionByName(in_batch).select("id", "start", "end").distinct()
+    return cut_spans(batch, spans, text_col=text_col, id_col=id_col)
 
 
 def exact_substring_dedup(

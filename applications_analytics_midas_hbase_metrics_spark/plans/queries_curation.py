@@ -620,43 +620,52 @@ def q_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cut_spans(docs, cut_input)
 
 
-def _substring_dedup_oracle(k: int, min_count: int) -> str:
-    """DuckDB twin of operators.text.exact_substring_dedup: token start
+def _substr_shingle_ctes(k: int, src: str, pfx: str) -> str:
+    """Shingle-position CTE block over ``src(id, nm)``: token start
     offsets via one cumulative-length window over the unnested tokens
     (arithmetically identical to the Spark side's space-position scan:
     off(i) = i + sum of lengths of tokens 1..i-1), k-token shingles as
-    list slices, exact-text frequency >= min_count, then the shared
-    interval-merge + stitch tail."""
+    list slices.  Emits ``{pfx}sh2(id, s, e, sh)``."""
+    return f"""
+    {pfx}tk AS (
+        SELECT id, nm, string_split(nm, ' ') AS toks
+        FROM {src} WHERE length(nm) > 0
+    ),
+    {pfx}tok AS (
+        SELECT id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS ord
+        FROM {pfx}tk
+    ),
+    {pfx}off AS (
+        SELECT id, ord,
+               CAST(ord + coalesce(sum(length(tok)) OVER (
+                       PARTITION BY id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS INT) AS s
+        FROM {pfx}tok
+    ),
+    {pfx}shg AS (
+        SELECT o.id, o.s,
+               array_to_string(t.toks[o.ord : o.ord + {k - 1}], ' ') AS sh
+        FROM {pfx}off o JOIN {pfx}tk t USING (id)
+        WHERE o.ord + {k - 1} <= len(t.toks)
+    ),
+    {pfx}sh2 AS (
+        SELECT id, s, CAST(s + length(sh) - 1 AS INT) AS e, sh FROM {pfx}shg
+    )"""
+
+
+def _substring_dedup_oracle(k: int, min_count: int) -> str:
+    """DuckDB twin of operators.text.exact_substring_dedup: shingle
+    CTEs (_substr_shingle_ctes), exact-text frequency >= min_count,
+    then the shared interval-merge + stitch tail."""
     return f"""
     WITH ad AS (
         SELECT doc_id AS id,
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
         FROM documents
     ),
-    tk AS (
-        SELECT id, nm, string_split(nm, ' ') AS toks
-        FROM ad WHERE length(nm) > 0
-    ),
-    tok AS (
-        SELECT id, unnest(toks) AS tok,
-               generate_subscripts(toks, 1) AS ord
-        FROM tk
-    ),
-    off AS (
-        SELECT id, ord,
-               CAST(ord + coalesce(sum(length(tok)) OVER (
-                       PARTITION BY id ORDER BY ord
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS INT) AS s
-        FROM tok
-    ),
-    shg AS (
-        SELECT o.id, o.s,
-               array_to_string(t.toks[o.ord : o.ord + {k - 1}], ' ') AS sh
-        FROM off o JOIN tk t USING (id)
-        WHERE o.ord + {k - 1} <= len(t.toks)
-    ),
-    sh2 AS (SELECT id, s, CAST(s + length(sh) - 1 AS INT) AS e, sh FROM shg),
+    {_substr_shingle_ctes(k, "ad", "")},
     hot AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) >= {min_count}),
     sp AS (SELECT id, s, e FROM sh2 JOIN hot USING (sh)),
     {_CUT_STITCH_TAIL}
@@ -681,6 +690,127 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.exact_substring_dedup(
         docs, k=20, min_count=2,
         pin=lambda df: persist_deferred(df, key=f"substr_sh_20:{sf_dir}"),
+    )
+
+
+#: Incremental-substring-dedup batch fixture: exact copies (+1M, fully
+#: cut), 60%-prefix quotes with a NOVEL unique tail (+2M — the quoted
+#: history span is cut, the tail survives), and fully synthetic fresh
+#: docs (+3M, untouched).  Spark twin: _substr_batch.
+_SUBSTR_BATCH_SQL = f"""
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string(({_TOKS})[1:CAST(ceil(len({_TOKS}) * 0.6) AS INT)],
+                           ' ')
+           || ' uniq' || CAST(doc_id AS VARCHAR)
+           || 'a uniq' || CAST(doc_id AS VARCHAR) || 'b'
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 3000000,
+           array_to_string(list_transform(range(1, 26),
+               j -> 'f' || CAST(doc_id AS VARCHAR) || 't'
+                    || CAST(j AS VARCHAR)), ' ')
+    FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _substr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of _SUBSTR_BATCH_SQL."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = D.tokens("text")
+    did = F.col("doc_id").cast("string")
+    exact = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    # two-step selects: building text and shifting the id in ONE select
+    # would let Spark's lateral-column-alias resolution bind the
+    # did reference to the freshly ALIASED (shifted) id instead of the
+    # source column (caught by the differential gate: f3000153t1 vs
+    # the oracle's f153t1)
+    quoted = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.array_join(
+                    F.slice(toks, 1, F.ceil(F.size(toks) * 0.6).cast("int")),
+                    " ",
+                ),
+                F.lit(" uniq"), did, F.lit("a uniq"), did, F.lit("b"),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    fresh = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(25)),
+                    lambda j: F.concat(
+                        F.lit("f"), did, F.lit("t"), j.cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    )
+    return exact.unionByName(quoted).unionByName(fresh)
+
+
+@register_extra(
+    "substring_dedup_incremental",
+    oracle=f"""
+    WITH ad AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM ({_SUBSTR_BATCH_SQL})
+    ),
+    adh AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    {_substr_shingle_ctes(20, "ad", "b")},
+    {_substr_shingle_ctes(20, "adh", "h")},
+    hkeys AS (SELECT DISTINCT sh FROM hsh2),
+    bcnt AS (SELECT sh FROM bsh2 GROUP BY sh HAVING count(*) >= 2),
+    sp AS (
+        SELECT DISTINCT b.id, b.s, b.e
+        FROM bsh2 b
+        LEFT JOIN hkeys h USING (sh)
+        LEFT JOIN bcnt c ON b.sh = c.sh
+        WHERE h.sh IS NOT NULL OR c.sh IS NOT NULL
+    ),
+    {_CUT_STITCH_TAIL}
+    """,
+)
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr dedup
+    (operators.text.exact_substring_dedup_incremental) — the
+    production shape: the history corpus is shingled ONCE into a
+    distinct-key frame (substring_shingle_keys, the persisted-store
+    analogue of the minhash signature table), and the incoming batch
+    is cut wherever a >= 20-token span already exists in history or
+    repeats within the batch.  Fixture: exact copies cut to nothing,
+    60%-prefix quotes keep only their novel tails, fresh docs pass
+    through untouched.  The oracle replays both shingle pipelines and
+    the cut character-exactly."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    batch = _substr_batch(spark, sf_dir)
+    hist_keys = persist_deferred(
+        T.substring_shingle_keys(docs, k=20),
+        key=f"substr_hist_keys_20:{sf_dir}",
+    )
+    return T.exact_substring_dedup_incremental(
+        batch, hist_keys, k=20,
+        pin=lambda df: persist_deferred(df, key=f"substr_incr_sh_20:{sf_dir}"),
     )
 
 

@@ -639,6 +639,51 @@ def test_exact_substring_spans_hand_checked(spark):
         T.exact_substring_spans(docs, k=3, key_fn="md5")
 
 
+def test_exact_substring_incremental_semantics(spark, tmp_path):
+    """Batch-vs-history cut: spans already in history are cut from the
+    batch (history untouched by contract), within-batch repeats are
+    cut, novel tails and fresh docs survive; and the persisted key
+    store (parquet roundtrip) reproduces the in-memory result."""
+    history = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg"), (2, "unrelated history content here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "aa bb cc dd ee ff gg"),            # exact copy: all cut
+            (11, "xx yy aa bb cc dd zz ww"),          # quotes 4-token run
+            (12, "pp qq rr ss pp qq rr tt"),          # within-batch repeat? no: k=3 "pp qq rr" twice
+            (13, "totally fresh novel words only"),   # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    keys = T.substring_shingle_keys(history, k=3)
+    out = {
+        r.id: r
+        for r in T.exact_substring_dedup_incremental(batch, keys, k=3).collect()
+    }
+    assert out[10].text_cut == "" and out[10].cut_chars == 20
+    # doc 11: history run "aa bb cc dd" (4 tokens) -> shingles
+    # "aa bb cc","bb cc dd" in history; merged cut = chars of that run
+    assert out[11].text_cut == "xx yy  zz ww"
+    # doc 12: "pp qq rr" occurs twice within the batch -> both cut
+    assert out[12].n_spans == 2 and "pp qq rr" not in out[12].text_cut
+    assert out[13].text_cut == "totally fresh novel words only"
+    assert out[13].cut_chars == 0
+    # persisted store roundtrip: identical cut
+    store = str(tmp_path / "shkeys")
+    keys.write.parquet(store)
+    out2 = {
+        r.id: r
+        for r in T.exact_substring_dedup_incremental(
+            batch, spark.read.parquet(store), k=3
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+
 def test_exact_substring_keyfn_equivalence(spark, sf_dir):
     """The 8-byte xxhash64 shuffle-key path marks the identical span
     set as the collision-proof exact-text path on the real documents
