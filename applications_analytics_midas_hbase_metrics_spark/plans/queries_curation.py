@@ -814,6 +814,69 @@ def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register_extra(
+    "substring_dedup_streamed",
+    # FULL oracle — the exact SAME SQL as substring_dedup_incremental:
+    # a shingle-key store maintained by streaming ingest must cut the
+    # batch identically to the batch-built store, so the two paths
+    # (plus the pytest store-roundtrip) triangulate
+    oracle=None,  # assigned below to share the literal string
+)
+def q_substring_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shingle-store maintenance (streaming.dedup_stream
+    .stream_shingle_ingest): three history micro-batches append their
+    distinct 20-token shingle keys to the bucket-partitioned store;
+    exact_substring_dedup_incremental over the read-back store must
+    cut the batch character-identically to the batch-built path
+    (verified against the same DuckDB oracle)."""
+    import glob
+    import os
+    import shutil
+
+    from ..streaming import dedup_stream as DS
+    from .queries import scratch_dir
+    from .queries_streaming import _await, _stream_shuffle_partitions
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scratch_dir("substring_dedup_streamed")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        tmp = os.path.join(d, f"tmp{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * i,) * 2)
+        shutil.rmtree(tmp)
+    store = os.path.join(d, "store")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = DS.stream_shingle_ingest(
+            stream,
+            store,
+            os.path.join(d, "ckpt"),
+            k=20,
+            n_buckets=64,
+            trigger_available_now=True,
+        )
+        _await(q)
+    hist_keys = spark.read.parquet(os.path.join(store, "keys"))
+    return T.exact_substring_dedup_incremental(
+        _substr_batch(spark, sf_dir), hist_keys, k=20
+    )
+
+
+# the streamed path answers to the SAME oracle as the batch-built path
+from .queries import EXTRA_ORACLES as _EO  # noqa: E402
+
+_EO["substring_dedup_streamed"] = _EO["substring_dedup_incremental"]
+
+
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality scoring

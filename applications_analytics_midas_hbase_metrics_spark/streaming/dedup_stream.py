@@ -363,3 +363,47 @@ def stream_trigram_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_shingle_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    k: int = 20,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    key_fn: str = "exact",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous shingle-key-store maintenance — the streaming sibling
+    of operators.text.substring_shingle_keys, shaped exactly like
+    :func:`stream_trigram_ingest`: each micro-batch of documents
+    appends its DISTINCT k-token shingle keys to the bucket-partitioned
+    store.  exact_substring_dedup_incremental reads the store with a
+    distinct() (substring_shingle_keys contract: one logical row per
+    key), so search over the maintained store sees every ingested
+    batch without a rebuild — and an at-least-once replay that
+    re-appends a batch's keys is ABSORBED by that read-side distinct
+    (a duplicated key row cannot change a semi-join).  Exactly-once
+    from the checkpoint + Parquet's atomic task commits is the normal
+    regime; the pytest gate pins streamed == batch-built == the
+    incremental cut result."""
+    from ..operators.text import substring_shingle_keys
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        keys = substring_shingle_keys(
+            batch, k=k, text_col=text, id_col=doc_id, key_fn=key_fn
+        )
+        keys.withColumn(
+            "sh_bucket", F.pmod(F.xxhash64("_sh"), F.lit(n_buckets))
+        ).withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).partitionBy("sh_bucket").parquet(os.path.join(store_dir, "keys"))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

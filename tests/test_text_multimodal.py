@@ -684,6 +684,46 @@ def test_exact_substring_incremental_semantics(spark, tmp_path):
     }
 
 
+def test_exact_substring_store_replay_idempotent(spark, tmp_path):
+    """An at-least-once replay re-appends a micro-batch's shingle keys
+    to the streamed store (streaming.dedup_stream.stream_shingle_ingest
+    layout); the read-side distinct in
+    exact_substring_dedup_incremental absorbs the duplicate rows — the
+    cut result is byte-identical."""
+    history = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg"), (2, "other history words")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "xx aa bb cc dd yy"), (11, "fresh words only")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "store" / "keys")
+    keys = T.substring_shingle_keys(history, k=3).withColumn(
+        "sh_bucket", F.pmod(F.xxhash64("_sh"), F.lit(8))
+    )
+    keys.write.partitionBy("sh_bucket").parquet(store)
+    before = sorted(
+        tuple(r)
+        for r in T.exact_substring_dedup_incremental(
+            batch, spark.read.parquet(store), k=3
+        ).collect()
+    )
+    # replay: the same keys land a second time
+    keys.write.mode("append").partitionBy("sh_bucket").parquet(store)
+    assert (
+        spark.read.parquet(store).count() == 2 * keys.count()
+    )  # duplicates really are on disk
+    after = sorted(
+        tuple(r)
+        for r in T.exact_substring_dedup_incremental(
+            batch, spark.read.parquet(store), k=3
+        ).collect()
+    )
+    assert after == before
+    assert any(r[2] > 0 for r in before)  # something was actually cut
+
+
 def test_exact_substring_keyfn_equivalence(spark, sf_dir):
     """The 8-byte xxhash64 shuffle-key path marks the identical span
     set as the collision-proof exact-text path on the real documents
