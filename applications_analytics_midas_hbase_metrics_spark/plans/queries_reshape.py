@@ -146,10 +146,16 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     EITHER dimension prunes most buckets."""
     from ..operators.layout import zorder_value
 
+    # hour bucket in integer MICROSECONDS (the epoch() trap
+    # range_window_user documents): a double ts/3600.0 division can
+    # round UP across an hour boundary for epochs just under a
+    # multiple of 3600 (quotient ulp ~1e-10 at this magnitude) while
+    # the oracle's integer floor(epoch)//3600 cannot — integer div on
+    # both sides makes the bucket exact
     ev = t(spark, sf_dir, "events").select(
         F.pmod(F.col("user_id"), F.lit(256)).cast("bigint").alias("x"),
         F.pmod(
-            (F.col("ts").cast("double") / F.lit(3600.0)).cast("bigint"),
+            F.expr("unix_micros(ts) div 3600000000"),
             F.lit(256),
         ).cast("bigint").alias("y"),
     )
