@@ -1141,11 +1141,12 @@ def exact_substring_dedup_incremental(
         .filter(F.col("_c") >= min_count_batch)
         .select("_sh")
     )
-    in_hist = rows.join(
-        history_keys.select("_sh").distinct(), "_sh", "left_semi"
-    )
-    in_batch = rows.join(hot_batch, "_sh", "left_semi")
-    spans = in_hist.unionByName(in_batch).select("id", "start", "end").distinct()
+    # ONE semi join against the UNION of the two key sets (history ∪
+    # hot-batch): a semi join is set-semantics by construction, so the
+    # union needs no distinct and no per-position row ever duplicates —
+    # cheaper than two semi joins + a wide row-level distinct
+    dup_keys = hot_batch.unionByName(history_keys.select("_sh"))
+    spans = rows.join(dup_keys, "_sh", "left_semi").select("id", "start", "end")
     return cut_spans(batch, spans, text_col=text_col, id_col=id_col)
 
 
@@ -1173,6 +1174,86 @@ def exact_substring_dedup(
         key_fn=key_fn, materialize=materialize, pin=pin,
     )
     return cut_spans(df, spans, text_col=text_col, id_col=id_col)
+
+
+#: Minimal HTML entity set decoded by html_extract — the ones that
+#: survive tag stripping in real crawl text.  Order matters: &amp;
+#: LAST so "&amp;lt;" decodes to the literal "&lt;", not "<".
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML → training text: the raw-ingest stage a web-crawl pipeline
+    runs before any quality/dedup operator (the trafilatura/jusText
+    role, reduced to its deterministic regexp core so it replays in a
+    SQL oracle): drop ``<script>``/``<style>`` blocks and comments,
+    strip the remaining tags, decode the surviving entities, collapse
+    whitespace — plus the two classic boilerplate signals: the
+    ``<title>`` text and the LINK DENSITY (chars of anchor inner text
+    over chars of body text, jusText's main boilerplate feature — a
+    nav/footer-heavy page scores near 1, an article near 0).
+
+    One map-side projection per document (regexp chains, no UDF, no
+    shuffle); at 100 TB this runs as a scan stage fused with whatever
+    filter consumes the density.
+
+    Returns (id, title, text, n_links, link_density)."""
+    raw = F.col(html_col)
+    # kill non-content blocks FIRST so their text never leaks into the
+    # body ((?is): case-insensitive + dotall; RE2 and Java agree here)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, r"(?is)<head[^>]*>.*?</head>", " "),
+                r"(?is)<script[^>]*>.*?</script>",
+                " ",
+            ),
+            r"(?is)<style[^>]*>.*?</style>",
+            " ",
+        ),
+        r"(?s)<!--.*?-->",
+        " ",
+    )
+    title = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    anchors = F.expr(
+        "regexp_extract_all(_nb, '(?is)<a[^>]*>(.*?)</a>', 1)"
+    )
+
+    def clean(col):
+        out = F.regexp_replace(col, r"(?s)<[^>]*>", " ")
+        for ent, ch in _HTML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        no_blocks.alias("_nb"),
+        clean(title).alias("title"),
+    )
+    return base.select(
+        "id",
+        "title",
+        clean(F.col("_nb")).alias("text"),
+        F.size(anchors).cast("bigint").alias("n_links"),
+        F.round(
+            F.aggregate(
+                anchors,
+                F.lit(0).cast("bigint"),
+                lambda acc, a: acc + F.length(clean(a)),
+            ).cast("double")
+            / F.greatest(F.length(clean(F.col("_nb"))), F.lit(1)),
+            6,
+        ).alias("link_density"),
+    )
 
 
 def compression_ratio(

@@ -877,6 +877,97 @@ from .queries import EXTRA_ORACLES as _EO  # noqa: E402
 _EO["substring_dedup_streamed"] = _EO["substring_dedup_incremental"]
 
 
+def _html_clean_sql(expr: str) -> str:
+    """DuckDB twin of html_extract's clean(): strip tags, decode the
+    entity set (same order — &amp; last), collapse whitespace."""
+    out = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+#: Synthetic-HTML wrapper shared by the Spark query and its oracle:
+#: real head/title/style/script/comment/anchor structure around the
+#: fixture text, built IDENTICALLY in both engines.
+_HTML_WRAP_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>p{color:red}</style></head><body><h1>'
+    || source || '</h1><p>' || text || ' &amp; more</p><a href="/nav">'
+    || lang || ' home</a><script>var a="<p>";</script><!-- hidden -->'
+    || '</body></html>'
+"""
+
+_HTML_NB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?is)<head[^>]*>.*?</head>', ' ', 'g'),"
+    " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g')"
+)
+
+
+@register_extra(
+    "html_extract",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id AS id, {_HTML_WRAP_SQL} AS html FROM documents
+    ),
+    nb AS (
+        SELECT id, html, {_HTML_NB_SQL} AS nbk FROM src
+    ),
+    an AS (
+        SELECT id,
+               regexp_extract_all(nbk, '(?is)<a[^>]*>(.*?)</a>', 1) AS anchors
+        FROM nb
+    )
+    SELECT nb.id,
+           {_html_clean_sql("regexp_extract(nb.html, '(?is)<title[^>]*>(.*?)</title>', 1)")}
+               AS title,
+           {_html_clean_sql("nb.nbk")} AS text,
+           CAST(len(an.anchors) AS BIGINT) AS n_links,
+           round(CAST(coalesce(list_sum(list_transform(an.anchors,
+                     a -> length({_html_clean_sql("a")}))), 0) AS DOUBLE)
+                 / greatest(length({_html_clean_sql("nb.nbk")}), 1), 6)
+               AS link_density
+    FROM nb JOIN an USING (id)
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> training-text extraction (operators.text.html_extract)
+    — the raw-ingest stage before any quality/dedup operator: strip
+    head/script/style/comment blocks and tags, decode entities,
+    collapse whitespace, and emit the two classic boilerplate signals
+    (title, jusText link density).  The fixture wraps every document
+    in real HTML structure (title, style, anchor, script whose BODY
+    contains a '<p>' that must NOT leak, comment) identically in both
+    engines; the oracle replays the full regexp chain
+    character-exactly."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(' &amp; more</p><a href="/nav">'),
+            F.col("lang"),
+            F.lit(' home</a><script>var a="<p>";</script><!-- hidden -->'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return T.html_extract(wrapped)
+
+
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality scoring

@@ -598,6 +598,36 @@ def test_winnow_cut_removes_detected_overlap(spark):
     assert redetect.count() == 0
 
 
+def test_html_extract_hand_checked(spark):
+    """Tag/block stripping, entity decode, title extraction, and the
+    jusText link-density signal — hand-checked, including the traps:
+    a '<p>' INSIDE a script body must not leak, head content (title
+    text) must not appear in the body, entities decode in the order
+    that keeps '&amp;lt;' literal."""
+    df = spark.createDataFrame(
+        [
+            (1, '<html><head><title> My  Page </title><style>p{x}</style>'
+                '</head><body><h1>Head</h1><p>Hello &amp; welcome.</p>'
+                '<a href="/nav">nav <b>home</b></a>'
+                '<script>var x="<p>";</script><!-- c --></body></html>'),
+            (2, "plain text no tags &lt;kept&gt; &amp;lt;"),
+            (3, '<a href="x">all link</a>'),
+            (4, ""),
+        ],
+        "doc_id bigint, html string",
+    )
+    got = {r.id: r for r in T.html_extract(df).collect()}
+    assert got[1].title == "My Page"
+    assert got[1].text == "Head Hello & welcome. nav home"
+    assert got[1].n_links == 1
+    # link chars = len("nav home") = 8 over len(body) = 30
+    assert got[1].link_density == pytest.approx(8 / 30, abs=1e-6)
+    assert got[2].text == "plain text no tags <kept> &lt;"
+    assert got[2].n_links == 0 and got[2].link_density == 0.0
+    assert got[3].text == "all link" and got[3].link_density == 1.0
+    assert got[4].text == "" and got[4].n_links == 0
+
+
 def test_exact_substring_spans_hand_checked(spark):
     """ExactSubstr semantics at k=3: every k-token shingle whose exact
     text occurs >= 2 times corpus-wide is marked at ALL occurrences

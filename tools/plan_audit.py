@@ -108,6 +108,7 @@ CHECKS = {
     # against the >= min_count keys (broadcast at this SF), never an
     # inner join that could fan positions out per duplicate
     "substring_dedup": ["LeftSemi"],
+    "substring_dedup_incremental": ["LeftSemi"],
 }
 
 
@@ -407,6 +408,24 @@ def main() -> None:
 
     qs["substring_dedup"] = _substring_dedup_lazy
 
+    def _substring_incr_lazy(s, d):
+        # lazy twin: unpinned batch shingles expose the full DAG
+        # (batch shingling -> within-batch count + history semi joins)
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            text as T,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_curation import (
+            _substr_batch,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        keys = T.substring_shingle_keys(docs, k=20).localCheckpoint(eager=True)
+        return T.exact_substring_dedup_incremental(
+            _substr_batch(s, d), keys, k=20, materialize=False
+        )
+
+    qs["substring_dedup_incremental"] = _substring_incr_lazy
+
     args = sys.argv[1:]
     print_only = "--print-only" in args
     if print_only:
@@ -485,6 +504,7 @@ def main() -> None:
         "top_session_paths",
         "range_window_user",
         "substring_dedup",
+        "substring_dedup_incremental",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
