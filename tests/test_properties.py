@@ -450,3 +450,74 @@ def test_heavy_hitters_cms_verdicts_and_order(spark):
     assert keys == sorted(keys)
     assert all(r.bound_check == "ok" for r in rows), rows
     assert all(r.merge_check == "ok" for r in rows), rows
+
+
+def test_exact_substring_dedup_matches_python_model(spark):
+    """Full ExactSubstr semantics on a random corpus vs an independent
+    Python reference: normalize, k-token shingles with char offsets,
+    global frequency >= 2 marks every occurrence, merge intervals, cut
+    — text_cut / cut_chars / n_spans must match byte-for-byte.  The
+    tiny alphabet + short docs force heavy cross- and within-doc
+    duplication, covering merge chains the fixture never hits."""
+    import random
+    import re
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14))))
+        for i in range(60)
+    ]
+    k = 3
+
+    def model(corpus):
+        shingled = {}  # doc -> list[(s, e, sh)]
+        freq = {}
+        for did, text in corpus:
+            nm = re.sub(r"\s+", " ", text.lower()).strip()
+            toks = nm.split(" ") if nm else []
+            offs, cur = [], 1
+            for t in toks:
+                offs.append(cur)
+                cur += len(t) + 1
+            sp = []
+            if nm and len(toks) >= k:
+                for i in range(len(toks) - k + 1):
+                    s = offs[i]
+                    e = offs[i + k] - 2 if i + k < len(offs) else len(nm)
+                    sh = nm[s - 1 : e]
+                    sp.append((s, e, sh))
+                    freq[sh] = freq.get(sh, 0) + 1
+            shingled[did] = (nm, sp)
+        out = {}
+        for did, (nm, sp) in shingled.items():
+            ivs = sorted((s, e) for s, e, sh in sp if freq[sh] >= 2)
+            merged = []
+            for s, e in ivs:
+                if merged and s <= merged[-1][1] + 1:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            kept, cur = [], 1
+            cut = 0
+            for s, e in merged:
+                if s > cur:
+                    kept.append(nm[cur - 1 : s - 1])
+                cut += e - max(s, cur) + 1
+                cur = max(cur, e + 1)
+            kept.append(nm[cur - 1 :])
+            out[did] = (len(ivs), cut, "".join(kept))
+        return out
+
+    want = model(rows)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_spans, r.cut_chars, r.text_cut)
+        for r in T.exact_substring_dedup(docs, k=k).collect()
+    }
+    assert got == want
+    # non-degenerate: the random corpus really has cuts AND survivors
+    assert any(c > 0 for _, c, _ in want.values())
+    assert any(c == 0 and t for _, c, t in want.values())
