@@ -1133,6 +1133,15 @@ def exact_substring_dedup_incremental(
         raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
     if key_fn not in ("exact", "xxhash64"):
         raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
+    # a store built with the OTHER key_fn would silently cut nothing
+    # (disjoint key spaces) — fail loudly on the type mismatch instead
+    want = "bigint" if key_fn == "xxhash64" else "string"
+    got = dict(history_keys.dtypes).get("_sh")
+    if got != want:
+        raise ValueError(
+            f"history_keys._sh is {got!r} but key_fn={key_fn!r} needs "
+            f"{want!r} — the store was built with the other key_fn"
+        )
     rows = _shingle_position_rows(batch, k, text_col, id_col, key_fn)
     rows = pin(rows) if pin is not None else _self_join_ready(rows, materialize)
     hot_batch = (

@@ -700,6 +700,10 @@ def test_exact_substring_incremental_semantics(spark, tmp_path):
     assert out[12].n_spans == 2 and "pp qq rr" not in out[12].text_cut
     assert out[13].text_cut == "totally fresh novel words only"
     assert out[13].cut_chars == 0
+    # a store built with the other key_fn is a disjoint key space:
+    # loud error, never a silent no-op cut
+    with pytest.raises(ValueError, match="other key_fn"):
+        T.exact_substring_dedup_incremental(batch, keys, k=3, key_fn="xxhash64")
     # persisted store roundtrip: identical cut
     store = str(tmp_path / "shkeys")
     keys.write.parquet(store)

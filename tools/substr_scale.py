@@ -117,6 +117,72 @@ def main() -> None:
             f"  xxhash64 {t_hash:.1f}s  touched={touched}  cut_chars={cut}"
         )
 
+    # -----------------------------------------------------------------
+    # Incremental vs full-union rebuild: a FIXED batch cut against a
+    # GROWING history.  The store (distinct shingle keys) is built once
+    # per history size — the one-time artifact; the recurring cost is
+    # the batch cut, whose only history-proportional work is shuffling
+    # one fixed-width key per distinct history shingle.  The full-union
+    # rebuild re-shingles and re-counts the whole history every batch.
+    # -----------------------------------------------------------------
+    print("-- incremental cut (fixed batch) vs full-union rebuild --")
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries_curation import (
+        _substr_batch,
+    )
+
+    batch = _substr_batch(spark, SF_DIR).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    for rep in REPS:
+        hist = docsrep(spark, base, rep).localCheckpoint(eager=True)
+        t0 = time.time()
+        keys = T.substring_shingle_keys(hist, k=K, key_fn="xxhash64")
+        keys = keys.localCheckpoint(eager=True)  # the persisted artifact
+        n_keys = keys.count()
+        t_store = time.time() - t0
+
+        t0 = time.time()
+        inc = T.exact_substring_dedup_incremental(
+            batch, keys, k=K, key_fn="xxhash64"
+        )
+        inc_cut = inc.agg(F.sum("cut_chars")).first()[0]
+        t_inc = time.time() - t0
+
+        t0 = time.time()
+        full = T.exact_substring_dedup(
+            hist.unionByName(batch), k=K, key_fn="xxhash64"
+        )
+        full_cut = (
+            full.filter(F.col("id") >= 1_000_000)
+            .agg(F.sum("cut_chars"))
+            .first()[0]
+        )
+        t_full = time.time() - t0
+        # free differential: (in-hist >= 1) OR (in-batch >= 2) must cut
+        # exactly what the union corpus's (count >= 2) cuts from batch
+        assert inc_cut == full_cut, f"incremental diverges at {rep}x"
+        print(
+            f"{rep:>2}x history ({n_keys} store keys, {n_batch}-doc batch):"
+            f"  store-build {t_store:.1f}s  incremental-cut {t_inc:.1f}s"
+            f"  full-rebuild {t_full:.1f}s  cut_chars inc={inc_cut}"
+            f" full={full_cut}"
+        )
+
+
+def docsrep(spark, base, rep: int):
+    from pyspark.sql import functions as F
+
+    if rep == 1:
+        return base.select("doc_id", "text")
+    return base.crossJoin(
+        spark.range(rep).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("doc_id") * rep + F.col("_r")).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, '\\\\s+'),"
+            " t -> concat(t, '_', _r)), ' ')"
+        ).alias("text"),
+    )
+
 
 if __name__ == "__main__":
     main()
