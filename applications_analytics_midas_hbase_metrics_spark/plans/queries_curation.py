@@ -968,6 +968,98 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.html_extract(wrapped)
 
 
+@register_extra(
+    "curation_pipeline_web",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id AS id, {_HTML_WRAP_SQL} AS html FROM documents
+    ),
+    nb AS (SELECT id, html, {_HTML_NB_SQL} AS nbk FROM src),
+    an AS (
+        SELECT id,
+               regexp_extract_all(nbk, '(?is)<a[^>]*>(.*?)</a>', 1) AS anchors
+        FROM nb
+    ),
+    ex AS (
+        SELECT nb.id,
+               {_html_clean_sql("nb.nbk")} AS txt,
+               round(CAST(coalesce(list_sum(list_transform(an.anchors,
+                         a -> length({_html_clean_sql("a")}))), 0) AS DOUBLE)
+                     / greatest(length({_html_clean_sql("nb.nbk")}), 1), 6)
+                   AS link_density
+        FROM nb JOIN an USING (id)
+    ),
+    kept AS (
+        SELECT id, txt FROM ex
+        WHERE link_density <= 0.2
+          AND len(list_filter(string_split_regex(lower(txt), '\\s+'),
+                              tk -> tk != '')) >= 20
+    ),
+    ad AS (
+        SELECT id, trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) AS nm
+        FROM kept
+    ),
+    {_substr_shingle_ctes(20, "ad", "")},
+    hot AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) >= 2),
+    sp AS (SELECT id, s, e FROM sh2 JOIN hot USING (sh)),
+    {_CUT_STITCH_TAIL.replace("SELECT d.id,",
+        "SELECT d.id, CAST(1 AS INT) AS kept,")}
+    UNION ALL
+    SELECT ex.id, CAST(0 AS INT) AS kept, 0 AS n_spans, 0 AS cut_chars,
+           '' AS text_cut
+    FROM ex LEFT JOIN kept USING (id) WHERE kept.id IS NULL
+    """,
+)
+def q_curation_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw web -> training corpus, end to end: wrap the fixture docs in
+    real HTML, EXTRACT (operators.text.html_extract — blocks, tags,
+    entities, link density), FILTER boilerplate (link_density > 0.2 or
+    under 20 tokens dropped), then EXACT-SUBSTRING-DEDUP the survivors
+    (k=20, all copies cut) — the composition a crawl-curation pipeline
+    actually runs, with every stage already individually gated and the
+    whole chain replayed character-exactly by one oracle.  Dropped docs
+    are carried as kept=0 rows so the output is total over the input
+    corpus (a curation report, not a silent shrink)."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(' &amp; more</p><a href="/nav">'),
+            F.col("lang"),
+            F.lit(' home</a><script>var a="<p>";</script><!-- hidden -->'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    ex = T.html_extract(wrapped)
+    kept = ex.filter(
+        (F.col("link_density") <= 0.2)
+        & (F.size(D.tokens("text")) >= 20)
+    ).select("id", F.col("text").alias("txt"))
+    cut = T.exact_substring_dedup(
+        kept, k=20, text_col="txt", id_col="id",
+        pin=lambda df: persist_deferred(df, key=f"curweb_sh_20:{sf_dir}"),
+    ).withColumn("kept", F.lit(1).cast("int"))
+    dropped = (
+        ex.join(kept.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit(0).cast("int").alias("kept"),
+            F.lit(0).cast("int").alias("n_spans"),
+            F.lit(0).cast("int").alias("cut_chars"),
+            F.lit("").alias("text_cut"),
+        )
+    )
+    return cut.select(
+        "id", "kept", "n_spans", "cut_chars", "text_cut"
+    ).unionByName(dropped)
+
+
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality scoring
