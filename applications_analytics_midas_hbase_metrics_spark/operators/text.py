@@ -968,6 +968,7 @@ def exact_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     key_fn: str = "exact",
+    two_phase: bool = False,
     materialize: bool = True,
     pin=None,
 ) -> DataFrame:
@@ -1005,6 +1006,17 @@ def exact_substring_spans(
       n_shingles²/2^65, and equivalence with "exact" on real corpora is
       pinned in tests.
 
+    ``two_phase=True`` (exact mode only) keeps collision-proof
+    semantics while shuffling hash-width bytes: phase 1 counts by
+    xxhash64 (8-byte keys, map-side combine) and semi-joins the
+    positions against the hot HASHES — a SUPERSET of the true
+    duplicated positions (collisions can only add candidates); phase 2
+    re-counts ONLY those candidates by exact shingle string and
+    semi-joins again.  String bytes shuffle only for candidate
+    positions (∝ duplicated content, not corpus), the verify kills
+    every collision, and the result is bit-identical to the one-phase
+    exact path (pinned in tests, measured in tools/substr_scale.py).
+
     Returns (id, start, end): 1-based inclusive character offsets into
     the NORMALIZED text (the ``cut_spans`` convention) of every
     duplicated shingle occurrence — all copies are marked, per the
@@ -1015,11 +1027,31 @@ def exact_substring_spans(
         raise ValueError("k must be >= 2 (a 1-token shingle is a token)")
     if key_fn not in ("exact", "xxhash64"):
         raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
+    if two_phase and key_fn != "exact":
+        raise ValueError("two_phase applies to key_fn='exact' only")
     rows = _shingle_position_rows(df, k, text_col, id_col, key_fn)
     # consumed on BOTH sides (frequency count + semi join) — pin so the
     # shingling projection runs once; at 100 TB prefer pin=persist-to-
     # disk or recompute over the default localCheckpoint
     rows = pin(rows) if pin is not None else _self_join_ready(rows, materialize)
+    if two_phase:
+        hashed = rows.select(
+            "id", "start", "end", "_sh", F.xxhash64("_sh").alias("_hh")
+        )
+        hot_h = (
+            hashed.groupBy("_hh")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= min_count)
+            .select("_hh")
+        )
+        cand = hashed.join(hot_h, "_hh", "left_semi")
+        hot = (
+            cand.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= min_count)
+            .select("_sh")
+        )
+        return cand.join(hot, "_sh", "left_semi").select("id", "start", "end")
     hot = (
         rows.groupBy("_sh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1166,6 +1198,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     key_fn: str = "exact",
+    two_phase: bool = False,
     materialize: bool = True,
     pin=None,
 ) -> DataFrame:
@@ -1180,7 +1213,7 @@ def exact_substring_dedup(
     (untouched docs pass through normalized)."""
     spans = exact_substring_spans(
         df, k=k, min_count=min_count, text_col=text_col, id_col=id_col,
-        key_fn=key_fn, materialize=materialize, pin=pin,
+        key_fn=key_fn, two_phase=two_phase, materialize=materialize, pin=pin,
     )
     return cut_spans(df, spans, text_col=text_col, id_col=id_col)
 

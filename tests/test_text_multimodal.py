@@ -774,6 +774,16 @@ def test_exact_substring_keyfn_equivalence(spark, sf_dir):
     }
     assert exact == hashed
     assert len(exact) > 0  # the fixture has real duplicated spans
+    # two-phase exact (hash prefilter + string verify) is bit-identical
+    # to one-phase exact: the prefilter is a superset, the verify kills
+    # every collision
+    two = {
+        (r.id, r.start, r.end)
+        for r in T.exact_substring_spans(docs, k=12, two_phase=True).collect()
+    }
+    assert two == exact
+    with pytest.raises(ValueError, match="exact"):
+        T.exact_substring_spans(docs, k=12, key_fn="xxhash64", two_phase=True)
 
 
 def test_winnow_xxhash64_properties(spark):

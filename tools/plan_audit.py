@@ -109,6 +109,8 @@ CHECKS = {
     # inner join that could fan positions out per duplicate
     "substring_dedup": ["LeftSemi"],
     "substring_dedup_incremental": ["LeftSemi"],
+    # the composed web pipeline's dedup core must stay a SEMI join
+    "curation_pipeline_web": ["LeftSemi"],
 }
 
 
@@ -505,6 +507,8 @@ def main() -> None:
         "range_window_user",
         "substring_dedup",
         "substring_dedup_incremental",
+        "html_extract",
+        "curation_pipeline_web",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",

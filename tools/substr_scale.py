@@ -108,13 +108,24 @@ def main() -> None:
         ).first()
         t_hash = time.time() - t0
 
+        t0 = time.time()
+        out_2 = T.exact_substring_dedup(docs, k=K, two_phase=True)
+        touched_2, cut_2 = out_2.agg(
+            F.sum((F.col("n_spans") > 0).cast("int")), F.sum("cut_chars")
+        ).first()
+        t_two = time.time() - t0
+
         assert (touched, cut) == (touched_h, cut_h), (
             f"xxhash64 path diverges at {rep}x"
+        )
+        assert (touched, cut) == (touched_2, cut_2), (
+            f"two-phase exact diverges at {rep}x"
         )
         print(
             f"{rep:>2}x ({n_docs} docs): shingle_rows={n_shingles}"
             f"  detect_exchanges={n_exch}  exact {t_exact:.1f}s"
-            f"  xxhash64 {t_hash:.1f}s  touched={touched}  cut_chars={cut}"
+            f"  two-phase-exact {t_two:.1f}s  xxhash64 {t_hash:.1f}s"
+            f"  touched={touched}  cut_chars={cut}"
         )
 
     # -----------------------------------------------------------------
