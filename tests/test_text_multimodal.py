@@ -758,6 +758,47 @@ def test_exact_substring_store_replay_idempotent(spark, tmp_path):
     assert any(r[2] > 0 for r in before)  # something was actually cut
 
 
+def test_exact_substring_online_two_batches(spark, tmp_path):
+    """The online loop a deployment runs: cut each incoming batch
+    against the store, then append the ORIGINAL batch's keys (pre-cut,
+    so later repeats of even the removed content still match).  Batch
+    2 must lose the span batch 1 introduced; batch 1 (first arrival)
+    keeps it."""
+    import os
+
+    store = str(tmp_path / "keys")
+    b1 = spark.createDataFrame(
+        [(1, "aa bb cc dd novel run one")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, "xx aa bb cc dd yy")], ["doc_id", "text"]
+    )
+
+    def step(batch, first):
+        if first:
+            # empty store: batch 1 is cut only against itself
+            keys = T.substring_shingle_keys(
+                batch.limit(0), k=3
+            )
+        else:
+            keys = spark.read.parquet(store)
+        out = T.exact_substring_dedup_incremental(batch, keys, k=3)
+        # append the ORIGINAL batch's keys for future batches
+        T.substring_shingle_keys(batch, k=3).write.mode(
+            "append" if os.path.isdir(store) else "overwrite"
+        ).parquet(store)
+        return {r.id: r for r in out.collect()}
+
+    r1 = step(b1, first=True)
+    r2 = step(b2, first=False)
+    # batch 1: nothing duplicated yet -> untouched
+    assert r1[1].cut_chars == 0
+    assert r1[1].text_cut == "aa bb cc dd novel run one"
+    # batch 2: the "aa bb cc dd" run now exists in the store -> cut
+    assert r2[2].text_cut == "xx  yy"
+    assert r2[2].cut_chars == len("aa bb cc dd")
+
+
 def test_exact_substring_keyfn_equivalence(spark, sf_dir):
     """The 8-byte xxhash64 shuffle-key path marks the identical span
     set as the collision-proof exact-text path on the real documents
