@@ -331,6 +331,72 @@ def patchify_images(
     )
 
 
+def image_ahash(
+    df: DataFrame,
+    patch: int = 2,
+    grid: int = 8,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash (aHash) image signature — the classic perceptual
+    near-dup key, composed ENTIRELY from existing DataFrame ops on top
+    of :func:`patchify_images`: the top-left ``grid``x``grid`` tile
+    block of each decoded image contributes one bit per tile
+    (tile mean > image mean over the block), serialized in (row, col)
+    order as a '0'/'1' string.  Images with identical pixel content
+    hash identically; a dedup groups on the signature (for
+    hamming-distance near-matches, band the bit string exactly like
+    simhash — the same multi-index machinery applies).
+
+    Exactness across engines is integer arithmetic: the tile SUM is
+    recovered from patchify's 6-decimal mean (error 6e-6 < 1/2, so
+    round(mean*3*patch² ) is the exact integer sum) and the threshold
+    compare is ``tile_sum * n_tiles > total_sum`` — no float average
+    ever crosses an engine boundary.
+
+    Returns (id, n_tiles, ahash) — n_tiles in the key guards
+    different-geometry images from colliding on short strings.
+    Undecodable payloads (patchify's error rows) emit n_tiles=0 with
+    an empty signature."""
+    tiles = patchify_images(
+        df, patch=patch, id_col=id_col, payload_col=payload_col
+    )
+    denom = 3 * patch * patch
+    t8 = tiles.filter(
+        (F.col("patch_row") >= 0)
+        & (F.col("patch_row") < grid)
+        & (F.col("patch_col") < grid)
+    ).select(
+        "id",
+        "patch_row",
+        "patch_col",
+        F.round(F.col("patch_mean") * denom).cast("bigint").alias("_s"),
+    )
+    per_img = t8.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+        F.sum("_s").alias("_tot"),
+        F.array_sort(
+            F.collect_list(F.struct("patch_row", "patch_col", "_s"))
+        ).alias("_tl"),
+    )
+    bits = F.expr(
+        "array_join(transform(_tl, t ->"
+        " if(t._s * n_tiles > _tot, '1', '0')), '')"
+    )
+    hashed = per_img.select("id", "n_tiles", bits.alias("ahash"))
+    # error rows (patch_row=-1) never pass the filter; re-attach those
+    # ids with an empty signature so the output is total over input
+    all_ids = tiles.select("id").distinct()
+    return (
+        all_ids.join(hashed, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tiles", F.lit(0)).cast("bigint").alias("n_tiles"),
+            F.coalesce("ahash", F.lit("")).alias("ahash"),
+        )
+    )
+
+
 def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build REAL image payloads deterministically from row ids: pixel k
     of document d is (7d + 13k) mod 256, encoded as an uncompressed

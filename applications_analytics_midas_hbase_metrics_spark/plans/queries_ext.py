@@ -2130,6 +2130,97 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "image_dedup_ahash",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS gid FROM documents
+    ),
+    g AS (SELECT DISTINCT gid FROM m),
+    dims AS (
+        SELECT gid, CAST(gid % 6 + 2 AS BIGINT) AS w,
+               CAST(gid % 4 + 2 AS BIGINT) AS h
+        FROM g
+    ),
+    grid AS (
+        SELECT d.gid, d.w, pr.r AS pr, pc.c AS pc
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 3)) AS r) pr ON pr.r < d.h // 2
+        JOIN (SELECT unnest(range(0, 4)) AS c) pc ON pc.c < d.w // 2
+    ),
+    px AS (
+        SELECT gg.gid, gg.pr, gg.pc,
+               (7 * gg.gid
+                + 13 * (((2 * gg.pr + dr.r) * gg.w + 2 * gg.pc + dc.c) * 3
+                        + ch.c)) % 256 AS v
+        FROM grid gg
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS r) dr
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS c) dc
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+    ),
+    tile AS (
+        SELECT gid, pr, pc, CAST(sum(v) AS BIGINT) AS s
+        FROM px GROUP BY 1, 2, 3
+    ),
+    t8 AS (SELECT * FROM tile WHERE pr < 8 AND pc < 8),
+    sig AS (
+        SELECT gid, CAST(count(*) AS BIGINT) AS n_tiles,
+               string_agg(b, '' ORDER BY pr, pc) AS ahash
+        FROM (
+            SELECT gid, pr, pc,
+                   CASE WHEN s * (count(*) OVER (PARTITION BY gid))
+                             > (sum(s) OVER (PARTITION BY gid))
+                        THEN '1' ELSE '0' END AS b
+            FROM t8
+        ) GROUP BY gid
+    ),
+    j AS (
+        SELECT m.doc_id, s.n_tiles, s.ahash
+        FROM m JOIN sig s USING (gid)
+    )
+    SELECT doc_id, n_tiles, ahash,
+           CAST(count(*) OVER (PARTITION BY n_tiles, ahash) AS BIGINT)
+               AS group_size,
+           CAST(CASE WHEN doc_id = min(doc_id)
+                              OVER (PARTITION BY n_tiles, ahash)
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM j
+    """,
+)
+def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup by average-hash
+    (operators.multimodal.image_ahash): documents map to one of 60
+    deterministic BMP payloads (real encode/decode round trip), every
+    image gets its aHash bit-string signature, and identical
+    signatures group — keep-lowest-id, the image-modality sibling of
+    dedup_exact.  The oracle recomputes tile sums from the closed-form
+    pixel rule and replays the integer threshold compare
+    (tile_sum * n_tiles > total) and the (row, col)-ordered bit string
+    exactly; group sizes and keep flags come from the hash-keyed
+    window on both sides."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
+    )
+    pay = MM.synthesize_bmp_payloads(
+        docs.select("gid").distinct(), id_col="gid"
+    )
+    imgs = docs.join(
+        F.broadcast(pay.withColumnRenamed("id", "gid").select("gid", "payload")),
+        "gid",
+    ).select(F.col("doc_id").alias("id"), "payload")
+    sig = MM.image_ahash(imgs)
+    w = Window.partitionBy("n_tiles", "ahash")
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        "n_tiles",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        (F.col("id") == F.min("id").over(w)).cast("int").alias("keep"),
+    )
+
+
+@register_extra(
     "multimodal_audio_frames",
     oracle="""
     WITH dims AS (

@@ -391,6 +391,36 @@ def test_ngram_lm_score_semantics(spark):
     assert got[3].lm_score == round(sum(lps) / 3, 6)
 
 
+def test_image_ahash_groups_identical_payloads(spark):
+    """aHash signatures: identical pixel content hashes identically
+    across distinct doc ids; different geometries carry different
+    n_tiles (no cross-size collisions); undecodable payloads emit the
+    (0, '') error signature instead of failing."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (3, 63, 123, 7, 11)], "doc_id bigint"
+    )
+    pay = MM.synthesize_bmp_payloads(
+        ids.select(F.pmod("doc_id", F.lit(60)).alias("gid")).distinct(),
+        id_col="gid",
+    )
+    imgs = ids.select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).alias("gid")
+    ).join(
+        pay.withColumnRenamed("id", "gid").select("gid", "payload"), "gid"
+    ).select(F.col("doc_id").alias("id"), "payload")
+    got = {r.id: (r.n_tiles, r.ahash) for r in MM.image_ahash(imgs).collect()}
+    # 3, 63, 123 share gid 3 -> identical payloads -> identical hash
+    assert got[3] == got[63] == got[123]
+    assert len(got[3][1]) == got[3][0] > 0
+    assert got[7] != got[3] and got[11] != got[3]
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"notbmp"))], "id bigint, payload binary"
+    )
+    assert tuple(MM.image_ahash(bad).first()) == (99, 0, "")
+
+
 def test_winnow_fingerprints_guarantee_and_edges(spark):
     # the winnowing guarantee: a shared substring of length >= k+w-1
     # (= 11 for k=8, w=4) forces at least one shared fingerprint
