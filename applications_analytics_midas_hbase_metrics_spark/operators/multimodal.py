@@ -397,6 +397,58 @@ def image_ahash(
     )
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    frame: int = 8,
+    max_frames: int = 64,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-sign audio fingerprint — the audio sibling of
+    :func:`image_ahash`, composed from DataFrame ops on top of
+    :func:`frame_audio`: the first ``max_frames`` frames contribute
+    one bit each (frame energy > clip mean over those frames),
+    serialized in frame order.  Identical PCM content fingerprints
+    identically; dedup groups on (n_frames, fp) — the shape of every
+    spectral fingerprinting scheme (Shazam-style peaks, chromaprint)
+    reduced to its deterministic level-sign core.
+
+    The integer-exactness recipe is image_ahash's: the frame SUM of
+    absolute amplitudes is recovered from frame_audio's 6-decimal mean
+    (error 5e-7 x frame < 1/2 for frame <= 1e5) and the threshold is
+    ``frame_sum * n_frames > total`` — no float mean crosses an engine
+    boundary.  Mono/flattened frames (frame_audio's convention).
+    Undecodable payloads emit (0, '').
+
+    Returns (id, n_frames, fp)."""
+    frames = frame_audio(
+        df, frame=frame, id_col=id_col, payload_col=payload_col
+    )
+    fr = frames.filter(
+        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < max_frames)
+    ).select(
+        "id",
+        "frame_idx",
+        F.round(F.col("frame_mean_abs") * frame).cast("bigint").alias("_s"),
+    )
+    per = fr.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("_s").alias("_tot"),
+        F.array_sort(F.collect_list(F.struct("frame_idx", "_s"))).alias("_fl"),
+    )
+    bits = F.expr(
+        "array_join(transform(_fl, t ->"
+        " if(t._s * n_frames > _tot, '1', '0')), '')"
+    )
+    hashed = per.select("id", "n_frames", bits.alias("fp"))
+    all_ids = frames.select("id").distinct()
+    return all_ids.join(hashed, "id", "left").select(
+        "id",
+        F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
+        F.coalesce("fp", F.lit("")).alias("fp"),
+    )
+
+
 def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build REAL image payloads deterministically from row ids: pixel k
     of document d is (7d + 13k) mod 256, encoded as an uncompressed

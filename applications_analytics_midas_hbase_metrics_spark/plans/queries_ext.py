@@ -2221,6 +2221,83 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "audio_dedup_fingerprint",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS gid FROM documents
+    ),
+    g AS (SELECT DISTINCT gid FROM m),
+    dims AS (
+        SELECT gid, CAST(gid % 50 + 20 AS BIGINT) AS n_samples FROM g
+    ),
+    fr AS (
+        SELECT d.gid, f.i AS frame_idx
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 9)) AS i) f
+          ON f.i < d.n_samples // 8
+    ),
+    sm AS (
+        SELECT gid, frame_idx,
+               CAST(sum(abs((5 * gid + 7 * (frame_idx * 8 + s.k)) % 4096
+                            - 2048)) AS BIGINT) AS fs
+        FROM fr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) s
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT gid, CAST(count(*) AS BIGINT) AS n_frames,
+               string_agg(b, '' ORDER BY frame_idx) AS fp
+        FROM (
+            SELECT gid, frame_idx,
+                   CASE WHEN fs * (count(*) OVER (PARTITION BY gid))
+                             > (sum(fs) OVER (PARTITION BY gid))
+                        THEN '1' ELSE '0' END AS b
+            FROM sm
+        ) GROUP BY gid
+    ),
+    j AS (SELECT m.doc_id, s.n_frames, s.fp FROM m JOIN sig s USING (gid))
+    SELECT doc_id, n_frames, fp,
+           CAST(count(*) OVER (PARTITION BY n_frames, fp) AS BIGINT)
+               AS group_size,
+           CAST(CASE WHEN doc_id = min(doc_id)
+                              OVER (PARTITION BY n_frames, fp)
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM j
+    """,
+)
+def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup by energy-sign fingerprint
+    (operators.multimodal.audio_fingerprint): documents map to one of
+    60 deterministic 16-bit PCM WAV payloads (real encode/decode round
+    trip), every clip gets its frame-energy bit string, identical
+    signatures group keep-lowest-id — the audio sibling of
+    image_dedup_ahash, completing exact-style dedup across all three
+    fixture modalities.  The oracle recomputes frame sums from the
+    closed-form sample rule and replays the integer threshold and the
+    frame-ordered bit string exactly."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
+    )
+    pay = MM.synthesize_wav_payloads(
+        docs.select("gid").distinct(), id_col="gid"
+    )
+    clips = docs.join(
+        F.broadcast(pay.withColumnRenamed("id", "gid").select("gid", "payload")),
+        "gid",
+    ).select(F.col("doc_id").alias("id"), "payload")
+    sig = MM.audio_fingerprint(clips, frame=8)
+    w = Window.partitionBy("n_frames", "fp")
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        "n_frames",
+        "fp",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        (F.col("id") == F.min("id").over(w)).cast("int").alias("keep"),
+    )
+
+
+@register_extra(
     "multimodal_audio_frames",
     oracle="""
     WITH dims AS (

@@ -421,6 +421,37 @@ def test_image_ahash_groups_identical_payloads(spark):
     assert tuple(MM.image_ahash(bad).first()) == (99, 0, "")
 
 
+def test_audio_fingerprint_groups_identical_payloads(spark):
+    """Energy-sign fingerprints: identical PCM hashes identically
+    across doc ids; different clips differ; undecodable payloads emit
+    (0, '')."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (5, 65, 125, 9, 14)], "doc_id bigint"
+    )
+    pay = MM.synthesize_wav_payloads(
+        ids.select(F.pmod("doc_id", F.lit(60)).alias("gid")).distinct(),
+        id_col="gid",
+    )
+    clips = ids.select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).alias("gid")
+    ).join(
+        pay.withColumnRenamed("id", "gid").select("gid", "payload"), "gid"
+    ).select(F.col("doc_id").alias("id"), "payload")
+    got = {
+        r.id: (r.n_frames, r.fp)
+        for r in MM.audio_fingerprint(clips, frame=8).collect()
+    }
+    assert got[5] == got[65] == got[125]
+    assert len(got[5][1]) == got[5][0] > 0
+    assert got[9] != got[5] and got[14] != got[5]
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"noise"))], "id bigint, payload binary"
+    )
+    assert tuple(MM.audio_fingerprint(bad).first()) == (99, 0, "")
+
+
 def test_winnow_fingerprints_guarantee_and_edges(spark):
     # the winnowing guarantee: a shared substring of length >= k+w-1
     # (= 11 for k=8, w=4) forces at least one shared fingerprint
