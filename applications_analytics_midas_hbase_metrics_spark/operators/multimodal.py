@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -446,6 +446,174 @@ def audio_fingerprint(
         "id",
         F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
         F.coalesce("fp", F.lit("")).alias("fp"),
+    )
+
+
+#: Magic header of the toy video container: ``VID0`` + u32 frame count
+#: + per frame (u32 length + uncompressed BMP bytes).  A REAL codec
+#: (H.264 etc.) needs libraries this container deliberately avoids —
+#: the Spark-side plumbing (binary parse, frame explode, per-row error
+#: isolation, downstream reuse of the image operators) is the subject,
+#: exactly like the BMP/PNG/WAV fixtures.
+VIDEO_MAGIC = b"VID0"
+
+
+def explode_video_frames(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Video → frame rows: parse the length-prefixed container and emit
+    one (id, frame_idx, frame_payload) row per frame — each payload a
+    standalone BMP any image operator consumes (patchify_images,
+    image_ahash), so the whole image toolchain lifts to video for free.
+    Undecodable containers emit ONE (frame_idx=-1, NULL) row — the
+    per-row isolation contract.  Truncated frames raise inside the row
+    and land in the same error row."""
+    from collections.abc import Iterator as _Iter
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rid = int(getattr(row, id_col))
+                payload = getattr(row, payload_col)
+                try:
+                    if payload is None or payload[:4] != VIDEO_MAGIC:
+                        raise NotImplementedError("not a VID0 container")
+                    n = int.from_bytes(payload[4:8], "little")
+                    pos = 8
+                    frames = []
+                    for f in range(n):
+                        ln = int.from_bytes(payload[pos : pos + 4], "little")
+                        body = payload[pos + 4 : pos + 4 + ln]
+                        if len(body) < ln:
+                            raise ValueError(f"truncated frame {f}")
+                        frames.append((f, bytes(body)))
+                        pos += 4 + ln
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    out.append((rid, -1, None))
+                    continue
+                out.extend((rid, f, b) for f, b in frames)
+            yield pd.DataFrame(
+                out, columns=["id", "frame_idx", "frame_payload"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, "id bigint, frame_idx bigint, frame_payload binary")
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    patch: int = 2,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Scene segmentation over the toy video container: every frame
+    gets its :func:`image_ahash` signature (the container explodes to
+    standalone BMP frames, so the image path is reused verbatim via a
+    composite frame id), and a new scene starts wherever the hamming
+    distance to the previous frame's signature exceeds a quarter of
+    the bits (``hamming * 4 > n_tiles``, integer compare) — the
+    shot-boundary heuristic every keyframe sampler starts from.
+
+    Per-doc frame counts are bounded by the container (< 64 here, so
+    the composite id ``doc * 64 + frame`` is collision-free); the
+    hamming distance is a JVM char-wise compare over the bit strings
+    under one per-doc window.
+
+    Returns (id, n_frames, n_scenes)."""
+    frames = explode_video_frames(df, id_col=id_col, payload_col=payload_col)
+    good = frames.filter(F.col("frame_idx") >= 0)
+    sigs = image_ahash(
+        good.select(
+            (F.col("id") * 64 + F.col("frame_idx")).alias("id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        patch=patch,
+    ).select(
+        F.expr("id div 64").alias("vid"),
+        F.pmod("id", F.lit(64)).alias("frame_idx"),
+        "n_tiles",
+        "ahash",
+    )
+    w = Window.partitionBy("vid").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    hamming = F.size(
+        F.filter(
+            F.expr(
+                "zip_with("
+                " transform(sequence(1, char_length(ahash)),"
+                "           i -> substring(ahash, i, 1)),"
+                " transform(sequence(1, char_length(_prev)),"
+                "           i -> substring(_prev, i, 1)),"
+                " (a, b) -> a <> b)"
+            ),
+            lambda x: x,
+        )
+    )
+    cuts = (
+        sigs.withColumn("_prev", prev)
+        .withColumn(
+            "_new_scene",
+            F.when(F.col("_prev").isNull(), F.lit(1))
+            .when(hamming * 4 > F.col("n_tiles"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy(F.col("vid").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("_new_scene").cast("bigint").alias("n_scenes"),
+        )
+    )
+    # error containers: no good frames -> (0, 0) report rows
+    all_ids = frames.select("id").distinct()
+    return all_ids.join(cuts, "id", "left").select(
+        "id",
+        F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
+        F.coalesce("n_scenes", F.lit(0)).cast("bigint").alias("n_scenes"),
+    )
+
+
+def synthesize_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL toy-container video payloads deterministically from row
+    ids: document d holds ``d%5+2`` frames of ``(d%4+2) x (d%3+2)``
+    24-bit BMPs where pixel k of frame f is ``(7d + 11f + 13k) mod
+    256`` — closed-form, so a SQL oracle recomputes every per-frame
+    tile statistic without parsing either container or BMP.
+    Distributed through the same Arrow-batched mapInPandas as the
+    image/audio synthesizers."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["id"]:
+                d = int(d)
+                n, w, h = d % 5 + 2, d % 4 + 2, d % 3 + 2
+                body = b""
+                for f in range(n):
+                    k = np.arange(w * h * 3, dtype=np.int64)
+                    px = (
+                        ((7 * d + 11 * f + 13 * k) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w, 3)
+                    )
+                    bmp = encode_bmp(px)
+                    body += len(bmp).to_bytes(4, "little") + bmp
+                out.append(
+                    (d, "video", VIDEO_MAGIC + n.to_bytes(4, "little") + body)
+                )
+            yield pd.DataFrame(out, columns=["id", "modality", "payload"])
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("bigint").alias("id")).mapInPandas(
+        run, schema
     )
 
 

@@ -2298,6 +2298,94 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "video_scene_cuts",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS gid FROM documents
+    ),
+    g AS (SELECT DISTINCT gid FROM m),
+    dims AS (
+        SELECT gid, CAST(gid % 5 + 2 AS BIGINT) AS n,
+               CAST(gid % 4 + 2 AS BIGINT) AS w,
+               CAST(gid % 3 + 2 AS BIGINT) AS h
+        FROM g
+    ),
+    fgrid AS (
+        SELECT d.gid, d.w, fr.f, pr.r AS pr, pc.c AS pc
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 7)) AS f) fr ON fr.f < d.n
+        JOIN (SELECT unnest(range(0, 2)) AS r) pr ON pr.r < d.h // 2
+        JOIN (SELECT unnest(range(0, 3)) AS c) pc ON pc.c < d.w // 2
+    ),
+    tile AS (
+        SELECT gg.gid, gg.f, gg.pr, gg.pc,
+               CAST(sum((7 * gg.gid + 11 * gg.f
+                    + 13 * (((2 * gg.pr + dr.r) * gg.w + 2 * gg.pc
+                             + dc.c) * 3 + ch.c)) % 256) AS BIGINT) AS s
+        FROM fgrid gg
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS r) dr
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS c) dc
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+        GROUP BY 1, 2, 3, 4
+    ),
+    sig AS (
+        SELECT gid, f, CAST(count(*) AS BIGINT) AS nt,
+               string_agg(b, '' ORDER BY pr, pc) AS ahash
+        FROM (
+            SELECT gid, f, pr, pc,
+                   CASE WHEN s * (count(*) OVER (PARTITION BY gid, f))
+                             > (sum(s) OVER (PARTITION BY gid, f))
+                        THEN '1' ELSE '0' END AS b
+            FROM tile
+        ) GROUP BY gid, f
+    ),
+    lagged AS (
+        SELECT gid, f, nt, ahash,
+               lag(ahash) OVER (PARTITION BY gid ORDER BY f) AS prev
+        FROM sig
+    ),
+    scenes AS (
+        SELECT gid, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(CASE
+                   WHEN prev IS NULL THEN 1
+                   WHEN 4 * list_sum(list_transform(
+                            range(1, CAST(length(ahash) AS INT) + 1),
+                            i -> CASE WHEN substr(ahash, CAST(i AS INT), 1)
+                                       <> substr(prev, CAST(i AS INT), 1)
+                                      THEN 1 ELSE 0 END)) > nt THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_scenes
+        FROM lagged GROUP BY 1
+    )
+    SELECT m.doc_id AS id, s.n_frames, s.n_scenes
+    FROM m JOIN scenes s USING (gid)
+    """,
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation (operators.multimodal.video_scene_cuts):
+    documents map to one of 60 deterministic toy-container videos
+    (length-prefixed real BMP frames), the container explodes to frame
+    rows, every frame gets its image_ahash signature through the REUSED
+    image path, and a scene starts wherever the hamming distance to the
+    previous frame exceeds a quarter of the bits — the shot-boundary
+    pass a keyframe sampler runs before any model.  The oracle
+    recomputes per-frame tile sums from the closed-form pixel rule and
+    replays the bit strings, the hamming compare, and the integer
+    threshold exactly, so container parse + frame explode + BMP decode
+    + signature + window are all under the hash."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
+    )
+    pay = MM.synthesize_video_payloads(
+        docs.select("gid").distinct(), id_col="gid"
+    )
+    vids = docs.join(
+        F.broadcast(pay.withColumnRenamed("id", "gid").select("gid", "payload")),
+        "gid",
+    ).select(F.col("doc_id").alias("id"), "payload")
+    return MM.video_scene_cuts(vids)
+
+
+@register_extra(
     "multimodal_audio_frames",
     oracle="""
     WITH dims AS (

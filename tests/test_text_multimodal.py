@@ -456,6 +456,40 @@ def test_audio_fingerprint_groups_identical_payloads(spark):
     assert tuple(MM.audio_fingerprint(bad).first()) == (99, 0, "")
 
 
+def test_video_explode_and_scene_cuts(spark):
+    """Container plumbing: frames explode to standalone BMPs the image
+    path consumes (hand-verified count/order + a decodable first
+    frame); scene counts are in [1, n_frames]; truncated containers
+    and bad payloads take the error row, not the task."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(3,), (7,)], "doc_id bigint")
+    vids = MM.synthesize_video_payloads(ids)
+    fr = MM.explode_video_frames(vids.select("id", "payload"))
+    got = {(r.id, r.frame_idx) for r in fr.collect()}
+    assert got == {(3, f) for f in range(5)} | {(7, f) for f in range(4)}
+    # every frame payload is a real BMP the image hasher accepts
+    sig = MM.image_ahash(
+        fr.select(
+            (F.col("id") * 64 + F.col("frame_idx")).alias("id"),
+            F.col("frame_payload").alias("payload"),
+        )
+    )
+    assert sig.filter(F.col("n_tiles") == 0).count() == 0
+    cuts = {r.id: (r.n_frames, r.n_scenes) for r in MM.video_scene_cuts(
+        vids.select("id", "payload")
+    ).collect()}
+    assert cuts[3][0] == 5 and cuts[7][0] == 4
+    assert all(1 <= s <= n for n, s in cuts.values())
+    # error isolation: garbage and a truncated container
+    trunc = vids.select(
+        "id", F.expr("substring(payload, 1, 20)").alias("payload")
+    )
+    assert {tuple(r) for r in MM.video_scene_cuts(trunc).collect()} == {
+        (3, 0, 0), (7, 0, 0)
+    }
+
+
 def test_winnow_fingerprints_guarantee_and_edges(spark):
     # the winnowing guarantee: a shared substring of length >= k+w-1
     # (= 11 for k=8, w=4) forces at least one shared fingerprint
