@@ -574,6 +574,144 @@ def video_scene_cuts(
     )
 
 
+def video_keyframes(
+    df: DataFrame,
+    patch: int = 2,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Keyframe selection: the first frame of every scene
+    (:func:`video_scene_cuts` boundary rule — hamming to the previous
+    frame's aHash exceeds a quarter of the bits, plus frame 0), with
+    the frame PAYLOAD carried through so the selected BMPs are the
+    stored artifact a multimodal training pipeline actually keeps
+    (one representative image per shot instead of every frame).
+
+    Returns (id, frame_idx, frame_payload) of the keyframes only."""
+    frames = explode_video_frames(df, id_col=id_col, payload_col=payload_col)
+    good = frames.filter(F.col("frame_idx") >= 0)
+    sigs = image_ahash(
+        good.select(
+            (F.col("id") * 64 + F.col("frame_idx")).alias("id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        patch=patch,
+    ).select(
+        F.expr("id div 64").alias("vid"),
+        F.pmod("id", F.lit(64)).alias("frame_idx"),
+        "n_tiles",
+        "ahash",
+    )
+    w = Window.partitionBy("vid").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    hamming = F.size(
+        F.filter(
+            F.expr(
+                "zip_with("
+                " transform(sequence(1, char_length(ahash)),"
+                "           i -> substring(ahash, i, 1)),"
+                " transform(sequence(1, char_length(_prev)),"
+                "           i -> substring(_prev, i, 1)),"
+                " (a, b) -> a <> b)"
+            ),
+            lambda x: x,
+        )
+    )
+    keys = (
+        sigs.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (hamming * 4 > F.col("n_tiles")))
+        .select(F.col("vid").alias("id"), "frame_idx")
+    )
+    return good.join(keys, ["id", "frame_idx"]).select(
+        "id", "frame_idx", "frame_payload"
+    )
+
+
+def image_ahash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 1,
+    bands: int | None = None,
+    patch: int = 2,
+    grid: int = 8,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance — the
+    banded (multi-index) join over :func:`image_ahash` signatures,
+    exactly the simhash pigeonhole: split each bit string into
+    ``bands`` contiguous slices; two equal-geometry signatures within
+    hamming <= bands-1 must agree on at least one ENTIRE slice, so an
+    equi-join on (n_tiles, band_idx, slice) is a sound-and-complete
+    candidate generator and the exact hamming verify runs on
+    candidates only, never on the cross product.  ``bands`` defaults
+    to ``max_hamming + 1`` (the minimum with zero recall loss).
+
+    Tiny signatures (few tiles) can make a slice empty, in which case
+    every same-geometry image shares that band — blocking degrades
+    toward per-geometry groups but exactness never does (the verify
+    decides).  Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for hamming "
+            f"<= {max_hamming} (pigeonhole needs >= {max_hamming + 1})"
+        )
+    sig = image_ahash(
+        df, patch=patch, grid=grid, id_col=id_col, payload_col=payload_col
+    ).filter(F.col("n_tiles") > 0)
+    nb = sig.select(
+        "id",
+        "n_tiles",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+    ).withColumn(
+        "slice",
+        F.expr(
+            f"substring(ahash, int(b * n_tiles / {bands}) + 1,"
+            f" int((b + 1) * n_tiles / {bands})"
+            f" - int(b * n_tiles / {bands}))"
+        ),
+    )
+    left, right = nb.alias("l"), nb.alias("r")
+    cand = (
+        left.join(
+            right,
+            [
+                F.col("l.n_tiles") == F.col("r.n_tiles"),
+                F.col("l.b") == F.col("r.b"),
+                F.col("l.slice") == F.col("r.slice"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.ahash").alias("ha"),
+            F.col("r.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.expr(
+                "zip_with("
+                " transform(sequence(1, char_length(ha)),"
+                "           i -> substring(ha, i, 1)),"
+                " transform(sequence(1, char_length(hb)),"
+                "           i -> substring(hb, i, 1)),"
+                " (a, b) -> a <> b)"
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def synthesize_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL toy-container video payloads deterministically from row
     ids: document d holds ``d%5+2`` frames of ``(d%4+2) x (d%3+2)``

@@ -2386,6 +2386,172 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "video_keyframes",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS gid FROM documents
+    ),
+    g AS (SELECT DISTINCT gid FROM m),
+    dims AS (
+        SELECT gid, CAST(gid % 5 + 2 AS BIGINT) AS n,
+               CAST(gid % 4 + 2 AS BIGINT) AS w,
+               CAST(gid % 3 + 2 AS BIGINT) AS h
+        FROM g
+    ),
+    fgrid AS (
+        SELECT d.gid, d.w, fr.f, pr.r AS pr, pc.c AS pc
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 7)) AS f) fr ON fr.f < d.n
+        JOIN (SELECT unnest(range(0, 2)) AS r) pr ON pr.r < d.h // 2
+        JOIN (SELECT unnest(range(0, 3)) AS c) pc ON pc.c < d.w // 2
+    ),
+    tile AS (
+        SELECT gg.gid, gg.f, gg.pr, gg.pc,
+               CAST(sum((7 * gg.gid + 11 * gg.f
+                    + 13 * (((2 * gg.pr + dr.r) * gg.w + 2 * gg.pc
+                             + dc.c) * 3 + ch.c)) % 256) AS BIGINT) AS s
+        FROM fgrid gg
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS r) dr
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS c) dc
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+        GROUP BY 1, 2, 3, 4
+    ),
+    sig AS (
+        SELECT gid, f, CAST(count(*) AS BIGINT) AS nt,
+               string_agg(b, '' ORDER BY pr, pc) AS ahash
+        FROM (
+            SELECT gid, f, pr, pc,
+                   CASE WHEN s * (count(*) OVER (PARTITION BY gid, f))
+                             > (sum(s) OVER (PARTITION BY gid, f))
+                        THEN '1' ELSE '0' END AS b
+            FROM tile
+        ) GROUP BY gid, f
+    ),
+    lagged AS (
+        SELECT gid, f, nt, ahash,
+               lag(ahash) OVER (PARTITION BY gid ORDER BY f) AS prev
+        FROM sig
+    ),
+    keys AS (
+        SELECT gid, f FROM lagged
+        WHERE prev IS NULL
+           OR 4 * list_sum(list_transform(
+                  range(1, CAST(length(ahash) AS INT) + 1),
+                  i -> CASE WHEN substr(ahash, CAST(i AS INT), 1)
+                             <> substr(prev, CAST(i AS INT), 1)
+                            THEN 1 ELSE 0 END)) > nt
+    )
+    SELECT m.doc_id AS id, k.f AS frame_idx,
+           CAST(54 + ((d.w * 3 + 3) // 4) * 4 * d.h AS BIGINT) AS n_bytes
+    FROM m JOIN keys k USING (gid) JOIN dims d USING (gid)
+    """,
+)
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction (operators.multimodal.video_keyframes): the
+    first frame of every detected scene, payload carried through — the
+    stored artifact a multimodal pipeline keeps per shot.  The compared
+    columns are (id, frame_idx, n_bytes): the byte size pins each
+    selected frame's REAL BMP payload against the closed-form
+    54 + padded-row x height layout, so the container round trip rides
+    the hash without shipping binary through the comparator."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
+    )
+    pay = MM.synthesize_video_payloads(
+        docs.select("gid").distinct(), id_col="gid"
+    )
+    vids = docs.join(
+        F.broadcast(pay.withColumnRenamed("id", "gid").select("gid", "payload")),
+        "gid",
+    ).select(F.col("doc_id").alias("id"), "payload")
+    kf = MM.video_keyframes(vids)
+    return kf.select(
+        "id", "frame_idx",
+        F.length("frame_payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register_extra(
+    "image_near_pairs",
+    # the ORACLE is the O(N²) brute force over closed-form signatures;
+    # the Spark side is the banded pigeonhole join — green means the
+    # blocking is sound AND complete (the fuzzy_vocab_pairs pattern,
+    # lifted to the image modality)
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS gid FROM documents
+    ),
+    dims AS (
+        SELECT gid, CAST(gid % 6 + 2 AS BIGINT) AS w,
+               CAST(gid % 4 + 2 AS BIGINT) AS h
+        FROM g
+    ),
+    grid AS (
+        SELECT d.gid, d.w, pr.r AS pr, pc.c AS pc
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 3)) AS r) pr ON pr.r < d.h // 2
+        JOIN (SELECT unnest(range(0, 4)) AS c) pc ON pc.c < d.w // 2
+    ),
+    px AS (
+        SELECT gg.gid, gg.pr, gg.pc,
+               (7 * gg.gid
+                + 13 * (((2 * gg.pr + dr.r) * gg.w + 2 * gg.pc + dc.c) * 3
+                        + ch.c)) % 256 AS v
+        FROM grid gg
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS r) dr
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS c) dc
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+    ),
+    tile AS (
+        SELECT gid, pr, pc, CAST(sum(v) AS BIGINT) AS s
+        FROM px GROUP BY 1, 2, 3
+    ),
+    t8 AS (SELECT * FROM tile WHERE pr < 8 AND pc < 8),
+    sig AS (
+        SELECT gid, CAST(count(*) AS BIGINT) AS n_tiles,
+               string_agg(b, '' ORDER BY pr, pc) AS ahash
+        FROM (
+            SELECT gid, pr, pc,
+                   CASE WHEN s * (count(*) OVER (PARTITION BY gid))
+                             > (sum(s) OVER (PARTITION BY gid))
+                        THEN '1' ELSE '0' END AS b
+            FROM t8
+        ) GROUP BY gid
+    )
+    SELECT a.gid AS id_a, b.gid AS id_b,
+           CAST(list_sum(list_transform(
+               range(1, CAST(length(a.ahash) AS INT) + 1),
+               i -> CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                          <> substr(b.ahash, CAST(i AS INT), 1)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.n_tiles = b.n_tiles AND a.gid < b.gid
+    WHERE list_sum(list_transform(
+              range(1, CAST(length(a.ahash) AS INT) + 1),
+              i -> CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                         <> substr(b.ahash, CAST(i AS INT), 1)
+                        THEN 1 ELSE 0 END)) <= 1
+    """,
+)
+def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs
+    (operators.multimodal.image_ahash_near_pairs): hamming <= 1 over
+    the 60 deterministic BMP signatures via the banded pigeonhole join
+    (bands = 2, sound and complete for distance 1); the oracle
+    brute-forces every same-geometry pair from the closed-form
+    signatures, so green proves the blocking lost nothing and the
+    verify admitted nothing extra."""
+    gids = (
+        _spread(spark, t(spark, sf_dir, "documents"))
+        .select(F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid"))
+        .distinct()
+    )
+    pay = MM.synthesize_bmp_payloads(gids, id_col="gid")
+    imgs = pay.select(F.col("id"), "payload")
+    return MM.image_ahash_near_pairs(imgs, max_hamming=1)
+
+
+@register_extra(
     "multimodal_audio_frames",
     oracle="""
     WITH dims AS (

@@ -490,6 +490,38 @@ def test_video_explode_and_scene_cuts(spark):
     }
 
 
+def test_image_near_pairs_banded_equals_brute(spark):
+    """The banded pigeonhole join enumerates exactly the brute-force
+    hamming<=d pair set over real BMP signatures — sound and complete
+    blocking, for both d=1 (bands 2) and d=2 (bands 3)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "gid bigint")
+    pay = MM.synthesize_bmp_payloads(ids, id_col="gid")
+    imgs = pay.select("id", "payload")
+    sigs = {r.id: (r.n_tiles, r.ahash) for r in MM.image_ahash(imgs).collect()}
+
+    def brute(d):
+        out = set()
+        for a, (na, ha) in sigs.items():
+            for b, (nbt, hb) in sigs.items():
+                if a < b and na == nbt:
+                    hm = sum(x != y for x, y in zip(ha, hb))
+                    if hm <= d:
+                        out.add((a, b, hm))
+        return out
+
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in MM.image_ahash_near_pairs(imgs, max_hamming=d).collect()
+        }
+        assert got == brute(d), d
+        assert len(got) > 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MM.image_ahash_near_pairs(imgs, max_hamming=2, bands=2)
+
+
 def test_winnow_fingerprints_guarantee_and_edges(spark):
     # the winnowing guarantee: a shared substring of length >= k+w-1
     # (= 11 for k=8, w=4) forces at least one shared fingerprint
