@@ -1060,6 +1060,97 @@ def q_curation_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(dropped)
 
 
+@register_extra(
+    "corpus_card",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+               AS exact_dup_rate
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report in ONE pass: per-(source, lang) slice plus
+    both marginals and the grand total — doc counts, token volume,
+    distinct-text counts, and the exact-duplicate rate every dataset
+    card publishes — via explicit GROUPING SETS (one Expand over one
+    scan, never a 4-way union of aggregations; gid disambiguates the
+    NULL groups).  The count(DISTINCT text) under Expand is the
+    planner shape worth pinning: Spark expands FIRST, so the distinct
+    aggregation dedups per grouping set without rescanning."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "text",
+            F.size(D.tokens("text")).cast("bigint").alias("_nt"),
+        )
+        .groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.countDistinct("text").cast("bigint").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("text").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
+@register_extra(
+    "top_duplicated_spans",
+    oracle=f"""
+    WITH ad AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+        FROM documents
+    ),
+    {_substr_shingle_ctes(20, "ad", "")}
+    SELECT sh AS span,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+    FROM sh2 GROUP BY sh HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, span LIMIT 20
+    """,
+)
+def q_top_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication diagnostics: the top-20 most frequent 20-token
+    shingles with occurrence and document counts — the report a
+    curation engineer reads BEFORE running substring_dedup (what is
+    the boilerplate, how wide does it spread), computed on the same
+    shingle frame the dedup uses (one map-side projection + one
+    count aggregate + TakeOrdered; nothing pairwise).  Ties break on
+    the span text so the top-20 is deterministic."""
+    from ..operators.text import _shingle_position_rows
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    rows = _shingle_position_rows(docs, 20, "text", "doc_id", "exact")
+    return (
+        rows.groupBy(F.col("_sh").alias("span"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
+
+
 @register_extra("compression_ratio")  # rows-only: zlib has no SQL replay
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality scoring
