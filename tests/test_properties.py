@@ -521,3 +521,67 @@ def test_exact_substring_dedup_matches_python_model(spark):
     # non-degenerate: the random corpus really has cuts AND survivors
     assert any(c > 0 for _, c, _ in want.values())
     assert any(c == 0 and t for _, c, t in want.values())
+
+
+def test_html_extract_matches_python_model_on_random_markup(spark):
+    """Regex-dialect triangulation for html_extract: random HTML-ish
+    strings (broken tags, nested anchors, entities, unclosed blocks,
+    comment edge cases) through Spark's Java regex must match an
+    independent Python re model of the same chain — with the fixture
+    oracle already pinning DuckDB's RE2, all three dialects agree on
+    the shipped patterns.  ASCII alphabet by design: Java's \\s is
+    ASCII-only while Python's is unicode, a KNOWN dialect split the
+    operator never relies on."""
+    import random
+    import re
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    ents = [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]
+
+    def clean(x):
+        x = re.sub(r"(?s)<[^>]*>", " ", x)
+        for ent, ch in ents:
+            x = x.replace(ent, ch)
+        return re.sub(r"\s+", " ", x).strip()
+
+    def model(html):
+        nb = re.sub(r"(?is)<head[^>]*>.*?</head>", " ", html)
+        nb = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", nb)
+        nb = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", nb)
+        nb = re.sub(r"(?s)<!--.*?-->", " ", nb)
+        m = re.search(r"(?is)<title[^>]*>(.*?)</title>", html)
+        anchors = re.findall(r"(?is)<a[^>]*>(.*?)</a>", nb)
+        text = clean(nb)
+        link = sum(len(clean(a)) for a in anchors)
+        return (
+            clean(m.group(1)) if m else "",
+            text,
+            len(anchors),
+            round(link / max(len(text), 1), 6),
+        )
+
+    rng = random.Random(1234)
+    frags = [
+        "<a href='x'>", "</a>", "<A>", "<script>", "</script>", "<ScRiPt a>",
+        "<style>", "</style>", "<head>", "</head>", "<title>", "</title>",
+        "<!--", "-->", "<b>", "</b>", "<", ">", "&amp;", "&lt;", "&nbsp;",
+        "&amp;lt;", "word", "x y", "  ", "1", "/", '"', "'", "<p attr='v'>",
+    ]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randrange(0, 18))))
+        for i in range(200)
+    ]
+    want = {i: model(h) for i, h in rows}
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    got = {
+        r.id: (r.title, r.text, r.n_links, r.link_density)
+        for r in T.html_extract(df).collect()
+    }
+    assert got == want
+    # non-degenerate: titles, links, and cuts all occurred somewhere
+    assert any(t for t, _, _, _ in want.values())
+    assert any(n > 0 for _, _, n, _ in want.values())
