@@ -407,3 +407,56 @@ def stream_shingle_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_shingle_store(
+    spark, store_dir: str, files_per_bucket: int = 1
+) -> dict:
+    """Rewrite the append-grown shingle-key store
+    (:func:`stream_shingle_ingest` layout: ``keys/`` partitioned by
+    ``sh_bucket``) into at most ``files_per_bucket`` DEDUPLICATED files
+    per bucket — the same operator shape as
+    :func:`compact_signature_store` (dedupe → cluster → bounded
+    rewrite → two-rename swap with cache fencing), applied to the
+    incremental-substring-dedup artifact.  Folding duplicate keys is
+    pure space reclamation: the consumer's semi join is set-semantics,
+    so the cut verdicts are identical before and after (pinned in
+    tests).  Compacted rows carry ``ingest_batch = -1`` so later
+    streaming appends keep a uniform schema.  MUST run between
+    streaming runs, exactly like the signature-store compaction."""
+    import shutil
+
+    path = os.path.join(store_dir, "keys")
+    spark.catalog.refreshByPath(path)
+
+    def _n_files(p: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_before = _n_files(path)
+    compacted = (
+        spark.read.parquet(path)
+        .select("_sh", "sh_bucket")
+        .dropDuplicates(["_sh"])
+        .withColumn("ingest_batch", F.lit(-1))
+        .repartition("sh_bucket")
+        .coalesce(max(files_per_bucket, 1))
+    )
+    tmp = path + ".tmp"
+    compacted.write.mode("overwrite").partitionBy("sh_bucket").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return {
+        "files_before": n_before,
+        "files_after": _n_files(path),
+        "rows": rows,
+    }

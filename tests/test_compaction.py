@@ -150,3 +150,57 @@ def test_recover_signature_store_all_crash_states(spark, tmp_path):
 
     # idempotent on a healthy store
     assert recover_signature_store(store) == {"hashes": "ok", "sigs": "ok"}
+
+
+def test_shingle_store_compaction_verdict_identity(spark, tmp_path):
+    """The shingle-key store compaction folds replay duplicates into a
+    bounded per-bucket layout while the incremental cut's verdicts stay
+    byte-identical — the semi join is set-semantics, so compaction is
+    pure space reclamation (the signature-store contract, applied to
+    the ExactSubstr artifact)."""
+    import os
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+    from applications_analytics_midas_hbase_metrics_spark.streaming.dedup_stream import (
+        compact_shingle_store,
+    )
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "gg hh ii jj kk")], ["doc_id", "text"]
+    )
+    store = str(tmp_path / "store")
+    keys = T.substring_shingle_keys(history, k=3).withColumn(
+        "sh_bucket", F.pmod(F.xxhash64("_sh"), F.lit(4))
+    ).withColumn("ingest_batch", F.lit(0))
+    # three "micro-batches", the last a replay duplicate
+    for b in range(3):
+        keys.withColumn("ingest_batch", F.lit(min(b, 1))).write.mode(
+            "append"
+        ).partitionBy("sh_bucket").parquet(os.path.join(store, "keys"))
+
+    batch = spark.createDataFrame(
+        [(10, "xx aa bb cc dd yy"), (11, "novel words only here")],
+        ["doc_id", "text"],
+    )
+
+    def cut():
+        return sorted(
+            tuple(r)
+            for r in T.exact_substring_dedup_incremental(
+                batch, spark.read.parquet(os.path.join(store, "keys")), k=3
+            ).collect()
+        )
+
+    before = cut()
+    stats = compact_shingle_store(spark, store, files_per_bucket=1)
+    after = cut()
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    # folded to the distinct key count
+    assert stats["rows"] == keys.select("_sh").distinct().count()
+    # later appends keep a uniform schema and still work
+    keys.withColumn("ingest_batch", F.lit(9)).write.mode("append").partitionBy(
+        "sh_bucket"
+    ).parquet(os.path.join(store, "keys"))
+    assert cut() == before
