@@ -111,6 +111,9 @@ CHECKS = {
     "substring_dedup_incremental": ["LeftSemi"],
     # the composed web pipeline's dedup core must stay a SEMI join
     "curation_pipeline_web": ["LeftSemi"],
+    # the dataset-card report must be ONE Expand over one scan, never
+    # a 4-way union of aggregations
+    "corpus_card": ["Expand"],
 }
 
 
@@ -509,6 +512,10 @@ def main() -> None:
         "substring_dedup_incremental",
         "html_extract",
         "curation_pipeline_web",
+        "corpus_card",
+        "top_duplicated_spans",
+        "image_near_pairs",
+        "video_scene_cuts",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
