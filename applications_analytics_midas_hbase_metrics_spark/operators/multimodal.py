@@ -415,10 +415,15 @@ def audio_fingerprint(
 
     The integer-exactness recipe is image_ahash's: the frame SUM of
     absolute amplitudes is recovered from frame_audio's 6-decimal mean
-    (error 5e-7 x frame < 1/2 for frame <= 1e5) and the threshold is
+    times ``frame * n_channels`` — the mean divides by frame·ch, so
+    multiplying by frame alone would recover only sum/ch
+    (half-integers on stereo, bit-flip risk at the threshold on any
+    engine that rounds differently); with the full product the
+    recovery is an exact integer (rounding error 5e-7 × frame × ch
+    < 1/2 for frame·ch <= 1e5) and the threshold is
     ``frame_sum * n_frames > total`` — no float mean crosses an engine
-    boundary.  Mono/flattened frames (frame_audio's convention).
-    Undecodable payloads emit (0, '').
+    boundary for mono OR multichannel clips.  Undecodable payloads
+    emit (0, '').
 
     Returns (id, n_frames, fp)."""
     frames = frame_audio(
@@ -429,7 +434,9 @@ def audio_fingerprint(
     ).select(
         "id",
         "frame_idx",
-        F.round(F.col("frame_mean_abs") * frame).cast("bigint").alias("_s"),
+        F.round(F.col("frame_mean_abs") * frame * F.col("n_channels"))
+        .cast("bigint")
+        .alias("_s"),
     )
     per = fr.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
@@ -467,7 +474,12 @@ def explode_video_frames(
     image_ahash), so the whole image toolchain lifts to video for free.
     Undecodable containers emit ONE (frame_idx=-1, NULL) row — the
     per-row isolation contract.  Truncated frames raise inside the row
-    and land in the same error row."""
+    and land in the same error row — including a LYING header: a
+    declared frame count that runs past the payload hits the
+    short-header check below (``pos + 4 <= len``) before any slice is
+    taken, because ``int.from_bytes(b'') == 0`` would otherwise turn a
+    truncated container into up to 2³²-1 zero-length "frames" and
+    break the isolation contract with a single bad row."""
     from collections.abc import Iterator as _Iter
 
     def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
@@ -483,6 +495,11 @@ def explode_video_frames(
                     pos = 8
                     frames = []
                     for f in range(n):
+                        if pos + 4 > len(payload):
+                            raise ValueError(
+                                f"short header: frame {f}/{n} has no "
+                                "length prefix"
+                            )
                         ln = int.from_bytes(payload[pos : pos + 4], "little")
                         body = payload[pos + 4 : pos + 4 + ln]
                         if len(body) < ln:
@@ -502,11 +519,40 @@ def explode_video_frames(
     ).mapInPandas(run, "id bigint, frame_idx bigint, frame_payload binary")
 
 
+def _frame_composite(good: DataFrame, stride: int) -> DataFrame:
+    """(id, frame_idx, frame_payload) → (id = doc·stride + frame_idx,
+    payload) for reusing the image operators on exploded video frames —
+    with a LOUD guard: a container holding ≥ ``stride`` frames would
+    otherwise silently collide its tail frames into the next doc's id
+    space and corrupt every downstream signature, so the overflow
+    raises (callers pass a bigger ``frame_stride`` for longer clips;
+    the decode path itself has no frame limit)."""
+    composite = F.when(
+        F.col("frame_idx") < stride,
+        F.col("id") * stride + F.col("frame_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"video frame_idx >= frame_stride ({stride}) for doc "
+                ),
+                F.col("id").cast("string"),
+                F.lit(" — raise frame_stride to keep composite ids unique"),
+            )
+        )
+    )
+    return good.select(
+        composite.cast("bigint").alias("id"),
+        F.col("frame_payload").alias("payload"),
+    )
+
+
 def video_scene_cuts(
     df: DataFrame,
     patch: int = 2,
     id_col: str = "id",
     payload_col: str = "payload",
+    frame_stride: int = 64,
 ) -> DataFrame:
     """Scene segmentation over the toy video container: every frame
     gets its :func:`image_ahash` signature (the container explodes to
@@ -516,23 +562,22 @@ def video_scene_cuts(
     the bits (``hamming * 4 > n_tiles``, integer compare) — the
     shot-boundary heuristic every keyframe sampler starts from.
 
-    Per-doc frame counts are bounded by the container (< 64 here, so
-    the composite id ``doc * 64 + frame`` is collision-free); the
-    hamming distance is a JVM char-wise compare over the bit strings
-    under one per-doc window.
+    The composite frame id ``doc * frame_stride + frame`` is
+    collision-free ONLY below ``frame_stride`` frames per container, so
+    :func:`_frame_composite` raises loudly on overflow instead of
+    silently bleeding into the next doc's id space; the hamming
+    distance is a JVM char-wise compare over the bit strings under one
+    per-doc window.
 
     Returns (id, n_frames, n_scenes)."""
     frames = explode_video_frames(df, id_col=id_col, payload_col=payload_col)
     good = frames.filter(F.col("frame_idx") >= 0)
     sigs = image_ahash(
-        good.select(
-            (F.col("id") * 64 + F.col("frame_idx")).alias("id"),
-            F.col("frame_payload").alias("payload"),
-        ),
+        _frame_composite(good, frame_stride),
         patch=patch,
     ).select(
-        F.expr("id div 64").alias("vid"),
-        F.pmod("id", F.lit(64)).alias("frame_idx"),
+        F.expr(f"id div {frame_stride}").alias("vid"),
+        F.pmod("id", F.lit(frame_stride)).alias("frame_idx"),
         "n_tiles",
         "ahash",
     )
@@ -579,6 +624,7 @@ def video_keyframes(
     patch: int = 2,
     id_col: str = "id",
     payload_col: str = "payload",
+    frame_stride: int = 64,
 ) -> DataFrame:
     """Keyframe selection: the first frame of every scene
     (:func:`video_scene_cuts` boundary rule — hamming to the previous
@@ -591,14 +637,11 @@ def video_keyframes(
     frames = explode_video_frames(df, id_col=id_col, payload_col=payload_col)
     good = frames.filter(F.col("frame_idx") >= 0)
     sigs = image_ahash(
-        good.select(
-            (F.col("id") * 64 + F.col("frame_idx")).alias("id"),
-            F.col("frame_payload").alias("payload"),
-        ),
+        _frame_composite(good, frame_stride),
         patch=patch,
     ).select(
-        F.expr("id div 64").alias("vid"),
-        F.pmod("id", F.lit(64)).alias("frame_idx"),
+        F.expr(f"id div {frame_stride}").alias("vid"),
+        F.pmod("id", F.lit(frame_stride)).alias("frame_idx"),
         "n_tiles",
         "ahash",
     )
@@ -1125,7 +1168,13 @@ def frame_audio(
     sample fixture replays in SQL.  Undecodable payloads emit ONE
     (frame_idx=-1, NULLs) row — the per-row isolation contract.
 
-    Returns (id, frame_idx, frame_mean_abs, frame_peak)."""
+    ``n_channels`` rides along so consumers that need the exact frame
+    SUM back (audio_fingerprint's integer-threshold trick) can multiply
+    by ``frame * n_channels`` — the mean divides by frame·ch, so
+    ``mean * frame`` alone recovers only sum/ch (half-integers on
+    stereo, which would flip fingerprint bits across engines).
+
+    Returns (id, frame_idx, frame_mean_abs, frame_peak, n_channels)."""
     from collections.abc import Iterator as _Iter
 
     def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
@@ -1160,7 +1209,7 @@ def frame_audio(
                         raise ValueError("WAV missing fmt or data chunk")
                     a, _rate, ch = _wav_pcm(fmt, data)
                 except Exception:  # noqa: BLE001 — per-row isolation
-                    out.append((rid, -1, None, None))
+                    out.append((rid, -1, None, None, None))
                     continue
                 aa = np.abs(a.astype(np.int64))
                 for fi in range(a.shape[0] // frame):
@@ -1171,11 +1220,18 @@ def frame_audio(
                             fi,
                             round(int(win.sum()) / (frame * ch), 6),
                             int(win.max()),
+                            ch,
                         )
                     )
             yield pd.DataFrame(
                 out,
-                columns=["id", "frame_idx", "frame_mean_abs", "frame_peak"],
+                columns=[
+                    "id",
+                    "frame_idx",
+                    "frame_mean_abs",
+                    "frame_peak",
+                    "n_channels",
+                ],
             )
 
     return df.select(
@@ -1183,7 +1239,7 @@ def frame_audio(
     ).mapInPandas(
         run,
         "id bigint, frame_idx bigint, frame_mean_abs double, "
-        "frame_peak bigint",
+        "frame_peak bigint, n_channels bigint",
     )
 
 

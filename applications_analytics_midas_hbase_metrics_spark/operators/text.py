@@ -1266,8 +1266,14 @@ def html_extract(
         " ",
     )
     title = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
-    anchors = F.expr(
-        "regexp_extract_all(_nb, '(?is)<a[^>]*>(.*?)</a>', 1)"
+    # '<a(?:\s[^>]*)?>' — the opening tag must be exactly `<a>` or
+    # `<a `+attrs; a bare '<a[^>]*>' would also open on <abbr>,
+    # <aside>, <article>, <audio>, … and lazily swallow body text up
+    # to the next </a>, inflating n_links/link_density (which the
+    # curation pipeline thresholds on).  Mirrored character-for-
+    # character in the DuckDB oracle and the fuzz model.
+    anchors = F.regexp_extract_all(
+        F.col("_nb"), F.lit(r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"), 1
     )
 
     def clean(col):

@@ -924,7 +924,7 @@ _HTML_NB_SQL = (
     ),
     an AS (
         SELECT id,
-               regexp_extract_all(nbk, '(?is)<a[^>]*>(.*?)</a>', 1) AS anchors
+               regexp_extract_all(nbk, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1) AS anchors
         FROM nb
     )
     SELECT nb.id,
@@ -977,7 +977,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb AS (SELECT id, html, {_HTML_NB_SQL} AS nbk FROM src),
     an AS (
         SELECT id,
-               regexp_extract_all(nbk, '(?is)<a[^>]*>(.*?)</a>', 1) AS anchors
+               regexp_extract_all(nbk, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1) AS anchors
         FROM nb
     ),
     ex AS (

@@ -2572,7 +2572,8 @@ def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS id, frame_idx,
            round(CAST(sum(v) AS DOUBLE) / 8.0, 6) AS frame_mean_abs,
-           CAST(max(v) AS BIGINT) AS frame_peak
+           CAST(max(v) AS BIGINT) AS frame_peak,
+           CAST(1 AS BIGINT) AS n_channels
     FROM sm GROUP BY 1, 2
     """,
 )

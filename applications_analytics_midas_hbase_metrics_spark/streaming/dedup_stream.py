@@ -174,13 +174,12 @@ def compact_signature_store(
     return stats
 
 
-def recover_signature_store(store_dir: str) -> dict:
-    """Heal the store after a crash anywhere in
-    :func:`compact_signature_store`'s swap window.  Idempotent; call
-    before seeding/streaming against a store that may have died
-    mid-compaction.
+def _recover_table(path: str) -> str:
+    """Heal ONE two-rename-swapped table directory; the per-table body
+    shared by :func:`recover_signature_store` and
+    :func:`recover_shingle_store`.  Idempotent.
 
-    Per table, the on-disk states and their resolutions:
+    On-disk states and their resolutions:
 
     - table present, ``.old``/``.tmp`` residue -> compaction finished
       (or never started) but cleanup didn't: drop residue.
@@ -193,27 +192,49 @@ def recover_signature_store(store_dir: str) -> dict:
     """
     import shutil
 
-    actions = {}
-    for table in ("hashes", "sigs"):
-        path = os.path.join(store_dir, table)
-        old, tmp = path + ".old", path + ".tmp"
-        if os.path.exists(path):
-            act = "ok"
-            if os.path.exists(old) or os.path.exists(tmp):
-                shutil.rmtree(old, ignore_errors=True)
-                shutil.rmtree(tmp, ignore_errors=True)
-                act = "residue_cleared"
-        elif os.path.exists(old):
-            os.rename(old, path)
+    old, tmp = path + ".old", path + ".tmp"
+    if os.path.exists(path):
+        act = "ok"
+        if os.path.exists(old) or os.path.exists(tmp):
+            shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(tmp, ignore_errors=True)
-            act = "restored_pre_compaction"
-        elif os.path.exists(tmp):
-            os.rename(tmp, path)
-            act = "promoted_tmp"
-        else:
-            act = "missing"
-        actions[table] = act
-    return actions
+            act = "residue_cleared"
+    elif os.path.exists(old):
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        act = "restored_pre_compaction"
+    elif os.path.exists(tmp):
+        os.rename(tmp, path)
+        act = "promoted_tmp"
+    else:
+        act = "missing"
+    return act
+
+
+def recover_signature_store(store_dir: str) -> dict:
+    """Heal the signature store (``hashes/`` + ``sigs/``) after a crash
+    anywhere in :func:`compact_signature_store`'s swap window.
+    Idempotent; call before seeding/streaming against a store that may
+    have died mid-compaction.  Per-table state machine:
+    :func:`_recover_table`."""
+    return {
+        table: _recover_table(os.path.join(store_dir, table))
+        for table in ("hashes", "sigs")
+    }
+
+
+def recover_shingle_store(store_dir: str) -> dict:
+    """Heal the shingle-key store (``keys/``) after a crash anywhere in
+    :func:`compact_shingle_store`'s swap window — the keys/ sibling of
+    :func:`recover_signature_store`, which only heals hashes/ + sigs/
+    and would leave a mid-compaction shingle store headless.  Without
+    this, a crash between the two renames leaves ``keys/`` absent and
+    the next :func:`stream_shingle_ingest` append would recreate an
+    EMPTY store — history shingle keys silently lost, every later
+    incremental cut under-counting.  (The ingest path independently
+    refuses to append into that state.)  Idempotent; state machine:
+    :func:`_recover_table`."""
+    return {"keys": _recover_table(os.path.join(store_dir, "keys"))}
 
 
 def stream_incremental_dedup(
@@ -388,10 +409,27 @@ def stream_shingle_ingest(
     (a duplicated key row cannot change a semi-join).  Exactly-once
     from the checkpoint + Parquet's atomic task commits is the normal
     regime; the pytest gate pins streamed == batch-built == the
-    incremental cut result."""
+    incremental cut result.
+
+    Every batch first checks the compaction swap state: ``keys.old``
+    present with ``keys/`` absent means a compaction died between its
+    two renames, and appending would recreate an EMPTY store on top of
+    the recoverable history — the batch raises instead (run
+    :func:`recover_shingle_store`, then restart)."""
     from ..operators.text import substring_shingle_keys
 
+    keys_path = os.path.join(store_dir, "keys")
+
     def process(batch: DataFrame, batch_id: int) -> None:
+        if os.path.exists(keys_path + ".old") and not os.path.exists(
+            keys_path
+        ):
+            raise RuntimeError(
+                "shingle store crashed mid-compaction (keys.old present,"
+                " keys/ absent): appending now would seed an EMPTY store"
+                " and silently drop history — run recover_shingle_store"
+                f" on {store_dir} first"
+            )
         keys = substring_shingle_keys(
             batch, k=k, text_col=text, id_col=doc_id, key_fn=key_fn
         )

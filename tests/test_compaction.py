@@ -204,3 +204,134 @@ def test_shingle_store_compaction_verdict_identity(spark, tmp_path):
         "sh_bucket"
     ).parquet(os.path.join(store, "keys"))
     assert cut() == before
+
+
+def _mk_shingle_store(spark, tmp_path):
+    """(store_dir, batch, cut) fixture body for the shingle-store
+    recovery tests: a two-doc history's distinct 3-token shingle keys
+    in the stream_shingle_ingest layout, plus a probe batch and a
+    cut() thunk over the read-back store."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    history = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "gg hh ii jj kk")], ["doc_id", "text"]
+    )
+    store = str(tmp_path / "shstore")
+    keys = (
+        T.substring_shingle_keys(history, k=3)
+        .withColumn("sh_bucket", F.pmod(F.xxhash64("_sh"), F.lit(4)))
+        .withColumn("ingest_batch", F.lit(0))
+    )
+    keys.write.partitionBy("sh_bucket").parquet(os.path.join(store, "keys"))
+    batch = spark.createDataFrame(
+        [(10, "xx aa bb cc dd yy"), (11, "novel words only here")],
+        ["doc_id", "text"],
+    )
+
+    def cut():
+        path = os.path.join(store, "keys")
+        spark.catalog.refreshByPath(path)
+        return sorted(
+            tuple(r)
+            for r in T.exact_substring_dedup_incremental(
+                batch, spark.read.parquet(path), k=3
+            ).collect()
+        )
+
+    return store, batch, cut
+
+
+def test_recover_shingle_store_all_crash_states(spark, tmp_path):
+    """recover_shingle_store heals every state compact_shingle_store's
+    swap window can leave — the keys/ sibling of the signature-store
+    recovery (which does NOT touch keys/), closing the hole where a
+    crash between the two renames left the store headless and the next
+    ingest would have rebuilt an EMPTY history."""
+    from applications_analytics_midas_hbase_metrics_spark.streaming.dedup_stream import (
+        recover_shingle_store,
+    )
+
+    store, _, cut = _mk_shingle_store(spark, tmp_path)
+    keys = os.path.join(store, "keys")
+    healthy = cut()
+    assert any(r[2] > 0 for r in healthy)  # history really cuts
+
+    # state 1: residue next to a healthy table
+    os.makedirs(keys + ".tmp")
+    assert recover_shingle_store(store) == {"keys": "residue_cleared"}
+    assert not os.path.exists(keys + ".tmp")
+
+    # state 2: crashed between renames — keys/ gone, .old holds history
+    os.rename(keys, keys + ".old")
+    assert recover_shingle_store(store) == {"keys": "restored_pre_compaction"}
+    assert cut() == healthy
+
+    # state 3: only a fully-written tmp remains
+    os.rename(keys, keys + ".tmp")
+    assert recover_shingle_store(store) == {"keys": "promoted_tmp"}
+    assert cut() == healthy
+
+    # idempotent on a healthy store
+    assert recover_shingle_store(store) == {"keys": "ok"}
+
+
+def test_shingle_ingest_refuses_headless_store(spark, tmp_path):
+    """stream_shingle_ingest must REFUSE to append when keys.old exists
+    without keys/ (mid-compaction crash): appending would recreate an
+    empty store on top of the recoverable history.  After
+    recover_shingle_store the same ingest succeeds and the store holds
+    history + the new batch's keys."""
+    import glob
+    import shutil
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+    from applications_analytics_midas_hbase_metrics_spark.streaming.dedup_stream import (
+        recover_shingle_store,
+        stream_shingle_ingest,
+    )
+
+    store, batch, cut = _mk_shingle_store(spark, tmp_path)
+    keys = os.path.join(store, "keys")
+    healthy = cut()
+
+    # one-file parquet source for the availableNow stream
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    tmp = str(tmp_path / "b0")
+    batch.coalesce(1).write.parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(src_dir, "b0.parquet"),
+    )
+
+    def ingest(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(src_dir)
+        )
+        q = stream_shingle_ingest(
+            stream,
+            store,
+            str(tmp_path / ckpt),
+            k=3,
+            n_buckets=4,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # headless state: keys.old present, keys/ absent
+    os.rename(keys, keys + ".old")
+    with pytest.raises(Exception, match="recover_shingle_store"):
+        ingest("ckpt1")
+    assert not os.path.exists(keys)  # nothing was appended
+
+    assert recover_shingle_store(store) == {"keys": "restored_pre_compaction"}
+    assert cut() == healthy
+    ingest("ckpt2")
+    spark.catalog.refreshByPath(keys)
+    stored = {r._sh for r in spark.read.parquet(keys).select("_sh").collect()}
+    batch_keys = {
+        r._sh for r in T.substring_shingle_keys(batch, k=3).collect()
+    }
+    assert batch_keys <= stored  # the refused batch landed after recovery
+    assert any(r[2] > 0 for r in cut())  # history still cuts

@@ -554,7 +554,7 @@ def test_html_extract_matches_python_model_on_random_markup(spark):
         nb = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", nb)
         nb = re.sub(r"(?s)<!--.*?-->", " ", nb)
         m = re.search(r"(?is)<title[^>]*>(.*?)</title>", html)
-        anchors = re.findall(r"(?is)<a[^>]*>(.*?)</a>", nb)
+        anchors = re.findall(r"(?is)<a(?:\s[^>]*)?>(.*?)</a>", nb)
         text = clean(nb)
         link = sum(len(clean(a)) for a in anchors)
         return (
@@ -570,6 +570,9 @@ def test_html_extract_matches_python_model_on_random_markup(spark):
         "<style>", "</style>", "<head>", "</head>", "<title>", "</title>",
         "<!--", "-->", "<b>", "</b>", "<", ">", "&amp;", "&lt;", "&nbsp;",
         "&amp;lt;", "word", "x y", "  ", "1", "/", '"', "'", "<p attr='v'>",
+        # non-anchor a* tags: must NOT open an anchor (the '<a[^>]*>'
+        # bug this model triangulates against)
+        "<abbr>", "<aside>", "<article>", "<audio controls>", "</abbr>",
     ]
     rows = [
         (i, "".join(rng.choice(frags) for _ in range(rng.randrange(0, 18))))

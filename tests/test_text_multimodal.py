@@ -1215,3 +1215,92 @@ def test_pmi_randomized_vs_python_brute_force(spark):
         for r in T.pmi_collocations(df, min_count=3, top_k=1000).collect()
     }
     assert got == want
+
+
+def test_video_lying_header_is_one_error_row(spark):
+    """A container whose header DECLARES more frames than the payload
+    holds must land in the per-row error row, not loop: without the
+    short-header guard, int.from_bytes(b'') == 0 reads every missing
+    length prefix as a zero-length frame and a VID0 + 0xffffffff
+    header appends up to 4B empty rows from one bad byte string."""
+    lying = MM.VIDEO_MAGIC + (0xFFFFFFFF).to_bytes(4, "little")
+    # a second lie: declares 3 frames, carries 1 real one then stops
+    import numpy as np
+
+    bmp = MM.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    partial = (
+        MM.VIDEO_MAGIC
+        + (3).to_bytes(4, "little")
+        + len(bmp).to_bytes(4, "little")
+        + bmp
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(lying)), (2, bytearray(partial))],
+        "id bigint, payload binary",
+    )
+    got = {tuple(r) for r in MM.explode_video_frames(df).collect()}
+    assert got == {(1, -1, None), (2, -1, None)}
+
+
+def test_video_frame_stride_overflow_raises_not_collides(spark):
+    """Composite frame ids are doc*stride+frame: a clip with >= stride
+    frames must raise LOUDLY (silent collision would bleed its tail
+    frames into the next doc's signatures).  The same clip under a
+    bigger stride segments fine."""
+    import numpy as np
+
+    import pytest as _pt
+
+    bmp = MM.encode_bmp(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    n = 5
+    body = b"".join(len(bmp).to_bytes(4, "little") + bmp for _ in range(n))
+    vid = MM.VIDEO_MAGIC + n.to_bytes(4, "little") + body
+    df = spark.createDataFrame(
+        [(7, bytearray(vid))], "id bigint, payload binary"
+    )
+    with _pt.raises(Exception, match="frame_stride"):
+        MM.video_scene_cuts(df, frame_stride=4).collect()
+    with _pt.raises(Exception, match="frame_stride"):
+        MM.video_keyframes(df, frame_stride=4).collect()
+    ok = MM.video_scene_cuts(df, frame_stride=8).collect()
+    assert [tuple(r) for r in ok] == [(7, 5, 1)]  # identical frames: 1 scene
+    kf = MM.video_keyframes(df, frame_stride=8).collect()
+    assert [(r.id, r.frame_idx) for r in kf] == [(7, 0)]
+
+
+def test_audio_fingerprint_stereo_exact(spark):
+    """Multichannel exactness: the frame-sum recovery multiplies by
+    frame * n_channels (mean divides by frame*ch, so frame alone
+    recovers sum/ch — half-integers on stereo that can flip threshold
+    bits).  A stereo clip's bits must equal a pure-Python recompute of
+    the integer energy-sign rule, and identical stereo PCM under
+    different ids fingerprints identically."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pcm = rng.integers(-2000, 2000, size=(24, 2), dtype=np.int16)
+    # force at least one frame whose doubled sum is ODD so the old
+    # sum/ch recovery would sit exactly on a half-integer
+    pcm[0, 0] = 101
+    wav = MM.encode_wav(pcm)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav))],
+        "id bigint, payload binary",
+    )
+    got = {
+        r.id: (r.n_frames, r.fp)
+        for r in MM.audio_fingerprint(df, frame=8).collect()
+    }
+    assert got[1] == got[2]
+    # python model: per-frame integer sum of |amp| over frame*ch values
+    aa = np.abs(pcm.astype(np.int64))
+    sums = [int(aa[f * 8 : (f + 1) * 8].sum()) for f in range(3)]
+    total = sum(sums)
+    bits = "".join("1" if s * 3 > total else "0" for s in sums)
+    assert got[1] == (3, bits)
+    # and frame_audio now reports the channel count
+    ch = {
+        r.frame_idx: r.n_channels
+        for r in MM.frame_audio(df.limit(1), frame=8).collect()
+    }
+    assert ch == {0: 2, 1: 2, 2: 2}
