@@ -28,7 +28,7 @@ Nothing is driver-side; k and d ride broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,16 +46,26 @@ def kmeans_fixed(
     the final assignment (id, ``cluster``, ``dist`` — the fold-exact
     squared distance, rounded for output)."""
     r = int(round_decimals)
-    # bounded-global-window-ok: numbers the k seed rows AFTER limit(k)
-    # below — the window's input is k rows, never the corpus
-    wseed = Window.orderBy(id_col)
+    # Seed numbering is WINDOW-FREE: the k lowest-id rows (k rows, never
+    # the corpus) fold into ONE sorted array row and posexplode hands
+    # each seed its rank — same single-partition data movement as a
+    # global row_number window, but the WindowExec "No Partition
+    # Defined" warning never fires, so that warning stays a real
+    # unbounded-window signal in the logs.
     cents = (
         vecs.orderBy(id_col)
         .limit(k)
         .select(
-            (F.row_number().over(wseed) - 1).alias("cid"),
-            F.transform(F.col(vec_col), lambda x: F.round(x, r)).alias("c"),
+            F.struct(
+                F.col(id_col).alias("_sid"),
+                F.transform(F.col(vec_col), lambda x: F.round(x, r)).alias(
+                    "_c"
+                ),
+            ).alias("_s")
         )
+        .agg(F.array_sort(F.collect_list("_s")).alias("_a"))
+        .select(F.posexplode("_a").alias("cid", "_s"))
+        .select("cid", F.col("_s._c").alias("c"))
     )
 
     assign = None

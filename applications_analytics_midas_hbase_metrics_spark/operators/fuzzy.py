@@ -161,11 +161,19 @@ def canonicalize_vocab(
         .localCheckpoint(eager=True)
     )
     if id_fn == "rank":
-        ids = v.select(
-            "term",
-            # bounded-global-window-ok: ranks the distinct VOCAB
-            # (dictionary-sized by construction, never the corpus)
-            F.row_number().over(Window.orderBy("term")).cast("bigint").alias("tid"),
+        # Ranks the distinct VOCAB (dictionary-sized by construction,
+        # never the corpus) WINDOW-FREE: one sorted-array fold +
+        # posexplode instead of a global row_number window — same
+        # single-partition movement on a dictionary-sized frame, but
+        # the WindowExec "No Partition Defined" warning never fires and
+        # stays a real unbounded-window signal elsewhere.  (rank mode
+        # is the oracle-replayable id space; production uses
+        # id_fn="xxhash64", which never materializes the vocab in one
+        # row.)
+        ids = (
+            v.agg(F.array_sort(F.collect_list("term")).alias("_a"))
+            .select(F.posexplode("_a").alias("_p", "term"))
+            .select("term", (F.col("_p") + 1).cast("bigint").alias("tid"))
         )
     else:
         ids = v.select("term", F.xxhash64("term").alias("tid"))

@@ -38,7 +38,9 @@ def global_prefix_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ``sum(value) OVER (ORDER BY order_col)`` (inclusive) without
-    a single-task global window.  ``order_col`` values must be unique."""
+    a single-task global window.  ``order_col`` values must be unique;
+    ``value_col`` must be integral (token counts — the per-partition
+    totals are carried as bigint)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
@@ -46,17 +48,34 @@ def global_prefix_sum(
     )
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
     # one row per partition; cumulative offset = sum of all PRIOR
-    # partitions' totals.  |partitions| rows -> the window here is tiny.
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
-    # bounded-global-window-ok: this window sees ONE ROW PER PARTITION
-    # (hundreds at cluster scale), not the data — the whole point of the
-    # two-phase sum is that only this tiny frame is ever globally ordered
-    w_off = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # partitions' totals.  |partitions| rows (hundreds at cluster
+    # scale), not the data — the whole point of the two-phase sum is
+    # that only this tiny frame is ever globally ordered.  Computed
+    # WINDOW-FREE: one collect_list aggregate folds the per-partition
+    # totals into a single sorted array row and the exclusive prefix
+    # sums are array math (O(P²) on P≈hundreds is trivial), so the
+    # WindowExec "No Partition Defined" warning never fires here and
+    # stays a real unbounded-window signal in the logs.
+    totals = ranged.groupBy("_pid").agg(
+        F.sum(value_col).cast("bigint").alias("_ptotal")
     )
-    offsets = totals.withColumn(
-        "_poffset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0))
-    ).select("_pid", "_poffset")
+    offsets = (
+        totals.agg(
+            F.array_sort(F.collect_list(F.struct("_pid", "_ptotal"))).alias(
+                "_a"
+            )
+        )
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(_a, (x, i) -> struct(x._pid AS _pid,"
+                    " aggregate(slice(_a, 1, i), CAST(0 AS BIGINT),"
+                    " (acc, y) -> acc + y._ptotal) AS _poffset))"
+                )
+            ).alias("_i", "_s")
+        )
+        .select("_s._pid", "_s._poffset")
+    )
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

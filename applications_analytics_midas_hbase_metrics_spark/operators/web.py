@@ -1,0 +1,177 @@
+"""URL/domain-aware web curation: canonical host extraction, a simple
+documented registrable-domain rule, the deterministic per-domain cap,
+and per-domain rollups — the C4-style (Raffel et al. 2020) /
+RefinedWeb-style (Penedo et al. 2023) stage a 100 TB web pipeline runs
+right after HTML extraction: cap documents per registrable domain so
+no single site dominates the mix, and track per-domain quality/volume
+for the mixture stage.
+
+Spark-first shape:
+
+* host/domain are ONE map-side regexp/string projection (no UDF, no
+  shuffle) — at 100 TB they fuse into the extraction scan stage;
+* the cap never globally sorts: it is the two-phase broadcast top-K
+  (``operators.sampling.top_k_per_group`` — partition-local window
+  prunes to ≤ N per (domain, task), tiny winner set broadcast back as
+  a semi join), keyed on an engine-exact multiplicative hash of the
+  doc id so "which N documents survive" is reproducible across runs
+  and engines with no RNG;
+* the rollup is one partial-aggregated groupBy(domain).
+
+Extension surface (no counterpart in the reference — the reference's
+ingest is HBase metrics, reference Utils.scala:1-876 has no web
+stage); semantics follow the public C4/RefinedWeb recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _MIX_DOMAIN, _SHARD_PRIME, top_k_per_group
+
+#: Multi-label public suffixes the simple registrable-domain rule
+#: recognizes: for these, the registrable domain is the last THREE
+#: host labels (site.co.uk), otherwise the last two (site.com).  A
+#: DELIBERATELY small, documented subset of the Public Suffix List —
+#: production swaps in the full PSL as a broadcast join table (a few
+#: thousand rows), which is the identical operator shape: the rule
+#: below is a broadcast lookup on the last-2-label string either way.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "web.za",
+    "com.mx", "com.ar", "com.tr", "com.tw", "co.kr", "or.kr",
+    "com.sg", "com.hk", "com.my", "co.id", "co.th",
+)
+
+
+def host_expr(url_col: str | Column) -> Column:
+    """Canonical host of a raw URL, as one chain of JVM string ops:
+    drop the scheme (``http://``, ``HTTPS://``, any RFC-3986 scheme),
+    cut the authority at the first ``/``, ``?`` or ``#``, drop
+    userinfo (everything through the last ``@`` of the authority) and
+    a trailing ``:port``, lowercase, strip ONE leading ``www.`` and
+    any trailing dot.  IPv6 bracket hosts and IDN punycoding are out
+    of scope (documented; both arrive as-is).  NULL/empty URLs yield
+    an empty host rather than NULL so downstream group keys are
+    total."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.regexp_replace(
+        F.coalesce(c, F.lit("")), r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
+    )
+    h = F.regexp_extract(h, r"^([^/?#]*)", 1)  # authority only
+    h = F.regexp_replace(h, r"^.*@", "")  # userinfo (last @ wins, RFC 3986)
+    h = F.regexp_replace(h, r":\d*$", "")  # port (possibly empty)
+    h = F.lower(F.trim(h))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r"\.$", "")
+
+
+def registrable_domain_expr(host_col: str | Column) -> Column:
+    """Registrable domain of a canonical host: the last two labels,
+    or the last three when the last-two string is a known multi-label
+    public suffix (:data:`MULTI_LABEL_SUFFIXES`) — ``a.b.site.co.uk``
+    → ``site.co.uk``, ``blog.site.com`` → ``site.com``.  Hosts with
+    fewer than two labels (``localhost``, empty) pass through
+    unchanged.  Pure array math over one split — no UDF, no lookup
+    join at this suffix-set size (the literal IN list compiles into
+    the projection)."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    return (
+        F.when((n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def with_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    host_out: str = "host",
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Attach canonical ``host`` and registrable ``domain`` columns —
+    the projection every downstream domain stage (cap, stats, mixture)
+    keys on."""
+    out = df.withColumn(host_out, host_expr(url_col))
+    return out.withColumn(domain_out, registrable_domain_expr(host_out))
+
+
+def _cap_order(id_col: str) -> Column:
+    """Engine-exact deterministic order key for the per-domain cap:
+    the Fibonacci-style multiplicative hash over the doc id (same
+    exact-int64 arithmetic as sampling.fibonacci_bucket, SHARD prime
+    so the survivor set is decorrelated from mixture keep-decisions),
+    tie-broken by the unique id itself.  Replayable bit-for-bit in any
+    SQL engine — no RNG, no engine-private hash."""
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_MIX_DOMAIN))
+        * F.lit(_SHARD_PRIME),
+        F.lit(_MIX_DOMAIN),
+    )
+    return F.struct(h.alias("h"), F.col(id_col).cast("bigint").alias("i"))
+
+
+def domain_cap(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` documents per registrable domain, chosen by
+    deterministic hash order over the doc id — the C4/RefinedWeb
+    anti-boilerplate cap that stops one templated site from dominating
+    a 100 TB crawl.  Input must already carry ``domain_col`` (see
+    :func:`with_domain`).
+
+    Scale shape: delegates to the two-phase top-K — a partition-local
+    window leaves ≤ n candidates per (domain, task), the global winner
+    set (n × |domains| rows) resolves on that pruned frame and comes
+    back as a BROADCAST semi join, so the corpus-side pass is
+    map-side; there is never a global sort and never an all-to-one
+    window."""
+    tagged = df.withColumn("_cap_ord", _cap_order(id_col))
+    return top_k_per_group(tagged, domain_col, "_cap_ord", n).drop(
+        "_cap_ord"
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "domain",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain rollup feeding the mixture stage: document count,
+    distinct hosts, total text chars, and the corpus share — one
+    partial-aggregated groupBy plus a broadcast-hinted 1-row total (the
+    repo's scalar-crossJoin convention).  Returns (domain, n_docs,
+    n_hosts, total_chars, doc_share)."""
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(host_col).cast("bigint").alias("n_hosts"),
+        F.sum(F.length(F.col(text_col))).cast("bigint").alias("total_chars"),
+    )
+    total = df.select(
+        F.count(F.lit(1)).cast("double").alias("_total_docs")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        domain_col,
+        "n_docs",
+        "n_hosts",
+        "total_chars",
+        F.round(F.col("n_docs") / F.col("_total_docs"), 6).alias(
+            "doc_share"
+        ),
+    )

@@ -1708,3 +1708,135 @@ def q_vocab_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import fuzzy as FZ
 
     return FZ.canonicalize_vocab(_typo_vocab(spark, sf_dir), id_fn="rank")
+
+
+# ---------------------------------------------------------------------------
+# URL/domain-aware web curation (operators/web.py): host extraction,
+# registrable-domain cap, per-domain rollups — the C4/RefinedWeb stage
+# right after HTML extraction.  URLs are synthesized closed-form from
+# doc ids (the synthesize_wav pattern), so the oracle recomputes the
+# EXPECTED host/domain from id arithmetic alone: the Spark side must
+# PARSE its way back to the generative ground truth through scheme
+# case, userinfo, www/multi-label subdomains, mixed-case hosts,
+# trailing dots, ports, and path/query/fragment junk.
+
+#: SQL for the generative host/domain ground truth (DuckDB side).
+_DOM_SUF_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'"
+    " WHEN 2 THEN '.io' WHEN 3 THEN '.co.uk' ELSE '.com.au' END"
+)
+_DOM_DOMAIN_SQL = f"'site' || CAST(doc_id % 37 AS VARCHAR) || {_DOM_SUF_SQL}"
+_DOM_HOST_SQL = (
+    "CASE doc_id % 4 WHEN 2 THEN 'blog.' WHEN 3 THEN 'a.b.' ELSE '' END"
+    f" || {_DOM_DOMAIN_SQL}"
+)
+#: The cap's deterministic order key (sampling._SHARD_PRIME mix),
+#: exact int64 arithmetic in both engines.
+_DOM_HASH_SQL = "(doc_id % 2147483648) * 2654435761 % 2147483648"
+
+
+def _synth_url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, url) with adversarial closed-form URLs: scheme
+    case, userinfo, subdomain depth, host case, trailing dot, port and
+    path/query/fragment all cycle on independent moduli.  Every piece
+    of junk is invisible to the generative host/domain rule, so any
+    parser slip (eaten label, kept port, un-stripped dot) breaks the
+    differential hash."""
+    d = F.col("doc_id")
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    pick = lambda col, *opts: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), (col + 1).cast("int")
+    )
+    scheme = pick(d % 3, "http://", "https://", "HTTPS://")
+    user = F.when(d % 11 == 0, F.lit("user:pw@")).otherwise(F.lit(""))
+    sub = pick(d % 4, "", "www.", "blog.", "a.b.")
+    site = F.concat(F.lit("Site"), (d % 37).cast("string"))
+    suf = pick(d % 5, ".com", ".org", ".io", ".co.uk", ".com.au")
+    dot = F.when(d % 13 == 0, F.lit(".")).otherwise(F.lit(""))
+    port = F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.when(
+        d % 2 == 0, F.concat(F.lit("/p/"), d.cast("string"), F.lit("?q=1"))
+    ).otherwise(F.lit("#frag"))
+    return docs.withColumn(
+        "url", F.concat(scheme, user, sub, site, suf, dot, port, path)
+    )
+
+
+@register_extra(
+    "domain_extract",
+    oracle=f"""
+    SELECT doc_id, {_DOM_HOST_SQL} AS host, {_DOM_DOMAIN_SQL} AS domain
+    FROM documents
+    """,
+)
+def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host canonicalization + registrable domain (operators.web
+    .host_expr / registrable_domain_expr) vs the generative ground
+    truth: the Spark side PARSES the synthesized URL strings, the
+    oracle recomputes what the parse must produce from the id
+    arithmetic — scheme/userinfo/port/path junk stripped, host
+    lowercased, one leading www. and any trailing dot removed, and
+    the last-3-label rule firing exactly on the multi-label suffixes
+    (.co.uk / .com.au here)."""
+    from ..operators import web as W
+
+    return W.with_domain(_synth_url_frame(spark, sf_dir)).select(
+        "doc_id", "host", "domain"
+    )
+
+
+@register_extra(
+    "domain_cap",
+    oracle=f"""
+    WITH dom AS (
+        SELECT doc_id, {_DOM_HOST_SQL} AS host, {_DOM_DOMAIN_SQL} AS domain,
+               {_DOM_HASH_SQL} AS hk
+        FROM documents
+    )
+    SELECT doc_id, host, domain FROM dom
+    QUALIFY row_number() OVER (PARTITION BY domain ORDER BY hk, doc_id) <= 2
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain cap (operators.web.domain_cap): keep at
+    most 2 documents per registrable domain in multiplicative-hash
+    order.  The oracle is the textbook one-window QUALIFY; the Spark
+    side is the two-phase broadcast top-K (partition-local prune →
+    tiny winner set → broadcast semi join), so the results must agree
+    exactly while the plan never globally sorts and never funnels the
+    corpus through one task."""
+    from ..operators import web as W
+
+    capped = W.domain_cap(
+        W.with_domain(_synth_url_frame(spark, sf_dir)), n=2
+    )
+    return capped.select("doc_id", "host", "domain")
+
+
+@register_extra(
+    "domain_stats",
+    oracle=f"""
+    WITH dom AS (
+        SELECT doc_id, {_DOM_HOST_SQL} AS host, {_DOM_DOMAIN_SQL} AS domain,
+               text
+        FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM dom)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           round(count(*) / (SELECT total FROM tot), 6) AS doc_share
+    FROM dom GROUP BY domain
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup (operators.web.domain_stats) feeding the
+    mixture stage: doc count, distinct hosts, total chars, corpus
+    share — one partial-aggregated groupBy plus the broadcast-hinted
+    1-row total."""
+    from ..operators import web as W
+
+    return W.domain_stats(W.with_domain(_synth_url_frame(spark, sf_dir)))

@@ -1610,10 +1610,25 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs")
     )
     top = counts.orderBy(F.col("n_docs").desc(), "token").limit(25)
-    # the global window only ever sees the 25 rows the limit emits
-    # (bounded-global-window-ok)
-    w = Window.orderBy(F.col("n_docs").desc(), "token")
-    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    # Ranking the 25 post-limit rows is WINDOW-FREE: fold them into one
+    # sorted array row (descending n_docs via negated sort key) and
+    # posexplode positions back — same movement as a global row_number
+    # window on 25 rows, but the WindowExec "No Partition Defined"
+    # warning never fires and stays a real unbounded-window signal.
+    return (
+        top.select(
+            F.struct(
+                (-F.col("n_docs")).alias("_neg"), F.col("token")
+            ).alias("_s")
+        )
+        .agg(F.array_sort(F.collect_list("_s")).alias("_a"))
+        .select(F.posexplode("_a").alias("_p", "_s"))
+        .select(
+            F.col("_s.token").alias("token"),
+            (-F.col("_s._neg")).cast("bigint").alias("n_docs"),
+            (F.col("_p") + 1).cast("int").alias("rank"),
+        )
+    )
 
 
 #: quality_score recomputed for the percentile oracle (the same formula

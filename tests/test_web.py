@@ -1,0 +1,122 @@
+"""URL/domain web-curation operators (operators/web.py): adversarial
+host parsing, the simple registrable-domain rule, deterministic
+per-domain capping (including the broadcast-top-K plan shape), and the
+per-domain rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from applications_analytics_midas_hbase_metrics_spark.operators import web as W
+from tests.conftest import final_plan
+
+
+def _hosts(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    out = W.with_domain(df)
+    return [(r.host, r.domain) for r in out.orderBy("doc_id").collect()]
+
+
+def test_host_and_domain_hand_checked(spark):
+    """Every canonicalization rule on a hand-built adversarial set:
+    scheme case, userinfo, ports (incl. empty), one-www-only strip,
+    trailing dots, multi-label suffixes, sub-2-label passthrough,
+    NULL totality."""
+    cases = [
+        # (url, host, domain)
+        ("http://Site4.COM/p/1?q=1", "site4.com", "site4.com"),
+        ("HTTPS://user:pw@www.site4.com:8080/x#f", "site4.com", "site4.com"),
+        ("https://blog.site4.co.uk#frag", "blog.site4.co.uk", "site4.co.uk"),
+        ("ftp+ssh://a.b.Site0.com.au./d", "a.b.site0.com.au", "site0.com.au"),
+        # one leading www. only — www.www. keeps the second
+        ("http://www.www.site.org", "www.site.org", "site.org"),
+        # port with empty digits, query-only URL, bare authority
+        ("http://site.io:", "site.io", "site.io"),
+        ("http://site.io?q=1", "site.io", "site.io"),
+        ("site.io/path", "site.io", "site.io"),  # schemeless
+        ("http://localhost:9000/x", "localhost", "localhost"),
+        ("", "", ""),
+        (None, "", ""),
+        # userinfo cut at the LAST @ of the authority (RFC 3986)
+        ("http://a@b@site.org/c", "site.org", "site.org"),
+        # 2-label host under a multi-label suffix: co.uk has no 3rd
+        # label to take, the n>=3 guard keeps the host itself
+        ("http://co.uk/x", "co.uk", "co.uk"),
+    ]
+    got = _hosts(spark, [c[0] for c in cases])
+    assert got == [(h, d) for _, h, d in cases]
+
+
+def test_domain_cap_deterministic_and_exact(spark):
+    """The cap keeps exactly min(n, |domain|) docs per domain, the SAME
+    docs on every run (multiplicative-hash order, no RNG), and a
+    Python recomputation of the hash order predicts the survivors."""
+    rows = [(i, f"http://site{i % 3}.com/p") for i in range(30)]
+    df = W.with_domain(
+        spark.createDataFrame(rows, "doc_id bigint, url string")
+    )
+    capped = W.domain_cap(df, n=4)
+    got = {(r.domain, r.doc_id) for r in capped.collect()}
+    # python model of _cap_order
+    want = set()
+    by_dom: dict[str, list[int]] = {}
+    for i, _ in rows:
+        by_dom.setdefault(f"site{i % 3}.com", []).append(i)
+    for dom, ids in by_dom.items():
+        order = sorted(ids, key=lambda i: ((i % 2**31) * 2654435761 % 2**31, i))
+        want |= {(dom, i) for i in order[:4]}
+    assert got == want
+    assert len(got) == 12  # 3 domains x 4
+    # run-to-run determinism
+    assert {(r.domain, r.doc_id) for r in W.domain_cap(df, n=4).collect()} == got
+    # n >= group size keeps everything
+    assert W.domain_cap(df, n=99).count() == 30
+
+
+def test_domain_cap_plan_is_broadcast_topk_not_global_sort(spark):
+    """Scale contract: the executed plan broadcast-joins the winner set
+    back (BroadcastHashJoin ... LeftSemi) and contains NO global Sort
+    over the corpus (only the partition-local window sorts) and no
+    single-partition exchange."""
+    rows = [(i, f"http://site{i % 5}.org/p") for i in range(200)]
+    df = W.with_domain(
+        spark.createDataFrame(rows, "doc_id bigint, url string")
+    )
+    plan = final_plan(W.domain_cap(df, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SinglePartition" not in plan
+    # the only exchanges are the hash shuffle for the winner window and
+    # the broadcast — never a rangepartitioning (global sort) stage
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_domain_stats_rollup(spark):
+    """Counts, distinct hosts, char totals and shares on a hand-built
+    corpus — including two hosts collapsing into one domain."""
+    rows = [
+        (1, "http://www.site.com/a", "aaaa"),
+        (2, "http://blog.site.com/b", "bb"),
+        (3, "https://other.org/c", "cccccc"),
+        (4, "https://other.org/d", "dd"),
+    ]
+    df = W.with_domain(
+        spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    )
+    got = {
+        r.domain: (r.n_docs, r.n_hosts, r.total_chars, r.doc_share)
+        for r in W.domain_stats(df).collect()
+    }
+    assert got == {
+        "site.com": (2, 2, 6, 0.5),  # site.com + blog.site.com
+        "other.org": (2, 1, 8, 0.5),
+    }
+
+
+def test_multi_label_suffix_table_is_coherent():
+    """Every configured multi-label suffix is itself two labels — the
+    rule's arithmetic (last-2 lookup -> take last-3) depends on it."""
+    assert all(s.count(".") == 1 for s in W.MULTI_LABEL_SUFFIXES)
+    assert len(set(W.MULTI_LABEL_SUFFIXES)) == len(W.MULTI_LABEL_SUFFIXES)
