@@ -961,6 +961,34 @@ def cut_spans(
     )
 
 
+def disk_persist_pin(df: DataFrame) -> DataFrame:
+    """The 100 TB ``pin=`` escape hatch for the ExactSubstr operators
+    (:func:`exact_substring_spans` / :func:`exact_substring_dedup` /
+    :func:`exact_substring_dedup_incremental`): persist the shingle
+    frame DISK_ONLY and materialize it eagerly, so the shingling
+    projection runs exactly once for both consumers (frequency count +
+    semi join) — the same reuse guarantee as the default
+    ``localCheckpoint``, with two differences that matter at scale:
+
+    * DISK_ONLY keeps the blocks OUT of executor memory — the shingle
+      frame is ∝ corpus tokens, and at 100 TB pinning it in memory
+      (or letting localCheckpoint's MEMORY_AND_DISK blocks compete
+      with shuffle/exec memory) evicts the working set;
+    * persist keeps LINEAGE — a lost executor recomputes its blocks
+      from the parquet scan, while localCheckpoint truncates lineage
+      and a lost block fails the job (the reason Spark docs gate
+      localCheckpoint on "performance over fault tolerance").
+
+    Caller releases with ``df.unpersist()`` when the consuming action
+    finishes (the tests and the gated query wrapper do).  Flip
+    criteria measured in SCALE.md round-11."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.DISK_ONLY)
+    out.count()  # eager: both consumers read the store, never recompute
+    return out
+
+
 def exact_substring_spans(
     df: DataFrame,
     k: int = 20,

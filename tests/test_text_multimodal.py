@@ -1304,3 +1304,65 @@ def test_audio_fingerprint_stereo_exact(spark):
         for r in MM.frame_audio(df.limit(1), frame=8).collect()
     }
     assert ch == {0: 2, 1: 2, 2: 2}
+
+
+def test_disk_persist_pin_identical_verdicts(spark):
+    """pin=disk_persist_pin (the 100 TB escape hatch: DISK_ONLY persist
+    with lineage instead of the default lineage-truncating
+    localCheckpoint) must produce byte-identical cuts for BOTH the
+    self-contained and the incremental ExactSubstr operators, and the
+    pinned frame must really be DISK_ONLY."""
+    from pyspark import StorageLevel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "xx aa bb cc dd yy zz"),
+            (3, "totally novel words only here"),
+            (4, "pp qq rr pp qq rr tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    pinned = []
+
+    def pin(df):
+        out = T.disk_persist_pin(df)
+        assert out.storageLevel == StorageLevel.DISK_ONLY
+        pinned.append(out)
+        return out
+
+    try:
+        base = sorted(
+            tuple(r) for r in T.exact_substring_dedup(docs, k=3).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in T.exact_substring_dedup(docs, k=3, pin=pin).collect()
+        )
+        assert got == base
+        assert any(r[1] > 0 for r in base)  # spans really were cut
+
+        history = docs.filter(F.col("doc_id") <= 2)
+        batch = spark.createDataFrame(
+            [(10, "zz aa bb cc dd ww"), (11, "nothing shared at all")],
+            ["doc_id", "text"],
+        )
+        keys = T.substring_shingle_keys(history, k=3)
+        inc_base = sorted(
+            tuple(r)
+            for r in T.exact_substring_dedup_incremental(
+                batch, keys, k=3
+            ).collect()
+        )
+        inc_got = sorted(
+            tuple(r)
+            for r in T.exact_substring_dedup_incremental(
+                batch, keys, k=3, pin=pin
+            ).collect()
+        )
+        assert inc_got == inc_base
+        assert any(r[2] > 0 for r in inc_base)  # history cut the batch
+        assert len(pinned) == 2  # both operators routed through the pin
+    finally:
+        for f in pinned:
+            f.unpersist()
