@@ -24,7 +24,7 @@ from ..operators.sampling import (
     token_budget_mixture,
 )
 from .queries import persist_deferred, register, register_extra, t
-from .queries_ext import _TOKS, _spread
+from .queries_ext import _MIX_RATE_SQL, _MIX_RATES, _TOKS, _spread
 
 _PACK_BUDGET = 512
 
@@ -1720,32 +1720,47 @@ def q_vocab_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # case, userinfo, www/multi-label subdomains, mixed-case hosts,
 # trailing dots, ports, and path/query/fragment junk.
 
-#: SQL for the generative host/domain ground truth (DuckDB side).
-_DOM_SUF_SQL = (
-    "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'"
-    " WHEN 2 THEN '.io' WHEN 3 THEN '.co.uk' ELSE '.com.au' END"
-)
-_DOM_DOMAIN_SQL = f"'site' || CAST(doc_id % 37 AS VARCHAR) || {_DOM_SUF_SQL}"
-_DOM_HOST_SQL = (
-    "CASE doc_id % 4 WHEN 2 THEN 'blog.' WHEN 3 THEN 'a.b.' ELSE '' END"
-    f" || {_DOM_DOMAIN_SQL}"
-)
-#: The cap's deterministic order key (sampling._SHARD_PRIME mix),
-#: exact int64 arithmetic in both engines.
-_DOM_HASH_SQL = "(doc_id % 2147483648) * 2654435761 % 2147483648"
-
-
-def _synth_url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text, url) with adversarial closed-form URLs: scheme
-    case, userinfo, subdomain depth, host case, trailing dot, port and
-    path/query/fragment all cycle on independent moduli.  Every piece
-    of junk is invisible to the generative host/domain rule, so any
-    parser slip (eaten label, kept port, un-stripped dot) breaks the
-    differential hash."""
-    d = F.col("doc_id")
-    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
+#: SQL for the generative host/domain ground truth (DuckDB side),
+#: parameterized over the id column so composed pipelines reuse it.
+def _dom_suf_sql(idc: str = "doc_id") -> str:
+    return (
+        f"CASE {idc} % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'"
+        " WHEN 2 THEN '.io' WHEN 3 THEN '.co.uk' ELSE '.com.au' END"
     )
+
+
+def _dom_domain_sql(idc: str = "doc_id") -> str:
+    return f"'site' || CAST({idc} % 37 AS VARCHAR) || {_dom_suf_sql(idc)}"
+
+
+def _dom_host_sql(idc: str = "doc_id") -> str:
+    return (
+        f"CASE {idc} % 4 WHEN 2 THEN 'blog.' WHEN 3 THEN 'a.b.' ELSE '' END"
+        f" || {_dom_domain_sql(idc)}"
+    )
+
+
+def _dom_hash_sql(idc: str = "doc_id") -> str:
+    """The cap's deterministic order key (sampling._SHARD_PRIME mix),
+    exact int64 arithmetic in both engines."""
+    return f"({idc} % 2147483648) * 2654435761 % 2147483648"
+
+
+_DOM_SUF_SQL = _dom_suf_sql()
+_DOM_DOMAIN_SQL = _dom_domain_sql()
+_DOM_HOST_SQL = _dom_host_sql()
+_DOM_HASH_SQL = _dom_hash_sql()
+
+
+def _add_synth_url(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach adversarial closed-form URLs built from the id column:
+    scheme case, userinfo, subdomain depth, host case, trailing dot,
+    port and path/query/fragment all cycle on independent moduli.
+    Every piece of junk is invisible to the generative host/domain
+    rule (``_DOM_HOST_SQL`` / ``_DOM_DOMAIN_SQL``), so any parser slip
+    (eaten label, kept port, un-stripped dot) breaks the differential
+    hash."""
+    d = F.col(id_col)
     pick = lambda col, *opts: F.element_at(  # noqa: E731
         F.array(*[F.lit(o) for o in opts]), (col + 1).cast("int")
     )
@@ -1759,8 +1774,16 @@ def _synth_url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = F.when(
         d % 2 == 0, F.concat(F.lit("/p/"), d.cast("string"), F.lit("?q=1"))
     ).otherwise(F.lit("#frag"))
-    return docs.withColumn(
+    return df.withColumn(
         "url", F.concat(scheme, user, sub, site, suf, dot, port, path)
+    )
+
+
+def _synth_url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, url) over the documents table — the fixture the
+    three standalone domain gates share."""
+    return _add_synth_url(
+        _spread(spark, t(spark, sf_dir, "documents")).select("doc_id", "text")
     )
 
 
@@ -1840,3 +1863,335 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web as W
 
     return W.domain_stats(W.with_domain(_synth_url_frame(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# The FULL pretraining-data build as one numbered pipeline with one
+# end-to-end manifest oracle: extract -> quality filter -> exact dedup
+# -> near dedup -> exact-substring dedup -> decontaminate -> domain cap
+# -> language mixture -> pack -> shard.  Every stage is an
+# individually-gated operator; this query pins their COMPOSITION — a
+# drift anywhere (filter threshold, dedup rule, hash constant, pack
+# budget, shard extractor, or any stage's ORDER in the chain) moves a
+# manifest row and the hash goes red.
+
+def _toks_sql(expr: str) -> str:
+    """DuckDB twin of dedup.tokens() over an arbitrary expression."""
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '\\s+'),"
+        " tk -> tk != '')"
+    )
+
+
+def _grams5_sql(expr: str) -> str:
+    """DuckDB distinct char-5-grams (dedup.ngram_near_duplicates's set
+    elements) over an arbitrary text expression."""
+    return f"""
+    list_distinct(CASE WHEN length(lower({expr})) >= 5
+        THEN list_transform(range(1, length(lower({expr})) - 3),
+                            i -> substr(lower({expr}), CAST(i AS INT), 5))
+        ELSE [lower({expr})] END)
+    """
+
+
+def _curation_full_oracle() -> str:
+    tail = _CUT_STITCH_TAIL
+    idx = tail.rindex("SELECT d.id,")
+    cut_ctes, cut_sel = tail[:idx].rstrip().rstrip(","), tail[idx:]
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+        " / (len(a.grams) + len(b.grams)"
+        " - len(list_intersect(a.grams, b.grams)))"
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(
+                   ({_TOKS})[1:CAST(ceil(len({_TOKS}) * 0.95) AS INT)], ' '),
+               lang, source
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    src AS (SELECT doc_id AS id, {_HTML_WRAP_SQL} AS html FROM corpus),
+    nbf AS (SELECT id, html, {_HTML_NB_SQL} AS nbk FROM src),
+    anf AS (
+        SELECT id,
+               regexp_extract_all(nbk, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1)
+                   AS anchors
+        FROM nbf
+    ),
+    ex AS MATERIALIZED (
+        SELECT nbf.id,
+               {_html_clean_sql("nbf.nbk")} AS txt,
+               round(CAST(coalesce(list_sum(list_transform(anf.anchors,
+                         a -> length({_html_clean_sql("a")}))), 0) AS DOUBLE)
+                     / greatest(length({_html_clean_sql("nbf.nbk")}), 1), 6)
+                   AS link_density
+        FROM nbf JOIN anf USING (id)
+    ),
+    q AS MATERIALIZED (
+        SELECT id, txt FROM ex
+        WHERE link_density <= 0.2 AND len({_toks_sql("txt")}) >= 20
+    ),
+    ed AS MATERIALIZED (
+        SELECT q.* FROM q
+        JOIN (SELECT min(id) AS id FROM q GROUP BY txt) m USING (id)
+    ),
+    ng AS (
+        SELECT id, list_distinct(CASE WHEN len(tkx) >= 3
+            THEN list_transform(range(1, len(tkx) - 1),
+                                i -> array_to_string(tkx[i:i+2], ' '))
+            ELSE [array_to_string(tkx, ' ')] END) AS grams
+        FROM (SELECT id, {_toks_sql("txt")} AS tkx FROM ed) s
+    ),
+    ndrop AS MATERIALIZED (
+        SELECT DISTINCT b.id FROM ng a JOIN ng b
+          ON a.id < b.id
+         AND least(len(a.grams), len(b.grams))
+             >= 0.8 * greatest(len(a.grams), len(b.grams))
+        WHERE {jac} >= 0.8
+    ),
+    nd AS (
+        SELECT ed.* FROM ed LEFT JOIN ndrop USING (id)
+        WHERE ndrop.id IS NULL
+    ),
+    ad AS (
+        SELECT id, trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) AS nm
+        FROM nd
+    ),
+    {_substr_shingle_ctes(20, "ad", "")},
+    hot AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) >= 2),
+    sp AS (SELECT id, s, e FROM sh2 JOIN hot USING (sh)),
+    {cut_ctes},
+    cut AS MATERIALIZED ({cut_sel}),
+    btk AS (
+        SELECT id, {_toks_sql("txt")} AS tks FROM ex
+        WHERE id < 100000 AND id % 11 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest(CASE WHEN len(tks) >= 8
+            THEN list_distinct(list_transform(range(1, len(tks) - 6),
+                               i -> array_to_string(tks[i:i+7], ' ')))
+            ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM btk
+    ),
+    ctk AS (SELECT id, {_toks_sql("text_cut")} AS tks FROM cut),
+    cg AS (
+        SELECT id, unnest(CASE WHEN len(tks) >= 8
+            THEN list_distinct(list_transform(range(1, len(tks) - 6),
+                               i -> array_to_string(tks[i:i+7], ' ')))
+            ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM ctk
+    ),
+    contam AS MATERIALIZED (SELECT DISTINCT cg.id FROM cg JOIN bg USING (gram)),
+    dec AS MATERIALIZED (
+        SELECT cut.* FROM cut LEFT JOIN contam USING (id)
+        WHERE contam.id IS NULL
+    ),
+    dm AS (
+        SELECT dec.*, {_dom_domain_sql("id")} AS domain,
+               {_dom_hash_sql("id")} AS hk
+        FROM dec
+    ),
+    capped AS MATERIALIZED (
+        SELECT * FROM dm
+        QUALIFY row_number() OVER (PARTITION BY domain
+                                   ORDER BY hk, id) <= 2
+    ),
+    mixed AS MATERIALIZED (
+        SELECT c.id, c.n_spans, c.cut_chars, c.text_cut
+        FROM capped c JOIN corpus ON corpus.doc_id = c.id
+        WHERE ((((c.id % 2147483648) + 2147483648) % 2147483648
+                * 2246822519) % 2147483648) * 100 // 2147483648
+              < {_MIX_RATE_SQL.replace("lang", "corpus.lang")}
+    ),
+    ntf AS (
+        SELECT id, n_spans, cut_chars,
+               CAST(len({_toks_sql("text_cut")}) AS BIGINT) AS n_tokens_final
+        FROM mixed
+    ),
+    packed AS (
+        SELECT id, n_spans, cut_chars, n_tokens_final,
+               CAST(floor((cum - n_tokens_final) / 512.0) AS BIGINT)
+                   AS pack_id,
+               CAST(((((id % 2147483648) + 2147483648) % 2147483648
+                      * 2654435761) % 2147483648) * 8 // 2147483648 AS INT)
+                   AS shard
+        FROM (SELECT *, sum(n_tokens_final) OVER (ORDER BY id) AS cum
+              FROM ntf)
+    )
+    SELECT id, 'kept' AS stage, CAST(n_spans AS INT) AS n_spans,
+           CAST(cut_chars AS INT) AS cut_chars, n_tokens_final,
+           pack_id, shard
+    FROM packed
+    UNION ALL SELECT ex.id, 'quality', 0, 0, 0, -1, -1
+    FROM ex LEFT JOIN q USING (id) WHERE q.id IS NULL
+    UNION ALL SELECT q.id, 'exact_dup', 0, 0, 0, -1, -1
+    FROM q LEFT JOIN ed USING (id) WHERE ed.id IS NULL
+    UNION ALL SELECT ed.id, 'near_dup', 0, 0, 0, -1, -1
+    FROM ed JOIN ndrop USING (id)
+    UNION ALL SELECT cut.id, 'decontaminated', 0, 0, 0, -1, -1
+    FROM cut JOIN contam USING (id)
+    UNION ALL SELECT dec.id, 'domain_cap', 0, 0, 0, -1, -1
+    FROM dec LEFT JOIN (SELECT id FROM capped) cp USING (id)
+    WHERE cp.id IS NULL
+    UNION ALL SELECT c2.id, 'mixture', 0, 0, 0, -1, -1
+    FROM capped c2 LEFT JOIN mixed USING (id) WHERE mixed.id IS NULL
+    """
+
+
+@register_extra("curation_pipeline_full", oracle=_curation_full_oracle())
+def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data build, one manifest row per input
+    document: wrap the fixture corpus (plus planted exact copies of
+    doc_id%5 and 95%-prefix near copies of doc_id%7) in real HTML, then
+
+      1. EXTRACT (text.html_extract);
+      2. QUALITY filter (link_density <= 0.2, >= 20 tokens);
+      3. EXACT dedup (dedup.drop_exact_duplicates, lowest id per text);
+      4. NEAR dedup (dedup.minhash_near_duplicates, word-3-shingle
+         jaccard >= 0.8 — catches every planted 95%-prefix copy,
+         measured min J 0.80 — dropping the higher id of every pair;
+         32 hashes / 16 bands: miss at the 0.8 floor is (1-0.64)^16
+         ~ 8e-8 per pair);
+      5. EXACT-SUBSTRING dedup (text.exact_substring_dedup, k=20);
+      6. DECONTAMINATE (text.ngram_decontaminate, 8-grams vs the
+         doc_id%11 bench slice, contaminated docs dropped);
+      7. DOMAIN CAP (web.domain_cap over synthesized URLs, <= 2 per
+         registrable domain in multiplicative-hash order);
+      8. LANGUAGE MIXTURE (sampling.mixture_sample, the _MIX_RATES
+         map);
+      9. PACK (packing.assign_packs, 512-token budget over the final
+         cut text in id order);
+     10. SHARD (sampling.shuffle_shards, 8 shards).
+
+    Survivors report (n_spans, cut_chars, n_tokens_final, pack_id,
+    shard); every dropped doc reports WHICH stage dropped it — the
+    output is total over the input corpus, a curation manifest, and
+    the oracle replays all ten stages in one SQL chain."""
+    from ..operators import web as W
+    from ..operators.sampling import mixture_sample, shuffle_shards
+
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    toks = D.tokens("text")
+    prefix = F.array_join(
+        F.slice(toks, 1, F.ceil(F.size(toks) * 0.95).cast("int")), " "
+    )
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "text", "lang", "source",
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                prefix.alias("text"), "lang", "source",
+            )
+        )
+    ).localCheckpoint(eager=True)  # consumed by 3 stages + lang map
+    wrapped = corpus.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(' &amp; more</p><a href="/nav">'),
+            F.col("lang"),
+            F.lit(' home</a><script>var a="<p>";</script><!-- hidden -->'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    # 1. extract — reused by the quality stage AND the bench slice
+    ex = T.html_extract(wrapped).localCheckpoint(eager=True)
+    # 2. quality
+    q = ex.filter(
+        (F.col("link_density") <= 0.2) & (F.size(D.tokens("text")) >= 20)
+    ).select("id", F.col("text").alias("txt"))
+    # 3. exact dedup
+    ed = D.drop_exact_duplicates(q, content_col="txt", id_col="id")
+    ed = ed.localCheckpoint(eager=True)  # consumed by near-dup + anti
+    # 4. near dedup: drop the higher id of every jaccard>=0.9 pair
+    pairs = D.minhash_near_duplicates(
+        ed, text_col="txt", id_col="id", shingle_k=3,
+        num_hashes=32, threshold=0.8,
+    )
+    ndrop = pairs.select(F.col("id_b").alias("id")).distinct()
+    nd = ed.join(ndrop, "id", "left_anti")
+    # 5. exact substring dedup
+    cut = T.exact_substring_dedup(nd, k=20, text_col="txt", id_col="id")
+    cut = cut.localCheckpoint(eager=True)  # consumed by 3 stages
+    # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
+    bench = ex.filter(
+        (F.col("id") < 100000) & (F.col("id") % 11 == 0)
+    ).select("id", "text")
+    flags = T.ngram_decontaminate(
+        cut.select("id", F.col("text_cut").alias("text")),
+        bench, n=8, id_col="id",
+    )
+    contaminated = flags.filter(F.col("contaminated") == 1).select("id")
+    dec = cut.join(contaminated, "id", "left_anti")
+    dec = dec.localCheckpoint(eager=True)
+    # 7. domain cap over synthesized URLs
+    dm = W.with_domain(_add_synth_url(dec, id_col="id"))
+    capped = W.domain_cap(dm, n=2, id_col="id").select(
+        "id", "n_spans", "cut_chars", "text_cut"
+    )
+    capped = capped.localCheckpoint(eager=True)
+    # 8. language mixture
+    lang_map = corpus.select(F.col("doc_id").alias("id"), "lang")
+    mixed = mixture_sample(
+        capped.join(lang_map, "id"), _MIX_RATES,
+        strat_col="lang", key_col="id",
+    ).select("id", "n_spans", "cut_chars", "text_cut")
+    mixed = mixed.localCheckpoint(eager=True)
+    # 9. pack (512-token budget, id order) + 10. shard (8 shards)
+    ntf = mixed.select(
+        "id", "n_spans", "cut_chars",
+        F.size(D.tokens("text_cut")).cast("bigint").alias("n_tokens_final"),
+    )
+    packed = P.assign_packs(
+        ntf, tokens_col="n_tokens_final", order_col="id", budget=512
+    )
+    sharded = shuffle_shards(packed, n_shards=8, key_col="id")
+    kept = sharded.select(
+        "id", F.lit("kept").alias("stage"),
+        F.col("n_spans").cast("int").alias("n_spans"),
+        F.col("cut_chars").cast("int").alias("cut_chars"),
+        "n_tokens_final",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("shard").cast("int").alias("shard"),
+    )
+
+    def dropped(ids: DataFrame, stage: str) -> DataFrame:
+        return ids.select(
+            "id", F.lit(stage).alias("stage"),
+            F.lit(0).cast("int").alias("n_spans"),
+            F.lit(0).cast("int").alias("cut_chars"),
+            F.lit(0).cast("bigint").alias("n_tokens_final"),
+            F.lit(-1).cast("bigint").alias("pack_id"),
+            F.lit(-1).cast("int").alias("shard"),
+        )
+
+    return (
+        kept
+        .unionByName(dropped(ex.join(q, "id", "left_anti"), "quality"))
+        .unionByName(dropped(q.join(ed, "id", "left_anti"), "exact_dup"))
+        .unionByName(dropped(ed.join(nd, "id", "left_anti"), "near_dup"))
+        .unionByName(
+            dropped(cut.join(dec, "id", "left_anti"), "decontaminated")
+        )
+        .unionByName(
+            dropped(dec.join(capped, "id", "left_anti"), "domain_cap")
+        )
+        .unionByName(dropped(capped.join(mixed, "id", "left_anti"), "mixture"))
+    )
