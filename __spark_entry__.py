@@ -65,6 +65,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # superset) for substring_dedup + the five never-gated
         # high-value rows: quality_classifier, pca_top_direction,
         # pagerank_coview, bfs_reach, q9_product_profit.
+        # Round 11: quality_score (subsumed by quality_classifier +
+        # curation_pipeline_full's quality stage), multimodal_features
+        # (by image_near_pairs' real decode+banded join),
+        # ann_pq (by ann_ivf_pq, its IVFxPQ composition), line_dedup
+        # (by substring_dedup, boundary-free superset — the r10
+        # chunk_dedup argument), pmi_collocations (by ngram_lm_score's
+        # count-then-join bigram shape), dedup_simhash (by
+        # dedup_embedding's hyperplane-sign multi-index banding) left
+        # for html_extract, curation_pipeline_full (the 10-stage
+        # manifest), image_near_pairs, ann_ivf_pq, q21_lone_returner,
+        # domain_cap.
         # The ANN family
         # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
         # order and relays the pinned brute-force truth / codebooks —

@@ -18,6 +18,7 @@ from ..operators import packing as P
 from ..operators import text as T
 from ..operators.sampling import (
     fibonacci_bucket,
+    temperature_mixture,
     rank_importance_sample,
     shuffle_shards,
     stratified_percent_rank,
@@ -913,7 +914,7 @@ _HTML_NB_SQL = (
 )
 
 
-@register_extra(
+@register(
     "html_extract",
     oracle=f"""
     WITH src AS (
@@ -1524,7 +1525,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     # rotated INTO the driver gate late round 9: the CCNet line-dedup
     # pass (frequency threshold + order-stable reassembly)
     "line_dedup",
@@ -1810,7 +1811,7 @@ def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "domain_cap",
     oracle=f"""
     WITH dom AS (
@@ -1836,6 +1837,40 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.with_domain(_synth_url_frame(spark, sf_dir)), n=2
     )
     return capped.select("doc_id", "host", "domain")
+
+
+@register_extra(
+    "domain_mixture",
+    oracle=f"""
+    WITH dom AS (SELECT doc_id, {_DOM_DOMAIN_SQL} AS domain FROM documents),
+    c AS (SELECT domain, count(*) AS n FROM dom GROUP BY 1),
+    thr AS (
+        SELECT domain,
+               CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n)
+                          * 10000) AS BIGINT) AS t
+        FROM c
+    )
+    SELECT d.doc_id, d.domain
+    FROM dom d JOIN thr USING (domain)
+    WHERE ((((d.doc_id % 2147483648) + 2147483648) % 2147483648
+            * 2246822519) % 2147483648) * 10000 // 2147483648 < thr.t
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN temperature rebalance (alpha=0.5) — the rollup-fed
+    mixture stage a web pipeline runs after the domain cap: kept sizes
+    proportional to sqrt(n_domain), so mega-domains downweight and the
+    long tail survives whole.  The rates are DERIVED from the per-
+    domain counts (operators.sampling.temperature_mixture over the
+    web.with_domain projection): one |domains|-row aggregate broadcast
+    back onto the scan, map-side keep-decision, no driver collect —
+    the same plan at 10^8 domains on 100 TB."""
+    from ..operators import web as W
+
+    dom = W.with_domain(_synth_url_frame(spark, sf_dir))
+    return temperature_mixture(dom, alpha=0.5, strat_col="domain").select(
+        "doc_id", "domain"
+    )
 
 
 @register_extra(
@@ -2044,7 +2079,7 @@ def _curation_full_oracle() -> str:
     """
 
 
-@register_extra("curation_pipeline_full", oracle=_curation_full_oracle())
+@register("curation_pipeline_full", oracle=_curation_full_oracle())
 def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data build, one manifest row per input
     document: wrap the fixture corpus (plus planted exact copies of

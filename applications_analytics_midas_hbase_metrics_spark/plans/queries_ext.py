@@ -229,7 +229,7 @@ def _simhash_fp_sql(corpus_sql: str) -> str:
     """
 
 
-@register(
+@register_extra(
     "dedup_simhash",
     oracle=_simhash_fp_sql("SELECT doc_id, text FROM documents"),
 )
@@ -602,7 +602,7 @@ _RECALL_GATE_ORACLE = """
     """
 
 
-@register(
+@register_extra(
     "ann_pq",
     # PQ is approximate like IVF, so the gate follows ann_ivf's
     # SELF-CHECKING shape: per-query recall of the two-stage PQ search
@@ -635,7 +635,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(queries, hits, floor=6)
 
 
-@register_extra(
+@register(
     "ann_ivf_pq",
     # The composed IVF x PQ search (coarse-list pruning x code
     # compression — the layout a 100 TB embedding deployment actually
@@ -1286,7 +1286,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.identify_language(docs)
 
 
-@register(
+@register_extra(
     "quality_score",
     oracle=f"""
     WITH base AS (
@@ -1705,7 +1705,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS id, 'image' AS modality,
@@ -2486,7 +2486,7 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "image_near_pairs",
     # the ORACLE is the O(N²) brute force over closed-form signatures;
     # the Spark side is the banded pigeonhole join — green means the

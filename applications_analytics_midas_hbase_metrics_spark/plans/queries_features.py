@@ -448,7 +448,7 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     # rotated INTO the driver gate at the end of round 9 (extra-tier
     # green since landing): the phrase-mining family's driver-hard row;
     # trigger_csv_scan rotated out (S4 coverage continues extra-tier)

@@ -1123,7 +1123,7 @@ def q_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "q21_lone_returner",
     oracle="""
     SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait

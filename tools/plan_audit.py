@@ -111,6 +111,17 @@ CHECKS = {
     "substring_dedup_incremental": ["LeftSemi"],
     # the composed web pipeline's dedup core must stay a SEMI join
     "curation_pipeline_web": ["LeftSemi"],
+    # the per-domain cap's winner set must come back as a BROADCAST
+    # semi join (two-phase top-K) — never a global sort of the corpus
+    "domain_cap": ["BroadcastHashJoin", "LeftSemi"],
+    # the 10-stage manifest pipeline localCheckpoints each stage (each
+    # is consumed by the next stage AND a manifest anti-join), so the
+    # audited final plan is the manifest stitch over ExistingRDDs: its
+    # stage-attribution anti joins must ride broadcast, never
+    # sort-merge.  The dedup cores' SEMI-join shapes are pinned via
+    # their own gated sections (substring_dedup, domain_cap,
+    # curation_pipeline_web).
+    "curation_pipeline_full": ["BroadcastHashJoin", "LeftAnti"],
     # the dataset-card report must be ONE Expand over one scan, never
     # a 4-way union of aggregations
     "corpus_card": ["Expand"],
@@ -512,6 +523,10 @@ def main() -> None:
         "substring_dedup_incremental",
         "html_extract",
         "curation_pipeline_web",
+        "curation_pipeline_full",
+        "domain_extract",
+        "domain_cap",
+        "domain_stats",
         "corpus_card",
         "top_duplicated_spans",
         "image_near_pairs",
