@@ -175,3 +175,67 @@ def domain_stats(
             "doc_share"
         ),
     )
+
+
+def canonical_url_expr(url_col: str | Column) -> Column:
+    """Aggressive crawl-dedup URL canonicalization — the key URL-level
+    exact dedup groups on (two crawls of ``HTTP://www.Site.com/p/?b=2&a=1#top``
+    and ``http://site.com/p?a=1&b=2`` are the same fetch):
+
+    * scheme lowercased, missing scheme -> ``http``;
+    * host through :func:`host_expr` (userinfo/port dropped, lowercase,
+      one leading ``www.`` and trailing dot stripped);
+    * fragment dropped;
+    * query parameters SORTED (order never changes the resource) and
+      empty params dropped; an empty query drops its ``?``;
+    * trailing ``/`` runs stripped from the path.
+
+    Dropping ports entirely is the deliberate aggressive choice (a
+    crawl that needs port-distinct origins removes that rule); all
+    string ops are one map-side JVM projection."""
+    c = F.coalesce(
+        F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("")
+    )
+    scheme = F.lower(
+        F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    after_auth = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(after_auth, r"^([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(after_auth, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    qsorted = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host_expr(c),
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: keep the lowest-id document per
+    CANONICAL URL (:func:`canonical_url_expr`) — the first dedup pass
+    of a crawl pipeline, upstream of any content hashing, since two
+    fetches of the same canonical URL are duplicates before their
+    bytes are even compared.  Same keep-lowest shape as
+    dedup.drop_exact_duplicates: a window partitioned by the canonical
+    key (well-spread — URLs hash wide), never a global sort.  Returns
+    the surviving rows plus their ``canonical_url``."""
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -2230,3 +2230,78 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(dropped(capped.join(mixed, "id", "left_anti"), "mixture"))
     )
+
+
+@register_extra(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           (CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END)
+           || '://' || {_DOM_HOST_SQL}
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '/p/' || CAST(doc_id AS VARCHAR) || '?q=1'
+                   ELSE '' END
+               AS canonical_url
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL normalization (operators.web.canonical_url_expr)
+    vs the generative ground truth: the same adversarial URL fixture as
+    domain_extract must canonicalize to exactly the id-arithmetic form
+    — scheme case folded, userinfo/ports/trailing dots/fragments
+    dropped, the single query param kept, the fragment-only variant
+    reduced to scheme://host."""
+    from ..operators import web as W
+
+    return _synth_url_frame(spark, sf_dir).select(
+        "doc_id", W.canonical_url_expr("url").alias("canonical_url")
+    )
+
+
+@register_extra(
+    "url_dedup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               'http://site' || CAST(doc_id % 40 AS VARCHAR)
+               || '.org/a/b?a=1&b=2' AS canonical_url
+        FROM documents
+    )
+    SELECT doc_id, canonical_url FROM c
+    QUALIFY row_number() OVER (PARTITION BY canonical_url
+                               ORDER BY doc_id) = 1
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (operators.web.url_dedup): forty URL
+    groups whose members differ ONLY in canonicalization-invisible
+    junk — scheme case, www., host case, trailing dots, default-port
+    suffixes, trailing-slash runs, query-param ORDER, empty params,
+    fragments — must collapse to one lowest-id survivor per canonical
+    URL; the oracle knows the canonical form from the id arithmetic
+    alone, so any parser slip that splits or merges a group moves the
+    hash."""
+    from ..operators import web as W
+
+    d = F.col("doc_id")
+    pick = lambda col, *opts: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), (col + 1).cast("int")
+    )
+    url = F.concat(
+        pick(d % 3, "http://", "HTTP://", "hTtP://"),
+        pick(d % 2, "", "www."),
+        F.when(d % 3 == 1, F.lit("Site")).otherwise(F.lit("site")),
+        (d % 40).cast("string"),
+        F.lit(".org"),
+        F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/b"),
+        pick(d % 3, "", "/", "//"),
+        pick(d % 3, "?b=2&a=1", "?a=1&b=2", "?a=1&b=2&"),
+        F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("#x")),
+    )
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", url.alias("url")
+    )
+    return W.url_dedup(docs).select("doc_id", "canonical_url")

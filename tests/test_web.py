@@ -120,3 +120,44 @@ def test_multi_label_suffix_table_is_coherent():
     rule's arithmetic (last-2 lookup -> take last-3) depends on it."""
     assert all(s.count(".") == 1 for s in W.MULTI_LABEL_SUFFIXES)
     assert len(set(W.MULTI_LABEL_SUFFIXES)) == len(W.MULTI_LABEL_SUFFIXES)
+
+
+def test_canonical_url_hand_checked(spark):
+    """Every canonicalization rule on a hand-built set: scheme folding
+    and defaulting, query sort + empty-param drop + empty-query '?'
+    drop, fragment drop, trailing-slash strip, host rules inherited
+    from host_expr."""
+    cases = [
+        ("HTTP://www.Site.com:8080/p//?b=2&a=1#x", "http://site.com/p?a=1&b=2"),
+        ("site.io/path/", "http://site.io/path"),       # schemeless
+        ("https://a.org?", "https://a.org"),            # empty query
+        ("https://a.org/?a=1&", "https://a.org?a=1"),   # empty param
+        ("http://u:p@B.org./q#f", "http://b.org/q"),
+        ("http://x.net#only-frag", "http://x.net"),
+        ("", "http://"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id bigint, url string",
+    )
+    got = [
+        r.c
+        for r in df.orderBy("doc_id")
+        .select(W.canonical_url_expr("url").alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_lowest_id(spark):
+    rows = [
+        (5, "http://A.com/x?b=1&a=2"),
+        (9, "HTTP://www.a.com/x/?a=2&b=1#frag"),  # same canonical as 5
+        (2, "http://a.com/y"),                     # different path
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {(r.doc_id, r.canonical_url) for r in W.url_dedup(df).collect()}
+    assert got == {
+        (5, "http://a.com/x?a=2&b=1"),
+        (2, "http://a.com/y"),
+    }
