@@ -2305,3 +2305,63 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", url.alias("url")
     )
     return W.url_dedup(docs).select("doc_id", "canonical_url")
+
+
+@register_extra(
+    "domain_quality",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(round(
+    round(
+      least(CAST(len(tks) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + least((CAST(len(list_filter(tks, tk -> tk IN
+          ('the','a','of','and','to','in','is','that','it','for')))
+          AS DOUBLE) / greatest(len(tks), 1)) * 5.0, 1.0) * 0.4
+      + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+          AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2, 6)
+ * 1000000) AS BIGINT) AS qi
+        FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), tk -> tk != '') AS tks FROM documents) s
+    ),
+    dom AS (SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.io' WHEN 3 THEN '.co.uk' ELSE '.com.au' END AS domain FROM documents)
+    SELECT dom.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(qi) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_quality,
+           round(CAST(min(qi) AS DOUBLE) / 1000000.0, 6) AS min_quality
+    FROM dom JOIN scored USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain QUALITY rollup — the other half of the domain
+    book-keeping a web pipeline feeds its mixture stage (volume is
+    domain_stats): heuristic quality scores (operators.text
+    .quality_features, the gated composite) aggregated per registrable
+    domain.  Scores are quantized to exact integers (x 1e6) BEFORE the
+    sum so the mean is order-independent and engine-exact — a raw
+    float avg would be summation-order-dependent and could flip the
+    6-decimal round between engines."""
+    from ..operators import web as W
+
+    dom = W.with_domain(_synth_url_frame(spark, sf_dir)).select(
+        F.col("doc_id").alias("id"), "domain"
+    )
+    scored = T.quality_features(
+        _spread(spark, t(spark, sf_dir, "documents"))
+    ).select(
+        "id", F.round(F.col("quality_score") * 1e6).cast("bigint").alias("qi")
+    )
+    return (
+        dom.join(scored, "id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("qi").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_quality"),
+            F.round(F.min("qi").cast("double") / 1e6, 6).alias(
+                "min_quality"
+            ),
+        )
+    )
