@@ -42,6 +42,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_busy_ticks() -> int:
+    """Total non-idle CPU ticks across the box (/proc/stat cpu line,
+    idle+iowait excluded)."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = list(map(int, f[1:9]))
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _tree_cpu_ticks() -> int:
+    """CPU ticks of THIS process tree — the bench driver plus its live
+    descendants (the Spark JVM), one /proc walk.  utime+stime for the
+    live processes PLUS cutime+cstime so a descendant that exits
+    between two samples keeps counting (its ticks fold into its
+    parent's reaped-children counters instead of vanishing from /proc
+    and reading as external load)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+            ppid[int(p)] = int(rest[1])
+            cpu[int(p)] = (
+                int(rest[11]) + int(rest[12])  # utime + stime
+                + int(rest[13]) + int(rest[14])  # cutime + cstime
+            )
+        except OSError:
+            continue
+    total = 0
+    for pid in cpu:
+        q = pid
+        while q in ppid and q != me:
+            q = ppid[q]
+        if q == me:
+            total += cpu[pid]
+    return total
+
+
+def _ext_cores(t0: float, busy0: int, tree0: int) -> float:
+    """Average EXTERNAL cores busy since the (t0, busy0, tree0) sample:
+    (box busy CPU − this bench's own process-tree CPU) / wall.  Unlike
+    loadavg — which the bench itself saturates mid-run (local[32] at
+    full tilt reads load > 6 with ZERO tenants) — this isolates
+    other-tenant compute, so the contamination flag can be strict
+    without always firing on our own sweeps."""
+    tck = os.sysconf("SC_CLK_TCK")
+    wall = max(time.monotonic() - t0, 1e-6)
+    ext = (_cpu_busy_ticks() - busy0) - (_tree_cpu_ticks() - tree0)
+    return max(ext / tck / wall, 0.0)
+
+
 def _warm_sweep(spark, sf_dir, queries, Q):
     """Best-of-2, pins live across queries (registration order)."""
     timings: dict[str, float] = {}
@@ -109,17 +164,21 @@ def main() -> None:
     load_before = os.getloadavg()
 
     detail: dict = dict(result)
-    load_mid = load_before  # overwritten between the two sweeps
+    ext_cores: list[float] = []
+    t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
     if not cold_only:
         warm, claims = _warm_sweep(spark, sf_dir, queries, Q)
         result["value"] = round(sum(warm.values()), 3)
         detail["queries"] = warm
         detail["claims"] = claims
+        ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
     load_mid = os.getloadavg()
+    t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
     if not warm_only:
         cold = _cold_sweep(spark, sf_dir, queries, Q)
         result["value_cold"] = round(sum(cold.values()), 3)
         detail["queries_cold"] = cold
+        ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
     if cold_only:
         # the driver's headline slot still gets a number in cold-only runs
         result["value"] = result["value_cold"]
@@ -134,14 +193,21 @@ def main() -> None:
     loads = (load_before[0], load_mid[0], load_after[0])
     result["load_1m"] = [round(x, 2) for x in loads]
     # Round 10 showed 1.2-1.5x uniform inflation already at load 3.6-5.1,
-    # so the old n_cpus/4 (=8) threshold never fired on contaminated
-    # runs.  Flag above n_cpus/16 (=2 on local[32]) — this engine's own
-    # sweeps leave 1m load near 0 between queries, so anything above
-    # that is external-tenant competition — and sample loadavg BETWEEN
-    # the sweeps too (a mid-run spike was invisible to the two-endpoint
-    # sample).  A flagged run's numbers are an upper bound, not a
-    # regression signal.
-    result["load_flag"] = bool(max(loads) > int(cpus) / 16)
+    # so the old n_cpus/4 (=8) loadavg threshold never fired on
+    # contaminated runs — but a strict loadavg threshold can't work
+    # either, because the bench ITSELF saturates local[32] mid-run
+    # (1m load > 6 with zero tenants).  The flag therefore measures
+    # EXTERNAL compute directly: per sweep, (box busy CPU − this
+    # process tree's CPU) / wall = average cores other tenants burned
+    # WHILE the sweep ran (mid-run spikes included by construction).
+    # > n_cpus/16 (2 cores on local[32]) external for either sweep
+    # flags the run; its numbers are then an upper bound, not a
+    # regression signal.  loadavg endpoints stay recorded for
+    # continuity with rounds <= 10.
+    result["ext_cores"] = ext_cores
+    result["load_flag"] = bool(
+        ext_cores and max(ext_cores) > int(cpus) / 16
+    )
     detail["load_before"] = [round(x, 2) for x in load_before]
     detail["load_mid"] = [round(x, 2) for x in load_mid]
     detail["load_after"] = [round(x, 2) for x in load_after]
