@@ -119,3 +119,33 @@ def strip_boilerplate(
         F.size("_kept").cast("bigint").alias("n_kept"),
         (F.col("_n_lines") - F.size("_kept")).cast("bigint").alias("n_removed"),
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """INTRA-document line dedup: keep the FIRST occurrence of each
+    distinct line within a document, preserving order — the in-page
+    cleanup pass for repeated chrome inside ONE page (a menu block
+    rendered top and bottom, duplicated cookie banners), complementary
+    to :func:`strip_boilerplate`'s cross-corpus frequency rule, which
+    cannot see a line that repeats only within a single document.
+
+    Pure array math over one split — a map-side projection with ZERO
+    shuffles (the per-line first-occurrence test is
+    ``array_position(lines, x) == index``), so at 100 TB the stage
+    fuses into the scan.  The position scan is O(lines²) per document,
+    fine at page-scale line counts (tens to hundreds).
+
+    Returns (id, clean_text, n_kept, n_removed)."""
+    arr = F.split(F.col(text_col), sep)
+    kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + 1)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

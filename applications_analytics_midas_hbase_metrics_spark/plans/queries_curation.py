@@ -2365,3 +2365,55 @@ def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register_extra(
+    "intra_doc_line_dedup",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               '== head ==' || chr(10) ||
+               substr(text, 1, CAST(length(text) // 2 AS INT)) || chr(10) ||
+               '== head ==' || chr(10) ||
+               substr(text, CAST(length(text) // 2 AS INT) + 1) || chr(10) ||
+               'footer' || chr(10) || 'footer' AS text
+        FROM documents
+    ),
+    arr AS (
+        SELECT doc_id, string_split(text, chr(10)) AS a FROM staged
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_filter(a, (x, i) -> list_position(a, x) = i), chr(10))
+               AS clean_text,
+           CAST(len(list_filter(a, (x, i) -> list_position(a, x) = i))
+               AS BIGINT) AS n_kept,
+           CAST(len(a) - len(list_filter(a, (x, i) ->
+               list_position(a, x) = i)) AS BIGINT) AS n_removed
+    FROM arr
+    """,
+)
+def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (operators.lines
+    .dedup_lines_within_doc): every staged doc repeats its header and
+    footer lines in-page, so exactly those second occurrences must
+    drop while the two distinct text halves survive in order — the
+    keep-first rule, the order-stable rejoin, and the empty-half edge
+    (an empty text makes both halves '' and the second deduplicates)
+    all under the hash.  Zero-shuffle map-side plan."""
+    from ..operators import lines as L
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("== head =="),
+            F.expr("substring(text, 1, length(text) div 2)"),
+            F.lit("== head =="),
+            F.expr("substring(text, length(text) div 2 + 1, length(text))"),
+            F.lit("footer"),
+            F.lit("footer"),
+        ).alias("text"),
+    )
+    return L.dedup_lines_within_doc(staged)

@@ -590,3 +590,28 @@ def test_abtt_removes_component_and_reconstructs(spark):
         assert abs(float(c @ v)) < 1e-3          # orthogonal (quantized)
         recon = c + r.component * v
         assert np.allclose(recon, X[r.id], atol=1e-4)
+
+
+def test_dedup_lines_within_doc_hand_checked(spark):
+    """Keep-first intra-doc rule: second occurrences drop wherever
+    they sit, order of survivors preserved, all-unique docs pass
+    through, and an all-duplicate doc collapses to one line."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import lines as L
+
+    rows = [
+        (1, "a\nb\na\nc\nb"),   # dups at 3 and 5
+        (2, "x\ny\nz"),          # untouched
+        (3, "w\nw\nw"),          # collapses
+        (4, ""),                 # one empty line, kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in L.dedup_lines_within_doc(df).collect()
+    }
+    assert got == {
+        1: ("a\nb\nc", 3, 2),
+        2: ("x\ny\nz", 3, 0),
+        3: ("w", 1, 2),
+        4: ("", 1, 0),
+    }
