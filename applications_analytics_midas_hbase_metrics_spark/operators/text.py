@@ -188,28 +188,42 @@ def repetition_features(
 #: ASCII classes so the Java-regex and RE2 interpretations coincide.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+#: IPv4 literals; \b is the ASCII word boundary in BOTH Java regex and
+#: RE2, so the three dialects agree on match extents.  Conservative by
+#: design (dotted quads in version strings flag too — curation routes
+#: hits to review, it does not need to disambiguate).
+IPV4_RE = r"\b(?:[0-9]{1,3}[.]){3}[0-9]{1,3}\b"
 
 
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic PII scrubbing for corpus curation: e-mail addresses
-    → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``.  Returns
-    (id, text, n_emails, n_phones) with counts of what was replaced.
+    → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``, IPv4 literals →
+    ``<IP>``.  Returns (id, text, n_emails, n_phones, n_ips) with
+    counts of what was replaced (counted on the ORIGINAL text; the
+    three patterns cannot overlap — an e-mail needs an alphabetic TLD,
+    a phone has dashes/dots in the wrong arity for a dotted quad).
     Pure JVM regex — no UDF; patterns are intentionally conservative
     (high precision) since curation pipelines route low-confidence hits
     to review rather than silently rewriting them."""
     text = F.col(text_col)
     emails = F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint")
     phones = F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint")
+    ips = F.regexp_count(text, F.lit(IPV4_RE)).cast("bigint")
     scrubbed = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
     )
     return df.select(
         F.col(id_col).cast("bigint").alias("id"),
         scrubbed.alias("text"),
         emails.alias("n_emails"),
         phones.alias("n_phones"),
+        ips.alias("n_ips"),
     )
 
 

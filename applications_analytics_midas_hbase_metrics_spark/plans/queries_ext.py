@@ -1398,6 +1398,9 @@ _PII_DOCS_SQL = """
                    THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
                    ELSE '' END
            || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE '' END
                AS text
     FROM documents
 """
@@ -1408,12 +1411,16 @@ _PII_DOCS_SQL = """
     oracle=f"""
     WITH injected AS ({_PII_DOCS_SQL})
     SELECT doc_id AS id,
-           regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{T.PHONE_RE}', '<PHONE>', 'g') AS text,
+           regexp_replace(regexp_replace(regexp_replace(text,
+                          '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{T.PHONE_RE}', '<PHONE>', 'g'),
+                          '{T.IPV4_RE}', '<IP>', 'g') AS text,
            CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS BIGINT)
                AS n_emails,
            CAST(len(regexp_extract_all(text, '{T.PHONE_RE}')) AS BIGINT)
-               AS n_phones
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{T.IPV4_RE}')) AS BIGINT)
+               AS n_ips
     FROM injected
     """,
 )
@@ -1438,6 +1445,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
                 F.lit("")
             ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
         ),
     )
     return T.scrub_pii(injected)

@@ -73,13 +73,18 @@ def test_scrub_pii(spark):
     rows = [
         (1, "mail a@b.io and c.d+e@f-g.org or call 555-123-4567 now"),
         (2, "no pii here, just 12345 and a@b"),  # @ without TLD: no match
+        (3, "served from 10.0.3.77 (backup 192.168.1.1) v1.2 ok"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.id: r for r in T.scrub_pii(df).collect()}
     assert got[1].n_emails == 2 and got[1].n_phones == 1
+    assert got[1].n_ips == 0
     assert got[1].text == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
     assert got[2].n_emails == 0 and got[2].n_phones == 0
     assert got[2].text == "no pii here, just 12345 and a@b"  # unchanged
+    # dotted quads scrub; 'v1.2' is not a quad and survives
+    assert got[3].n_ips == 2 and got[3].n_emails == 0
+    assert got[3].text == "served from <IP> (backup <IP>) v1.2 ok"
 
 
 def test_fingerprint_matches_python_hash(spark):
