@@ -137,6 +137,8 @@ def test_scrub_pii_matches_python_re_on_random_batch(spark):
         "a@b.io", "x.y+z@mail-host.org", "user99@example.com",  # emails
         "a@b", "@nope", "a@@b.com", "a@.com",                   # near-misses
         "555-123-4567", "123.456.7890", "555-12-4567",          # phone + near
+        "10.0.3.77", "192.168.1.1", "1.2.3", "1.2.3.4.5",       # ip + near
+        "v1.2", "8.8.8.8:53",
         "plain", "words", "12345", "-", ".", "@",
     ]
     cases = [
@@ -146,11 +148,13 @@ def test_scrub_pii_matches_python_re_on_random_batch(spark):
     df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["doc_id", "text"])
     got = {r.id: r for r in T.scrub_pii(df).collect()}
     email, phone = re.compile(T.EMAIL_RE), re.compile(T.PHONE_RE)
+    ip = re.compile(T.IPV4_RE)
     for i, s in enumerate(cases):
-        want = phone.sub("<PHONE>", email.sub("<EMAIL>", s))
+        want = ip.sub("<IP>", phone.sub("<PHONE>", email.sub("<EMAIL>", s)))
         assert got[i].text == want, s
         assert got[i].n_emails == len(email.findall(s)), s
         assert got[i].n_phones == len(phone.findall(s)), s
+        assert got[i].n_ips == len(ip.findall(s)), s
 
 
 def test_scrub_pii_idempotent(spark):
@@ -161,12 +165,13 @@ def test_scrub_pii_idempotent(spark):
     from applications_analytics_midas_hbase_metrics_spark.operators import text as T
 
     df = spark.createDataFrame(
-        [(1, "mail a@b.io or 555-123-4567 twice a@b.io")], ["doc_id", "text"]
+        [(1, "mail a@b.io or 555-123-4567 from 10.0.0.1 twice a@b.io")],
+        ["doc_id", "text"],
     )
     once = T.scrub_pii(df).select(F.col("id").alias("doc_id"), "text")
     twice = T.scrub_pii(once).first()
-    assert twice.text == "mail <EMAIL> or <PHONE> twice <EMAIL>"
-    assert twice.n_emails == 0 and twice.n_phones == 0
+    assert twice.text == "mail <EMAIL> or <PHONE> from <IP> twice <EMAIL>"
+    assert twice.n_emails == 0 and twice.n_phones == 0 and twice.n_ips == 0
 
 
 def test_repetition_features_match_python_model(spark):
