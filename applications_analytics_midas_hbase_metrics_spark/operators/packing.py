@@ -169,3 +169,58 @@ def pack_summary(packed: DataFrame, tokens_col: str = "n_tokens") -> DataFrame:
         F.sum(tokens_col).cast("bigint").alias("pack_tokens"),
         F.min("pack_offset").cast("bigint").alias("first_offset"),
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two length-bucket accounting — the batch-shaping
+    companion to :func:`assign_packs`: a training loader that pads each
+    batch to its bucket cap wants to know, per bucket, how many
+    documents land there and how much padding the bucket costs
+    (``cap − n_tokens`` per doc).  The decision between padding
+    (bucketed batching) and packing (concat-and-chunk) is exactly this
+    waste number against packing's cross-document attention cost.
+
+    The bucket cap is the smallest power of two >= n_tokens, computed
+    with INTEGER bit math (``1 << len(bin(n−1))``) rather than
+    ``2^ceil(log2 n)`` — libm's log2 is not guaranteed correctly
+    rounded at exact powers of two, and a one-ulp undershoot would
+    silently halve a bucket on one engine but not the other.  One
+    partial-aggregated groupBy; empty docs land in the cap-1 bucket.
+
+    Returns (bucket_cap, n_docs, sum_tokens, padding, waste_frac)."""
+    n = F.col(tokens_col).cast("bigint")
+    # SQL form because the Python shiftleft() helper takes a literal
+    # bit count; the SQL function accepts a column
+    cap = F.expr(
+        "CASE WHEN _n <= 1 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(shiftleft(CAST(1 AS BIGINT), length(bin(_n - 1)))"
+        " AS BIGINT) END"
+    )
+    per = df.select(F.col(id_col), n.alias("_n")).withColumn(
+        "bucket_cap", cap
+    )
+    return (
+        per.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("_n"))
+            .cast("bigint")
+            .alias("padding"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "padding",
+            F.round(
+                F.col("padding").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+    )

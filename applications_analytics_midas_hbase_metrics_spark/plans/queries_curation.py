@@ -2417,3 +2417,40 @@ def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return L.dedup_lines_within_doc(staged)
+
+
+@register_extra(
+    "length_buckets",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 << length(format('{{:b}}', n - 1)) AS BIGINT)
+               END AS bucket_cap
+        FROM tk
+    )
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum(bucket_cap - n) AS BIGINT) AS padding,
+           round(CAST(sum(bucket_cap - n) AS DOUBLE)
+                 / (count(*) * bucket_cap), 6) AS waste_frac
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-bucket padding accounting
+    (operators.packing.length_bucket_stats): the metric a loader uses
+    to pick padding-batching vs packing.  Bucket caps come from
+    INTEGER bit math on both engines (1 << bit-length of n-1) — a
+    libm log2 one-ulp undershoot at exact powers of two would halve a
+    bucket on one engine only, which is exactly what the differential
+    hash exists to catch."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id", F.size(D.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return P.length_bucket_stats(tk)

@@ -135,3 +135,23 @@ def test_emit_packed_chunks_adds_no_shuffle(spark):
     chunked.collect()
     got = chunked._jdf.queryExecution().executedPlan().toString()
     assert got.count("Exchange") == base.count("Exchange"), got
+
+
+def test_length_bucket_stats_integer_caps(spark):
+    """Bucket caps are exact powers of two from integer bit math:
+    boundary values (0, 1, 2, powers of two, one past) land in the
+    right bucket, and padding/waste are hand-checkable."""
+    rows = [(i, n) for i, n in enumerate([0, 1, 2, 3, 4, 5, 8, 9, 16, 17])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r.bucket_cap: (r.n_docs, r.sum_tokens, r.padding, r.waste_frac)
+        for r in P.length_bucket_stats(df).collect()
+    }
+    assert got == {
+        1: (2, 1, 1, 0.5),          # n=0,1
+        2: (1, 2, 0, 0.0),          # n=2
+        4: (2, 7, 1, 0.125),        # n=3,4
+        8: (2, 13, 3, 0.1875),      # n=5,8
+        16: (2, 25, 7, 0.21875),    # n=9,16
+        32: (1, 17, 15, 0.46875),   # n=17
+    }
