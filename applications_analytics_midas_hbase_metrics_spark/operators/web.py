@@ -239,3 +239,23 @@ def url_dedup(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose registrable domain is on a blocklist — the
+    spam/adult/SEO-farm domain drop every crawl pipeline runs right
+    after domain extraction.  The blocklist is curated data (thousands
+    to low millions of rows — UT1-style category lists), so it rides
+    BROADCAST as an ANTI join and the corpus-side pass stays map-side;
+    a blocklist too large to broadcast degrades to a shuffled anti
+    join on ``domain`` under AQE with the same semantics.  Input must
+    already carry ``domain_col`` (see :func:`with_domain`); match is
+    exact on the registrable domain, so blocking ``spam.com`` blocks
+    ``www.spam.com`` and ``a.spam.com`` (they canonicalize to the same
+    registrable domain) but not ``notspam.com``."""
+    bl = blocklist.select(F.col("domain").alias(domain_col)).distinct()
+    return df.join(F.broadcast(bl), domain_col, "left_anti")

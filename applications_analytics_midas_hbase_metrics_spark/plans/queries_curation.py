@@ -2454,3 +2454,42 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(D.tokens("text")).cast("bigint").alias("n_tokens")
     )
     return P.length_bucket_stats(tk)
+
+
+@register_extra(
+    "domain_blocklist",
+    oracle=f"""
+    WITH dom AS (
+        SELECT doc_id, {_DOM_HOST_SQL} AS host, {_DOM_DOMAIN_SQL} AS domain
+        FROM documents
+    ),
+    bl AS (
+        SELECT 'site' || CAST(x AS VARCHAR) || '.com' AS domain
+        FROM (SELECT unnest(range(0, 37)) AS x) s WHERE x % 4 = 0
+    )
+    SELECT doc_id, host, domain FROM dom
+    WHERE domain NOT IN (SELECT domain FROM bl)
+    """,
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist drop at the registrable-domain level (operators.web
+    .domain_blocklist_filter): every 4th .com site is blocked, and the
+    subdomain/case/port variants of a blocked domain must go with it
+    (they canonicalize to the same registrable domain) while the .org/
+    .io/.co.uk/.com.au twins of the same site number survive — exact
+    domain match, broadcast anti join, corpus pass stays map-side."""
+    from ..operators import web as W
+
+    blocked = (
+        spark.range(0, 37)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.concat(
+                F.lit("site"), F.col("id").cast("string"), F.lit(".com")
+            ).alias("domain")
+        )
+    )
+    dom = W.with_domain(_synth_url_frame(spark, sf_dir))
+    return W.domain_blocklist_filter(dom, blocked).select(
+        "doc_id", "host", "domain"
+    )
