@@ -593,3 +593,76 @@ def test_html_extract_matches_python_model_on_random_markup(spark):
     # non-degenerate: titles, links, and cuts all occurred somewhere
     assert any(t for t, _, _, _ in want.values())
     assert any(n > 0 for _, _, n, _ in want.values())
+
+
+def test_url_parsing_matches_python_model_on_random_urls(spark):
+    """Regex-dialect triangulation for the URL family (operators/web):
+    random URL-ish strings assembled from adversarial fragments through
+    Spark's Java regex must match an independent Python re model of
+    host_expr / registrable_domain_expr / canonical_url_expr — the same
+    three-dialect strategy as the html_extract fuzz (the DuckDB side is
+    pinned by the generative oracles)."""
+    import random
+    import re
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import web as W
+
+    SUF = set(W.MULTI_LABEL_SUFFIXES)
+
+    def host_model(u):
+        h = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u or "")
+        m = re.match(r"^([^/?#]*)", h)
+        h = m.group(1)
+        h = re.sub(r"^.*@", "", h)
+        h = re.sub(r":\d*$", "", h)
+        h = h.strip().lower()
+        h = re.sub(r"^www\.", "", h)
+        return re.sub(r"\.$", "", h)
+
+    def domain_model(h):
+        parts = h.split(".")
+        if len(parts) >= 3 and ".".join(parts[-2:]) in SUF:
+            return ".".join(parts[-3:])
+        if len(parts) >= 2:
+            return ".".join(parts[-2:])
+        return h
+
+    def canonical_model(u):
+        u = u or ""
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+        scheme = m.group(1).lower() if m else "http"
+        rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u)
+        after = re.sub(r"^[^/?#]*", "", rest)
+        path = re.sub(r"/+$", "", re.match(r"^([^?#]*)", after).group(1))
+        qm = re.search(r"\?([^#]*)", after)
+        params = [p for p in (qm.group(1).split("&") if qm else []) if p]
+        q = "&".join(sorted(params))
+        return scheme + "://" + host_model(u) + path + ("?" + q if q else "")
+
+    rng = random.Random(99)
+    frags = [
+        "http://", "HTTPS://", "hTtP://", "ftp+x://", "",
+        "user@", "a:b@", "@", "www.", "WWW.", "blog.", "a.b.",
+        "Site7", "x", "localhost", "", ".com", ".co.uk", ".org", ".",
+        ":8080", ":", "/p/1", "/p//", "/", "?b=2&a=1", "?", "?a=1&",
+        "#f", "#", "&", "=",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randrange(0, 9)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id bigint, url string"
+    )
+    got = {
+        r.doc_id: (r.host, r.domain, r.c)
+        for r in W.with_domain(df)
+        .withColumn("c", W.canonical_url_expr("url"))
+        .collect()
+    }
+    for i, u in enumerate(cases):
+        h = host_model(u)
+        assert got[i] == (h, domain_model(h), canonical_model(u)), repr(u)
+    # non-degenerate: schemes, multi-label suffixes and queries occurred
+    assert any("co.uk" in (g[1] or "") for g in got.values())
+    assert any("?" in g[2] for g in got.values())

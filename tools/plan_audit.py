@@ -527,6 +527,13 @@ def main() -> None:
         "domain_extract",
         "domain_cap",
         "domain_stats",
+        "domain_mixture",
+        "domain_quality",
+        "domain_blocklist",
+        "url_canonicalize",
+        "url_dedup",
+        "intra_doc_line_dedup",
+        "length_buckets",
         "corpus_card",
         "top_duplicated_spans",
         "image_near_pairs",
