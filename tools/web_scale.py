@@ -69,6 +69,36 @@ def main() -> None:
             ),
         )
 
+    def skewed_urls(mult: int):
+        # mega-domain regime: ~90% of documents land on ONE registrable
+        # domain (the templated-site pathology the cap exists for); the
+        # rest spread over ~1000.  The two-phase top-K must stay flat:
+        # the partition-local window leaves <= n candidate rows per
+        # (domain, task) no matter how hot the domain is, so the hot
+        # key never funnels through one reducer.
+        r = spark.range(mult).select(F.col("id").alias("rep"))
+        d = base.crossJoin(F.broadcast(r)).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
+        )
+        site = F.when(
+            F.col("doc_id") % 10 < 9, F.lit("megasite")
+        ).otherwise(F.concat(F.lit("site"), (F.col("doc_id") % 997).cast("string")))
+        return d.withColumn(
+            "url", F.concat(F.lit("http://"), site, F.lit(".com/p"))
+        )
+
+    for mult in reps:
+        sk = W.with_domain(skewed_urls(mult)).repartition(64).localCheckpoint(
+            eager=True
+        )
+        t0 = time.monotonic()
+        n_sk = W.domain_cap(sk, n=10).count()
+        t_sk = time.monotonic() - t0
+        print(
+            f"mult={mult:>2} SKEW(90% one domain): rows_in={sk.count():>7} "
+            f"kept={n_sk} wall={t_sk:.2f}s"
+        )
+
     for mult in reps:
         dom = W.with_domain(urls(mult)).repartition(64).localCheckpoint(eager=True)
         rows_in = dom.count()
