@@ -2618,3 +2618,75 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     mm = MM.synthesize_wav_payloads(docs, id_col="doc_id")
     return MM.frame_audio(mm, frame=8)
+
+
+@register_extra(
+    "orc_scan",
+    oracle=f"""
+    SELECT doc_id, source, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage boundary end-to-end (extension surface — the
+    reference's sinks stop at HBase/CSV/text): a typed projection
+    (strings + a derived bigint) writes as ORC to scratch and scans
+    back; the oracle recomputes the expected values straight from the
+    parquet table, so ORC's own encoders/decoders sit fully inside the
+    differential.  Spark's ORC source carries the same pushdown/pruning
+    contract as parquet, so the cell store could swap formats with no
+    operator change — this gate pins the round trip itself."""
+    from .queries import scratch_dir
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(D.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    path = scratch_dir("orc_scan") + "/store"
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register_extra(
+    "xml_scan",
+    oracle=f"""
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0
+                        THEN ' &<>"{{}}'' raw'
+                        ELSE '' END AS text,
+           lang
+    FROM documents
+    """,
+)
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML storage boundary end-to-end (Spark 4's NATIVE xml source —
+    extension surface): documents with XML-hostile payloads injected
+    (ampersands, angle brackets, quotes on every 3rd doc) serialize
+    through the XML writer's entity escaping and scan back with an
+    explicit no-inference schema; the oracle recomputes the expected
+    text from the parquet table, so escape -> parse must be an exact
+    inverse for the hash to hold."""
+    from .queries import scratch_dir
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" &<>\"{}' raw")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        "lang",
+    )
+    path = scratch_dir("xml_scan") + "/store"
+    docs.write.mode("overwrite").format("xml").option(
+        "rootTag", "docs"
+    ).option("rowTag", "doc").save(path)
+    return (
+        spark.read.format("xml")
+        .schema("doc_id bigint, text string, lang string")
+        .option("rowTag", "doc")
+        .load(path)
+    )
