@@ -2493,3 +2493,66 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.domain_blocklist_filter(dom, blocked).select(
         "doc_id", "host", "domain"
     )
+
+
+@register_extra(
+    "domain_stats_streamed",
+    oracle=f"""
+    WITH dom AS (
+        SELECT doc_id, {_DOM_HOST_SQL} AS host, {_DOM_DOMAIN_SQL} AS domain,
+               text
+        FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars
+    FROM dom GROUP BY domain
+    """,
+)
+def q_domain_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain bookkeeping (streaming.ingest_stream
+    .stream_domain_ingest): three micro-batches of URL'd documents
+    append their per-(domain, host) partial counts; the read-side
+    rollup must equal the batch domain_stats over the union — the same
+    streamed == batch-built triangulation as the shingle/trigram
+    store gates, applied to the web family.  Distinct hosts stay exact
+    across batches because partials carry host rows, not host counts."""
+    import glob
+    import os
+    import shutil
+
+    from ..streaming.ingest_stream import (
+        read_domain_stats,
+        stream_domain_ingest,
+    )
+    from .queries import scratch_dir
+    from .queries_streaming import _await, _stream_shuffle_partitions
+
+    docs = _synth_url_frame(spark, sf_dir).select("doc_id", "text", "url")
+    d = scratch_dir("domain_stats_streamed")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        tmp = os.path.join(d, f"tmp{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * i,) * 2)
+        shutil.rmtree(tmp)
+    stats = os.path.join(d, "stats")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = stream_domain_ingest(
+            stream,
+            stats,
+            os.path.join(d, "ckpt"),
+            trigger_available_now=True,
+        )
+        _await(q)
+    return read_domain_stats(spark, stats)

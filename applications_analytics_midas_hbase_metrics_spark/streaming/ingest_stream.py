@@ -107,3 +107,67 @@ def stream_cdc_merge(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_domain_ingest(
+    stream,
+    stats_dir: str,
+    checkpoint: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    trigger_available_now: bool = False,
+):
+    """Continuous per-domain volume bookkeeping — the streaming sibling
+    of operators.web.domain_stats, shaped exactly like the other
+    foreachBatch index maintainers (stream_trigram_ingest and friends):
+    each micro-batch of URL'd documents extracts host + registrable
+    domain map-side and APPENDS its per-domain PARTIAL counts
+    (n_docs, total_chars, per-batch distinct hosts carried as rows so
+    the read-side distinct stays exact) to the stats store.  The
+    read-side rollup (one GROUP BY over the store) then equals the
+    batch domain_stats over everything ever ingested — the domain-cap
+    and mixture stages consume that rollup without ever re-scanning
+    ingested text.
+
+    An at-least-once replay re-appends a batch's partials, which CAN
+    double-count volume — same contract as stream_trigram_ingest's
+    gram_df note: exactly-once from the checkpoint + parquet atomic
+    task commits is the normal regime, and the consumer that needs
+    replay-proof volume dedups on (ingest_batch, domain) first (the
+    columns are carried for exactly that)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import web as W
+
+    def process(batch, batch_id: int) -> None:
+        dom = W.with_domain(batch, url_col=url_col)
+        dom.groupBy("domain", "host").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).cast("bigint").alias(
+                "total_chars"
+            ),
+        ).withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(stats_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_domain_stats(spark, stats_dir: str):
+    """Exact rollup over the append-grown per-(domain, host, batch)
+    partials: doc/char totals sum; distinct hosts distinct-count (a
+    host appearing in many batches collapses).  Returns
+    (domain, n_docs, n_hosts, total_chars)."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(stats_dir)
+    return parts.groupBy("domain").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+    )
