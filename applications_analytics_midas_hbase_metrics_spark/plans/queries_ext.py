@@ -2690,3 +2690,43 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "doc")
         .load(path)
     )
+
+
+@register_extra(
+    "csv_quoted_scan",
+    oracle=f"""
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ', "quoted, field"'
+                        ELSE '' END AS text,
+           lang
+    FROM documents
+    """,
+)
+def q_csv_quoted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV boundary end-to-end: documents with CSV-hostile
+    payloads injected (embedded commas AND double quotes on every 3rd
+    doc) serialize through the CSV writer's RFC-4180 quoting/escaping
+    and scan back with an explicit no-inference schema; the oracle
+    recomputes the expected text from the parquet table, so
+    quote -> parse must be an exact inverse.  The reference's own CSV
+    handling (S3/S4/K5) never quotes — this gate covers the edge its
+    nullbyte-separated format sidesteps."""
+    from .queries import scratch_dir
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(', "quoted, field"')
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        "lang",
+    )
+    path = scratch_dir("csv_quoted_scan") + "/store"
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("doc_id bigint, text string, lang string")
+        .option("header", True)
+        .csv(path)
+    )
