@@ -205,8 +205,24 @@ def _entry_hygiene(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
+def _check_unregistered(name: str) -> None:
+    """Raise on a duplicate query name ACROSS BOTH tiers.  Silent
+    ``dict[name] = fn`` replacement once let a second ``orc_scan``
+    registration shadow the first: the shadowed gate stayed green in
+    every sweep while the query it verified never ran (round-11 judge
+    finding).  A sweep can only prove a query ran if a name maps to
+    exactly one registration, so a collision is a hard import error."""
+    if name in QUERIES or name in EXTRA_QUERIES:
+        raise ValueError(
+            f"query name {name!r} is already registered; rename one of "
+            "the definitions (a duplicate silently shadows the first, "
+            "turning its verification green while its code never runs)"
+        )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        _check_unregistered(name)
         QUERIES[name] = _entry_hygiene(fn)
         if oracle is not None:
             ORACLES[name] = oracle
@@ -220,6 +236,7 @@ def register_extra(name: str, oracle: str | None = None):
     EXTRA_QUERIES)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        _check_unregistered(name)
         EXTRA_QUERIES[name] = _entry_hygiene(fn)
         if oracle is not None:
             EXTRA_ORACLES[name] = oracle
