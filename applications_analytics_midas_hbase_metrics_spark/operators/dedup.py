@@ -31,7 +31,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
-from pyspark.sql.window import Window
 
 from ..functions.keys import java_hash, java_hash_py, java_hash_vec
 
@@ -195,27 +194,45 @@ def exact_duplicates(
 
     ``all_ids`` carries at most ``max_ids`` (lowest) ids per group: a
     degenerate group — billions of empty or boilerplate documents — must
-    not build one giant array row.  The cap is enforced INSIDE the
-    aggregation (rank-then-collect on the same hash partitioning, so no
-    extra shuffle), not by slicing an already-materialized array;
-    ``n_copies``/``keep_id`` stay exact over the full group."""
+    not build one giant array row.  ``n_copies``/``keep_id`` stay exact
+    over the full group.
+
+    Hot-key shape (rewritten round 12; a heavily duplicated key is this
+    operator's TARGET workload, not a corner case): no window — a window
+    partitioned on the hash funnels EVERY copy of the hot key through
+    one task's sort.  Instead, phase 1 groups on (hash,
+    spark_partition_id): each such group lives entirely inside one input
+    partition, so hash aggregation completes MAP-SIDE (the exchange
+    moves one pre-reduced row per distinct hash per partition, never
+    documents or per-copy ids), with the per-group id list pruned to the
+    local lowest ``max_ids`` before it ever shuffles.  Phase 2 merges
+    the partials per hash: counts/mins are algebraic, and the reducer's
+    array buffer is bounded by max_ids x (partitions that saw the key) —
+    the global lowest max_ids ids are always contained in the union of
+    the per-partition lowest max_ids."""
     h = F.sha2(F.col(content_col), 256)
-    ranked = df.select(
-        h.alias("content_hash"), F.col(id_col).cast("bigint").alias("id")
-    ).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("content_hash").orderBy("id")
-        ),
+    part = (
+        df.select(
+            h.alias("content_hash"),
+            F.col(id_col).cast("bigint").alias("id"),
+            F.spark_partition_id().alias("_p"),
+        )
+        .groupBy("content_hash", "_p")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.min("id").alias("_min"),
+            F.slice(F.array_sort(F.collect_list("id")), 1, max_ids).alias(
+                "_ids"
+            ),
+        )
     )
     return (
-        ranked.groupBy("content_hash")
+        part.groupBy("content_hash")
         .agg(
-            F.count("*").cast("bigint").alias("n_copies"),
-            F.min("id").alias("keep_id"),
-            # collect_list drops nulls -> only ranks <= max_ids survive
-            F.array_sort(
-                F.collect_list(F.when(F.col("_rk") <= max_ids, F.col("id")))
+            F.sum("_n").cast("bigint").alias("n_copies"),
+            F.min("_min").alias("keep_id"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_ids"))), 1, max_ids
             ).alias("all_ids"),
         )
         .filter(F.col("n_copies") > 1)
@@ -225,13 +242,24 @@ def exact_duplicates(
 def drop_exact_duplicates(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id representative of each identical-content group."""
-    w_key = F.sha2(F.col(content_col), 256)
-    ranked = df.withColumn(
-        "_rk",
-        F.row_number().over(Window.partitionBy(w_key).orderBy(F.col(id_col))),
+    """Keep the lowest-id representative of each identical-content group.
+
+    Hot-key shape (rewritten round 12): ``groupBy(hash).agg(min_by(row,
+    id))``, not a ``row_number`` window.  min_by is a declarative
+    aggregate with partial merge, so each map task combines its copies
+    of a key down to ONE candidate row before the shuffle and the
+    reducer merges at most one row per key per map partition — a
+    billion-copy boilerplate document costs the reducer ~#partitions
+    comparisons, where the window shape serialized all billion rows
+    through a single task's sort (AQE skew handling covers joins, not
+    windows)."""
+    key = F.sha2(F.col(content_col), 256)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
-    return ranked.filter(F.col("_rk") == 1).drop("_rk")
 
 
 # ---------------------------------------------------------------------------

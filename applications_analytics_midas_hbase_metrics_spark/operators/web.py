@@ -226,18 +226,33 @@ def url_dedup(
     CANONICAL URL (:func:`canonical_url_expr`) — the first dedup pass
     of a crawl pipeline, upstream of any content hashing, since two
     fetches of the same canonical URL are duplicates before their
-    bytes are even compared.  Same keep-lowest shape as
-    dedup.drop_exact_duplicates: a window partitioned by the canonical
-    key (well-spread — URLs hash wide), never a global sort.  Returns
-    the surviving rows plus their ``canonical_url``."""
-    from pyspark.sql.window import Window
+    bytes are even compared.  Returns the surviving rows plus their
+    ``canonical_url``.
 
+    URL-less rows (NULL/empty URL, i.e. an empty canonical host) pass
+    through UNCHANGED, one survivor each: their canonical form
+    degenerates to the single key ``http://``, and deduping on that
+    would silently drop every URL-less document but one on a
+    partially-URL'd corpus.  Their dedup key is salted with the unique
+    id (``\\x00`` prefix — unreachable from any real canonical URL, so
+    no collision with the URL'd keys).
+
+    Hot-key shape (rewritten round 12, with dedup.drop_exact_duplicates):
+    ``groupBy(key).agg(min_by(row, id))``, not a ``row_number`` window —
+    a canonical URL fetched tens of millions of times is this operator's
+    target workload, and min_by's map-side partial merge hands the
+    reducer one candidate per key per map partition instead of
+    serializing the whole hot group through one task's window sort."""
     tagged = df.withColumn("canonical_url", canonical_url_expr(url_col))
-    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+    key = F.when(
+        host_expr(url_col) == "",
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    ).otherwise(F.col("canonical_url"))
+    row = F.struct(*[F.col(c) for c in tagged.columns])
     return (
-        tagged.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        tagged.groupBy(key.alias("_k"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
 
 

@@ -2264,13 +2264,15 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT doc_id,
-               'http://site' || CAST(doc_id % 40 AS VARCHAR)
-               || '.org/a/b?a=1&b=2' AS canonical_url
+               CASE WHEN doc_id % 11 = 3 THEN NULL
+                    ELSE 'http://site' || CAST(doc_id % 40 AS VARCHAR)
+                         || '.org/a/b?a=1&b=2' END AS u
         FROM documents
     )
-    SELECT doc_id, canonical_url FROM c
-    QUALIFY row_number() OVER (PARTITION BY canonical_url
-                               ORDER BY doc_id) = 1
+    SELECT doc_id, coalesce(u, 'http://') AS canonical_url FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY coalesce(u, chr(0) || CAST(doc_id AS VARCHAR))
+        ORDER BY doc_id) = 1
     """,
 )
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2281,25 +2283,30 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragments — must collapse to one lowest-id survivor per canonical
     URL; the oracle knows the canonical form from the id arithmetic
     alone, so any parser slip that splits or merges a group moves the
-    hash."""
+    hash.  Every 11th-ish doc (doc_id%11==3) carries a NULL URL and
+    must pass through UNDEDUPED (one survivor per URL-less row, r12
+    pass-through rule) — the oracle salts those keys with the doc id
+    exactly like the operator."""
     from ..operators import web as W
 
     d = F.col("doc_id")
     pick = lambda col, *opts: F.element_at(  # noqa: E731
         F.array(*[F.lit(o) for o in opts]), (col + 1).cast("int")
     )
-    url = F.concat(
-        pick(d % 3, "http://", "HTTP://", "hTtP://"),
-        pick(d % 2, "", "www."),
-        F.when(d % 3 == 1, F.lit("Site")).otherwise(F.lit("site")),
-        (d % 40).cast("string"),
-        F.lit(".org"),
-        F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
-        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/a/b"),
-        pick(d % 3, "", "/", "//"),
-        pick(d % 3, "?b=2&a=1", "?a=1&b=2", "?a=1&b=2&"),
-        F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("#x")),
+    url = F.when(d % 11 == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            pick(d % 3, "http://", "HTTP://", "hTtP://"),
+            pick(d % 2, "", "www."),
+            F.when(d % 3 == 1, F.lit("Site")).otherwise(F.lit("site")),
+            (d % 40).cast("string"),
+            F.lit(".org"),
+            F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/a/b"),
+            pick(d % 3, "", "/", "//"),
+            pick(d % 3, "?b=2&a=1", "?a=1&b=2", "?a=1&b=2&"),
+            F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("#x")),
+        )
     )
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", url.alias("url")
