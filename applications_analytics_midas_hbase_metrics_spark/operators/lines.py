@@ -22,8 +22,19 @@ space in the same way the chunk-dedup hash is (operators/versions.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _split_lit(col: F.Column | str, sep: str) -> F.Column:
+    """``F.split`` with ``sep`` treated as a LITERAL string.  Every
+    ``sep`` in this module is also handed to ``array_join`` (literal
+    semantics) on the way back out, so the split must match: an
+    unescaped regex-metacharacter separator ('.', '|') would silently
+    corrupt the split/rejoin round trip (round-11 ADVICE)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, re.escape(sep))
 
 
 def boilerplate_lines(
@@ -43,7 +54,7 @@ def boilerplate_lines(
     """
     lines = docs.select(
         F.col(id_col).alias("_doc"),
-        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+        F.explode(_split_lit(text_col, sep)).alias("line"),
     )
     if hash_lines:
         lines = lines.select("_doc", F.xxhash64("line").alias("line_h"))
@@ -90,7 +101,7 @@ def strip_boilerplate(
 
     lines = docs.select(
         F.col(id_col).alias(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(_split_lit(text_col, sep)).alias("pos", "line"),
     )
     if hash_lines:
         join_key = ["line_h"]
@@ -141,7 +152,7 @@ def dedup_lines_within_doc(
     fine at page-scale line counts (tens to hundreds).
 
     Returns (id, clean_text, n_kept, n_removed)."""
-    arr = F.split(F.col(text_col), sep)
+    arr = _split_lit(text_col, sep)
     kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + 1)
     return docs.select(
         F.col(id_col),

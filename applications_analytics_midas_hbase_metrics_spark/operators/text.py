@@ -201,9 +201,11 @@ def scrub_pii(
     """Deterministic PII scrubbing for corpus curation: e-mail addresses
     → ``<EMAIL>``, phone-shaped numbers → ``<PHONE>``, IPv4 literals →
     ``<IP>``.  Returns (id, text, n_emails, n_phones, n_ips) with
-    counts of what was replaced (counted on the ORIGINAL text; the
-    three patterns cannot overlap — an e-mail needs an alphabetic TLD,
-    a phone has dashes/dots in the wrong arity for a dotted quad).
+    per-pattern counts taken on the ORIGINAL text.  The counts are
+    detection tallies, not a replacement audit: in rare overlaps they
+    can exceed what the sequential replacement rewrote — e.g. a dotted
+    quad inside an e-mail domain (``a@1.2.3.4.com``) increments n_ips
+    while the e-mail replacement consumes the quad.
     Pure JVM regex — no UDF; patterns are intentionally conservative
     (high precision) since curation pipelines route low-confidence hits
     to review rather than silently rewriting them."""

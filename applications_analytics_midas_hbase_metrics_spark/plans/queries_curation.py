@@ -2155,7 +2155,7 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. exact dedup
     ed = D.drop_exact_duplicates(q, content_col="txt", id_col="id")
     ed = ed.localCheckpoint(eager=True)  # consumed by near-dup + anti
-    # 4. near dedup: drop the higher id of every jaccard>=0.9 pair
+    # 4. near dedup: drop the higher id of every jaccard>=0.8 pair
     pairs = D.minhash_near_duplicates(
         ed, text_col="txt", id_col="id", shingle_k=3,
         num_hashes=32, threshold=0.8,

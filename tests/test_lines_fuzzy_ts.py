@@ -615,3 +615,25 @@ def test_dedup_lines_within_doc_hand_checked(spark):
         3: ("w", 1, 2),
         4: ("", 1, 0),
     }
+
+
+def test_line_ops_metachar_separator_is_literal(spark):
+    """A regex-metacharacter separator ('.', '|') must behave as a
+    LITERAL in every lines-module split: split and array_join use the
+    same semantics, so the split/rejoin round trip is exact (round-11
+    ADVICE — the split used to get regex semantics and silently
+    shredded the text char-by-char on sep='.')."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import lines as L
+
+    df = spark.createDataFrame([(1, "a.b.a.c")], ["doc_id", "text"])
+    r = L.dedup_lines_within_doc(df, sep=".").first()
+    assert (r.clean_text, r.n_kept, r.n_removed) == ("a.b.c", 3, 1)
+
+    docs = spark.createDataFrame(
+        [(i, "menu|body%d|menu" % i) for i in range(4)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in L.strip_boilerplate(docs, min_doc_freq=3, sep="|").collect()
+    }
+    assert out[0] == ("body0", 1)  # 'menu' is cross-doc boilerplate
