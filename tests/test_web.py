@@ -161,3 +161,116 @@ def test_url_dedup_keeps_lowest_id(spark):
         (5, "http://a.com/x?a=2&b=1"),
         (2, "http://a.com/y"),
     }
+
+
+def test_url_dedup_urlless_rows_pass_through(spark):
+    """NULL/empty-URL documents must NOT collapse into the single
+    'http://' canonical key (round-11 ADVICE): each passes through as
+    its own survivor while URL'd duplicates still dedup."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, None),
+        (4, "http://a.com/x"),
+        (7, "HTTP://www.A.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {(r.doc_id, r.canonical_url) for r in W.url_dedup(df).collect()}
+    assert got == {
+        (1, "http://"),
+        (2, "http://"),
+        (3, "http://"),
+        (4, "http://a.com/x"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full PSL registrable-domain rule (operators/web_psl.py)
+# ---------------------------------------------------------------------------
+
+def test_psl_semantics_hand_checked(spark):
+    """The publicsuffix.org algorithm over the snapshot table: normal
+    longest-match, PRIVATE suffixes (each github.io site is its own
+    domain), wildcard (*.ck, *.kawasaki.jp), exception (!www.ck,
+    !city.kawasaki.jp), default rule for unknown TLDs, and opaque
+    passthrough for IPs / bracket hosts / single labels."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        web_psl as WP,
+    )
+
+    cases = {
+        # host: (psl_domain, public_suffix)
+        "site1.github.io": ("site1.github.io", "github.io"),
+        "sub.site2.github.io": ("site2.github.io", "github.io"),
+        "blog.site.com": ("site.com", "com"),
+        "a.b.site.co.uk": ("site.co.uk", "co.uk"),
+        "site.co.uk": ("site.co.uk", "co.uk"),
+        "www.site9.ck": ("www.site9.ck", "site9.ck"),  # *.ck wildcard
+        "foo.www.ck": ("www.ck", "ck"),                # !www.ck exception
+        "www.ck": ("www.ck", "ck"),
+        "ck": ("ck", "ck"),                            # bare suffix passthrough
+        "city.kawasaki.jp": ("city.kawasaki.jp", "kawasaki.jp"),
+        "x.town.kawasaki.jp": ("x.town.kawasaki.jp", "town.kawasaki.jp"),
+        "x.s3.amazonaws.com": ("x.s3.amazonaws.com", "s3.amazonaws.com"),
+        "amazonaws.com": ("amazonaws.com", "com"),
+        "a.b.unknowntld": ("b.unknowntld", "unknowntld"),  # default rule "*"
+        "localhost": ("localhost", "localhost"),
+        "1.2.3.4": ("1.2.3.4", "1.2.3.4"),
+        "[::1]": ("[::1]", "[::1]"),
+        "": ("", ""),
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: (r.psl_domain, r.public_suffix)
+        for r in WP.host_psl_map(hosts, WP.psl_rules_df(spark)).collect()
+    }
+    assert got == cases
+
+
+def test_psl_corpus_join_is_broadcast(spark):
+    """with_domain_psl's corpus-side pass must be a BROADCAST probe of
+    the distinct-host map — the corpus itself never shuffles on host."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        web_psl as WP,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://u"),
+            (F.col("id") % 7).cast("string"),
+            F.lit(".github.io/p"),
+        ).alias("url"),
+    )
+    out = WP.with_domain_psl(docs, WP.psl_rules_df(spark))
+    doms = {r.domain for r in out.collect()}
+    assert doms == {f"u{i}.github.io" for i in range(7)}
+    plan = final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # no SortMergeJoin anywhere on the corpus path
+    assert "SortMergeJoin" not in plan
+
+
+def test_psl_file_loader(spark, tmp_path):
+    """load_psl_rules parses the canonical file format: comments,
+    blanks, wildcard and exception lines."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        web_psl as WP,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "com\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===END===\n"
+    )
+    rules = WP.load_psl_rules(spark, str(p))
+    rows = {r.join_key: (r.is_exc, r.rule_labels, r.eff_ps) for r in rules.collect()}
+    assert rows == {
+        "com": (False, 1, 1),
+        "*.ck": (False, 2, 2),
+        "www.ck": (True, 2, 1),
+    }
