@@ -25,8 +25,10 @@ stage); semantics follow the public C4/RefinedWeb recipes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .sampling import _MIX_DOMAIN, _SHARD_PRIME, top_k_per_group
 
@@ -57,10 +59,14 @@ def host_expr(url_col: str | Column) -> Column:
     cut the authority at the first ``/``, ``?`` or ``#``, drop
     userinfo (everything through the last ``@`` of the authority) and
     a trailing ``:port``, lowercase, strip ONE leading ``www.`` and
-    any trailing dot.  IPv6 bracket hosts and IDN punycoding are out
-    of scope (documented; both arrive as-is).  NULL/empty URLs yield
-    an empty host rather than NULL so downstream group keys are
-    total."""
+    any trailing dot.  IPv6 bracket hosts pass through as opaque keys
+    (the port strip only matches ``:digits`` after the closing ``]``,
+    and no bracket host can start with ``www.`` or end with ``.``).
+    Unicode (IDN) hosts arrive as-is here — compose with
+    :func:`punycode_host` / ``with_domain(idn=True)`` when the corpus
+    mixes ``xn--`` and Unicode spellings of the same host.  NULL/empty
+    URLs yield an empty host rather than NULL so downstream group keys
+    are total."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     h = F.regexp_replace(
         F.coalesce(c, F.lit("")), r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
@@ -79,19 +85,53 @@ def registrable_domain_expr(host_col: str | Column) -> Column:
     public suffix (:data:`MULTI_LABEL_SUFFIXES`) — ``a.b.site.co.uk``
     → ``site.co.uk``, ``blog.site.com`` → ``site.com``.  Hosts with
     fewer than two labels (``localhost``, empty) pass through
-    unchanged.  Pure array math over one split — no UDF, no lookup
-    join at this suffix-set size (the literal IN list compiles into
-    the projection)."""
+    unchanged, and so do IP-literal authorities — an IPv4 dotted quad
+    or a ``[``-bracketed IPv6 host is its own opaque domain key (the
+    label rule would otherwise shear ``1.2.3.4`` into ``3.4`` and
+    mangle ``[::ffff:1.2.3.4]``; round-12 fix).  Pure array math over
+    one split — no UDF, no lookup join at this suffix-set size (the
+    literal IN list compiles into the projection)."""
     h = F.col(host_col) if isinstance(host_col, str) else host_col
     parts = F.split(h, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.slice(parts, -2, 2))
     last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    opaque = h.startswith("[") | h.rlike(r"^(\d{1,3}\.){3}\d{1,3}$")
     return (
-        F.when((n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES), last3)
+        F.when(opaque, h)
+        .when((n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES), last3)
         .when(n >= 2, last2)
         .otherwise(h)
     )
+
+
+def punycode_host(host_col: str | Column) -> Column:
+    """IDN normalization of a canonical host: Unicode labels →
+    punycode (``xn--``) via IDNA ToASCII, so ``münchen.de`` and
+    ``xn--mnchen-3ya.de`` — two crawls' spellings of the SAME host —
+    dedup and cap as one domain.  Already-ASCII hosts (the vast
+    majority of any crawl) short-circuit inside the Arrow batch with a
+    single ``isascii()`` check, so the Python cost is paid only on the
+    IDN slice; hosts the codec rejects (over-long labels, stray
+    whitespace) fall back to their raw form rather than erroring a
+    100 TB pass.  The one Python boundary in the web family — a
+    vectorized pandas UDF, applied to the host projection, never to
+    payloads."""
+
+    @pandas_udf("string")
+    def _puny(s: pd.Series) -> pd.Series:
+        def enc(h):
+            if h is None or h.isascii():
+                return h
+            try:
+                return h.encode("idna").decode("ascii")
+            except (UnicodeError, ValueError):
+                return h
+
+        return s.map(enc)
+
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    return _puny(c)
 
 
 def with_domain(
@@ -99,11 +139,17 @@ def with_domain(
     url_col: str = "url",
     host_out: str = "host",
     domain_out: str = "domain",
+    idn: bool = False,
 ) -> DataFrame:
     """Attach canonical ``host`` and registrable ``domain`` columns —
     the projection every downstream domain stage (cap, stats, mixture)
-    keys on."""
-    out = df.withColumn(host_out, host_expr(url_col))
+    keys on.  ``idn=True`` additionally punycode-normalizes the host
+    (:func:`punycode_host`) so Unicode and ``xn--`` spellings agree —
+    off by default to keep the default path pure-JVM."""
+    h = host_expr(url_col)
+    if idn:
+        h = punycode_host(h)
+    out = df.withColumn(host_out, h)
     return out.withColumn(domain_out, registrable_domain_expr(host_out))
 
 

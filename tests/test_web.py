@@ -274,3 +274,29 @@ def test_psl_file_loader(spark, tmp_path):
         "*.ck": (False, 2, 2),
         "www.ck": (True, 2, 1),
     }
+
+
+def test_punycode_host_and_ip_opaque(spark):
+    """IDN normalization: Unicode and xn-- spellings of one host agree
+    after with_domain(idn=True); ASCII hosts short-circuit untouched;
+    IPv4/bracket-IPv6 authorities are opaque domain keys (never
+    label-sheared)."""
+    cases = [
+        # (url, host, domain)
+        ("http://MÜNCHEN.de/x", "xn--mnchen-3ya.de", "xn--mnchen-3ya.de"),
+        ("http://xn--mnchen-3ya.de/y", "xn--mnchen-3ya.de", "xn--mnchen-3ya.de"),
+        ("https://sub.bücher.example", "sub.xn--bcher-kva.example",
+         "xn--bcher-kva.example"),
+        ("http://plain.site.com", "plain.site.com", "site.com"),
+        ("http://user@[2001:db8::1]:8080/p", "[2001:db8::1]", "[2001:db8::1]"),
+        ("http://[::ffff:1.2.3.4]/x", "[::ffff:1.2.3.4]", "[::ffff:1.2.3.4]"),
+        ("http://10.0.0.1:8080/x", "10.0.0.1", "10.0.0.1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "doc_id bigint, url string",
+    )
+    out = W.with_domain(df, idn=True).orderBy("doc_id").collect()
+    assert [(r.host, r.domain) for r in out] == [
+        (h, d) for _, h, d in cases
+    ]
