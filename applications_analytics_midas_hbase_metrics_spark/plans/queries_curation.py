@@ -2240,7 +2240,9 @@ def _curation_full_oracle() -> str:
 
 
 @register("curation_pipeline_full", oracle=_curation_full_oracle())
-def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_pipeline_full(
+    spark: SparkSession, sf_dir: str, pin=None
+) -> DataFrame:
     """The COMPLETE pretraining-data build, one manifest row per input
     document: wrap the fixture corpus (plus planted exact copies of
     doc_id%5 and 95%-prefix near copies of doc_id%7) in real HTML, then
@@ -2267,9 +2269,22 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Survivors report (n_spans, cut_chars, n_tokens_final, pack_id,
     shard); every dropped doc reports WHICH stage dropped it — the
     output is total over the input corpus, a curation manifest, and
-    the oracle replays all ten stages in one SQL chain."""
+    the oracle replays all ten stages in one SQL chain.
+
+    ``pin=`` (default ``localCheckpoint(eager=True)``) threads the
+    100 TB escape hatch through ALL of the pipeline's multi-consumer
+    pin sites — pass ``text.disk_persist_pin`` for DISK_ONLY blocks
+    that stay out of executor memory AND keep lineage (a lost executor
+    recomputes instead of failing the job; localCheckpoint truncates
+    lineage).  Pinned verdict-identical in
+    tests/test_pipelines.py::test_curation_pipeline_full_pin_modes;
+    flip criteria in SCALE.md (round-11 ExactSubstr entry, extended to
+    the pipeline round 12)."""
     from ..operators import web as W
     from ..operators.sampling import mixture_sample, shuffle_shards
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if pin is None else pin(df)
 
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source"
@@ -2290,7 +2305,8 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prefix.alias("text"), "lang", "source",
             )
         )
-    ).localCheckpoint(eager=True)  # consumed by 3 stages + lang map
+    )
+    corpus = _pin(corpus)  # consumed by 3 stages + lang map
     wrapped = corpus.select(
         "doc_id",
         F.concat(
@@ -2307,14 +2323,14 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     # 1. extract — reused by the quality stage AND the bench slice
-    ex = T.html_extract(wrapped).localCheckpoint(eager=True)
+    ex = _pin(T.html_extract(wrapped))
     # 2. quality
     q = ex.filter(
         (F.col("link_density") <= 0.2) & (F.size(D.tokens("text")) >= 20)
     ).select("id", F.col("text").alias("txt"))
     # 3. exact dedup
     ed = D.drop_exact_duplicates(q, content_col="txt", id_col="id")
-    ed = ed.localCheckpoint(eager=True)  # consumed by near-dup + anti
+    ed = _pin(ed)  # consumed by near-dup + anti
     # 4. near dedup: drop the higher id of every jaccard>=0.8 pair
     pairs = D.minhash_near_duplicates(
         ed, text_col="txt", id_col="id", shingle_k=3,
@@ -2323,8 +2339,10 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndrop = pairs.select(F.col("id_b").alias("id")).distinct()
     nd = ed.join(ndrop, "id", "left_anti")
     # 5. exact substring dedup
-    cut = T.exact_substring_dedup(nd, k=20, text_col="txt", id_col="id")
-    cut = cut.localCheckpoint(eager=True)  # consumed by 3 stages
+    cut = T.exact_substring_dedup(
+        nd, k=20, text_col="txt", id_col="id", pin=pin
+    )
+    cut = _pin(cut)  # consumed by 3 stages
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
     bench = ex.filter(
         (F.col("id") < 100000) & (F.col("id") % 11 == 0)
@@ -2335,20 +2353,20 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contaminated = flags.filter(F.col("contaminated") == 1).select("id")
     dec = cut.join(contaminated, "id", "left_anti")
-    dec = dec.localCheckpoint(eager=True)
+    dec = _pin(dec)
     # 7. domain cap over synthesized URLs
     dm = W.with_domain(_add_synth_url(dec, id_col="id"))
     capped = W.domain_cap(dm, n=2, id_col="id").select(
         "id", "n_spans", "cut_chars", "text_cut"
     )
-    capped = capped.localCheckpoint(eager=True)
+    capped = _pin(capped)
     # 8. language mixture
     lang_map = corpus.select(F.col("doc_id").alias("id"), "lang")
     mixed = mixture_sample(
         capped.join(lang_map, "id"), _MIX_RATES,
         strat_col="lang", key_col="id",
     ).select("id", "n_spans", "cut_chars", "text_cut")
-    mixed = mixed.localCheckpoint(eager=True)
+    mixed = _pin(mixed)
     # 9. pack (512-token budget, id order) + 10. shard (8 shards)
     ntf = mixed.select(
         "id", "n_spans", "cut_chars",

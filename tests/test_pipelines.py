@@ -114,3 +114,45 @@ def test_job_status_report(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.job_seq_key, r.job_status, r.value) == ("12345678", "successful", "OK")
+
+
+def test_curation_pipeline_full_pin_modes(spark):
+    """The 10-stage pretraining build must produce an IDENTICAL
+    manifest under both pin modes: the default eager localCheckpoint
+    and the 100 TB DISK_ONLY escape hatch (text.disk_persist_pin,
+    lineage kept) threaded through all seven multi-consumer pin sites
+    plus the internal ExactSubstr shingle pin (round-11 VERDICT ask
+    #4 — the flip criteria in SCALE.md apply to every one of them)."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        text as T,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.plans import (
+        queries_curation as QC,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(
+        tuple(r)
+        for r in QC.q_curation_pipeline_full(spark, SF_SMOKE).collect()
+    )
+
+    pinned = []
+
+    def disk_pin(df):
+        out = T.disk_persist_pin(df)
+        pinned.append(out)
+        return out
+
+    try:
+        alt = sorted(
+            tuple(r)
+            for r in QC.q_curation_pipeline_full(
+                spark, SF_SMOKE, pin=disk_pin
+            ).collect()
+        )
+    finally:
+        for f in pinned:
+            f.unpersist(blocking=True)
+
+    assert len(pinned) >= 7, len(pinned)  # every pin site took the hatch
+    assert base == alt
