@@ -39,7 +39,94 @@ __all__ = [
     "bm25_topk_indexed",
     "hashed_cosine_topk",
     "rrf_fuse",
+    "recover_index_store",
 ]
+
+#: Marker file written into a finished index build BEFORE the swap —
+#: its presence inside ``.build_tmp`` proves every table of the
+#: generation is fully materialized (roll FORWARD on recovery).
+_INDEX_COMMITTED = "_INDEX_COMMITTED"
+
+
+def _atomic_index_swap(index_dir: str, write_tables) -> None:
+    """Publish a MULTI-table index generation atomically (round-12
+    store audit): ``write_tables(tmp_dir)`` materializes every table
+    under ``index_dir + '.build_tmp'``, then the whole generation swaps
+    in with the repo's two-rename protocol.  Without this, the builders
+    overwrote postings/dft/stats with three separate non-atomic writes
+    — a rebuild crashing between them left a MIXED-generation index
+    (new postings scored against the previous corpus' dft/stats) that
+    returns silently wrong rankings; per-table recovery cannot help
+    because every table is individually healthy.  Generation
+    consistency must be whole-index, hence directory-level swap +
+    commit marker; heal a crashed swap with
+    :func:`recover_index_store`."""
+    import shutil
+
+    tmp = index_dir + ".build_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_tables(tmp)
+    with open(os.path.join(tmp, _INDEX_COMMITTED), "w") as fh:
+        fh.write("")
+    old = index_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(index_dir):
+        os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_index_store(index_dir: str) -> dict:
+    """Heal a stored retrieval index (BM25 / trigram) after a crash
+    anywhere in :func:`_atomic_index_swap`'s window.  Idempotent; call
+    before searching an index whose last (re)build may have died.
+
+    States: index present → clear residue; index absent with a
+    COMMITTED tmp → roll forward (the new generation is complete);
+    index absent with ``.old`` → restore the previous generation
+    (the rebuild is simply not applied); uncommitted tmp alone →
+    discard (tables may be torn mid-write)."""
+    import shutil
+
+    tmp, old = index_dir + ".build_tmp", index_dir + ".old"
+    committed = os.path.exists(os.path.join(tmp, _INDEX_COMMITTED))
+    if os.path.exists(index_dir):
+        act = "ok"
+        if os.path.exists(old) or os.path.exists(tmp):
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            act = "residue_cleared"
+    elif committed:
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        act = "promoted_tmp"
+    elif os.path.exists(old):
+        os.rename(old, index_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        act = "restored_previous"
+    elif os.path.exists(tmp):
+        shutil.rmtree(tmp)
+        act = "incomplete_build_discarded"
+    else:
+        act = "missing"
+    return {"index": act}
+
+
+def _refuse_headless_index(index_dir: str) -> None:
+    """Searching a store whose directory vanished mid-swap would fail
+    confusingly (or, worse, a caller might rebuild an EMPTY index on
+    top of the recoverable previous generation) — refuse with the
+    recovery pointer instead, mirroring the shingle store's
+    headless-append refusal."""
+    if not os.path.exists(index_dir) and (
+        os.path.exists(index_dir + ".old")
+        or os.path.exists(index_dir + ".build_tmp")
+    ):
+        raise RuntimeError(
+            f"index store {index_dir!r} crashed mid-(re)build (swap"
+            " residue present, index absent) — run recover_index_store"
+            " before searching or rebuilding"
+        )
 
 
 def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
@@ -217,16 +304,25 @@ def bm25_index_build(
     dft = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("dft")
     )
-    tf.withColumn(
-        "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
-    ).write.mode("overwrite").partitionBy("tok_bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    dft.write.mode("overwrite").parquet(os.path.join(index_dir, "dft"))
-    docs.select(F.size(tokens(text)).cast("double").alias("dl")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    _refuse_headless_index(index_dir)
+
+    def _write(tmp: str) -> None:
+        tf.withColumn(
+            "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+        ).write.mode("overwrite").partitionBy("tok_bucket").parquet(
+            os.path.join(tmp, "postings")
+        )
+        dft.write.mode("overwrite").parquet(os.path.join(tmp, "dft"))
+        docs.select(F.size(tokens(text)).cast("double").alias("dl")).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "stats"))
+
+    # the three tables are ONE generation: publish atomically (a crash
+    # between per-table overwrites of a live index left new postings
+    # scored against old dft/stats — silently wrong rankings)
+    _atomic_index_swap(index_dir, _write)
+    docs.sparkSession.catalog.refreshByPath(index_dir)
 
 
 def bm25_topk_indexed(
@@ -248,6 +344,7 @@ def bm25_topk_indexed(
     terms via the broadcast semi-join inside the bucket files.  The
     bucket set is computed with one bounded jobless-scale collect over
     the query terms (|terms| rows)."""
+    _refuse_headless_index(index_dir)
     q = _norm_queries(queries)
     terms = q.select("term").distinct()
     buckets = [
@@ -535,14 +632,23 @@ def trigram_index_build(
     dg = d.select(
         "doc_id", F.explode(_char_trigrams("t")).alias("_gs")
     ).select("doc_id", gk(F.col("_gs")).alias("g"))
-    dg.withColumn(
-        "g_bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
-    ).write.mode("overwrite").partitionBy("g_bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    dg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "gram_df"))
+    _refuse_headless_index(index_dir)
+
+    def _write(tmp: str) -> None:
+        dg.withColumn(
+            "g_bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
+        ).write.mode("overwrite").partitionBy("g_bucket").parquet(
+            os.path.join(tmp, "postings")
+        )
+        dg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "gram_df"))
+
+    # both tables are ONE generation — same atomicity argument as
+    # bm25_index_build (new postings + old gram_df mis-ranks the
+    # rarest-gram pruning)
+    _atomic_index_swap(index_dir, _write)
+    docs.sparkSession.catalog.refreshByPath(index_dir)
 
 
 def trigram_search_indexed(
@@ -571,6 +677,7 @@ def trigram_search_indexed(
     grams via the broadcast join inside the bucket files.  ``docs`` is
     needed only for the final exact-contains verify of the candidate
     ids."""
+    _refuse_headless_index(index_dir)
     d = _norm_docs_text(docs, doc_id, text)
     qn = _norm_substring_queries(queries, qid, q)
     # sum on read: the batch-built index writes one row per gram, a

@@ -335,3 +335,121 @@ def test_shingle_ingest_refuses_headless_store(spark, tmp_path):
     }
     assert batch_keys <= stored  # the refused batch landed after recovery
     assert any(r[2] > 0 for r in cut())  # history still cuts
+
+
+def test_retrieval_index_atomic_build_and_recovery(spark, tmp_path):
+    """The multi-table retrieval indexes publish as ONE generation
+    (round-12 store audit): a rebuild that dies anywhere in the swap
+    window can never leave mixed-generation tables (new postings + old
+    stats = silently wrong rankings).  Simulate every crash state,
+    verify recover_index_store's resolutions, the headless-search
+    refusal, and ranking identity after a mid-swap restore."""
+    import shutil
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        _INDEX_COMMITTED,
+        bm25_index_build,
+        bm25_topk_indexed,
+        recover_index_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} " + ("gamma " * (i % 4))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (1, "gamma"), (2, "beta"), (2, "doc7")],
+        "query_id long, term string",
+    )
+    idx = str(tmp_path / "bm25")
+    bm25_index_build(docs, idx, n_buckets=8)
+    assert os.path.exists(os.path.join(idx, _INDEX_COMMITTED))
+    healthy = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, idx, queries, k=5, n_buckets=8).collect()
+    )
+
+    # state 1: residue next to a healthy index (crash after the swap,
+    # before cleanup)
+    os.makedirs(idx + ".old")
+    assert recover_index_store(idx) == {"index": "residue_cleared"}
+    assert not os.path.exists(idx + ".old")
+
+    # state 2: crashed between the renames — index gone, .old holds the
+    # previous generation; searching must REFUSE until recovery
+    os.rename(idx, idx + ".old")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="recover_index_store"):
+        bm25_topk_indexed(spark, idx, queries, k=5, n_buckets=8)
+    with pytest.raises(RuntimeError, match="recover_index_store"):
+        bm25_index_build(docs, idx, n_buckets=8)  # rebuild also refuses
+    assert recover_index_store(idx) == {"index": "restored_previous"}
+    spark.catalog.refreshByPath(idx)
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, idx, queries, k=5, n_buckets=8).collect()
+    )
+    assert got == healthy
+
+    # state 3: crashed after the old-index rename with a COMMITTED tmp —
+    # the new generation is complete, roll forward
+    os.rename(idx, idx + ".build_tmp")
+    assert recover_index_store(idx) == {"index": "promoted_tmp"}
+    assert os.path.exists(os.path.join(idx, _INDEX_COMMITTED))
+
+    # state 4: an UNCOMMITTED tmp alone (builder died mid-table-write):
+    # tables may be torn — discard, never promote
+    os.rename(idx, idx + ".build_tmp")
+    os.remove(os.path.join(idx + ".build_tmp", _INDEX_COMMITTED))
+    assert recover_index_store(idx) == {"index": "incomplete_build_discarded"}
+    assert recover_index_store(idx) == {"index": "missing"}
+
+    # a rebuild over a LIVE index swaps generations atomically
+    bm25_index_build(docs, idx, n_buckets=8)
+    bm25_index_build(docs.limit(20), idx, n_buckets=8)
+    assert not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + ".build_tmp")
+    n_docs_row = spark.read.parquet(os.path.join(idx, "stats")).first()
+    assert n_docs_row.n_docs == 20.0  # the NEW generation, whole
+
+
+def test_trigram_index_atomic_build(spark, tmp_path):
+    """Same generation contract for the trigram substring index."""
+    import pytest
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+        _INDEX_COMMITTED,
+        recover_index_store,
+        trigram_index_build,
+        trigram_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"needle{i} in a haystack of text") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame([(1, "needle7")], "qid bigint, q string")
+    idx = str(tmp_path / "tri")
+    trigram_index_build(docs, idx, n_buckets=8)
+    assert os.path.exists(os.path.join(idx, _INDEX_COMMITTED))
+    assert [
+        r.doc_id
+        for r in trigram_search_indexed(
+            spark, idx, queries, docs, k_grams=4, n_buckets=8
+        ).collect()
+    ] == [7]
+
+    os.rename(idx, idx + ".old")
+    with pytest.raises(RuntimeError, match="recover_index_store"):
+        trigram_search_indexed(
+            spark, idx, queries, docs, k_grams=4, n_buckets=8
+        )
+    assert recover_index_store(idx) == {"index": "restored_previous"}
+    spark.catalog.refreshByPath(idx)
+    assert [
+        r.doc_id
+        for r in trigram_search_indexed(
+            spark, idx, queries, docs, k_grams=4, n_buckets=8
+        ).collect()
+    ] == [7]
