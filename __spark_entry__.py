@@ -76,6 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for html_extract, curation_pipeline_full (the 10-stage
         # manifest), image_near_pairs, ann_ivf_pq, q21_lone_returner,
         # domain_cap.
+        # Round 12: log_extract (P1 contains-chain + F7 regex both
+        # also exercised by the gated job_status_scan), salt_distribution
+        # (R2 salt parity stays gated through cell_build's salted row
+        # keys + golden-tested in test_keys), props_extract (S12/U1,
+        # stable since r2), quantiles, substring_dedup + html_extract
+        # (both are stages 5/1 of the gated curation_pipeline_full) and
+        # stream_dedupe (streamed-store bookkeeping, replaced by the
+        # web-family streamed row) left for: url_dedup (rewritten
+        # skew-safe + NULL-URL pass-through this round),
+        # domain_extract_psl (full PSL wildcard/exception rules),
+        # domain_extract_idn (punycode/IPv6), domain_mixture, xml_scan,
+        # csv_quoted_scan (storage boundaries), domain_stats_streamed
+        # (streamed rollup == batch domain_stats).
         # The ANN family
         # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
         # order and relays the pinned brute-force truth / codebooks —

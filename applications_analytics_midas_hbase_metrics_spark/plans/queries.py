@@ -753,7 +753,7 @@ _LOG_LINE_SQL = """
 """
 
 
-@register(
+@register_extra(
     "log_extract",
     oracle=f"""
     WITH logs AS ({_LOG_LINE_SQL})
@@ -852,7 +852,7 @@ def q_mucr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "salt_distribution",
     oracle=f"""
     SELECT {duckdb_salt_sql(f"concat_ws({CHR0}, c_mktsegment, c_custkey)")} AS salt,
@@ -970,7 +970,7 @@ def q_job_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "props_extract",
     oracle="""
     SELECT event_type,

@@ -673,7 +673,7 @@ def _substring_dedup_oracle(k: int, min_count: int) -> str:
     """
 
 
-@register("substring_dedup", oracle=_substring_dedup_oracle(20, 2))
+@register_extra("substring_dedup", oracle=_substring_dedup_oracle(20, 2))
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring dedup (operators.text.exact_substring_dedup) —
     the ExactSubstr modality of Lee et al. 2022, the exact sibling of
@@ -914,7 +914,7 @@ _HTML_NB_SQL = (
 )
 
 
-@register(
+@register_extra(
     "html_extract",
     oracle=f"""
     WITH src AS (
@@ -1811,7 +1811,7 @@ def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "domain_extract_psl",
     oracle="""
     WITH h AS (
@@ -1895,7 +1895,7 @@ def q_domain_extract_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "psl_domain", "public_suffix")
 
 
-@register_extra(
+@register(
     "domain_extract_idn",
     oracle="""
     WITH b AS (
@@ -1999,7 +1999,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "host", "domain")
 
 
-@register_extra(
+@register(
     "domain_mixture",
     oracle=f"""
     WITH dom AS (SELECT doc_id, {_DOM_DOMAIN_SQL} AS domain FROM documents),
@@ -2437,7 +2437,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "url_dedup",
     oracle="""
     WITH c AS (
@@ -2680,7 +2680,7 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "domain_stats_streamed",
     oracle=f"""
     WITH dom AS (

@@ -2653,7 +2653,7 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-@register_extra(
+@register(
     "xml_scan",
     oracle=f"""
     SELECT doc_id,
@@ -2696,7 +2696,7 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "csv_quoted_scan",
     oracle=f"""
     SELECT doc_id,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from .queries import register, register_extra, t
 
 
-@register(
+@register_extra(
     "quantiles",
     oracle="""
     SELECT l_returnflag,

@@ -206,7 +206,7 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedupe", oracle="SELECT event_id FROM events")
+@register_extra("stream_dedupe", oracle="SELECT event_id FROM events")
 def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-only streaming dedup gate: events ∪ copies of event_id % 7 == 0
     with SHIFTED timestamps — dropDuplicatesWithinWatermark must remove
