@@ -132,6 +132,113 @@ def strip_boilerplate(
     )
 
 
+def _unit_repetition(
+    units: DataFrame, id_col: str, prefix: str
+) -> DataFrame:
+    """Per-document repetition aggregates over one unit granularity.
+
+    ``units`` is (``id_col``, ``u``) with one row per unit OCCURRENCE.
+    Returns (id, n_<prefix>s, dup_<prefix>_frac, dup_<prefix>_char_frac)
+    where dup_frac = fraction of unit occurrences that are repeats
+    (1 − distinct/total) and dup_char_frac = characters inside the
+    occurrences AFTER the first of each distinct unit / total unit
+    characters — the Gopher "fraction of characters in duplicate
+    lines/paragraphs" signal.
+
+    Scale shape: explode → count per (id, unit) → per-id aggregate.
+    Both shuffles carry the document id in the key and both are
+    partial-aggregating (map-side combine), so a degenerate document
+    that repeats one line a million times costs its shuffle share —
+    there is no per-key window and no hot-unit reducer.
+    """
+    per_unit = (
+        units.groupBy(id_col, "u")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .withColumn("len", F.length("u").cast("bigint"))
+    )
+    per_doc = per_unit.groupBy(id_col).agg(
+        F.sum("occ").cast("bigint").alias("n_units"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum((F.col("occ") - 1) * F.col("len")).cast("bigint").alias("dup_chars"),
+        F.sum(F.col("occ") * F.col("len")).cast("bigint").alias("total_chars"),
+    )
+    total = F.col("n_units").cast("double")
+    chars = F.col("total_chars").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_units").alias(f"n_{prefix}s"),
+        F.round(
+            F.when(
+                F.col("n_units") > 0, F.lit(1.0) - F.col("n_distinct") / total
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias(f"dup_{prefix}_frac"),
+        F.round(
+            F.when(
+                F.col("total_chars") > 0, F.col("dup_chars") / chars
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias(f"dup_{prefix}_char_frac"),
+    )
+
+
+def line_repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+) -> DataFrame:
+    """Gopher-style line/paragraph repetition battery (the public
+    repetition filters of Rae et al. 2021 §A1.1, complementing the word
+    n-gram signals in :func:`..text.repetition_features`): per document
+
+      - ``n_lines``, ``dup_line_frac``, ``dup_line_char_frac``
+      - ``n_paras``, ``dup_para_frac``, ``dup_para_char_frac``
+
+    ``dup_*_frac`` is the fraction of unit occurrences that are repeats
+    of an earlier unit in the same document; ``dup_*_char_frac`` is the
+    fraction of unit characters sitting inside those repeat occurrences.
+    Pretraining curation drops documents above thresholds on any of the
+    six (boilerplate chrome and degenerate generation loops score high;
+    exact/near dedup never sees them because the document as a whole is
+    unique).
+
+    Empty units (the artifacts of splitting a ``para_sep`` boundary by
+    ``line_sep``) are dropped before counting on BOTH granularities, so
+    paragraph boundaries do not count as duplicate empty lines.
+
+    Returns one row per input document (documents with no units score
+    0.0 on every fraction).  Separators are literal strings, not
+    regexes (module-wide contract, see :func:`_split_lit`).
+    """
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
+    nonempty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
+    lines = base.select(
+        "id", F.explode(nonempty(_split_lit(text_col, line_sep))).alias("u")
+    )
+    paras = base.select(
+        "id", F.explode(nonempty(_split_lit(text_col, para_sep))).alias("u")
+    )
+    line_feats = _unit_repetition(lines, "id", "line")
+    para_feats = _unit_repetition(paras, "id", "para")
+    zero = F.lit(0.0)
+    return (
+        base.select("id")
+        .join(line_feats, "id", "left")
+        .join(para_feats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("dup_line_frac", zero).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", zero).alias("dup_line_char_frac"),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("dup_para_frac", zero).alias("dup_para_frac"),
+            F.coalesce("dup_para_char_frac", zero).alias("dup_para_char_frac"),
+        )
+    )
+
+
 def dedup_lines_within_doc(
     docs: DataFrame,
     id_col: str = "doc_id",

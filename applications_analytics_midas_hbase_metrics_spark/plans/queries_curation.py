@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from ..operators import classify as CL
 from ..operators import dedup as D
+from ..operators import lines as LN
+from ..operators import normalize as NZ
 from ..operators import packing as P
 from ..operators import text as T
 from ..operators.sampling import (
@@ -2741,3 +2743,173 @@ def q_domain_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return read_domain_stats(spark, stats)
+
+
+# ---------------------------------------------------------------------------
+# Gopher line/paragraph repetition battery + Unicode NFC normalization
+# (round 12): the two remaining standard curation passes the surface
+# lacked — the public Rae-et-al. repetition filters at line/paragraph
+# granularity (the word-n-gram half lives in repetition_ratio) and the
+# canonical-form normalization every content hash should run behind.
+# ---------------------------------------------------------------------------
+
+#: Deterministic line-structure fixture shared by gopher_line_signals
+#: and its oracle: the corpus text is single-line word salad, so both
+#: sides derive lines of 5 tokens, inject known duplicates (doc_id%3==0
+#: repeats line 1 twice, doc_id%5==0 repeats line 2 once), group lines
+#: into paragraphs of 3, and join with real \n / \n\n separators.  The
+#: Spark side feeds the operator the TEXT (it must split it back); the
+#: oracle computes the metrics from the arrays directly, so the split →
+#: explode → two-phase aggregate path is what gets verified.
+_LINE_FIX_SQL = f"""
+    tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    lx AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(tks) / 5.0) AS INT)),
+                   i -> array_to_string(tks[i * 5 + 1 : i * 5 + 5], ' ')
+               ) AS ls
+        FROM tk
+    ),
+    fx AS (
+        SELECT doc_id,
+               ls
+               || CASE WHEN doc_id % 3 = 0 THEN [ls[1], ls[1]]
+                       ELSE CAST([] AS VARCHAR[]) END
+               || CASE WHEN doc_id % 5 = 0 AND len(ls) >= 2 THEN [ls[2]]
+                       ELSE CAST([] AS VARCHAR[]) END AS lines
+        FROM lx
+    ),
+    px AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(lines) / 3.0) AS INT)),
+                   i -> array_to_string(lines[i * 3 + 1 : i * 3 + 3], chr(10))
+               ) AS paras
+        FROM fx
+    )
+"""
+
+
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the shared fixture: (doc_id, text) where text
+    carries the same injected line/paragraph structure as
+    :data:`_LINE_FIX_SQL` (lines of 5 tokens, known duplicates, \\n\\n
+    paragraph groups of 3)."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    toks = D.tokens("text")
+    n_groups = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    staged = docs.select("doc_id", lines.alias("ls"))
+    empty = F.array().cast("array<string>")
+    l1 = F.element_at("ls", 1)
+    l2 = F.element_at("ls", 2)
+    fixed = F.concat(
+        F.col("ls"),
+        F.when(F.col("doc_id") % 3 == 0, F.array(l1, l1)).otherwise(empty),
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.size("ls") >= 2), F.array(l2)
+        ).otherwise(empty),
+    )
+    with_lines = staged.select("doc_id", fixed.alias("lines"))
+    n_paras = F.ceil(F.size("lines") / F.lit(3.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(F.slice("lines", i * 3 + 1, 3), "\n"),
+    )
+    return with_lines.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+
+
+register_extra(
+    "gopher_line_signals",
+    oracle=f"""
+    WITH {_LINE_FIX_SQL},
+    lu AS (SELECT doc_id, unnest(lines) AS u FROM fx),
+    lc AS (SELECT doc_id, u, count(*) AS occ, length(u) AS len
+           FROM lu GROUP BY doc_id, u),
+    la AS (SELECT doc_id,
+                  CAST(sum(occ) AS BIGINT) AS n_units,
+                  count(*) AS n_distinct,
+                  sum((occ - 1) * len) AS dup_chars,
+                  sum(occ * len) AS total_chars
+           FROM lc GROUP BY doc_id),
+    pu AS (SELECT doc_id, unnest(paras) AS u FROM px),
+    pc AS (SELECT doc_id, u, count(*) AS occ, length(u) AS len
+           FROM pu GROUP BY doc_id, u),
+    pa AS (SELECT doc_id,
+                  CAST(sum(occ) AS BIGINT) AS n_units,
+                  count(*) AS n_distinct,
+                  sum((occ - 1) * len) AS dup_chars,
+                  sum(occ * len) AS total_chars
+           FROM pc GROUP BY doc_id)
+    SELECT k.doc_id AS id,
+           coalesce(la.n_units, 0) AS n_lines,
+           round(CASE WHEN la.n_units > 0
+                      THEN 1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_units
+                      ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN la.total_chars > 0
+                      THEN CAST(la.dup_chars AS DOUBLE) / la.total_chars
+                      ELSE 0.0 END, 6) AS dup_line_char_frac,
+           coalesce(pa.n_units, 0) AS n_paras,
+           round(CASE WHEN pa.n_units > 0
+                      THEN 1.0 - CAST(pa.n_distinct AS DOUBLE) / pa.n_units
+                      ELSE 0.0 END, 6) AS dup_para_frac,
+           round(CASE WHEN pa.total_chars > 0
+                      THEN CAST(pa.dup_chars AS DOUBLE) / pa.total_chars
+                      ELSE 0.0 END, 6) AS dup_para_char_frac
+    FROM tk k
+    LEFT JOIN la ON la.doc_id = k.doc_id
+    LEFT JOIN pa ON pa.doc_id = k.doc_id
+    """,
+)(
+    lambda spark, sf_dir: LN.line_repetition_features(
+        _lined_documents(spark, sf_dir)
+    )
+)
+
+
+#: NFC fixture suffixes — the decomposed and precomposed spellings of
+#: the same visible string (e+COMBINING ACUTE vs U+00E9, u+DIAERESIS vs
+#: U+00FC, A+RING vs U+00C5, Hangul jamo KIYEOK+A vs the composed
+#: syllable GA).  doc_id%4==0 gets the decomposed form (changed=True
+#: after NFC), doc_id%4==1 the precomposed form (idempotence:
+#: changed=False), everything else stays pure ASCII.
+_NFC_SFX_D = " cafe\u0301 u\u0308ber A\u030a \u1100\u1161"
+_NFC_SFX_C = " caf\u00e9 \u00fcber \u00c5 \uac00"
+
+
+register_extra(
+    "unicode_nfc",
+    oracle=f"""
+    WITH fx AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0 THEN '{_NFC_SFX_D}'
+                            WHEN doc_id % 4 = 1 THEN '{_NFC_SFX_C}'
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           nfc_normalize(t) AS text_norm,
+           t <> nfc_normalize(t) AS changed,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_norm
+    FROM fx
+    """,
+)(
+    lambda spark, sf_dir: NZ.normalize_unicode(
+        _spread(spark, t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 4 == 0, F.lit(_NFC_SFX_D))
+                .when(F.col("doc_id") % 4 == 1, F.lit(_NFC_SFX_C))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+)

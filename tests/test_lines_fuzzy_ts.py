@@ -637,3 +637,65 @@ def test_line_ops_metachar_separator_is_literal(spark):
         for r in L.strip_boilerplate(docs, min_doc_freq=3, sep="|").collect()
     }
     assert out[0] == ("body0", 1)  # 'menu' is cross-doc boilerplate
+
+
+# lines.line_repetition_features — the Gopher line/paragraph battery
+
+
+def test_line_repetition_known_fractions(spark):
+    # doc 1: lines a,b,a,a  (4 occ, 2 distinct -> dup_frac 0.5;
+    #        dup chars = 2*len(a)=2, total = 4 -> char_frac 0.5)
+    #        paragraphs: "a\nb" and "a\na" -> 2 occ, 2 distinct -> 0.0
+    # doc 2: all unique lines -> zeros
+    docs = spark.createDataFrame(
+        [(1, "a\nb\n\na\na"), (2, "x\ny\n\nz")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in L.line_repetition_features(docs).collect()}
+    d1 = out[1]
+    assert d1["n_lines"] == 4
+    assert d1["dup_line_frac"] == 0.5
+    assert d1["dup_line_char_frac"] == 0.5
+    assert d1["n_paras"] == 2
+    assert d1["dup_para_frac"] == 0.0
+    assert d1["dup_para_char_frac"] == 0.0
+    d2 = out[2]
+    assert d2["n_lines"] == 3
+    assert (d2["dup_line_frac"], d2["dup_line_char_frac"]) == (0.0, 0.0)
+
+
+def test_line_repetition_char_frac_weighs_length(spark):
+    # long line duplicated once among short unique lines: occurrence
+    # fraction is 1/4 but the char fraction is dominated by its length
+    long = "w" * 96
+    docs = spark.createDataFrame(
+        [(7, f"{long}\na\nb\n{long}")], "doc_id long, text string"
+    )
+    r = L.line_repetition_features(docs).collect()[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == 0.25
+    # dup chars = 96 (second occurrence), total = 96+1+1+96 = 194
+    assert r["dup_line_char_frac"] == round(96 / 194, 6)
+
+
+def test_line_repetition_empty_and_boundary_units(spark):
+    # empty text -> no units, all-zero row still present; paragraph
+    # separator artifacts (the '' between \n\n) never count as lines
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a\n\na")], "doc_id long, text string"
+    )
+    out = {r["id"]: r.asDict() for r in L.line_repetition_features(docs).collect()}
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_frac"] == 0.0
+    # doc 2: lines are [a, a] (the empty split artifact dropped)
+    assert out[2]["n_lines"] == 2
+    assert out[2]["dup_line_frac"] == 0.5
+    # but as paragraphs they are two distinct-position identical paras
+    assert out[2]["n_paras"] == 2 and out[2]["dup_para_frac"] == 0.5
+
+
+def test_line_repetition_no_window_in_plan(spark):
+    # scale contract: the battery is two partial-aggregating shuffles,
+    # never a per-key window sort
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = L.line_repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -1,0 +1,76 @@
+"""Unit tests for operators/normalize.py — Unicode normalization via the
+Arrow-batched pandas UDF, cross-checked against Python's unicodedata and
+(for NFC) DuckDB's nfc_normalize in the oracle-backed query tier."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+
+from applications_analytics_midas_hbase_metrics_spark.operators import (
+    normalize as NZ,
+)
+
+DECOMPOSED = "cafe\u0301 u\u0308ber A\u030a \u1100\u1161"
+COMPOSED = "caf\u00e9 \u00fcber \u00c5 \uac00"
+
+
+def test_nfc_composes_and_flags(spark):
+    df = spark.createDataFrame(
+        [(1, DECOMPOSED), (2, COMPOSED), (3, "plain ascii")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in NZ.normalize_unicode(df).collect()}
+    assert out[1]["text_norm"] == COMPOSED
+    assert out[1]["changed"] is True
+    # composition shrinks: every combining pair fused
+    assert out[1]["n_chars_raw"] > out[1]["n_chars_norm"]
+    assert out[2]["text_norm"] == COMPOSED and out[2]["changed"] is False
+    assert out[3]["changed"] is False
+    assert out[3]["n_chars_raw"] == out[3]["n_chars_norm"]
+
+
+def test_nfd_and_nfkc_forms(spark):
+    # NFD decomposes the composed spelling; NFKC folds compatibility
+    # characters (ﬁ ligature -> fi) that NFC leaves alone
+    df = spark.createDataFrame(
+        [(1, COMPOSED), (2, "ﬁle")], "doc_id long, text string"
+    )
+    nfd = {r["id"]: r["text_norm"] for r in NZ.normalize_unicode(df, form="NFD").collect()}
+    assert nfd[1] == unicodedata.normalize("NFD", COMPOSED)
+    nfkc = {r["id"]: r["text_norm"] for r in NZ.normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[2] == "file"
+    nfc = {r["id"]: r["text_norm"] for r in NZ.normalize_unicode(df).collect()}
+    assert nfc[2] == "ﬁle"  # NFC preserves compatibility chars
+
+
+def test_null_text_passes_through(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = NZ.normalize_unicode(df).collect()[0]
+    assert r["text_norm"] is None
+    assert r["changed"] is None  # NULL-propagating comparison, not False
+
+
+def test_invalid_form_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="form must be one of"):
+        NZ.normalize_unicode(df, form="NFX")
+
+
+def test_dedup_motivation_hashes_unify(spark):
+    # the docstring's point: identical-looking strings hash apart until
+    # normalized
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, DECOMPOSED), (2, COMPOSED)], "doc_id long, text string"
+    )
+    raw = df.select(F.sha2("text", 256).alias("h")).distinct().count()
+    normed = (
+        NZ.normalize_unicode(df)
+        .select(F.sha2("text_norm", 256).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert raw == 2 and normed == 1

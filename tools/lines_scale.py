@@ -96,6 +96,36 @@ def main() -> None:
             f"  dict_lines={n_dict}  removed={n_removed}"
         )
 
+    # --- line_repetition_features under a degenerate hot document ---
+    # The battery's target workload includes documents that repeat ONE
+    # line enormously (generation loops).  All N occurrences share one
+    # (id, line) key; the claim is that the partial-aggregating groupBy
+    # absorbs them map-side (wall ~linear in N), with no per-key window
+    # funnel.  A window form would sort all N rows in one task.
+    for n in (100_000, 400_000, 1_600_000):
+        hot = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("doc_id"),
+            F.array_join(
+                F.array_repeat(F.lit("the same boilerplate line"), n), "\n"
+            ).alias("text"),
+        )
+        # pair the hot doc with a normal corpus slice so the stage has
+        # real parallel work beside the hot key
+        mixed = hot.unionByName(
+            base.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        t0 = time.time()
+        row = (
+            L.line_repetition_features(mixed)
+            .filter(F.col("id") == 0)
+            .first()
+        )
+        t_hot = time.time() - t0
+        assert row["n_lines"] == n and row["dup_line_frac"] == round(
+            1.0 - 1.0 / n, 6
+        ), row
+        print(f"hot-doc {n:>9,} repeated lines: {t_hot:.1f}s")
+
 
 if __name__ == "__main__":
     main()

@@ -125,6 +125,9 @@ CHECKS = {
     # the dataset-card report must be ONE Expand over one scan, never
     # a 4-way union of aggregations
     "corpus_card": ["Expand"],
+    # the Python boundary must be the Arrow-batched evaluator, never
+    # the pickling row-at-a-time BatchEvalPython
+    "unicode_nfc": ["ArrowEvalPython"],
 }
 
 
@@ -538,6 +541,8 @@ def main() -> None:
         "top_duplicated_spans",
         "image_near_pairs",
         "video_scene_cuts",
+        "gopher_line_signals",
+        "unicode_nfc",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
