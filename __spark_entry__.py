@@ -89,9 +89,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain_extract_idn (punycode/IPv6), domain_mixture, xml_scan,
         # csv_quoted_scan (storage boundaries), domain_stats_streamed
         # (streamed rollup == batch domain_stats).
-        # The ANN family
-        # (ann_topk -> ann_ivf -> ann_pq) is adjacent by registration
-        # order and relays the pinned brute-force truth / codebooks —
+        # Round 12 second swap: ann_topk (exact-cosine surface keeps
+        # two gated siblings — ann_ivf/ann_ivf_pq rerank against the
+        # same exact scores and gate their own recall) and
+        # pagerank_coview (iterative-loop surface keeps bfs_reach +
+        # the label-propagation supersteps) left for the two NEW ops:
+        # gopher_line_signals, unicode_nfc.
+        # The gated ANN family (ann_ivf -> ann_ivf_pq) remains adjacent
+        # by registration order and relays pinned codebooks; with
+        # ann_topk extra-tier, ann_ivf rebuilds the brute-force truth
+        # itself via the claim_deferred fallback —
         # see queries_ext._ann_brute10.)
         "cell_lookup": ["validation_diff"],
         "dedup_minhash": ["dedup_corpus"],

@@ -2825,7 +2825,9 @@ def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_extra(
+register(
+    # driver-gated from birth (round 12, in for ann_topk): a brand-new
+    # operator family deserves the driver-hard row
     "gopher_line_signals",
     oracle=f"""
     WITH {_LINE_FIX_SQL},
@@ -2883,7 +2885,10 @@ _NFC_SFX_D = " cafe\u0301 u\u0308ber A\u030a \u1100\u1161"
 _NFC_SFX_C = " caf\u00e9 \u00fcber \u00c5 \uac00"
 
 
-register_extra(
+register(
+    # driver-gated from birth (round 12, in for pagerank_coview): the
+    # repo's one unicodedata Python boundary gets a driver-hard row
+    # against DuckDB's independent normalizer
     "unicode_nfc",
     oracle=f"""
     WITH fx AS (

@@ -459,7 +459,11 @@ def _ann_pq_artifacts(
 
 
 
-@register(
+@register_extra(
+    # rotated OUT of the driver gate in round 12 (gated r2-r11) for
+    # gopher_line_signals: the exact-cosine surface keeps two gated
+    # siblings — ann_ivf and ann_ivf_pq both rerank candidates against
+    # the same exact scores and gate their own recall vs brute force
     "ann_topk",
     oracle=f"""
     WITH c AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),

@@ -238,8 +238,11 @@ def _pr_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
     )
 
 
-@register(
-    # rotated INTO the driver gate in round 10 (never gated before)
+@register_extra(
+    # rotated INTO the driver gate in round 10 (never gated before);
+    # OUT in round 12 for unicode_nfc — the iterative-loop surface
+    # keeps gated siblings (bfs_reach's frontier loop, dedup_corpus /
+    # vocab_canonicalize's label-propagation supersteps)
     "pagerank_coview", oracle=_pr_oracle())
 def q_pagerank_coview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five power-iteration rounds (operators.graph.pagerank) over the
