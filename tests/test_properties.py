@@ -666,3 +666,100 @@ def test_url_parsing_matches_python_model_on_random_urls(spark):
     # non-degenerate: schemes, multi-label suffixes and queries occurred
     assert any("co.uk" in (g[1] or "") for g in got.values())
     assert any("?" in g[2] for g in got.values())
+
+
+def test_line_repetition_matches_python_model(spark):
+    """Distributed line/paragraph battery vs a brute Counter model on
+    random multi-line texts (random line vocab, mixed \\n and \\n\\n
+    separators): all six signals must agree within the 6-decimal
+    rounding (tolerance covers HALF_UP vs half-even at the last digit)."""
+    import collections
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        lines as L,
+    )
+
+    rng = random.Random(41)
+    vocab = ["alpha", "bb", "the same line", "x y z", "q"]
+    cases = []
+    for _ in range(150):
+        n = rng.randrange(0, 9)
+        parts = [rng.choice(vocab) for _ in range(n)]
+        seps = [rng.choice(["\n", "\n\n"]) for _ in range(max(0, n - 1))]
+        text = "".join(
+            p + s for p, s in zip(parts, seps + [""])
+        )
+        cases.append(text)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {r.id: r for r in L.line_repetition_features(df).collect()}
+
+    def model(units):
+        counts = collections.Counter(units)
+        total = len(units)
+        if not total:
+            return 0, 0.0, 0.0
+        dup_chars = sum((occ - 1) * len(u) for u, occ in counts.items())
+        total_chars = sum(occ * len(u) for u, occ in counts.items())
+        return (
+            total,
+            1.0 - len(counts) / total,
+            (dup_chars / total_chars) if total_chars else 0.0,
+        )
+
+    for i, s in enumerate(cases):
+        lines = [x for x in s.split("\n") if x]
+        paras = [x for x in s.split("\n\n") if x]
+        n_l, df_l, cf_l = model(lines)
+        n_p, df_p, cf_p = model(paras)
+        r = got[i]
+        assert r.n_lines == n_l and r.n_paras == n_p, repr(s)
+        for have, want in (
+            (r.dup_line_frac, df_l),
+            (r.dup_line_char_frac, cf_l),
+            (r.dup_para_frac, df_p),
+            (r.dup_para_char_frac, cf_p),
+        ):
+            assert abs(have - want) < 2e-6, (repr(s), have, want)
+
+
+def test_normalize_unicode_matches_unicodedata_random(spark):
+    """The Arrow-batched normalizer vs Python's unicodedata on random
+    text seeded with combining marks, ligatures, and Hangul jamo — and,
+    for NFC, vs DuckDB's independent nfc_normalize implementation.
+    Also pins idempotence: norm(norm(x)) == norm(x)."""
+    import random
+    import unicodedata
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        normalize as NZ,
+    )
+
+    rng = random.Random(43)
+    pieces = [
+        "é", "é", "ü", "ü", "Å", "Å",
+        "가", "가", "ﬁ", "fi", "ascii", " ", "1.2",
+        "́",  # orphan combining mark (no base)
+    ]
+    cases = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(0, 10)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    for form in ("NFC", "NFKC"):
+        got = {
+            r.id: r.text_norm
+            for r in NZ.normalize_unicode(df, form=form).collect()
+        }
+        for i, s in enumerate(cases):
+            want = unicodedata.normalize(form, s)
+            assert got[i] == want, (form, repr(s))
+            assert unicodedata.normalize(form, got[i]) == got[i]
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        duck = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert duck == unicodedata.normalize("NFC", s), repr(s)
