@@ -49,9 +49,15 @@ def dedupe_chunks(
     chunks, drop every chunk instance whose exact content appears in an
     earlier document (min id wins), report per-doc retention.
 
-    Returns (id, n_chunks, n_kept).  One explode + one window on the
-    chunk hash — at corpus scale the shuffle key is the 64-bit chunk
-    hash, never the text."""
+    Returns (id, n_chunks, n_kept).  One explode + one partial-
+    aggregating owner table + one equi-join on the chunk — at corpus
+    scale the shuffle key is the chunk content (hash it upstream for a
+    64-bit key if chunk text is wide).  The owner is min(id) per chunk
+    via groupBy, NOT a per-chunk window: a heavily repeated chunk is
+    this operator's TARGET workload (boilerplate paragraphs), and a
+    window would funnel all of its instances through one task, while
+    the aggregation merges map-side and the join back is AQE
+    skew-splittable (the round-11/12 keep-first rule, SCALE.md)."""
     toks = tokens(text_col)  # shared codegen tokenizer (operators.dedup)
     n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
     chunks = F.transform(
@@ -63,8 +69,8 @@ def dedupe_chunks(
     exploded = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.explode(chunks).alias("chunk")
     )
-    w = Window.partitionBy("chunk")
-    flagged = exploded.withColumn("_owner", F.min("id").over(w))
+    owners = exploded.groupBy("chunk").agg(F.min("id").alias("_owner"))
+    flagged = exploded.join(owners, "chunk")
     return (
         flagged.groupBy("id")
         .agg(

@@ -2233,10 +2233,8 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact.  The oracle recomputes tile sums from the closed-form
     pixel rule and replays the integer threshold compare
     (tile_sum * n_tiles > total) and the (row, col)-ordered bit string
-    exactly; group sizes and keep flags come from the hash-keyed
-    window on both sides."""
-    from pyspark.sql import Window
-
+    exactly; the oracle keeps its brute window while the Spark side
+    derives group stats skew-safe (groupBy + join back)."""
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
     )
@@ -2248,13 +2246,21 @@ def q_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid",
     ).select(F.col("doc_id").alias("id"), "payload")
     sig = MM.image_ahash(imgs)
-    w = Window.partitionBy("n_tiles", "ahash")
-    return sig.select(
+    # group stats via partial-aggregating groupBy + join back, not a
+    # per-signature window: a signature shared by millions of images
+    # (THE logo problem) is the operator's target workload, and the
+    # join back is AQE skew-splittable while a window funnels the
+    # whole group through one task (the round-12 keep-first rule)
+    stats = sig.groupBy("n_tiles", "ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("id").alias("_min_id"),
+    )
+    return sig.join(stats, ["n_tiles", "ahash"]).select(
         F.col("id").alias("doc_id"),
         "n_tiles",
         "ahash",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
-        (F.col("id") == F.min("id").over(w)).cast("int").alias("keep"),
+        "group_size",
+        (F.col("id") == F.col("_min_id")).cast("int").alias("keep"),
     )
 
 
@@ -2312,8 +2318,6 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture modalities.  The oracle recomputes frame sums from the
     closed-form sample rule and replays the integer threshold and the
     frame-ordered bit string exactly."""
-    from pyspark.sql import Window
-
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", F.pmod("doc_id", F.lit(60)).cast("bigint").alias("gid")
     )
@@ -2325,13 +2329,17 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid",
     ).select(F.col("doc_id").alias("id"), "payload")
     sig = MM.audio_fingerprint(clips, frame=8)
-    w = Window.partitionBy("n_frames", "fp")
-    return sig.select(
+    # same skew-safe group-stats shape as q_image_dedup_ahash
+    stats = sig.groupBy("n_frames", "fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("id").alias("_min_id"),
+    )
+    return sig.join(stats, ["n_frames", "fp"]).select(
         F.col("id").alias("doc_id"),
         "n_frames",
         "fp",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
-        (F.col("id") == F.min("id").over(w)).cast("int").alias("keep"),
+        "group_size",
+        (F.col("id") == F.col("_min_id")).cast("int").alias("keep"),
     )
 
 

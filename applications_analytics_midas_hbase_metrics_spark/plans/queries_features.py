@@ -440,9 +440,23 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("score_q"),
         )
     )
-    w = Window.partitionBy("source").orderBy(F.desc("score_q"), "term")
+    # two-phase top-5 (the top_k_per_group shape, inlined for the
+    # composite order): a source's group is its whole VOCABULARY, so a
+    # single per-source window would sort millions of terms in one
+    # task at corpus scale.  Phase 1 keeps <=5 candidates per (source,
+    # input partition); the final per-source sort sees <=5 x partitions
+    # rows, bounded regardless of vocabulary size.
+    order = (F.desc("score_q"), F.asc("term"))
+    wl = Window.partitionBy("source", "_p").orderBy(*order)
+    cand = (
+        sc.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= 5)
+        .drop("_p", "_r")
+    )
+    w = Window.partitionBy("source").orderBy(*order)
     return (
-        sc.withColumn("_r", F.row_number().over(w))
+        cand.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= 5)
         .select("source", "term", "tf", "df", "score_q")
     )
