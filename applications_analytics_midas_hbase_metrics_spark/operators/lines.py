@@ -213,7 +213,10 @@ def line_repetition_features(
     regexes (module-wide contract, see :func:`_split_lit`).
     """
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
-    nonempty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
+    # array_remove, not the filter HOF: same result (split yields no
+    # NULL elements), but the HOF lambda is CodegenFallback while
+    # array_remove stays inside whole-stage codegen
+    nonempty = lambda arr: F.array_remove(arr, "")  # noqa: E731
     lines = base.select(
         "id", F.explode(nonempty(_split_lit(text_col, line_sep))).alias("u")
     )
