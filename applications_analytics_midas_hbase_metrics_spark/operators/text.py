@@ -184,6 +184,113 @@ def repetition_features(
     )
 
 
+def ngram_repetition_battery(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher word-n-gram repetition battery (Rae et al. 2021
+    §A1.1): per document, for each n in ``top_ns`` the character mass of
+    the single most-frequent n-gram, and for each n in ``dup_ns`` the
+    character mass of all n-grams occurring more than once — each
+    normalized by the total n-gram character mass at that n
+    (``occ x len`` summed over distinct grams; a documented deviation
+    from the paper's character-position coverage, which double-counts
+    nothing but is not expressible without per-position bookkeeping).
+    The most-frequent gram is chosen deterministically: highest count,
+    then longest, then lexicographically greatest.
+
+    Returns (id, top{n}_char_frac ..., dup{n}_char_frac ...) — one row
+    per input document; documents with fewer than n tokens score 0.0
+    at that n.
+
+    Scale shape: ONE tagged union of the per-n gram streams feeds ONE
+    (id, n, gram) count and ONE (id, n) aggregate — two partial-
+    aggregating shuffles TOTAL regardless of how many n values are
+    requested, both keyed by the document id, so a degenerate document
+    repeating one phrase forever costs its shuffle share (same rule as
+    the line battery, operators/lines.py)."""
+    ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))
+    toks = tokens(text_col)
+
+    def grams_at(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), grams_at(n).alias("grams")
+                    )
+                    for n in ns
+                ]
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.n").alias("n"), F.explode("g.grams").alias("gram"))
+    per_gram = tagged.groupBy("id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    mass = (F.col("occ") * F.length("gram")).cast("bigint")
+    per_n = per_gram.groupBy("id", "n").agg(
+        F.sum(mass).alias("total_mass"),
+        F.sum(F.when(F.col("occ") > 1, mass).otherwise(F.lit(0))).alias(
+            "dup_mass"
+        ),
+        F.max(
+            F.struct(F.col("occ"), F.length("gram").alias("len"), F.col("gram"))
+        ).alias("top"),
+    )
+    top_mass = (F.col("top.occ") * F.col("top.len")).cast("double")
+    scored = per_n.select(
+        "id",
+        "n",
+        (top_mass / F.col("total_mass")).alias("top_frac"),
+        (F.col("dup_mass").cast("double") / F.col("total_mass")).alias(
+            "dup_frac"
+        ),
+    )
+    aggs = [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+            ),
+            6,
+        ).alias(f"top{n}_char_frac")
+        for n in top_ns
+    ] + [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_frac"))), F.lit(0.0)
+            ),
+            6,
+        ).alias(f"dup{n}_char_frac")
+        for n in dup_ns
+    ]
+    per_doc = scored.groupBy("id").agg(*aggs)
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            *[
+                F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+                for c in per_doc.columns
+                if c != "id"
+            ],
+        )
+    )
+
+
 #: PII patterns — shared by the scrubber and its oracle builders; plain
 #: ASCII classes so the Java-regex and RE2 interpretations coincide.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"

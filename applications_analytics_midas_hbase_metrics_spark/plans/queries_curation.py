@@ -2918,3 +2918,99 @@ register(
         )
     )
 )
+
+
+# Full Gopher word-n-gram battery (round 12): top-n-gram character
+# fraction for n=2,3,4 and duplicate-n-gram character fraction for
+# n=5..10, completing the published repetition filter set alongside
+# repetition_ratio (word-2-gram occurrence mode) and
+# gopher_line_signals (line/paragraph granularity).
+_BAT_TOP = (2, 3, 4)
+_BAT_DUP = (5, 6, 7, 8, 9, 10)
+
+
+def _battery_oracle() -> str:
+    all_ns = sorted(set(_BAT_TOP) | set(_BAT_DUP))
+    top_cols = ",\n           ".join(
+        f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.top_frac END),"
+        f" 0.0), 6) AS top{n}_char_frac"
+        for n in _BAT_TOP
+    )
+    dup_cols = ",\n           ".join(
+        f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.dup_frac END),"
+        f" 0.0), 6) AS dup{n}_char_frac"
+        for n in _BAT_DUP
+    )
+    return f"""
+    WITH fx AS (
+        -- the corpus word salad never repeats a 5..10-gram inside one
+        -- document, so every dup{{n}} column would be constant zero;
+        -- doc_id%4==0 re-appends the doc's first 12 tokens (a real
+        -- degenerate-loop shape), making the high-n signals fire
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                   THEN ' ' || array_to_string(({_TOKS})[1 : 12], ' ')
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, {_TOKS} AS tks FROM fx),
+    ns AS (SELECT unnest({list(all_ns)}) AS n),
+    g AS (
+        SELECT doc_id, n,
+               unnest(CASE WHEN len(tks) >= n
+                   THEN list_transform(range(1, len(tks) - n + 2),
+                       i -> array_to_string(tks[i : i + n - 1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM tk CROSS JOIN ns
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS occ, length(gram) AS len
+          FROM g GROUP BY doc_id, n, gram),
+    a AS (SELECT doc_id, n,
+                 sum(occ * len) AS total_mass,
+                 coalesce(sum(CASE WHEN occ > 1 THEN occ * len END), 0)
+                     AS dup_mass
+          FROM c GROUP BY doc_id, n),
+    r AS (SELECT doc_id, n, occ * len AS tmass,
+                 row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY occ DESC, len DESC, gram DESC) AS rk
+          FROM c),
+    s AS (SELECT a.doc_id, a.n,
+                 CAST(r.tmass AS DOUBLE) / a.total_mass AS top_frac,
+                 CAST(a.dup_mass AS DOUBLE) / a.total_mass AS dup_frac
+          FROM a JOIN r ON r.doc_id = a.doc_id AND r.n = a.n AND r.rk = 1)
+    SELECT t.doc_id AS id,
+           {top_cols},
+           {dup_cols}
+    FROM tk t LEFT JOIN s ON s.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """
+
+
+def _battery_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of the battery fixture: doc_id%4==0 re-appends the
+    document's first 12 tokens (mirrors the oracle's fx CTE) so the
+    duplicate-5..10-gram signals are non-degenerate at gate SF."""
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    toks = D.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" "), F.array_join(F.slice(toks, 1, 12), " ")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+register_extra(
+    "repetition_battery",
+    oracle=_battery_oracle(),
+)(
+    lambda spark, sf_dir: T.ngram_repetition_battery(
+        _battery_fixture(spark, sf_dir),
+        top_ns=_BAT_TOP,
+        dup_ns=_BAT_DUP,
+    )
+)

@@ -763,3 +763,56 @@ def test_normalize_unicode_matches_unicodedata_random(spark):
     for i, s in enumerate(cases):
         duck = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
         assert duck == unicodedata.normalize("NFC", s), repr(s)
+
+
+def test_ngram_battery_matches_python_model(spark):
+    """Full Gopher n-gram battery vs a brute Counter model on random
+    token streams with forced phrase repeats (so the 5..10-gram dup
+    signals actually fire): top{2,3,4} and dup{5..10} char fractions
+    all agree within the rounding tolerance, and the deterministic
+    top-gram tie-break (count, then length, then lexicographic) is
+    replayed exactly."""
+    import collections
+    import random
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
+
+    rng = random.Random(47)
+    vocab = ["aa", "bbb", "c", "dd", "eee"]
+    cases = []
+    for _ in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 16))]
+        if toks and rng.random() < 0.5:
+            reps = toks[: rng.randrange(1, min(12, len(toks)) + 1)]
+            toks = toks + reps * rng.randrange(1, 3)
+        cases.append(" ".join(toks))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    got = {
+        r.id: r
+        for r in T.ngram_repetition_battery(
+            df, top_ns=top_ns, dup_ns=dup_ns
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        toks = [x for x in s.split() if x]
+        row = got[i]
+        for n in sorted(set(top_ns) | set(dup_ns)):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            counts = collections.Counter(grams)
+            total = sum(occ * len(g) for g, occ in counts.items())
+            if total:
+                top_g = max(counts, key=lambda g: (counts[g], len(g), g))
+                top = counts[top_g] * len(top_g) / total
+                dup = (
+                    sum(occ * len(g) for g, occ in counts.items() if occ > 1)
+                    / total
+                )
+            else:
+                top = dup = 0.0
+            if n in top_ns:
+                assert abs(row[f"top{n}_char_frac"] - top) < 2e-6, (s, n)
+            if n in dup_ns:
+                assert abs(row[f"dup{n}_char_frac"] - dup) < 2e-6, (s, n)

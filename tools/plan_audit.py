@@ -543,6 +543,7 @@ def main() -> None:
         "video_scene_cuts",
         "gopher_line_signals",
         "unicode_nfc",
+        "repetition_battery",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
