@@ -40,6 +40,7 @@ def main() -> None:
     from pyspark.sql.window import Window
 
     from applications_analytics_midas_hbase_metrics_spark.operators import dedup as D
+    from applications_analytics_midas_hbase_metrics_spark.operators import versions as V
     from applications_analytics_midas_hbase_metrics_spark.operators import web as W
     from applications_analytics_midas_hbase_metrics_spark.session import get_spark
 
@@ -125,12 +126,25 @@ def main() -> None:
         t_old = time.monotonic() - t0
         assert n_old == n_kept, (n_old, n_kept)
 
+        # round-12 addendum: dedupe_chunks under the same regime — the
+        # hot text is ONE 5-token chunk repeated by ~90% of all docs,
+        # so the owner table's hot key carries ~0.9 x rows instances;
+        # the groupBy owner + join-back shape must stay window-free
+        t0 = time.monotonic()
+        ch_df = V.dedupe_chunks(docs, chunk_tokens=5)
+        n_docs_ch = ch_df.count()
+        t_ch = time.monotonic() - t0
+        cplan = ch_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in cplan, cplan[:2000]
+        assert n_docs_ch == rows_in, (n_docs_ch, rows_in)
+
         print(
             f"mult={mult:>2} rows_in={rows_in:>8} (90% one key): "
             f"drop_exact kept={n_kept} wall={t_drop:.2f}s "
             f"(old window shape {t_old:.2f}s)  "
             f"exact_groups={n_groups} wall={t_groups:.2f}s  "
             f"url_dedup kept={n_urls} wall={t_url:.2f}s  "
+            f"chunk_dedup wall={t_ch:.2f}s  "
             f"load={os.getloadavg()[0]:.1f}"
         )
     print("plans: window-free, map-side partial agg (asserted each step)")
