@@ -132,6 +132,67 @@ def strip_boilerplate(
     )
 
 
+def c4_line_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (the public line/page heuristics of Raffel
+    et al. 2020 §2.2), one map-side pass:
+
+    line level (evaluated on the trimmed line, original line kept):
+      - keep only lines ending in terminal punctuation (``. ! ? "``);
+      - keep only lines with at least ``min_words_per_line`` words;
+      - drop any line containing the word "javascript" (case-blind).
+    page level:
+      - drop pages containing "lorem ipsum" (case-blind) or ``{``;
+      - drop pages whose KEPT lines contain fewer than
+        ``min_sentences`` sentence terminators (``[.!?]`` count — the
+        operational sentence proxy; documented deviation from prose
+        sentence segmentation).
+
+    Returns (id, clean_text, n_kept, n_removed, n_sentences, keep) —
+    one row per input page, ``keep`` as int 0/1 so downstream mixture
+    math can sum it; pages are flagged, not dropped, so the caller
+    chooses between filtering and auditing.
+
+    Scale shape: ZERO shuffles — one split, one per-line filter, two
+    substring probes, one regexp count, all fused into the scan.  The
+    per-line regex/word-count lambda is CodegenFallback (interpreted
+    per line), the inherent cost of per-line predicates; cost stays
+    proportional to payload bytes with no exchange at any corpus size.
+    """
+    lines_arr = _split_lit(text_col, sep)
+    punct_ok = lambda t: t.rlike('[.!?"]$')  # noqa: E731
+    kept = F.filter(
+        lines_arr,
+        lambda l: (
+            punct_ok(F.trim(l))
+            & (F.size(F.split(F.trim(l), r"\s+")) >= int(min_words_per_line))
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    clean = F.array_join(kept, sep)
+    n_sent = F.regexp_count(clean, F.lit("[.!?]")).cast("bigint")
+    text = F.col(text_col)
+    page_ok = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_sent >= int(min_sentences))
+    )
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        clean.alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(lines_arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+        n_sent.alias("n_sentences"),
+        page_ok.cast("int").alias("keep"),
+    )
+
+
 def _unit_repetition(
     units: DataFrame, id_col: str, prefix: str
 ) -> DataFrame:

@@ -3014,3 +3014,102 @@ register_extra(
         dup_ns=_BAT_DUP,
     )
 )
+
+
+# C4 cleaning rules (round 12): the public Raffel-2020 line/page
+# heuristics.  The corpus word salad has no punctuation or line
+# structure, so both sides derive the same fixture: lines of 5 tokens,
+# (doc_id+i)%7==0 lines truncated to 2 words (fails min-words),
+# (doc_id+i)%11==0 lines tagged ' javascript' (line rule),
+# (doc_id+i)%3!=0 lines get terminal '.', doc_id%17==0 pages gain a
+# curly-brace code line, doc_id%19==0 pages gain a 'lorem ipsum' line.
+def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    toks = D.tokens("text")
+    n_groups = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    d = F.col("doc_id")
+
+    def line_at(i):
+        words = F.when(
+            (d + i) % 7 == 0, F.slice(toks, i * 5 + 1, 2)
+        ).otherwise(F.slice(toks, i * 5 + 1, 5))
+        return F.concat(
+            F.array_join(words, " "),
+            F.when((d + i) % 11 == 0, F.lit(" javascript")).otherwise(
+                F.lit("")
+            ),
+            F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), n_groups - 1), line_at)
+    text = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(d % 17 == 0, F.lit("\nvar x = { a: 1 }")).otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register_extra(
+    "c4_line_filters",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    fx AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       range(0, CAST(ceil(len(tks) / 5.0) AS INT)),
+                       i -> (CASE WHEN (doc_id + i) % 7 = 0
+                                  THEN array_to_string(
+                                      tks[i * 5 + 1 : i * 5 + 2], ' ')
+                                  ELSE array_to_string(
+                                      tks[i * 5 + 1 : i * 5 + 5], ' ') END)
+                            || (CASE WHEN (doc_id + i) % 11 = 0
+                                     THEN ' javascript' ELSE '' END)
+                            || (CASE WHEN (doc_id + i) % 3 <> 0
+                                     THEN '.' ELSE '' END)
+                   ), chr(10))
+               || CASE WHEN doc_id % 17 = 0
+                       THEN chr(10) || 'var x = {{ a: 1 }}' ELSE '' END
+               || CASE WHEN doc_id % 19 = 0
+                       THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                       ELSE '' END AS text
+        FROM tk
+    ),
+    fl AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kept,
+               len(string_split(text, chr(10))) AS n_lines
+        FROM fx
+    )
+    , fk AS (
+        -- coalesce: DuckDB's array_to_string yields NULL on the empty
+        -- list where Spark's array_join yields ''
+        SELECT doc_id, text, kept, n_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM fl
+    )
+    SELECT doc_id AS id,
+           clean_text,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+               AS n_sentences,
+           CAST(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(text, '{{')
+                      AND len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM fk
+    """,
+)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators.lines.c4_line_filters) over the
+    shared punctuated-line fixture; the oracle replays every line rule
+    with RE2 list_filter and both page probes — a third regex dialect
+    agreeing on the anchors, like the PII family."""
+    return LN.c4_line_filters(_c4_fixture(spark, sf_dir))

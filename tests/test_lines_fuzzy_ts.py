@@ -699,3 +699,52 @@ def test_line_repetition_no_window_in_plan(spark):
     docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
     plan = L.line_repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# lines.c4_line_filters — the Raffel-2020 cleaning rules
+
+
+def test_c4_line_rules_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            # keeps: 3+ words + terminal punctuation; drops the rest
+            (1, 'one two three.\nshort.\nno punct here\nfour five six ok!\nends in quote says "her."'),
+            # javascript line dropped case-blind
+            (2, "enable JavaScript to view this.\na b c.\nd e f.\ng h i.\nj k l.\nm n o."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in L.c4_line_filters(docs).collect()}
+    d1 = out[1]
+    assert d1["clean_text"].split("\n") == [
+        "one two three.",
+        "four five six ok!",
+        'ends in quote says "her."',
+    ]
+    assert (d1["n_kept"], d1["n_removed"]) == (3, 2)
+    # 3 terminators in kept lines (two . and one !) -> fails min 5
+    assert d1["n_sentences"] == 3 and d1["keep"] == 0
+    d2 = out[2]
+    assert d2["n_kept"] == 5 and d2["n_removed"] == 1
+    assert d2["n_sentences"] == 5 and d2["keep"] == 1
+
+
+def test_c4_page_rules(spark):
+    body = "\n".join(f"line number {i} is long enough." for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + "\nvar x = { a: 1 }"),       # curly brace page
+            (3, body + "\nLorem Ipsum dolor sit."),  # lorem ipsum page
+            (4, "only two sentences here.\nsecond one is fine too."),
+        ],
+        "doc_id long, text string",
+    )
+    keeps = {r["id"]: r["keep"] for r in L.c4_line_filters(docs).collect()}
+    assert keeps == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_c4_zero_shuffle_plan(spark):
+    docs = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = L.c4_line_filters(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan

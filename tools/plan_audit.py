@@ -544,6 +544,7 @@ def main() -> None:
         "gopher_line_signals",
         "unicode_nfc",
         "repetition_battery",
+        "c4_line_filters",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
