@@ -748,13 +748,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard for an explicit pair relation ``on``
     (e.g. consecutive ids, or candidate pairs from another blocker)."""
+    # char_ngram_strings, not the HOF char_ngrams twin: the regex pass
+    # stays in codegen and, unlike the per-position lambda, evaluates
+    # lower(text) ONCE instead of at every gram position (O(len**2) on
+    # a long document).  Output asserted identical in
+    # tests/test_dedup_similarity.py.
     l = left.select(
         F.col(id_col).cast("bigint").alias("id_a"),
-        char_ngrams(text_col, n).alias("ng_a"),
+        char_ngram_strings(text_col, n).alias("ng_a"),
     )
     r = right.select(
         F.col(id_col).cast("bigint").alias("id_b"),
-        char_ngrams(text_col, n).alias("ng_b"),
+        char_ngram_strings(text_col, n).alias("ng_b"),
     )
     return (
         l.join(r, on)

@@ -151,8 +151,18 @@ def repetition_features(
     (id, gram) → per-id aggregate — two shuffles on (id[, gram]), no
     per-row map-side frequency tables, so a single pathological
     100M-gram document costs its share of a shuffle rather than one
-    task's memory."""
-    toks = tokens(text_col)
+    task's memory.
+
+    The token array is hoisted into its own projection before the
+    per-position lambda references it — inlining ``tokens(text)`` into
+    the ``slice`` lambda re-tokenizes the document at every gram
+    position, O(tokens²) per doc (the round-12 battery hoist,
+    :func:`ngram_repetition_battery`)."""
+    toked = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -160,7 +170,7 @@ def repetition_features(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ids = df.select(F.col(id_col).cast("bigint").alias("id"), grams.alias("grams"))
+    ids = toked.select("id", grams.alias("grams"))
     per_gram = (
         ids.select("id", F.explode("grams").alias("gram"))
         .groupBy("id", "gram")
@@ -211,9 +221,19 @@ def ngram_repetition_battery(
     aggregating shuffles TOTAL regardless of how many n values are
     requested, both keyed by the document id, so a degenerate document
     repeating one phrase forever costs its shuffle share (same rule as
-    the line battery, operators/lines.py)."""
+    the line battery, operators/lines.py).
+
+    The token array is MATERIALIZED into its own projection before the
+    per-position gram lambdas reference it: inlining ``tokens(text)``
+    into the ``slice`` lambda would re-tokenize the whole document at
+    EVERY gram position (O(tokens²) per doc per n — measured 400s+ at
+    sf0.1 before the hoist, seconds after)."""
     ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))
-    toks = tokens(text_col)
+    toked = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
 
     def grams_at(n: int) -> Column:
         return F.when(
@@ -224,8 +244,8 @@ def ngram_repetition_battery(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    tagged = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
+    tagged = toked.select(
+        "id",
         F.explode(
             F.array(
                 *[

@@ -1512,7 +1512,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     g = docs.select(
-        "doc_id", F.explode(D.char_ngrams("text", 5)).alias("gram")
+        "doc_id", F.explode(D.char_ngram_strings("text", 5)).alias("gram")
     )
     f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
