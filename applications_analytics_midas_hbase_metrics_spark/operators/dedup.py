@@ -114,7 +114,13 @@ def adjacent_pairs(arr: Column | str) -> Column:
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as space-joined strings.  Documents
-    shorter than k tokens get their whole text as the single shingle."""
+    shorter than k tokens get their whole text as the single shingle.
+
+    Parity twin for :func:`word_shingle_strings` (the production regex
+    form) — if you call it anyway, pass ``toks`` as a MATERIALIZED
+    column attribute, never an inline ``tokens(text)`` expression: the
+    HOF lambda re-evaluates an inline expression at every position
+    (O(tokens²) per document, SCALE.md round-12 addendum 4)."""
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -125,7 +131,10 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams of the lower-cased text."""
+    """Distinct character n-grams of the lower-cased text.  Parity twin
+    for :func:`char_ngram_strings` (the production regex form); the
+    per-position lambda re-evaluates ``lower(text)`` at every offset —
+    O(len²) on long documents (SCALE.md round-12 addendum 4)."""
     c = F.col(text) if isinstance(text, str) else text
     low = F.lower(c)
     ln = F.length(low)

@@ -58,7 +58,15 @@ def dedupe_chunks(
     window would funnel all of its instances through one task, while
     the aggregation merges map-side and the join back is AQE
     skew-splittable (the round-11/12 keep-first rule, SCALE.md)."""
-    toks = tokens(text_col)  # shared codegen tokenizer (operators.dedup)
+    # token array hoisted into its own projection: an inline
+    # tokens(text) inside the slice lambda would re-tokenize the whole
+    # document per chunk position (the O(tokens^2) HOF trap, SCALE.md
+    # round-12 addendum 4)
+    toked = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -66,9 +74,7 @@ def dedupe_chunks(
     )
     # sequence(0, -1) DESCENDS in Spark; empty docs must yield no chunks
     chunks = F.when(n_chunks > 0, chunks).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
-        F.col(id_col).cast("bigint").alias("id"), F.explode(chunks).alias("chunk")
-    )
+    exploded = toked.select("id", F.explode(chunks).alias("chunk"))
     owners = exploded.groupBy("chunk").agg(F.min("id").alias("_owner"))
     flagged = exploded.join(owners, "chunk")
     return (
