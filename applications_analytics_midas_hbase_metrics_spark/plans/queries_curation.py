@@ -2796,14 +2796,18 @@ def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the same injected line/paragraph structure as
     :data:`_LINE_FIX_SQL` (lines of 5 tokens, known duplicates, \\n\\n
     paragraph groups of 3)."""
-    docs = _spread(spark, t(spark, sf_dir, "documents"))
-    toks = D.tokens("text")
+    # token array hoisted before the per-group lambda (the O(tokens^2)
+    # HOF trap, SCALE.md round-12 addendum 4)
+    toked = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", D.tokens("text").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_groups = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_groups - 1),
         lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
     )
-    staged = docs.select("doc_id", lines.alias("ls"))
+    staged = toked.select("doc_id", lines.alias("ls"))
     empty = F.array().cast("array<string>")
     l1 = F.element_at("ls", 1)
     l2 = F.element_at("ls", 2)
@@ -3024,8 +3028,10 @@ register_extra(
 # (doc_id+i)%3!=0 lines get terminal '.', doc_id%17==0 pages gain a
 # curly-brace code line, doc_id%19==0 pages gain a 'lorem ipsum' line.
 def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, t(spark, sf_dir, "documents"))
-    toks = D.tokens("text")
+    toked = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", D.tokens("text").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_groups = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
     d = F.col("doc_id")
 
@@ -3049,7 +3055,7 @@ def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    return docs.select("doc_id", text.alias("text"))
+    return toked.select("doc_id", text.alias("text"))
 
 
 @register_extra(
