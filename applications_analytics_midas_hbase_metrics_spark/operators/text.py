@@ -120,6 +120,126 @@ def quality_features(
     )
 
 
+#: The eight "required" stop words of the Gopher quality rules (Rae et
+#: al. 2021 §A1.1): a document must contain at least two DISTINCT
+#: members to pass.  Separate from LANG_PROFILES — this is the paper's
+#: published set, not the language-ID heuristic's.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: Bullet glyphs for the bullet-line rule; trimmed-line PREFIX match.
+_BULLET_RE = "^[•‣▪*-]"
+#: ASCII three-dot or U+2026 ellipsis — the bare alternation counts
+#: occurrences anywhere (the symbol ratio); anchored, it matches a
+#: trimmed line's SUFFIX (the ellipsis-line rule).
+_ELLIPSIS_ALT = "\\.\\.\\.|…"
+_ELLIPSIS_RE = f"({_ELLIPSIS_ALT})$"
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The non-repetition half of the Gopher quality filter (Rae et al.
+    2021 §A1.1, Table A1 defaults) — the repetition half lives in
+    :func:`repetition_features` / :func:`ngram_repetition_battery` and
+    ``lines.line_repetition_features``.  Per document:
+
+    - ``n_words`` / ``mean_word_len`` with the published [50, 100k] and
+      [3, 10] keep bounds (words = lower-cased whitespace tokens, the
+      module-wide tokenizer);
+    - ``symbol_word_ratio``: ``#`` + ellipsis (``...`` or U+2026)
+      occurrences per word, keep ≤ 0.1;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of
+      non-blank lines starting with a bullet glyph (keep ≤ 0.9) /
+      ending in an ellipsis (keep ≤ 0.3);
+    - ``alpha_word_frac``: fraction of words containing an ASCII letter
+      (post-lowercase, the documented operational proxy for the paper's
+      "alphabetic character"), keep ≥ 0.8;
+    - ``n_stop_hits``: DISTINCT members of :data:`GOPHER_STOPWORDS`
+      present, keep ≥ 2;
+    - ``keep``: int 0/1 conjunction of all eight bounds, evaluated on
+      the 6-decimal ROUNDED fractions the row itself carries, so an
+      external replay of the row reproduces the verdict bit-for-bit.
+
+    Scale shape: ZERO shuffles — one tokenize, two line/word filter
+    HOFs and three regexp counts fused into the scan; like
+    :func:`quality_features` the whole battery is a map-side projection
+    at any corpus size.
+    """
+    toked = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(text_col).alias("_t"),
+        tokens(text_col).alias("_w"),
+    )
+    text, w = F.col("_t"), F.col("_w")
+    n_words = F.size(w).cast("bigint")
+    safe_words = F.greatest(F.size(w), F.lit(1)).cast("double")
+    # total word chars without a per-token fold: the tokens are the
+    # single-space-joined pieces of the normalized text (the
+    # quality_features identity)
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    word_chars = F.when(
+        F.size(w) > 0, F.length(norm).cast("bigint") - (F.size(w) - F.lit(1))
+    ).otherwise(F.lit(0).cast("bigint"))
+    mean_word_len = word_chars.cast("double") / safe_words
+    n_symbols = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(_ELLIPSIS_ALT))
+    ).cast("double")
+    lines = F.filter(
+        F.split(text, "\n", -1), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE)))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(_ELLIPSIS_RE))
+    )
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[a-z]")))
+    stopset = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stopset, lambda s: F.array_contains(w, s)))
+    sig = toked.select(
+        "id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / safe_words, 6).alias("symbol_word_ratio"),
+        F.round(n_bullet.cast("double") / safe_lines, 6).alias(
+            "bullet_line_frac"
+        ),
+        F.round(n_ellipsis.cast("double") / safe_lines, 6).alias(
+            "ellipsis_line_frac"
+        ),
+        F.round(n_alpha.cast("double") / safe_words, 6).alias(
+            "alpha_word_frac"
+        ),
+        n_stop.cast("bigint").alias("n_stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= int(min_words))
+        & (F.col("n_words") <= int(max_words))
+        & (F.col("mean_word_len") >= float(min_mean_word_len))
+        & (F.col("mean_word_len") <= float(max_mean_word_len))
+        & (F.col("symbol_word_ratio") <= float(max_symbol_word_ratio))
+        & (F.col("bullet_line_frac") <= float(max_bullet_line_frac))
+        & (F.col("ellipsis_line_frac") <= float(max_ellipsis_line_frac))
+        & (F.col("alpha_word_frac") >= float(min_alpha_word_frac))
+        & (F.col("n_stop_hits") >= int(min_stop_hits))
+    )
+    return sig.select("*", keep.cast("int").alias("keep"))
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

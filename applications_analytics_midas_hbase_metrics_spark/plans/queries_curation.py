@@ -3058,12 +3058,10 @@ def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select("doc_id", text.alias("text"))
 
 
-@register_extra(
-    "c4_line_filters",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
-    fx AS (
-        SELECT doc_id,
+#: DuckDB scalar expression rebuilding the c4 fixture text from (doc_id,
+#: tks) — shared VERBATIM by the c4_line_filters oracle and the composed
+#: gopher_quality_pipeline oracle so the two replay identical fixtures.
+_C4_FIX_TEXT_SQL = """
                array_to_string(
                    list_transform(
                        range(0, CAST(ceil(len(tks) / 5.0) AS INT)),
@@ -3078,10 +3076,19 @@ def _c4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      THEN '.' ELSE '' END)
                    ), chr(10))
                || CASE WHEN doc_id % 17 = 0
-                       THEN chr(10) || 'var x = {{ a: 1 }}' ELSE '' END
+                       THEN chr(10) || 'var x = { a: 1 }' ELSE '' END
                || CASE WHEN doc_id % 19 = 0
                        THEN chr(10) || 'lorem ipsum dolor sit amet.'
-                       ELSE '' END AS text
+                       ELSE '' END
+"""
+
+
+@register_extra(
+    "c4_line_filters",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    fx AS (
+        SELECT doc_id, {_C4_FIX_TEXT_SQL} AS text
         FROM tk
     ),
     fl AS (
@@ -3119,3 +3126,465 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with RE2 list_filter and both page probes — a third regex dialect
     agreeing on the anchors, like the PII family."""
     return LN.c4_line_filters(_c4_fixture(spark, sf_dir))
+
+
+# Gopher quality rules (round 12): the non-repetition half of the
+# published filter (word bounds, symbol/bullet/ellipsis ratios,
+# alpha-word fraction, required stop words).  The corpus word salad
+# trips none of the glyph rules, so the fixture routes doc-id classes
+# through mutually exclusive mutations, one per rule.
+_GQR_HASHES = " " + " ".join(["#"] * 12)
+_GQR_DIGITS = " " + " ".join(str(100 + i) for i in range(30))
+
+
+def _gqr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id%3==0 -> all-bullet lines (bullet rule); %5==0 -> ellipsis
+    ending (single-line docs, so the line fraction is 1.0); %7==0 ->
+    twelve '#' tokens (symbol ratio); %11==0 -> thirty numeric tokens
+    (alpha-word fraction); %17==0 -> the eight required stop words
+    stripped (stop-hits rule); everything else unchanged."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", D.tokens("text").alias("_w")
+    )
+    d, w = F.col("doc_id"), F.col("_w")
+    n_groups = F.ceil(F.size(w) / F.lit(5.0)).cast("int")
+    bullets = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_groups - 1),
+            lambda i: F.concat(
+                F.lit("• "), F.array_join(F.slice(w, i * 5 + 1, 5), " ")
+            ),
+        ),
+        "\n",
+    )
+    stopset = F.array(*[F.lit(s) for s in T.GOPHER_STOPWORDS])
+    stripped = F.array_join(
+        F.filter(w, lambda x: ~F.array_contains(stopset, x)), " "
+    )
+    text = (
+        F.when(d % 3 == 0, bullets)
+        .when(d % 5 == 0, F.concat("text", F.lit(" …")))
+        .when(d % 7 == 0, F.concat("text", F.lit(_GQR_HASHES)))
+        .when(d % 11 == 0, F.concat("text", F.lit(_GQR_DIGITS)))
+        .when(d % 17 == 0, stripped)
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _gqr_sig_ctes(src: str, words: str, sig: str) -> str:
+    """The quality-rules SIGNAL replay as two CTE bodies over ``src``
+    (doc_id, text) — shared by the standalone oracle and the composed
+    pipeline oracle so both replay the operator identically.  ``words``
+    and ``sig`` name the CTEs (the pipeline chain already uses w2/sig
+    elsewhere)."""
+    stoplist = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+    return f"""
+    {words} AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                   x -> x != '') AS w,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm,
+               list_filter(string_split(text, chr(10)),
+                   l -> trim(l) <> '') AS lines
+        FROM {src}
+    ),
+    {sig} AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round(CAST(CASE WHEN len(w) > 0
+                               THEN length(nrm) - (len(w) - 1)
+                               ELSE 0 END AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS mean_word_len,
+               round(CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                          AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS symbol_word_ratio,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[•‣▪*-]')))
+                          AS DOUBLE)
+                     / greatest(len(lines), 1), 6) AS bullet_line_frac,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                          AS DOUBLE)
+                     / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+               round(CAST(len(list_filter(w,
+                       x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS alpha_word_frac,
+               CAST(len(list_filter([{stoplist}],
+                   s -> list_contains(w, s))) AS BIGINT) AS n_stop_hits
+        FROM {words}
+    )"""
+
+
+def _gqr_keep_sql(min_words: int, min_stop_hits: int) -> str:
+    """The eight-bound keep conjunction on the ROUNDED signal columns —
+    only the two fixture-scaled bounds are parameters, the rest are the
+    operator defaults (the published Table A1 values)."""
+    return f"""CAST(CASE WHEN n_words >= {min_words} AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_word_ratio <= 0.1
+                      AND bullet_line_frac <= 0.9
+                      AND ellipsis_line_frac <= 0.3
+                      AND alpha_word_frac >= 0.8
+                      AND n_stop_hits >= {min_stop_hits}
+                 THEN 1 ELSE 0 END AS INT)"""
+
+
+def _gqr_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+    return f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+    fx AS (
+        SELECT doc_id,
+            CASE
+                WHEN doc_id % 3 = 0 THEN array_to_string(
+                    list_transform(
+                        range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+                        i -> '• ' || array_to_string(
+                            w[i * 5 + 1 : i * 5 + 5], ' ')),
+                    chr(10))
+                WHEN doc_id % 5 = 0 THEN text || ' …'
+                WHEN doc_id % 7 = 0 THEN text || '{_GQR_HASHES}'
+                WHEN doc_id % 11 = 0 THEN text || '{_GQR_DIGITS}'
+                WHEN doc_id % 17 = 0 THEN array_to_string(
+                    list_filter(w, x -> x NOT IN ({stoplist})), ' ')
+                ELSE text END AS text
+        FROM tk
+    ),
+    {_gqr_sig_ctes("fx", "w2", "sig")}
+    SELECT doc_id AS id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_stop_hits,
+           {_gqr_keep_sql(50, 2)} AS keep
+    FROM sig
+    """
+
+
+register_extra("gopher_quality_rules", oracle=_gqr_oracle())(
+    lambda spark, sf_dir: T.gopher_quality_rules(_gqr_fixture(spark, sf_dir))
+)
+
+
+# ---------------------------------------------------------------------------
+# Composed round-12 quality pipeline: NFC normalize -> C4 cleaning ->
+# Gopher line/paragraph battery -> Gopher n-gram battery, first-failing
+# stage attribution under ONE DuckDB manifest oracle (the
+# curation_pipeline_full design applied to the round-12 surface).
+# Thresholds are the PUBLISHED Gopher values (Rae et al. 2021 Table A1).
+# ---------------------------------------------------------------------------
+
+#: Gopher repetition thresholds (drop when signal EXCEEDS the value).
+_GQ_LINE_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
+_GQ_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+_GQ_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+#: Decomposed punctuated line (NFC-changed, c4-kept: 4 words + '.').
+_GQ_NFC_LINE = "cafe\u0301 se\u0301ance verite\u0301 arrive\u0301e."
+
+
+def _gq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 fixture text + three per-doc-id injections, each targeting one
+    pipeline stage and all computed from the BASE text so the oracle can
+    replay them in one CTE:
+
+    - doc_id%6==0 repeats the doc's first line FOUR more times (the
+      line-battery trigger; four because a doc must still carry enough
+      punctuated lines of its own to survive C4 first — the repeated
+      line is a %3==0 line and contributes no sentence);
+    - doc_id%9==0 appends ONE punctuated line of the doc's first six
+      tokens repeated four times (the n-gram-battery trigger: a unique
+      line, so the line battery ignores it, but its internal phrase loop
+      lights the dup-5..10-gram signals);
+    - doc_id%4==0 appends a decomposed punctuated line (the NFC-changed
+      trigger)."""
+    base = _c4_fixture(spark, sf_dir)
+    d = F.col("doc_id")
+    first = F.substring_index("text", "\n", 1)
+    seg = F.slice(D.tokens("text"), 1, 6)
+    phrase = F.concat(
+        F.array_join(F.flatten(F.array(seg, seg, seg, seg)), " "), F.lit(".")
+    )
+    dup_tail = F.when(
+        d % 6 == 0, F.repeat(F.concat(F.lit("\n"), first), 4)
+    ).otherwise(F.lit(""))
+    ngram_tail = F.when(
+        d % 9 == 0, F.concat(F.lit("\n"), phrase)
+    ).otherwise(F.lit(""))
+    nfc_tail = F.when(
+        d % 4 == 0, F.concat(F.lit("\n"), F.lit(_GQ_NFC_LINE))
+    ).otherwise(F.lit(""))
+    return base.select(
+        "doc_id", F.concat("text", dup_tail, ngram_tail, nfc_tail).alias("text")
+    )
+
+
+#: Fixture-scaled bounds for the pipeline's quality-rules stage: the
+#: corpus word salad runs 10-99 tokens per doc and carries at most ONE
+#: of the eight required stop words, so the published 50/2 floors would
+#: drown every other stage class at gate SF.  All six glyph/shape
+#: bounds stay at the Table A1 defaults.
+_GQ_RULES_MIN_WORDS = 20
+_GQ_RULES_MIN_STOP_HITS = 1
+
+
+def q_gopher_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 ops COMPOSED: normalize_unicode feeds
+    c4_line_filters, line_repetition_features,
+    ngram_repetition_battery and gopher_quality_rules, and the manifest
+    attributes each document to its FIRST failing stage (c4 ->
+    line_repetition -> ngram_repetition -> quality_rules) or 'kept' —
+    the full published Gopher filter (repetition + quality halves)
+    behind C4 cleaning and NFC normalization.  Every stage is a reused
+    operator, all joins are per-id (co-partitioned after each op's own
+    aggregate), and the verdict math runs on the 6-decimal rounded
+    signals both engines emit."""
+    docs = _gq_fixture(spark, sf_dir)
+    nrm = NZ.normalize_unicode(docs)
+    txt = nrm.select(
+        F.col("id").alias("doc_id"),
+        F.col("text_norm").alias("text"),
+        F.col("changed"),
+    )
+    c4 = LN.c4_line_filters(txt).select(
+        "id", F.col("keep").alias("c4_keep"), "n_sentences"
+    )
+    lr = LN.line_repetition_features(txt)
+    nb = T.ngram_repetition_battery(txt)
+    qr = T.gopher_quality_rules(
+        txt,
+        min_words=_GQ_RULES_MIN_WORDS,
+        min_stop_hits=_GQ_RULES_MIN_STOP_HITS,
+    ).select("id", F.col("keep").alias("qr_keep"), "n_words")
+    line_fail = None
+    for col, thr in _GQ_LINE_THRESHOLDS.items():
+        cond = F.col(col) > thr
+        line_fail = cond if line_fail is None else (line_fail | cond)
+    ngram_fail = None
+    for n, thr in _GQ_TOP_THRESHOLDS.items():
+        cond = F.col(f"top{n}_char_frac") > thr
+        ngram_fail = cond if ngram_fail is None else (ngram_fail | cond)
+    for n, thr in _GQ_DUP_THRESHOLDS.items():
+        ngram_fail = ngram_fail | (F.col(f"dup{n}_char_frac") > thr)
+    manifest = (
+        txt.select(F.col("doc_id").alias("id"), "changed")
+        .join(c4, "id")
+        .join(lr, "id")
+        .join(nb, "id")
+        .join(qr, "id")
+    )
+    stage = (
+        F.when(F.col("c4_keep") == 0, F.lit("c4"))
+        .when(line_fail, F.lit("line_repetition"))
+        .when(ngram_fail, F.lit("ngram_repetition"))
+        .when(F.col("qr_keep") == 0, F.lit("quality_rules"))
+        .otherwise(F.lit("kept"))
+    )
+    return manifest.select(
+        "id",
+        F.col("changed").cast("int").alias("nfc_changed"),
+        stage.alias("stage"),
+        "n_sentences",
+        "n_words",
+        "dup_line_frac",
+        F.col("top2_char_frac"),
+    )
+
+
+def _gq_oracle() -> str:
+    """One DuckDB chain replaying the whole composed pipeline: rebuild
+    the fixture (c4 text + dup-line + decomposed-NFC injections), NFC
+    normalize, replay the C4 line/page rules, the line/paragraph
+    repetition battery and the word-n-gram battery, then attribute each
+    document to its first failing stage with the SAME threshold tables
+    the Spark side reads (one source of truth for both engines)."""
+    line_fail = " OR ".join(
+        f"lr.{c} > {t}" for c, t in _GQ_LINE_THRESHOLDS.items()
+    )
+    ngram_fail = " OR ".join(
+        [f"nb.top{n}_char_frac > {t}" for n, t in _GQ_TOP_THRESHOLDS.items()]
+        + [f"nb.dup{n}_char_frac > {t}" for n, t in _GQ_DUP_THRESHOLDS.items()]
+    )
+    all_ns = sorted(set(_GQ_TOP_THRESHOLDS) | set(_GQ_DUP_THRESHOLDS))
+    top_cols = ",\n           ".join(
+        f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.top_frac END),"
+        f" 0.0), 6) AS top{n}_char_frac"
+        for n in _GQ_TOP_THRESHOLDS
+    )
+    dup_cols = ",\n           ".join(
+        f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.dup_frac END),"
+        f" 0.0), 6) AS dup{n}_char_frac"
+        for n in _GQ_DUP_THRESHOLDS
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    cfx AS (
+        SELECT doc_id, {_C4_FIX_TEXT_SQL} AS text
+        FROM tk
+    ),
+    gq2 AS (
+        -- the three injections, each computed from the BASE text like
+        -- the Spark fixture: %6 four extra copies of the first line,
+        -- %9 one line of the first six tokens looped four times,
+        -- %4 the decomposed-NFC line
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 6 = 0
+                       THEN repeat(chr(10) || split_part(text, chr(10), 1), 4)
+                       ELSE '' END
+               || CASE WHEN doc_id % 9 = 0
+                       THEN chr(10) || array_to_string(
+                           tks2[1:6] || tks2[1:6] || tks2[1:6] || tks2[1:6],
+                           ' ') || '.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN chr(10) || '{_GQ_NFC_LINE}'
+                       ELSE '' END AS text
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                         tk -> tk != '') AS tks2
+              FROM cfx)
+    ),
+    nz AS (
+        SELECT doc_id,
+               nfc_normalize(text) AS text,
+               text <> nfc_normalize(text) AS changed
+        FROM gq2
+    ),
+    -- C4 line/page rules over the NORMALIZED text
+    fl AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kept,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace
+        FROM nz
+    ),
+    c4 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'))
+                   AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN NOT has_lorem AND NOT has_brace
+                          AND len(regexp_extract_all(
+                              coalesce(array_to_string(kept, chr(10)), ''),
+                              '[.!?]')) >= 5
+                     THEN 1 ELSE 0 END AS INT) AS c4_keep
+        FROM fl
+    ),
+    -- line/paragraph repetition battery over the normalized text
+    lu AS (SELECT doc_id, unnest(list_filter(
+               string_split(text, chr(10)), x -> x <> '')) AS u FROM nz),
+    lc AS (SELECT doc_id, u, count(*) AS occ, length(u) AS len
+           FROM lu GROUP BY doc_id, u),
+    la AS (SELECT doc_id,
+                  CAST(sum(occ) AS BIGINT) AS n_units,
+                  count(*) AS n_distinct,
+                  sum((occ - 1) * len) AS dup_chars,
+                  sum(occ * len) AS total_chars
+           FROM lc GROUP BY doc_id),
+    pu AS (SELECT doc_id, unnest(list_filter(
+               string_split(text, chr(10) || chr(10)), x -> x <> '')) AS u
+           FROM nz),
+    pc AS (SELECT doc_id, u, count(*) AS occ, length(u) AS len
+           FROM pu GROUP BY doc_id, u),
+    pa AS (SELECT doc_id,
+                  CAST(sum(occ) AS BIGINT) AS n_units,
+                  count(*) AS n_distinct,
+                  sum((occ - 1) * len) AS dup_chars,
+                  sum(occ * len) AS total_chars
+           FROM pc GROUP BY doc_id),
+    lr AS (
+        SELECT n.doc_id,
+               round(CASE WHEN la.n_units > 0
+                          THEN 1.0 - CAST(la.n_distinct AS DOUBLE)
+                                     / la.n_units
+                          ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN la.total_chars > 0
+                          THEN CAST(la.dup_chars AS DOUBLE) / la.total_chars
+                          ELSE 0.0 END, 6) AS dup_line_char_frac,
+               round(CASE WHEN pa.n_units > 0
+                          THEN 1.0 - CAST(pa.n_distinct AS DOUBLE)
+                                     / pa.n_units
+                          ELSE 0.0 END, 6) AS dup_para_frac,
+               round(CASE WHEN pa.total_chars > 0
+                          THEN CAST(pa.dup_chars AS DOUBLE) / pa.total_chars
+                          ELSE 0.0 END, 6) AS dup_para_char_frac
+        FROM nz n
+        LEFT JOIN la ON la.doc_id = n.doc_id
+        LEFT JOIN pa ON pa.doc_id = n.doc_id
+    ),
+    -- word-n-gram battery over the normalized text
+    btk AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       tk -> tk != '') AS tks
+            FROM nz),
+    ns AS (SELECT unnest({all_ns}) AS n),
+    g AS (
+        SELECT doc_id, n,
+               unnest(CASE WHEN len(tks) >= n
+                   THEN list_transform(range(1, len(tks) - n + 2),
+                       i -> array_to_string(tks[i : i + n - 1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM btk CROSS JOIN ns
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS occ, length(gram) AS len
+          FROM g GROUP BY doc_id, n, gram),
+    a AS (SELECT doc_id, n,
+                 sum(occ * len) AS total_mass,
+                 coalesce(sum(CASE WHEN occ > 1 THEN occ * len END), 0)
+                     AS dup_mass
+          FROM c GROUP BY doc_id, n),
+    r AS (SELECT doc_id, n, occ * len AS tmass,
+                 row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY occ DESC, len DESC, gram DESC) AS rk
+          FROM c),
+    s AS (SELECT a.doc_id, a.n,
+                 CAST(r.tmass AS DOUBLE) / a.total_mass AS top_frac,
+                 CAST(a.dup_mass AS DOUBLE) / a.total_mass AS dup_frac
+          FROM a JOIN r ON r.doc_id = a.doc_id AND r.n = a.n AND r.rk = 1),
+    nb AS (
+        SELECT t.doc_id,
+           {top_cols},
+           {dup_cols}
+        FROM btk t LEFT JOIN s ON s.doc_id = t.doc_id
+        GROUP BY t.doc_id
+    ),
+    -- quality-rules battery over the normalized text (fixture-scaled
+    -- word/stop-hit floors, published bounds for the rest)
+    {_gqr_sig_ctes("nz", "qw", "qs")},
+    qr AS (
+        SELECT doc_id, n_words,
+               {_gqr_keep_sql(_GQ_RULES_MIN_WORDS, _GQ_RULES_MIN_STOP_HITS)}
+                   AS qr_keep
+        FROM qs
+    )
+    SELECT nz.doc_id AS id,
+           CAST(nz.changed AS INT) AS nfc_changed,
+           CASE WHEN c4.c4_keep = 0 THEN 'c4'
+                WHEN {line_fail} THEN 'line_repetition'
+                WHEN {ngram_fail} THEN 'ngram_repetition'
+                WHEN qr.qr_keep = 0 THEN 'quality_rules'
+                ELSE 'kept' END AS stage,
+           c4.n_sentences,
+           qr.n_words,
+           lr.dup_line_frac,
+           nb.top2_char_frac
+    FROM nz
+    JOIN c4 ON c4.doc_id = nz.doc_id
+    JOIN lr ON lr.doc_id = nz.doc_id
+    JOIN nb ON nb.doc_id = nz.doc_id
+    JOIN qr ON qr.doc_id = nz.doc_id
+    """
+
+
+register_extra("gopher_quality_pipeline", oracle=_gq_oracle())(
+    q_gopher_quality_pipeline
+)

@@ -156,3 +156,33 @@ def test_curation_pipeline_full_pin_modes(spark):
 
     assert len(pinned) >= 7, len(pinned)  # every pin site took the hatch
     assert base == alt
+
+
+def test_gopher_quality_pipeline_stages(spark):
+    """The composed round-12 quality pipeline (NFC -> C4 -> line
+    battery -> n-gram battery -> quality rules): every document gets
+    exactly one row, all five stage classes are live at smoke SF (a
+    degenerate class would make the differential oracle vacuous for
+    it), the NFC flag fires exactly on the %4 injection (the corpus is
+    ASCII salad), and the plan carries no per-key window sort — every
+    signal is a partial-aggregating groupBy."""
+    from applications_analytics_midas_hbase_metrics_spark.plans import (
+        queries_curation as QC,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = QC.q_gopher_quality_pipeline(spark, SF_SMOKE)
+    out = df.collect()
+    n_docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").count()
+    assert len(out) == n_docs
+    assert {r.stage for r in out} == {
+        "c4",
+        "line_repetition",
+        "ngram_repetition",
+        "quality_rules",
+        "kept",
+    }
+    for r in out:
+        assert r.nfc_changed == (1 if r.id % 4 == 0 else 0), r
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -1371,3 +1371,60 @@ def test_disk_persist_pin_identical_verdicts(spark):
     finally:
         for f in pinned:
             f.unpersist()
+
+
+def test_gopher_quality_rules_hand_checked(spark):
+    """Each constructed doc fails exactly one published rule (except the
+    short/empty tails); the good doc passes all eight."""
+    filler = " ".join(f"word{i:02d}" for i in range(1, 49))
+    good = "the and " + filler
+    bullet = "\n".join(["• the word and more here"] * 10)
+    ellipsis = "\n".join(
+        ["the quick brown and fox here"] * 6
+        + ["jumps over lazy dogs today..."] * 4
+    )
+    symbol = good + " # # # # # # # #"
+    alpha = (
+        "the and "
+        + " ".join(f"word{i:02d}" for i in range(1, 29))
+        + " "
+        + " ".join(["123"] * 20)
+    )
+    nostop = " ".join(f"word{i:02d}" for i in range(1, 51))
+    rows = [
+        (1, good),
+        (2, bullet),
+        (3, ellipsis),
+        (4, symbol),
+        (5, alpha),
+        (6, nostop),
+        (7, "the and hi"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in T.gopher_quality_rules(df).collect()}
+    assert out[1].keep == 1
+    assert (out[1].n_words, out[1].n_stop_hits) == (50, 2)
+    assert out[1].mean_word_len == round(294 / 50, 6)
+    assert out[2].keep == 0 and out[2].bullet_line_frac == 1.0
+    assert out[2].alpha_word_frac == round(50 / 60, 6)  # '•' is a word
+    assert out[3].keep == 0 and out[3].ellipsis_line_frac == 0.4
+    assert out[4].keep == 0
+    assert out[4].symbol_word_ratio == round(8 / 58, 6)
+    assert out[5].keep == 0 and out[5].alpha_word_frac == 0.6
+    assert out[6].keep == 0 and out[6].n_stop_hits == 0
+    assert out[7].keep == 0 and out[7].n_words == 3
+    r8 = out[8]
+    assert (r8.n_words, r8.keep, r8.mean_word_len) == (0, 0, 0.0)
+    assert (r8.bullet_line_frac, r8.ellipsis_line_frac) == (0.0, 0.0)
+
+
+def test_gopher_quality_rules_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a b c.")], ["doc_id", "text"])
+    plan = (
+        T.gopher_quality_rules(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan

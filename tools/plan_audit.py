@@ -128,6 +128,11 @@ CHECKS = {
     # the Python boundary must be the Arrow-batched evaluator, never
     # the pickling row-at-a-time BatchEvalPython
     "unicode_nfc": ["ArrowEvalPython"],
+    # the composed quality pipeline keeps the one Python boundary
+    # (NFC) Arrow-batched; its signal joins are per-id joins of
+    # partial-aggregated frames (Window-absence is pinned in
+    # tests/test_pipelines.py)
+    "gopher_quality_pipeline": ["ArrowEvalPython"],
 }
 
 
@@ -545,6 +550,7 @@ def main() -> None:
         "unicode_nfc",
         "repetition_battery",
         "c4_line_filters",
+        "gopher_quality_pipeline",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
