@@ -95,6 +95,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pagerank_coview (iterative-loop surface keeps bfs_reach +
         # the label-propagation supersteps) left for the two NEW ops:
         # gopher_line_signals, unicode_nfc.
+        # Round 12 third swap: gopher_line_signals left (its line
+        # battery is driven end-to-end by the NEW composed
+        # gopher_quality_pipeline — NFC -> C4 -> line battery ->
+        # n-gram battery -> quality rules under one manifest oracle;
+        # the paragraph granularity stays uniquely sweep-checked in
+        # the extra-tier row) for gopher_quality_pipeline.
         # The gated ANN family (ann_ivf -> ann_ivf_pq) remains adjacent
         # by registration order and relays pinned codebooks; with
         # ann_topk extra-tier, ann_ivf rebuilds the brute-force truth

@@ -2829,9 +2829,12 @@ def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    # driver-gated from birth (round 12, in for ann_topk): a brand-new
-    # operator family deserves the driver-hard row
+register_extra(
+    # gated at birth (round 12, in for ann_topk); rotated to the extra
+    # tier late round 12 for the composed gopher_quality_pipeline,
+    # which drives the same line battery end-to-end — the PARAGRAPH
+    # granularity stays uniquely verified here (the pipeline fixture
+    # has no \n\n structure), so this row remains sweep-checked
     "gopher_line_signals",
     oracle=f"""
     WITH {_LINE_FIX_SQL},
@@ -3346,10 +3349,15 @@ def q_gopher_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals both engines emit."""
     docs = _gq_fixture(spark, sf_dir)
     nrm = NZ.normalize_unicode(docs)
-    txt = nrm.select(
-        F.col("id").alias("doc_id"),
-        F.col("text_norm").alias("text"),
-        F.col("changed"),
+    # five consumers read the normalized frame (c4, line battery, n-gram
+    # battery, quality rules, manifest spine): pin it so the Arrow
+    # normalizer boundary runs ONCE, not once per branch
+    txt = persist_deferred(
+        nrm.select(
+            F.col("id").alias("doc_id"),
+            F.col("text_norm").alias("text"),
+            F.col("changed"),
+        )
     )
     c4 = LN.c4_line_filters(txt).select(
         "id", F.col("keep").alias("c4_keep"), "n_sentences"
@@ -3585,6 +3593,10 @@ def _gq_oracle() -> str:
     """
 
 
-register_extra("gopher_quality_pipeline", oracle=_gq_oracle())(
+# driver-gated (late round 12, in for gopher_line_signals): the
+# composed five-stage filter is the strongest single row on the
+# round-12 surface — one hash covers NFC, C4, both Gopher batteries,
+# the quality rules and the stage-attribution math
+register("gopher_quality_pipeline", oracle=_gq_oracle())(
     q_gopher_quality_pipeline
 )
