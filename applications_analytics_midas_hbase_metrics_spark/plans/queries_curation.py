@@ -12,8 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.keys import duckdb_java_hash_sql
 from ..operators import classify as CL
 from ..operators import dedup as D
+from ..operators import importance as IM
 from ..operators import lines as LN
 from ..operators import normalize as NZ
 from ..operators import packing as P
@@ -3267,6 +3269,83 @@ def _gqr_oracle() -> str:
 register_extra("gopher_quality_rules", oracle=_gqr_oracle())(
     lambda spark, sf_dir: T.gopher_quality_rules(_gqr_fixture(spark, sf_dir))
 )
+
+
+# DSIR importance weighting (round 12): hashed n-gram bag models of a
+# target corpus (doc_id%5==0 plays the "Wikipedia" slice) vs the raw
+# corpus, per-document log likelihood ratio as an exact integer dot
+# product, deterministic top-k selection.
+_DSIR_BUCKETS = 512
+_DSIR_K = 100
+
+
+def _dsir_oracle() -> str:
+    h = duckdb_java_hash_sql("gram")
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tks FROM documents),
+    g AS (
+        SELECT doc_id, unnest(
+            tks
+            || (CASE WHEN len(tks) >= 2
+                THEN list_transform(range(1, len(tks)),
+                    i -> tks[i] || ' ' || tks[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END)
+        ) AS gram
+        FROM tk
+    ),
+    b AS (SELECT doc_id, CAST(abs({h}) % {_DSIR_BUCKETS} AS INT) AS bucket
+          FROM g),
+    rc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY doc_id, bucket),
+    tc AS (SELECT bucket, sum(cnt) AS t_cnt FROM rc
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    rb AS (SELECT bucket, sum(cnt) AS r_cnt FROM rc GROUP BY bucket),
+    tt AS (SELECT coalesce(sum(cnt), 0) AS t_total FROM rc
+           WHERE doc_id % 5 = 0),
+    rt AS (SELECT sum(cnt) AS r_total FROM rc),
+    lr AS (
+        SELECT coalesce(tc.bucket, rb.bucket) AS bucket,
+               CAST(round((ln(coalesce(t_cnt, 0) + 1.0)
+                           - ln(t_total + {_DSIR_BUCKETS}.0)
+                           - ln(coalesce(r_cnt, 0) + 1.0)
+                           + ln(r_total + {_DSIR_BUCKETS}.0))
+                          * 1000000) AS BIGINT) AS ratio_micro
+        FROM tc FULL OUTER JOIN rb ON tc.bucket = rb.bucket, tt, rt
+    ),
+    sc AS (SELECT rc.doc_id, sum(rc.cnt) AS n_grams,
+                  sum(rc.cnt * lr.ratio_micro) AS w_micro
+           FROM rc JOIN lr USING (bucket) GROUP BY rc.doc_id),
+    w AS (SELECT d.doc_id AS id,
+                 CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                 round(CAST(coalesce(sc.w_micro, 0) AS DOUBLE) / 1000000,
+                       6) AS log_weight
+          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+    rk AS (SELECT id, n_grams, log_weight,
+                  row_number() OVER (ORDER BY log_weight DESC, id) AS rn
+           FROM w)
+    SELECT id, n_grams, log_weight,
+           CAST(CASE WHEN rn <= {_DSIR_K} THEN 1 ELSE 0 END AS INT)
+               AS selected
+    FROM rk
+    """
+
+
+@register_extra("dsir_weights", oracle=_dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection against the doc_id%5==0 target slice: the hashed
+    uni+bigram bag models, the micro-quantized per-bucket log ratios,
+    the exact integer per-doc dot product, and the deterministic
+    two-phase top-k flag — one hash covers all four.  The weight frame
+    feeds both the selection ranking and the join-back, so it rides a
+    deferred persist."""
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    w = persist_deferred(
+        IM.dsir_log_weights(docs, target, buckets=_DSIR_BUCKETS)
+    )
+    return IM.dsir_select_topk(w, _DSIR_K)
 
 
 # ---------------------------------------------------------------------------

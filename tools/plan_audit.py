@@ -133,6 +133,9 @@ CHECKS = {
     # partial-aggregated frames (Window-absence is pinned in
     # tests/test_pipelines.py)
     "gopher_quality_pipeline": ["ArrowEvalPython"],
+    # the <=buckets-row log-ratio model must ride BROADCAST onto the
+    # raw gram stream (the DSIR dot product's only join)
+    "dsir_weights": ["BroadcastHashJoin"],
 }
 
 
@@ -551,6 +554,7 @@ def main() -> None:
         "repetition_battery",
         "c4_line_filters",
         "gopher_quality_pipeline",
+        "dsir_weights",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
