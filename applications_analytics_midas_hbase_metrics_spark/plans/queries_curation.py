@@ -3415,7 +3415,9 @@ _GQ_RULES_MIN_WORDS = 20
 _GQ_RULES_MIN_STOP_HITS = 1
 
 
-def q_gopher_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gopher_quality_pipeline(
+    spark: SparkSession, sf_dir: str, pin=persist_deferred
+) -> DataFrame:
     """The round-12 ops COMPOSED: normalize_unicode feeds
     c4_line_filters, line_repetition_features,
     ngram_repetition_battery and gopher_quality_rules, and the manifest
@@ -3425,13 +3427,18 @@ def q_gopher_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind C4 cleaning and NFC normalization.  Every stage is a reused
     operator, all joins are per-id (co-partitioned after each op's own
     aggregate), and the verdict math runs on the 6-decimal rounded
-    signals both engines emit."""
+    signals both engines emit.
+
+    ``pin`` is the multi-consumer materialization hook (the
+    curation_pipeline_full contract): default deferred memory persist;
+    pass ``text.disk_persist_pin`` at 100 TB where SCALE.md's flip
+    criteria apply (storage-memory eviction, executor-loss lineage)."""
     docs = _gq_fixture(spark, sf_dir)
     nrm = NZ.normalize_unicode(docs)
     # five consumers read the normalized frame (c4, line battery, n-gram
     # battery, quality rules, manifest spine): pin it so the Arrow
     # normalizer boundary runs ONCE, not once per branch
-    txt = persist_deferred(
+    txt = pin(
         nrm.select(
             F.col("id").alias("doc_id"),
             F.col("text_norm").alias("text"),

@@ -186,3 +186,41 @@ def test_gopher_quality_pipeline_stages(spark):
         assert r.nfc_changed == (1 if r.id % 4 == 0 else 0), r
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_gopher_quality_pipeline_pin_modes(spark):
+    """Identical manifest under the default deferred memory pin and the
+    100 TB DISK_ONLY escape hatch (the curation_pipeline_full pin
+    contract extended to the composed quality pipeline)."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        text as T,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.plans import (
+        queries_curation as QC,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(
+        tuple(r)
+        for r in QC.q_gopher_quality_pipeline(spark, SF_SMOKE).collect()
+    )
+    pinned = []
+
+    def disk_pin(df):
+        out = T.disk_persist_pin(df)
+        pinned.append(out)
+        return out
+
+    try:
+        alt = sorted(
+            tuple(r)
+            for r in QC.q_gopher_quality_pipeline(
+                spark, SF_SMOKE, pin=disk_pin
+            ).collect()
+        )
+    finally:
+        for f in pinned:
+            f.unpersist(blocking=True)
+
+    assert len(pinned) == 1  # the one multi-consumer site took the hatch
+    assert base == alt
