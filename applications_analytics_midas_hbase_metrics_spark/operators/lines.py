@@ -331,3 +331,99 @@ def dedup_lines_within_doc(
         F.size(kept).cast("bigint").alias("n_kept"),
         (F.size(arr) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+#: Packed (doc_id, pos) order key domain: positions occupy the low
+#: POS_DOMAIN range, so keep-first order is doc_id-major.  One bigint
+#: key instead of a struct keeps the min-aggregate and its external-SQL
+#: replay bit-identical with no struct-ordering semantics to match.
+_POS_DOMAIN = 1_000_000
+
+
+def dedup_units_across_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    hash_units: bool = False,
+) -> DataFrame:
+    """CORPUS-wide keep-first unit dedup (the CCNet paragraph-dedup
+    pass): split every document into units on the literal ``sep``
+    (paragraphs by default, lines with ``sep="\\n"``), keep each
+    distinct unit's FIRST occurrence in (doc_id, position) order, drop
+    every later occurrence anywhere in the corpus, and reassemble each
+    document from its surviving units in original order.  Unlike
+    :func:`strip_boilerplate` (frequency threshold, removes ALL
+    occurrences including the first) this is an order-respecting dedup:
+    exactly one copy of every distinct unit survives somewhere.
+
+    Blank units (split artifacts, empty paragraphs) are dropped before
+    dedup on both sides of the math — they are separators' residue, not
+    content, and keep-first over them would teleport one doc's blank
+    line into another's count.
+
+    Returns (id, clean_text, n_units, n_kept, n_removed) — one row per
+    input document, ``n_units`` the non-blank unit count before dedup.
+
+    Scale shape: occurrence rows ∝ corpus units.  The keeper table is a
+    partial-aggregating ``groupBy(unit).agg(min(key))`` — NO per-key
+    window, so a paragraph duplicated a hundred million times costs its
+    shuffle share (the round-12 skew-safe keep-first rule); the
+    join-back is an equi join AQE can skew-split.  Reassembly is a
+    per-doc ``collect_list`` bounded by document size.  At 100 TB pass
+    ``hash_units=True`` to shuffle/join on ``xxhash64(unit)`` (8
+    bytes/key) instead of the unit text — the :func:`boilerplate_lines`
+    fingerprint substitution, 64-bit collision-safe at corpus scale.
+
+    Position contract: per-document unit positions must stay below
+    1e6 (the packed order-key domain) — far above any page-scale
+    document; ids must fit ``id * 1e6`` in int64."""
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(text_col)
+    )
+    units_arr = F.array_remove(_split_lit(text_col, sep), "")
+    occ = base.select(
+        "id",
+        F.posexplode(units_arr).alias("pos", "u"),
+    ).select(
+        "id",
+        "pos",
+        "u",
+        (F.col("id") * F.lit(_POS_DOMAIN) + F.col("pos")).alias("okey"),
+        (F.xxhash64("u") if hash_units else F.col("u")).alias("ukey"),
+    )
+    keepers = occ.groupBy("ukey").agg(F.min("okey").alias("keep_key"))
+    kept = (
+        occ.join(keepers, "ukey")
+        .filter(F.col("okey") == F.col("keep_key"))
+        .select("id", "pos", "u")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("u")))
+                ),
+                lambda s: s["u"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        "id", F.size(units_arr).cast("bigint").alias("n_units")
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_units",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.col("n_units")
+                - F.coalesce("n_kept", F.lit(0)).cast("bigint")
+            ).alias("n_removed"),
+        )
+    )

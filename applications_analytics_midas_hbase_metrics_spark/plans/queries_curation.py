@@ -3271,6 +3271,79 @@ register_extra("gopher_quality_rules", oracle=_gqr_oracle())(
 )
 
 
+# Corpus-wide keep-first paragraph dedup (round 12): the CCNet pass.
+# Fixture: every doc carries its own unique paragraph plus a shared
+# 'pamphlet' paragraph keyed by doc_id%7 (cross-doc duplicate — only
+# the lowest doc in each class keeps it); doc_id%4==0 re-appends its
+# own first paragraph (in-doc duplicate, dropped by the same rule).
+def _cdup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    shared = F.concat(F.lit("shared pamphlet "), (d % 7).cast("string"))
+    text = F.concat(
+        "text",
+        F.lit("\n\n"),
+        shared,
+        F.when(
+            d % 4 == 0, F.concat(F.lit("\n\n"), F.col("text"))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register_extra(
+    "dedup_paragraphs_corpus",
+    oracle="""
+    WITH fx AS (
+        SELECT doc_id,
+               text || (chr(10) || chr(10)) || 'shared pamphlet '
+                    || CAST(doc_id % 7 AS VARCHAR)
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN (chr(10) || chr(10)) || text
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10) || chr(10)),
+                   x -> x <> '') AS us
+        FROM fx
+    ),
+    occ AS (
+        SELECT doc_id, unnest(us) AS u,
+               generate_subscripts(us, 1) - 1 AS pos
+        FROM sp
+    ),
+    k AS (SELECT u, min(doc_id * 1000000 + pos) AS keep_key
+          FROM occ GROUP BY u),
+    kept AS (
+        SELECT occ.doc_id, occ.pos, occ.u
+        FROM occ JOIN k ON occ.u = k.u
+        WHERE occ.doc_id * 1000000 + occ.pos = k.keep_key
+    ),
+    rb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(u, chr(10) || chr(10) ORDER BY pos)
+                   AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT sp.doc_id AS id,
+           coalesce(rb.clean_text, '') AS clean_text,
+           CAST(len(sp.us) AS BIGINT) AS n_units,
+           coalesce(rb.n_kept, 0) AS n_kept,
+           CAST(len(sp.us) - coalesce(rb.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM sp LEFT JOIN rb ON rb.doc_id = sp.doc_id
+    """,
+)
+def q_dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide keep-first paragraph dedup
+    (operators.lines.dedup_units_across_corpus) over the pamphlet
+    fixture: cross-doc AND in-doc duplicates resolved by the same
+    packed (doc_id, pos) min — no window, partial aggregation only."""
+    return LN.dedup_units_across_corpus(_cdup_fixture(spark, sf_dir))
+
+
 # DSIR importance weighting (round 12): hashed n-gram bag models of a
 # target corpus (doc_id%5==0 plays the "Wikipedia" slice) vs the raw
 # corpus, per-document log likelihood ratio as an exact integer dot

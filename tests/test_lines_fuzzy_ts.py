@@ -748,3 +748,50 @@ def test_c4_zero_shuffle_plan(spark):
     docs = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
     plan = L.c4_line_filters(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Window" not in plan
+
+
+# lines.dedup_units_across_corpus — CCNet keep-first paragraph dedup
+
+
+def test_corpus_unit_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc\n\nb"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in L.dedup_units_across_corpus(docs).collect()
+    }
+    # 'b' first occurs at (1, pos 1): doc 1 keeps both units, doc 2
+    # loses BOTH its copies (cross-doc and in-doc resolved by one rule)
+    assert out[1]["clean_text"] == "a\n\nb"
+    assert (out[1]["n_units"], out[1]["n_kept"], out[1]["n_removed"]) == (2, 2, 0)
+    assert out[2]["clean_text"] == "c"
+    assert (out[2]["n_units"], out[2]["n_kept"], out[2]["n_removed"]) == (3, 1, 2)
+    assert out[3] == {
+        "id": 3, "clean_text": "", "n_units": 0, "n_kept": 0, "n_removed": 0
+    }
+
+
+def test_corpus_unit_dedup_order_and_hash_mode(spark):
+    docs = spark.createDataFrame(
+        [(5, "x\n\ny\n\nx\n\nz")], "doc_id long, text string"
+    )
+    r = L.dedup_units_across_corpus(docs).collect()[0]
+    assert r["clean_text"] == "x\n\ny\n\nz"  # survivors keep original order
+    rh = L.dedup_units_across_corpus(docs, hash_units=True).collect()[0]
+    assert rh["clean_text"] == r["clean_text"]
+
+
+def test_corpus_unit_dedup_no_window_plan(spark):
+    # skew contract: keep-first is a min aggregation + equi join, never
+    # a per-unit window sort (a viral paragraph must cost its shuffle
+    # share, not one reducer)
+    docs = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    plan = (
+        L.dedup_units_across_corpus(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan

@@ -136,6 +136,9 @@ CHECKS = {
     # the <=buckets-row log-ratio model must ride BROADCAST onto the
     # raw gram stream (the DSIR dot product's only join)
     "dsir_weights": ["BroadcastHashJoin"],
+    # keep-first must be the min-key aggregation + equi join shape —
+    # never a per-unit window (the skew-safe keep-first rule)
+    "dedup_paragraphs_corpus": ["HashAggregate"],
 }
 
 
@@ -555,6 +558,7 @@ def main() -> None:
         "c4_line_filters",
         "gopher_quality_pipeline",
         "dsir_weights",
+        "dedup_paragraphs_corpus",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
