@@ -77,3 +77,83 @@ def normalize_unicode(
         F.length("_raw").cast("bigint").alias("n_chars_raw"),
         F.length("text_norm").cast("bigint").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 read as Latin-1, re-encoded) — pure expressions.
+# ---------------------------------------------------------------------------
+
+def _chr_range(a: int, b: int) -> str:
+    """Regex char-class fragment for the inclusive codepoint range —
+    built with chr() so this source file stays pure ASCII (several of
+    the continuation-range codepoints are C1 control characters)."""
+    return f"{chr(a)}-{chr(b)}"
+
+
+#: One UTF-8 continuation byte as a Latin-1 character class.
+_CONT = f"[{_chr_range(0x80, 0xBF)}]"
+
+#: RFC 3629 well-formed UTF-8, expressed over the Latin-1 characters
+#: standing in for bytes: 2-byte C2-DF, 3-byte with the E0-overlong and
+#: ED-surrogate exclusions, 4-byte with the F0-overlong and F4-range
+#: exclusions.  A string of mis-decoded UTF-8 matches; real Latin-1
+#: text with a bare accented letter does not.
+_UTF8_VALID_RE = (
+    f"^(?:[{_chr_range(0x00, 0x7F)}]"
+    f"|[{_chr_range(0xC2, 0xDF)}]{_CONT}"
+    f"|{chr(0xE0)}[{_chr_range(0xA0, 0xBF)}]{_CONT}"
+    f"|[{_chr_range(0xE1, 0xEC)}{chr(0xEE)}{chr(0xEF)}]{_CONT}{{2}}"
+    f"|{chr(0xED)}[{_chr_range(0x80, 0x9F)}]{_CONT}"
+    f"|{chr(0xF0)}[{_chr_range(0x90, 0xBF)}]{_CONT}{{2}}"
+    f"|[{_chr_range(0xF1, 0xF3)}]{_CONT}{{3}}"
+    f"|{chr(0xF4)}[{_chr_range(0x80, 0x8F)}]{_CONT}{{2}}"
+    ")*$"
+)
+
+#: At least one multi-byte sequence actually present (an all-ASCII
+#: string is trivially valid UTF-8 but has nothing to repair).
+_MOJIBAKE_SIG_RE = f"[{_chr_range(0xC2, 0xF4)}]{_CONT}"
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_fixed, changed, n_chars_saved): repair the classic
+    double-encoding corruption — UTF-8 bytes decoded as Latin-1 and
+    re-encoded ("cafÃ©" for "café", the single most common mojibake in
+    web crawls) — by re-encoding to Latin-1 and decoding as UTF-8.
+
+    The repair fires ONLY when the text (a) contains Latin-1
+    characters that spell at least one well-formed multi-byte UTF-8
+    sequence and (b) is VALID UTF-8 in its entirety under the byte
+    reading (the RFC 3629 regex above).  Genuine Latin-1/Unicode text
+    fails (b) (a bare ``é`` is a lone continuation byte), so it passes
+    through untouched — and because the guard proves validity before
+    ``decode`` runs, the expression never trips the engine's
+    malformed-coding error (ANSI-safe with no try/except boundary).
+    Characters above U+00FF make (a)'s byte reading impossible and the
+    row passes through.
+
+    One documented limitation: a single pass undoes ONE round of
+    double-encoding; doubly-mojibaked text (rare but real) would need
+    the pass applied twice.  cp1252-flavored mojibake (where the C1
+    range was further displaced to ``â€™``-style punctuation) is out of
+    scope — that variant is not expressible as a charset round trip
+    because cp1252 has unmapped code points.
+
+    Scale shape: ZERO shuffles, no UDF — two regexes and a conditional
+    charset round trip fused into the scan; the common all-ASCII row
+    short-circuits on the signature probe."""
+    text = F.col(text_col)
+    cand = text.rlike(_UTF8_VALID_RE) & text.rlike(_MOJIBAKE_SIG_RE)
+    fixed = F.when(
+        cand, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8")
+    ).otherwise(text)
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        fixed.alias("text_fixed"),
+        F.coalesce((fixed != text).cast("int"), F.lit(0)).alias("changed"),
+        F.coalesce(
+            (F.length(text) - F.length(fixed)).cast("bigint"), F.lit(0)
+        ).alias("n_chars_saved"),
+    )

@@ -3759,3 +3759,73 @@ def _gq_oracle() -> str:
 register("gopher_quality_pipeline", oracle=_gq_oracle())(
     q_gopher_quality_pipeline
 )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (round 12): the Latin-1/UTF-8 double-encoding fix.
+# Input suffixes are built with chr() (several continuation characters
+# are C1 controls); the oracle needs only the EXPECTED outputs, which
+# it derives from the same doc-id arithmetic — the url_canonicalize
+# known-answer pattern.
+# ---------------------------------------------------------------------------
+
+#: ' café séance' double-encoded (input) and repaired (expected).
+_MJ_IN_CAFE = (
+    " caf" + chr(0xC3) + chr(0xA9) + " s" + chr(0xC3) + chr(0xA9) + "ance"
+)
+_MJ_OUT_CAFE = " café séance"
+#: Genuine Latin-1 text — a bare continuation byte, must NOT change.
+_MJ_LATIN = " café"
+#: A lone lead byte — invalid as UTF-8, must NOT change (and must not
+#: trip the ANSI malformed-coding error).
+_MJ_LONE = " x" + chr(0xC3)
+#: U+1F600 double-encoded (the 4-byte path).
+_MJ_IN_EMOJI = " " + chr(0xF0) + chr(0x9F) + chr(0x98) + chr(0x80)
+_MJ_OUT_EMOJI = " \U0001F600"
+
+
+def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 3 == 0, F.lit(_MJ_IN_CAFE))
+        .when(d % 5 == 0, F.lit(_MJ_LATIN))
+        .when(d % 7 == 0, F.lit(_MJ_LONE))
+        .when(d % 11 == 0, F.lit(_MJ_IN_EMOJI))
+        .otherwise(F.lit(""))
+    )
+    return _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat("text", suffix).alias("text")
+    )
+
+
+@register_extra(
+    "mojibake_repair",
+    oracle=f"""
+    WITH br AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0 THEN 3
+                    WHEN doc_id % 5 = 0 THEN 5
+                    WHEN doc_id % 7 = 0 THEN 7
+                    WHEN doc_id % 11 = 0 THEN 11
+                    ELSE 0 END AS b
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           text || CASE b WHEN 3 THEN '{_MJ_OUT_CAFE}'
+                          WHEN 5 THEN '{_MJ_LATIN}'
+                          WHEN 7 THEN '{_MJ_LONE}'
+                          WHEN 11 THEN '{_MJ_OUT_EMOJI}'
+                          ELSE '' END AS text_fixed,
+           CAST(CASE WHEN b IN (3, 11) THEN 1 ELSE 0 END AS INT) AS changed,
+           CAST(CASE b WHEN 3 THEN 2 WHEN 11 THEN 3 ELSE 0 END AS BIGINT)
+               AS n_chars_saved
+    FROM br
+    """,
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.normalize.fix_mojibake over the four-branch fixture:
+    repaired 2-byte and 4-byte double-encodings, untouched genuine
+    Latin-1 and truncated-lead text — the oracle knows every answer
+    from the id arithmetic, so the Spark side's charset round trip is
+    checked against independently constructed expected strings."""
+    return NZ.fix_mojibake(_mj_fixture(spark, sf_dir))

@@ -74,3 +74,42 @@ def test_dedup_motivation_hashes_unify(spark):
         .count()
     )
     assert raw == 2 and normed == 1
+
+
+# normalize.fix_mojibake — the Latin-1/UTF-8 double-encoding repair
+
+
+def test_fix_mojibake_hand_cases(spark):
+    C = chr
+    moji = "caf" + C(0xC3) + C(0xA9)          # 'café' double-encoded
+    double = "caf" + C(0xC3) + C(0x83) + C(0xC2) + C(0xA9)  # encoded TWICE
+    rows = [
+        (1, moji),
+        (2, "café"),                   # genuine text: bare continuation
+        (3, "x" + C(0xC3)),            # truncated lead byte
+        (4, C(0xF0) + C(0x9F) + C(0x98) + C(0x80)),  # 4-byte emoji
+        (5, "plain ascii only"),
+        (6, double),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in NZ.fix_mojibake(df).collect()}
+    assert out[1].text_fixed == "café" and out[1].changed == 1
+    assert out[1].n_chars_saved == 1
+    assert out[2].text_fixed == "café" and out[2].changed == 0
+    assert out[3].text_fixed == "x" + C(0xC3) and out[3].changed == 0
+    assert out[4].text_fixed == "\U0001F600" and out[4].n_chars_saved == 3
+    assert out[5].changed == 0
+    # one pass peels ONE layer: twice-encoded comes back once-encoded,
+    # and a second application finishes the job (documented contract)
+    assert out[6].text_fixed == moji
+    df2 = spark.createDataFrame([(6, out[6].text_fixed)], "doc_id long, text string")
+    assert NZ.fix_mojibake(df2).first().text_fixed == "café"
+    assert out[7].text_fixed is None and out[7].changed == 0
+    assert out[7].n_chars_saved == 0
+
+
+def test_fix_mojibake_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = NZ.fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -559,6 +559,7 @@ def main() -> None:
         "gopher_quality_pipeline",
         "dsir_weights",
         "dedup_paragraphs_corpus",
+        "mojibake_repair",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
