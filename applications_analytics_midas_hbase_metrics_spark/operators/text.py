@@ -1649,3 +1649,71 @@ def compression_ratio(
         "id bigint, raw_bytes bigint, compressed_bytes bigint, "
         "compression_ratio double",
     )
+
+
+#: Writing-system codepoint ranges for the script profile — EXPLICIT
+#: ranges, not \p{Script} classes, so the Java-regex operator and any
+#: RE2-based SQL replay count the identical character sets (the two
+#: engines' script-property tables need not agree; hex ranges always
+#: do).  Coverage: the major blocks a web crawl actually hits; CJK
+#: unifies Han + kana, Hangul includes the syllable block only.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\u00C0-\\u024F",
+    "cyrillic": "\\u0400-\\u04FF",
+    "greek": "\\u0370-\\u03FF",
+    "arabic": "\\u0600-\\u06FF",
+    "hebrew": "\\u0590-\\u05FF",
+    "devanagari": "\\u0900-\\u097F",
+    "cjk": "\\u3040-\\u30FF\\u4E00-\\u9FFF",
+    "hangul": "\\uAC00-\\uD7A3",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_letters, <script>_frac ..., dominant_script): per-document
+    writing-system profile over the ranges in :data:`SCRIPT_RANGES`.
+    Fractions are each script's character count over the total count of
+    characters in ANY profiled range (so whitespace/digits/punctuation
+    never dilute the profile); documents with no profiled characters
+    report 0.0 everywhere and dominant_script 'none'.  Ties break by
+    script name (sorted order), making the argmax total and
+    oracle-comparable.
+
+    The multilingual curation split: language-ID (a stopword model,
+    :func:`identify_language`) only works once the script is known to
+    be Latin-ish; this operator is the cheap upstream router and the
+    mixed-script / wrong-script page detector.
+
+    Scale shape: one regexp_count per script fused into the scan —
+    map-side, zero shuffles, no UDF."""
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    total_col = total.cast("bigint")
+    safe = F.greatest(total_col, F.lit(1)).cast("double")
+    best_name, best_cnt = None, None
+    for name in sorted(SCRIPT_RANGES):
+        c = counts[name]
+        if best_name is None:
+            best_name, best_cnt = F.lit(name), c
+        else:
+            better = c > best_cnt
+            best_name = F.when(better, F.lit(name)).otherwise(best_name)
+            best_cnt = F.when(better, c).otherwise(best_cnt)
+    dominant = F.when(total_col == 0, F.lit("none")).otherwise(best_name)
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        total_col.alias("n_letters"),
+        *[
+            F.round(counts[n].cast("double") / safe, 6).alias(f"{n}_frac")
+            for n in SCRIPT_RANGES
+        ],
+        dominant.alias("dominant_script"),
+    )

@@ -3829,3 +3829,107 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the id arithmetic, so the Spark side's charset round trip is
     checked against independently constructed expected strings."""
     return NZ.fix_mojibake(_mj_fixture(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Script profile (round 12): writing-system router.  Java regex takes
+# \uXXXX escapes, RE2 takes \x{XXXX} — _re2() converts the shared
+# range table so both engines count the IDENTICAL character sets.
+# ---------------------------------------------------------------------------
+
+_SC_SAMPLES = {
+    "cyrillic": " привет мир",
+    "greek": " γειά σου",
+    "arabic": " مرحبا بالعالم",
+    "hebrew": " שלום עולם",
+    "devanagari": " नमस्ते दुनिया",
+}
+_SC_CJK = "你好世界 こんにちは みなさん"
+_SC_HANGUL = "안녕하세요 세계 여러분"
+
+
+def _re2(rng: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\\u([0-9A-Fa-f]{4})", r"\\x{\1}", rng)
+
+
+def _sc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    text = (
+        F.when(d % 13 == 0, F.lit(_SC_HANGUL))
+        .when(d % 17 == 0, F.lit(_SC_CJK))
+        .otherwise(
+            F.concat(
+                "text",
+                F.when(d % 3 == 0, F.lit(_SC_SAMPLES["cyrillic"]))
+                .when(d % 5 == 0, F.lit(_SC_SAMPLES["greek"]))
+                .when(d % 7 == 0, F.lit(_SC_SAMPLES["arabic"]))
+                .when(d % 11 == 0, F.lit(_SC_SAMPLES["hebrew"]))
+                .when(d % 19 == 0, F.lit(_SC_SAMPLES["devanagari"]))
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+    return _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", text.alias("text")
+    )
+
+
+def _sc_oracle() -> str:
+    names = sorted(T.SCRIPT_RANGES)
+    cnt_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(t, '[{_re2(T.SCRIPT_RANGES[n])}]'))"
+        f" AS BIGINT) AS c_{n}"
+        for n in T.SCRIPT_RANGES
+    )
+    total = " + ".join(f"c_{n}" for n in T.SCRIPT_RANGES)
+    fracs = ",\n           ".join(
+        f"round(CAST(c_{n} AS DOUBLE) / greatest({total}, 1), 6)"
+        f" AS {n}_frac"
+        for n in T.SCRIPT_RANGES
+    )
+    pairs = ", ".join(
+        "{'c': -c_%s, 's': '%s'}" % (n, n) for n in names
+    )
+    return f"""
+    WITH fx AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN '{_SC_HANGUL}'
+                    WHEN doc_id % 17 = 0 THEN '{_SC_CJK}'
+                    ELSE text ||
+                         CASE WHEN doc_id % 3 = 0
+                                  THEN '{_SC_SAMPLES["cyrillic"]}'
+                              WHEN doc_id % 5 = 0
+                                  THEN '{_SC_SAMPLES["greek"]}'
+                              WHEN doc_id % 7 = 0
+                                  THEN '{_SC_SAMPLES["arabic"]}'
+                              WHEN doc_id % 11 = 0
+                                  THEN '{_SC_SAMPLES["hebrew"]}'
+                              WHEN doc_id % 19 = 0
+                                  THEN '{_SC_SAMPLES["devanagari"]}'
+                              ELSE '' END
+                    END AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               {cnt_cols}
+        FROM fx
+    )
+    SELECT doc_id AS id,
+           CAST({total} AS BIGINT) AS n_letters,
+           {fracs},
+           CASE WHEN {total} = 0 THEN 'none'
+                ELSE list_sort([{pairs}])[1].s END AS dominant_script
+    FROM c
+    """
+
+
+@register_extra("script_profile", oracle=_sc_oracle())
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.text.script_profile over the eight-script fixture:
+    replaced Hangul/CJK pages flip dominant_script, appended samples
+    light every fraction; the RE2 oracle counts the same explicit
+    codepoint ranges through the escape-syntax converter."""
+    return T.script_profile(_sc_fixture(spark, sf_dir))

@@ -1428,3 +1428,30 @@ def test_gopher_quality_rules_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_script_profile_hand_cases(spark):
+    rows = [
+        (1, "привет мир"),                 # pure Cyrillic
+        (2, "hello мир"),                  # 5 latin vs 3 cyrillic
+        (3, "12345 .,!?"),                 # no profiled characters
+        (4, "abcd абвг"),                  # 4 vs 4 tie -> alphabetical
+        (5, "你好 こんにちは"),              # CJK han + kana unify
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in T.script_profile(df).collect()}
+    assert out[1].dominant_script == "cyrillic"
+    assert out[1].cyrillic_frac == 1.0 and out[1].n_letters == 9
+    assert out[2].dominant_script == "latin"
+    assert out[2].latin_frac == round(5 / 8, 6)
+    assert out[3].dominant_script == "none" and out[3].n_letters == 0
+    assert out[3].latin_frac == 0.0
+    # tie: cyrillic sorts before latin, argmax is total-ordered
+    assert out[4].dominant_script == "cyrillic"
+    assert out[5].dominant_script == "cjk" and out[5].cjk_frac == 1.0
+
+
+def test_script_profile_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = T.script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

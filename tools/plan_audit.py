@@ -560,6 +560,7 @@ def main() -> None:
         "dsir_weights",
         "dedup_paragraphs_corpus",
         "mojibake_repair",
+        "script_profile",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
