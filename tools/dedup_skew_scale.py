@@ -40,6 +40,7 @@ def main() -> None:
     from pyspark.sql.window import Window
 
     from applications_analytics_midas_hbase_metrics_spark.operators import dedup as D
+    from applications_analytics_midas_hbase_metrics_spark.operators import lines as L
     from applications_analytics_midas_hbase_metrics_spark.operators import versions as V
     from applications_analytics_midas_hbase_metrics_spark.operators import web as W
     from applications_analytics_midas_hbase_metrics_spark.session import get_spark
@@ -138,6 +139,25 @@ def main() -> None:
         assert "Window" not in cplan, cplan[:2000]
         assert n_docs_ch == rows_in, (n_docs_ch, rows_in)
 
+        # late round-12: corpus-wide keep-first paragraph dedup under
+        # the same regime — ~90% of documents share ONE paragraph, so
+        # the unit keeper table has a key carrying ~0.9 x rows
+        # occurrences; the min-key aggregation + equi join must stay
+        # window-free and the join-back is AQE-skew-splittable
+        para_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\n\n"), F.lit("hot shared paragraph")
+            ).alias("text"),
+        )
+        t0 = time.monotonic()
+        pd_df = L.dedup_units_across_corpus(para_docs)
+        n_docs_pd = pd_df.count()
+        t_pd = time.monotonic() - t0
+        pplan = pd_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in pplan, pplan[:2000]
+        assert n_docs_pd == rows_in, (n_docs_pd, rows_in)
+
         print(
             f"mult={mult:>2} rows_in={rows_in:>8} (90% one key): "
             f"drop_exact kept={n_kept} wall={t_drop:.2f}s "
@@ -145,6 +165,7 @@ def main() -> None:
             f"exact_groups={n_groups} wall={t_groups:.2f}s  "
             f"url_dedup kept={n_urls} wall={t_url:.2f}s  "
             f"chunk_dedup wall={t_ch:.2f}s  "
+            f"para_dedup wall={t_pd:.2f}s  "
             f"load={os.getloadavg()[0]:.1f}"
         )
     print("plans: window-free, map-side partial agg (asserted each step)")
