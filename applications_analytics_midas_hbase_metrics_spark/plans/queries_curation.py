@@ -3140,6 +3140,7 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through mutually exclusive mutations, one per rule.
 _GQR_HASHES = " " + " ".join(["#"] * 12)
 _GQR_DIGITS = " " + " ".join(str(100 + i) for i in range(30))
+_GQR_STOPS = " " + " ".join(T.GOPHER_STOPWORDS)
 
 
 def _gqr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3147,7 +3148,10 @@ def _gqr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ending (single-line docs, so the line fraction is 1.0); %7==0 ->
     twelve '#' tokens (symbol ratio); %11==0 -> thirty numeric tokens
     (alpha-word fraction); %17==0 -> the eight required stop words
-    stripped (stop-hits rule); everything else unchanged."""
+    stripped (stop-hits rule); %13==0 -> all eight stop words APPENDED
+    (the corpus salad carries at most one, so without this branch the
+    published >= 2 floor makes ``keep`` constant-zero at gate SF);
+    everything else unchanged."""
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", D.tokens("text").alias("_w")
     )
@@ -3172,9 +3176,35 @@ def _gqr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 7 == 0, F.concat("text", F.lit(_GQR_HASHES)))
         .when(d % 11 == 0, F.concat("text", F.lit(_GQR_DIGITS)))
         .when(d % 17 == 0, stripped)
+        .when(d % 13 == 0, F.concat("text", F.lit(_GQR_STOPS)))
         .otherwise(F.col("text"))
     )
     return docs.select("doc_id", text.alias("text"))
+
+
+def _gqr_fix_sql() -> str:
+    """The fixture replay as one CTE body (fx) — shared by the
+    standalone gopher_quality_rules oracle and the streamed-rollup
+    oracle so both rebuild the identical corpus."""
+    stoplist = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+    return f"""fx AS (
+        SELECT doc_id,
+            CASE
+                WHEN doc_id % 3 = 0 THEN array_to_string(
+                    list_transform(
+                        range(0, CAST(ceil(len(w0) / 5.0) AS INT)),
+                        i -> '• ' || array_to_string(
+                            w0[i * 5 + 1 : i * 5 + 5], ' ')),
+                    chr(10))
+                WHEN doc_id % 5 = 0 THEN text || ' …'
+                WHEN doc_id % 7 = 0 THEN text || '{_GQR_HASHES}'
+                WHEN doc_id % 11 = 0 THEN text || '{_GQR_DIGITS}'
+                WHEN doc_id % 17 = 0 THEN array_to_string(
+                    list_filter(w0, x -> x NOT IN ({stoplist})), ' ')
+                WHEN doc_id % 13 = 0 THEN text || '{_GQR_STOPS}'
+                ELSE text END AS text
+        FROM (SELECT doc_id, text, {_TOKS} AS w0 FROM documents)
+    )"""
 
 
 def _gqr_sig_ctes(src: str, words: str, sig: str) -> str:
@@ -3237,26 +3267,8 @@ def _gqr_keep_sql(min_words: int, min_stop_hits: int) -> str:
 
 
 def _gqr_oracle() -> str:
-    stoplist = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
     return f"""
-    WITH tk AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
-    fx AS (
-        SELECT doc_id,
-            CASE
-                WHEN doc_id % 3 = 0 THEN array_to_string(
-                    list_transform(
-                        range(0, CAST(ceil(len(w) / 5.0) AS INT)),
-                        i -> '• ' || array_to_string(
-                            w[i * 5 + 1 : i * 5 + 5], ' ')),
-                    chr(10))
-                WHEN doc_id % 5 = 0 THEN text || ' …'
-                WHEN doc_id % 7 = 0 THEN text || '{_GQR_HASHES}'
-                WHEN doc_id % 11 = 0 THEN text || '{_GQR_DIGITS}'
-                WHEN doc_id % 17 = 0 THEN array_to_string(
-                    list_filter(w, x -> x NOT IN ({stoplist})), ' ')
-                ELSE text END AS text
-        FROM tk
-    ),
+    WITH {_gqr_fix_sql()},
     {_gqr_sig_ctes("fx", "w2", "sig")}
     SELECT doc_id AS id, n_words, mean_word_len, symbol_word_ratio,
            bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
@@ -3933,3 +3945,67 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     light every fraction; the RE2 oracle counts the same explicit
     codepoint ranges through the escape-syntax converter."""
     return T.script_profile(_sc_fixture(spark, sf_dir))
+
+
+@register_extra(
+    "quality_stats_streamed",
+    oracle=f"""
+    WITH {_gqr_fix_sql()},
+    {_gqr_sig_ctes("fx", "w2", "sig")},
+    kk AS (
+        SELECT n_stop_hits, n_words,
+               {_gqr_keep_sql(50, 2)} AS keep
+        FROM sig
+    )
+    SELECT keep, n_stop_hits,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM kk GROUP BY keep, n_stop_hits
+    """,
+)
+def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality bookkeeping
+    (streaming.ingest_stream.stream_quality_ingest): three
+    micro-batches of the quality-rules fixture append per-(keep,
+    stop-hits) partials; the read-side rollup must equal the batch
+    rules battery over the union — the streamed == batch triangulation
+    of the domain/shingle/trigram store gates, applied to the round-12
+    quality surface."""
+    import glob
+    import os
+    import shutil
+
+    from ..streaming.ingest_stream import (
+        read_quality_stats,
+        stream_quality_ingest,
+    )
+    from .queries import scratch_dir
+    from .queries_streaming import _await, _stream_shuffle_partitions
+
+    docs = _gqr_fixture(spark, sf_dir)
+    d = scratch_dir("quality_stats_streamed")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        tmp = os.path.join(d, f"tmp{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * i,) * 2)
+        shutil.rmtree(tmp)
+    stats = os.path.join(d, "stats")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = stream_quality_ingest(
+            stream,
+            stats,
+            os.path.join(d, "ckpt"),
+            trigger_available_now=True,
+        )
+        _await(q)
+    return read_quality_stats(spark, stats)

@@ -171,3 +171,61 @@ def read_domain_stats(spark, stats_dir: str):
         F.countDistinct("host").cast("bigint").alias("n_hosts"),
         F.sum("total_chars").cast("bigint").alias("total_chars"),
     )
+
+
+def stream_quality_ingest(
+    stream,
+    stats_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = False,
+    **rule_kwargs,
+):
+    """Continuous corpus-quality bookkeeping — the streaming sibling of
+    operators.text.gopher_quality_rules, shaped like the other
+    foreachBatch maintainers (stream_domain_ingest and friends): each
+    micro-batch scores its documents map-side (the rules battery is
+    zero-shuffle) and APPENDS per-(keep, n_stop_hits) PARTIAL counts
+    and word totals to the stats store.  The read-side rollup then
+    equals the batch rules battery over everything ever ingested — a
+    live keep-rate dashboard that never re-scans ingested text.
+    ``rule_kwargs`` pass through to the battery (threshold overrides).
+
+    Same at-least-once caveat as stream_domain_ingest: a replayed batch
+    re-appends its partials; the checkpoint + parquet atomic commits
+    give exactly-once in the normal regime, and a replay-proof consumer
+    dedups on (ingest_batch, keep, n_stop_hits) first."""
+    from pyspark.sql import functions as F
+
+    from ..operators import text as T
+
+    def process(batch, batch_id: int) -> None:
+        sig = T.gopher_quality_rules(
+            batch, text_col=text_col, id_col=id_col, **rule_kwargs
+        )
+        sig.groupBy("keep", "n_stop_hits").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        ).withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(stats_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quality_stats(spark, stats_dir: str):
+    """Exact rollup over the append-grown per-(keep, stop-hit, batch)
+    partials.  Returns (keep, n_stop_hits, n_docs, total_words)."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(stats_dir)
+    return parts.groupBy("keep", "n_stop_hits").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_words").cast("bigint").alias("total_words"),
+    )
