@@ -207,26 +207,23 @@ def dsir_log_weights(
 def dsir_select_topk(weights: DataFrame, k: int) -> DataFrame:
     """(id, n_grams, log_weight, selected): flag the ``k``
     highest-weight documents (ties broken by lowest id, so the
-    selection is a total order and oracle-comparable).  Runs through
-    the two-phase per-partition top-k — no global sort, no single-task
-    funnel (the winner set is ≤ k rows and rides broadcast back)."""
-    from .sampling import top_k_per_group
+    selection is a total order and oracle-comparable).
 
-    # order key: weight descending, id ascending — a STRUCT column
-    # (lexicographic ordering), not an arithmetic packing, so no weight
-    # magnitude can overflow the key.  The micro-quantized weight is
-    # recovered exactly from the 6-decimal log_weight.
-    keyed = weights.withColumn("_g", F.lit(1)).withColumn(
-        "_ord",
-        F.struct(
-            (-F.round(F.col("log_weight") * F.lit(_MICRO)))
-            .cast("bigint")
-            .alias("nw"),
-            F.col("id").alias("tid"),
-        ),
-    )
-    winners = top_k_per_group(keyed, "_g", "_ord", k).select(
-        "id", F.lit(1).alias("selected")
+    The winner set is ``orderBy(...).limit(k)``, which Spark plans as
+    TakeOrderedAndProject — per-partition top-k heads reduced on the
+    driver side, never a global sort materialization and never an
+    unpartitioned window (a constant-group window would be
+    constant-folded into exactly that).  Winners are ≤ k rows and ride
+    broadcast back onto the weight frame."""
+    # order key: weight descending, id ascending.  The micro-quantized
+    # weight is recovered exactly from the 6-decimal log_weight, so the
+    # bigint sort key is exact; the id column breaks ties totally.
+    nw = (-F.round(F.col("log_weight") * F.lit(_MICRO))).cast("bigint")
+    winners = (
+        weights.select("id", nw.alias("_nw"))
+        .orderBy("_nw", "id")
+        .limit(int(k))
+        .select("id", F.lit(1).alias("selected"))
     )
     return weights.join(F.broadcast(winners), "id", "left").select(
         "id",

@@ -135,7 +135,7 @@ CHECKS = {
     "gopher_quality_pipeline": ["ArrowEvalPython"],
     # the <=buckets-row log-ratio model must ride BROADCAST onto the
     # raw gram stream (the DSIR dot product's only join)
-    "dsir_weights": ["BroadcastHashJoin"],
+    "dsir_weights": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # keep-first must be the min-key aggregation + equi join shape —
     # never a per-unit window (the skew-safe keep-first rule)
     "dedup_paragraphs_corpus": ["HashAggregate"],
