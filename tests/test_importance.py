@@ -101,3 +101,20 @@ def test_dsir_ratio_table_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_select_topk_plan_shape(spark):
+    # the winner set must be a two-phase TakeOrderedAndProject, never a
+    # global sort or an unpartitioned window (a constant-group ranking
+    # was constant-folded into exactly that before this pin)
+    raw = _df(spark, [(i, f"w{i} text") for i in range(6)])
+    target = _df(spark, [(9, "w1 text")])
+    w = IM.dsir_log_weights(raw, target)
+    plan = (
+        IM.dsir_select_topk(w, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

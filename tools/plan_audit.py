@@ -134,8 +134,14 @@ CHECKS = {
     # tests/test_pipelines.py)
     "gopher_quality_pipeline": ["ArrowEvalPython"],
     # the <=buckets-row log-ratio model must ride BROADCAST onto the
-    # raw gram stream (the DSIR dot product's only join)
-    "dsir_weights": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # raw gram stream (the DSIR dot product's only join).  The
+    # selection's TakeOrderedAndProject shape is pinned in
+    # tests/test_importance.py instead: the registry variant pins its
+    # weight frame, and this audit's plan-string truncation at the
+    # FIRST '== Initial Plan ==' marker cuts the outer tree off at the
+    # cached subtree's nested AQE sections — the fragment is in the
+    # plan but beyond the audited slice.
+    "dsir_weights": ["BroadcastHashJoin"],
     # keep-first must be the min-key aggregation + equi join shape —
     # never a per-unit window (the skew-safe keep-first rule)
     "dedup_paragraphs_corpus": ["HashAggregate"],
