@@ -54,7 +54,12 @@ _MICRO = 1_000_000
 
 def _bucket_expr(gram: Column, buckets: int, hash_mode: str) -> Column:
     if hash_mode == "java":
-        return (F.abs(java_hash(gram)) % F.lit(buckets)).cast("int")
+        # abs on the LONG-widened hash: non-ANSI int abs(Integer.MIN_VALUE)
+        # overflows back to MIN_VALUE and would emit a negative bucket;
+        # the DuckDB twin (duckdb_java_hash_sql) is BIGINT-exact, so the
+        # long cast keeps the differential bit-exact (same discipline as
+        # functions/keys.salt_bucket).
+        return (F.abs(java_hash(gram).cast("long")) % F.lit(buckets)).cast("int")
     if hash_mode == "xxhash64":
         return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("int")
     raise ValueError(f"hash_mode must be 'java' or 'xxhash64', got {hash_mode!r}")

@@ -339,6 +339,10 @@ def dedup_lines_within_doc(
 #: replay bit-identical with no struct-ordering semantics to match.
 _POS_DOMAIN = 1_000_000
 
+#: Largest |doc_id| whose packed key ``id * _POS_DOMAIN + pos`` still
+#: fits int64 for every in-domain pos.
+_MAX_PACK_ID = (2**63 - 1) // _POS_DOMAIN
+
 
 def dedup_units_across_corpus(
     docs: DataFrame,
@@ -378,7 +382,11 @@ def dedup_units_across_corpus(
 
     Position contract: per-document unit positions must stay below
     1e6 (the packed order-key domain) — far above any page-scale
-    document; ids must fit ``id * 1e6`` in int64."""
+    document; ids must fit ``id * 1e6`` in int64.  ENFORCED: a
+    document with >= 1e6 units or an id beyond the packable range
+    raises (``raise_error`` fused into the key projection, so it
+    cannot be pruned away) instead of silently bleeding into the next
+    id's key range and corrupting keep-first order."""
     base = docs.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(text_col)
     )
@@ -390,7 +398,21 @@ def dedup_units_across_corpus(
         "id",
         "pos",
         "u",
-        (F.col("id") * F.lit(_POS_DOMAIN) + F.col("pos")).alias("okey"),
+        F.when(
+            (F.col("pos") >= F.lit(_POS_DOMAIN))
+            | (F.abs(F.col("id")) > F.lit(_MAX_PACK_ID)),
+            F.raise_error(
+                F.format_string(
+                    "dedup_units_across_corpus packed-key contract: "
+                    "pos=%s (must be < 1000000) id=%s (|id| must be <= "
+                    f"{_MAX_PACK_ID})",
+                    F.col("pos"),
+                    F.col("id"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("id") * F.lit(_POS_DOMAIN) + F.col("pos"))
+        .alias("okey"),
         (F.xxhash64("u") if hash_units else F.col("u")).alias("ukey"),
     )
     keepers = occ.groupBy("ukey").agg(F.min("okey").alias("keep_key"))

@@ -159,8 +159,12 @@ def gopher_quality_rules(
     - ``n_words`` / ``mean_word_len`` with the published [50, 100k] and
       [3, 10] keep bounds (words = lower-cased whitespace tokens, the
       module-wide tokenizer);
-    - ``symbol_word_ratio``: ``#`` + ellipsis (``...`` or U+2026)
-      occurrences per word, keep ≤ 0.1;
+    - ``hash_word_ratio`` / ``ellipsis_word_ratio``: ``#`` occurrences
+      per word and ellipsis (``...`` or U+2026) occurrences per word,
+      EACH kept ≤ 0.1 separately — the published rule thresholds each
+      symbol's ratio independently (Rae et al. 2021 Table A1), so a
+      document with 0.07 of each passes; the pooled sum (the pre-r13
+      shape) was strictly stricter than the paper;
     - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of
       non-blank lines starting with a bullet glyph (keep ≤ 0.9) /
       ending in an ellipsis (keep ≤ 0.3);
@@ -194,10 +198,8 @@ def gopher_quality_rules(
         F.size(w) > 0, F.length(norm).cast("bigint") - (F.size(w) - F.lit(1))
     ).otherwise(F.lit(0).cast("bigint"))
     mean_word_len = word_chars.cast("double") / safe_words
-    n_symbols = (
-        F.regexp_count(text, F.lit("#"))
-        + F.regexp_count(text, F.lit(_ELLIPSIS_ALT))
-    ).cast("double")
+    n_hash = F.regexp_count(text, F.lit("#")).cast("double")
+    n_ell_occ = F.regexp_count(text, F.lit(_ELLIPSIS_ALT)).cast("double")
     lines = F.filter(
         F.split(text, "\n", -1), lambda l: F.trim(l) != F.lit("")
     )
@@ -214,7 +216,8 @@ def gopher_quality_rules(
         "id",
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(n_symbols / safe_words, 6).alias("symbol_word_ratio"),
+        F.round(n_hash / safe_words, 6).alias("hash_word_ratio"),
+        F.round(n_ell_occ / safe_words, 6).alias("ellipsis_word_ratio"),
         F.round(n_bullet.cast("double") / safe_lines, 6).alias(
             "bullet_line_frac"
         ),
@@ -231,7 +234,8 @@ def gopher_quality_rules(
         & (F.col("n_words") <= int(max_words))
         & (F.col("mean_word_len") >= float(min_mean_word_len))
         & (F.col("mean_word_len") <= float(max_mean_word_len))
-        & (F.col("symbol_word_ratio") <= float(max_symbol_word_ratio))
+        & (F.col("hash_word_ratio") <= float(max_symbol_word_ratio))
+        & (F.col("ellipsis_word_ratio") <= float(max_symbol_word_ratio))
         & (F.col("bullet_line_frac") <= float(max_bullet_line_frac))
         & (F.col("ellipsis_line_frac") <= float(max_ellipsis_line_frac))
         & (F.col("alpha_word_frac") >= float(min_alpha_word_frac))

@@ -3231,10 +3231,11 @@ def _gqr_sig_ctes(src: str, words: str, sig: str) -> str:
                                THEN length(nrm) - (len(w) - 1)
                                ELSE 0 END AS DOUBLE)
                      / greatest(len(w), 1), 6) AS mean_word_len,
-               round(CAST(len(regexp_extract_all(text, '#'))
-                          + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+               round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS hash_word_ratio,
+               round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…'))
                           AS DOUBLE)
-                     / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                     / greatest(len(w), 1), 6) AS ellipsis_word_ratio,
                round(CAST(len(list_filter(lines,
                        l -> regexp_matches(trim(l), '^[•‣▪*-]')))
                           AS DOUBLE)
@@ -3258,7 +3259,8 @@ def _gqr_keep_sql(min_words: int, min_stop_hits: int) -> str:
     operator defaults (the published Table A1 values)."""
     return f"""CAST(CASE WHEN n_words >= {min_words} AND n_words <= 100000
                       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                      AND symbol_word_ratio <= 0.1
+                      AND hash_word_ratio <= 0.1
+                      AND ellipsis_word_ratio <= 0.1
                       AND bullet_line_frac <= 0.9
                       AND ellipsis_line_frac <= 0.3
                       AND alpha_word_frac >= 0.8
@@ -3270,7 +3272,8 @@ def _gqr_oracle() -> str:
     return f"""
     WITH {_gqr_fix_sql()},
     {_gqr_sig_ctes("fx", "w2", "sig")}
-    SELECT doc_id AS id, n_words, mean_word_len, symbol_word_ratio,
+    SELECT doc_id AS id, n_words, mean_word_len, hash_word_ratio,
+           ellipsis_word_ratio,
            bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
            n_stop_hits,
            {_gqr_keep_sql(50, 2)} AS keep

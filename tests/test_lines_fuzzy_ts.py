@@ -795,3 +795,38 @@ def test_corpus_unit_dedup_no_window_plan(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_corpus_unit_dedup_packed_key_guard_fires(spark):
+    """The packed-key contract (pos < 1e6, |id| packable in int64) is
+    ENFORCED, not just documented: a pathological 1e6-unit document and
+    an out-of-range id both raise instead of silently corrupting
+    keep-first order (round-13 guard, lines.py)."""
+    from pyspark.sql import functions as F
+
+    # 1,000,001 distinct units built server-side so pos reaches 1e6
+    monster = spark.range(1).select(
+        F.lit(1).cast("long").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1_000_000)),
+                lambda i: F.concat(F.lit("u"), i.cast("string")),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="packed-key contract"):
+        L.dedup_units_across_corpus(monster, sep="\n").collect()
+
+    big_id = spark.createDataFrame(
+        [(2**62, "a\n\nb")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-key contract"):
+        L.dedup_units_across_corpus(big_id).collect()
+
+    # in-domain inputs are untouched by the guard
+    ok = spark.createDataFrame(
+        [(L._MAX_PACK_ID, "a\n\nb\n\na")], "doc_id long, text string"
+    )
+    row = L.dedup_units_across_corpus(ok).collect()[0]
+    assert (row.n_units, row.n_kept, row.n_removed) == (3, 2, 1)

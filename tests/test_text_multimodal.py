@@ -1410,13 +1410,30 @@ def test_gopher_quality_rules_hand_checked(spark):
     assert out[2].alpha_word_frac == round(50 / 60, 6)  # '•' is a word
     assert out[3].keep == 0 and out[3].ellipsis_line_frac == 0.4
     assert out[4].keep == 0
-    assert out[4].symbol_word_ratio == round(8 / 58, 6)
+    assert out[4].hash_word_ratio == round(8 / 58, 6)
+    assert out[4].ellipsis_word_ratio == 0.0
     assert out[5].keep == 0 and out[5].alpha_word_frac == 0.6
     assert out[6].keep == 0 and out[6].n_stop_hits == 0
     assert out[7].keep == 0 and out[7].n_words == 3
     r8 = out[8]
     assert (r8.n_words, r8.keep, r8.mean_word_len) == (0, 0, 0.0)
     assert (r8.bullet_line_frac, r8.ellipsis_line_frac) == (0.0, 0.0)
+
+
+def test_gopher_symbol_ratios_thresholded_separately(spark):
+    """The published rule bounds EACH symbol's per-word ratio at 0.1
+    (Rae et al. 2021 Table A1) — a doc with ~0.07 hashes AND ~0.07
+    ellipses per word passes, even though the pooled sum (0.14) would
+    fail the pre-r13 stricter pooling."""
+    filler = " ".join(f"word{i:02d}" for i in range(1, 49))
+    mixed = "the and " + filler + " ... ... ... ... # # # #"
+    df = spark.createDataFrame([(1, mixed)], ["doc_id", "text"])
+    row = T.gopher_quality_rules(df).collect()[0]
+    assert row.n_words == 58
+    assert row.hash_word_ratio == round(4 / 58, 6)
+    assert row.ellipsis_word_ratio == round(4 / 58, 6)
+    assert row.hash_word_ratio + row.ellipsis_word_ratio > 0.1
+    assert row.keep == 1
 
 
 def test_gopher_quality_rules_zero_shuffle_plan(spark):
