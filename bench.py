@@ -8,25 +8,41 @@ The per-query timings ("queries", "queries_cold") and pin-registry
 stdout tail capture is ~2000 chars and the full 50-query detail
 overflowed it in round 6, losing the headline number.
 
-Two sweeps, both reported so the keyed-pin registry's multi-query
-speedup is measured honestly instead of inferred:
+MEASUREMENT PROTOCOL (round 13): median-of-N over FRESH JVMs.
+Round 12's archived warm total drifted +35% round-over-round as a
+near-uniform inflation across 41 queries whose plans did not change —
+and a single-shot run cannot tell tenant noise from a real floor
+shift.  The official row is therefore:
 
-  * WARM (the headline "value"): driver-registration order, best-of-2
-    per query, pins live — adjacent family members claim shared
-    materialized intermediates exactly as a sequential production sweep
-    would.  The keys each query claimed on its reported (fastest) run
-    are recorded under "claims", so a consumer can tell which numbers
-    are residual work on a sibling's cached frame vs cold builds.
-  * COLD ("value_cold"): the pin registry is flushed before EVERY run
-    and each query keeps the best of 2 — no cross-query claims, no
-    same-query carry-over, every number is a full rebuild, and the
-    min tames this VM's 1.5-2x run-to-run wall-clock variance the same
-    way the warm sweep does.  (JVM/codegen and OS page cache stay warm
-    in both sweeps; the sweeps isolate the registry effect, not process
-    start-up.)
+  * N trials (default 3, $SPARK_GRAFT_TRIALS), each a SEPARATE
+    python/JVM process — no cross-trial cache, codegen, or pin
+    carry-over; each trial's ext_cores/loadavg recorded so every
+    sample is load-qualified.
+  * Within a trial each query runs ONCE per sweep (a clean sequential
+    production sweep); the cross-trial per-query MEDIAN is the
+    official number, with per-query min and spread (max-min) archived
+    alongside so a consumer can separate dispersion from level.
+  * value = sum of per-query warm medians; value_cold likewise.
+
+Two sweeps per trial, both reported so the keyed-pin registry's
+multi-query speedup is measured honestly instead of inferred:
+
+  * WARM (the headline "value"): driver-registration order, pins live —
+    adjacent family members claim shared materialized intermediates
+    exactly as a sequential production sweep would.  Claimed keys are
+    recorded under "claims" (from the first trial), so a consumer can
+    tell which numbers are residual work on a sibling's cached frame
+    vs cold builds.
+  * COLD ("value_cold"): the pin registry is flushed before EVERY
+    query — no cross-query claims, every number is a full rebuild.
+    (JVM/codegen and OS page cache stay warm WITHIN a trial; the
+    sweeps isolate the registry effect, the fresh-JVM trials isolate
+    process state.)
 
 Env: SPARK_GRAFT_COLD=1 runs the cold sweep only (fast iteration on
-cold-path changes); SPARK_GRAFT_WARM=1 runs the warm sweep only.
+cold-path changes); SPARK_GRAFT_WARM=1 runs the warm sweep only;
+SPARK_GRAFT_TRIALS=1 gives a single-shot run (iteration, not the
+official row).
 
 Each query is materialized with a full count() so the whole plan
 executes (no lazy no-ops).  Wall-clock per query; value = total.
@@ -36,6 +52,8 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -98,47 +116,46 @@ def _ext_cores(t0: float, busy0: int, tree0: int) -> float:
 
 
 def _warm_sweep(spark, sf_dir, queries, Q):
-    """Best-of-2, pins live across queries (registration order)."""
+    """One pass per query, pins live across queries (registration
+    order) — a clean sequential production sweep; noise control is the
+    cross-trial median, not a within-JVM best-of."""
     timings: dict[str, float] = {}
     claims: dict[str, list[str]] = {}
     for name, fn in queries.items():
-        best = None  # (dt, claims, rows)
-        for _ in range(2):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.monotonic() - t0
-            if best is None or dt < best[0]:
-                best = (dt, Q.claimed_keys(), n)
-        timings[name] = round(best[0], 3)
-        if best[1]:
-            claims[name] = best[1]
-        note = f"  (claimed: {', '.join(best[1])})" if best[1] else ""
-        print(f"# warm {name}: {best[2]} rows in {timings[name]}s{note}", file=sys.stderr)
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        ck = Q.claimed_keys()
+        if ck:
+            claims[name] = ck
+        note = f"  (claimed: {', '.join(ck)})" if ck else ""
+        print(f"# warm {name}: {n} rows in {timings[name]}s{note}", file=sys.stderr)
     return timings, claims
 
 
 def _cold_sweep(spark, sf_dir, queries, Q):
-    """Best-of-2 per query, registry flushed before EVERY run — each
+    """One pass per query, registry flushed before EVERY run — each
     number is a full rebuild with no claimable pins anywhere."""
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        best, n = None, 0
-        for _ in range(2):
-            Q.release_deferred()
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.monotonic() - t0
-            if best is None or dt < best:
-                best = dt
-        timings[name] = round(best, 3)
+        Q.release_deferred()
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
         print(f"# cold {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     Q.release_deferred()
     return timings
 
 
-def main() -> None:
+def run_trial() -> dict:
+    """One fresh-JVM trial: warm sweep + cold sweep, each query once,
+    ext_cores/loadavg sampled per sweep.  Returns the trial detail
+    dict; in child mode (SPARK_GRAFT_TRIAL_OUT set) main() writes it
+    to that path instead of printing the official row."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     cold_only = os.environ.get("SPARK_GRAFT_COLD") == "1"
@@ -156,65 +173,131 @@ def main() -> None:
 
     queries = E.queries()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    result: dict = {"metric": "total_query_wall_sec", "unit": "sec", "sf": sf}
-    # External-tenant load contaminated several round-9 runs 1.5-2x
-    # (SCALE.md "bench noise" sections); record the box state on BOTH
-    # ends so every BENCH_r*.json is self-describing and cross-round
-    # comparisons can be load-qualified without re-running anything.
+    trial: dict = {"sf": sf, "n_queries": len(queries)}
     load_before = os.getloadavg()
 
-    detail: dict = dict(result)
     ext_cores: list[float] = []
     t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
     if not cold_only:
         warm, claims = _warm_sweep(spark, sf_dir, queries, Q)
-        result["value"] = round(sum(warm.values()), 3)
-        detail["queries"] = warm
-        detail["claims"] = claims
+        trial["value"] = round(sum(warm.values()), 3)
+        trial["queries"] = warm
+        trial["claims"] = claims
         ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
     load_mid = os.getloadavg()
     t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
     if not warm_only:
         cold = _cold_sweep(spark, sf_dir, queries, Q)
-        result["value_cold"] = round(sum(cold.values()), 3)
-        detail["queries_cold"] = cold
+        trial["value_cold"] = round(sum(cold.values()), 3)
+        trial["queries_cold"] = cold
         ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
     if cold_only:
-        # the driver's headline slot still gets a number in cold-only runs
+        trial["value"] = trial["value_cold"]
+        trial["queries"] = trial["queries_cold"]
+
+    trial["ext_cores"] = ext_cores
+    trial["load_1m"] = [
+        round(x[0], 2) for x in (load_before, load_mid, os.getloadavg())
+    ]
+    spark.stop()
+    return trial
+
+
+def _agg(per_trial: list[dict[str, float]]) -> tuple[dict, dict, dict]:
+    """Per-query (median, min, spread) across trials."""
+    names = per_trial[0].keys()
+    med = {
+        q: round(statistics.median(t[q] for t in per_trial), 3)
+        for q in names
+    }
+    mn = {q: round(min(t[q] for t in per_trial), 3) for q in names}
+    spread = {
+        q: round(max(t[q] for t in per_trial) - mn[q], 3) for q in names
+    }
+    return med, mn, spread
+
+
+def main() -> None:
+    trial_out = os.environ.get("SPARK_GRAFT_TRIAL_OUT")
+    if trial_out:
+        # child mode: one fresh-JVM trial, detail to the given path
+        with open(trial_out, "w") as fh:
+            json.dump(run_trial(), fh)
+        return
+
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    cold_only = os.environ.get("SPARK_GRAFT_COLD") == "1"
+    warm_only = os.environ.get("SPARK_GRAFT_WARM") == "1"
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    trials: list[dict] = []
+    for i in range(n_trials):
+        if n_trials == 1:
+            trials.append(run_trial())
+            break
+        out = os.path.join(here, f".bench_trial_{i}.json")
+        print(f"# trial {i + 1}/{n_trials} (fresh JVM)", file=sys.stderr)
+        env = dict(os.environ, SPARK_GRAFT_TRIAL_OUT=out)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            check=True,
+            stdout=sys.stderr,
+        )
+        with open(out) as fh:
+            trials.append(json.load(fh))
+        os.remove(out)
+
+    result: dict = {
+        "metric": "total_query_wall_sec",
+        "unit": "sec",
+        "sf": trials[0]["sf"],
+        "protocol": f"median-of-{len(trials)}-fresh-jvm",
+    }
+    detail: dict = dict(result)
+    if not cold_only:
+        med, mn, spread = _agg([t["queries"] for t in trials])
+        result["value"] = round(sum(med.values()), 3)
+        result["value_min"] = round(sum(mn.values()), 3)
+        detail["queries"] = med
+        detail["queries_min"] = mn
+        detail["queries_spread"] = spread
+        detail["claims"] = trials[0].get("claims", {})
+    if not warm_only:
+        medc, mnc, spreadc = _agg([t["queries_cold"] for t in trials])
+        result["value_cold"] = round(sum(medc.values()), 3)
+        detail["queries_cold"] = medc
+        detail["queries_cold_min"] = mnc
+        detail["queries_cold_spread"] = spreadc
+    if cold_only:
         result["value"] = result["value_cold"]
+        result["value_min"] = round(sum(mnc.values()), 3)
         detail["queries"] = detail["queries_cold"]
 
-    # The driver tail-captures ~2000 chars of stdout; round 6's final line
-    # (50 warm + 50 cold timings + claims, ~3.5 kB) overflowed it and the
-    # headline number was lost.  Keep the LAST stdout line compact
-    # (headline totals only, well under 1.5 kB) and write the per-query /
-    # claims detail to a sidecar next to this script.
-    load_after = os.getloadavg()
-    loads = (load_before[0], load_mid[0], load_after[0])
-    result["load_1m"] = [round(x, 2) for x in loads]
-    # Round 10 showed 1.2-1.5x uniform inflation already at load 3.6-5.1,
-    # so the old n_cpus/4 (=8) loadavg threshold never fired on
-    # contaminated runs — but a strict loadavg threshold can't work
-    # either, because the bench ITSELF saturates local[32] mid-run
-    # (1m load > 6 with zero tenants).  The flag therefore measures
-    # EXTERNAL compute directly: per sweep, (box busy CPU − this
-    # process tree's CPU) / wall = average cores other tenants burned
-    # WHILE the sweep ran (mid-run spikes included by construction).
-    # > n_cpus/16 (2 cores on local[32]) external for either sweep
-    # flags the run; its numbers are then an upper bound, not a
-    # regression signal.  loadavg endpoints stay recorded for
-    # continuity with rounds <= 10.
-    result["ext_cores"] = ext_cores
-    result["load_flag"] = bool(
-        ext_cores and max(ext_cores) > int(cpus) / 16
-    )
-    detail["load_before"] = [round(x, 2) for x in load_before]
-    detail["load_mid"] = [round(x, 2) for x in load_mid]
-    detail["load_after"] = [round(x, 2) for x in load_after]
+    # Load accounting: every trial's own ext_cores + loadavg endpoints,
+    # so the archived row is self-describing per SAMPLE, not per round —
+    # a contaminated trial is visible and the median has already voted
+    # it down.  Flag if ANY sweep of ANY trial saw > n_cpus/16 external
+    # cores (2 on local[32]).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    all_ext = [e for t in trials for e in t.get("ext_cores", [])]
+    result["ext_cores"] = all_ext
+    result["load_flag"] = bool(all_ext and max(all_ext) > cpus / 16)
+    result["load_1m"] = trials[-1]["load_1m"]
+    detail["trials"] = [
+        {
+            k: t.get(k)
+            for k in ("value", "value_cold", "ext_cores", "load_1m")
+        }
+        for t in trials
+    ]
+    detail["per_trial_queries"] = [t.get("queries") for t in trials]
 
     detail.update(result)
-    detail["n_queries"] = len(queries)
-    here = os.path.dirname(os.path.abspath(__file__))
+    detail["n_queries"] = trials[0]["n_queries"]
+    # The driver tail-captures ~2000 chars of stdout; keep the LAST
+    # stdout line compact (headline totals only) and write the
+    # per-query / per-trial detail to a sidecar next to this script.
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     # ALSO archive a round-stamped copy: BENCH_DETAIL.json is
@@ -236,7 +319,7 @@ def main() -> None:
         rnd = str(max(seen, default=0) + 1)
     with open(os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    result["n_queries"] = len(queries)
+    result["n_queries"] = trials[0]["n_queries"]
     result["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(result))
 
