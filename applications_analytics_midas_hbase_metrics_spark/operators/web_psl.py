@@ -222,11 +222,18 @@ def host_psl_map(
             )["eff_ps"].alias("_ps")
         )
     )
-    # matched is <= |distinct hosts| rows and the finished map is
-    # broadcast onto the corpus anyway (with_domain_psl), so it fits in
-    # one executor by construction — broadcast here too, keeping the
-    # whole map build shuffle-free past the initial distinct
-    out = hosts.join(F.broadcast(matched), host_col, "left").select(
+    # matched is <= |distinct hosts| rows — millions on a typical crawl
+    # but 10^8+ on a 100 TB one, so NO forced broadcast (round-13): a
+    # forced hint removes AQE's ability to fall back to a shuffle join
+    # and the job OOMs instead of degrading.  The REBALANCE hint
+    # inserts a stage boundary right above the map build (without it
+    # the agg fuses into the consumer's stage, its runtime size stays
+    # unknown, and AQE never converts the join — measured, not
+    # theorized: the plain left join planned SMJ even at 7 hosts), so
+    # AQE sees the REAL size and picks broadcast when small, shuffle
+    # when huge; the exchange itself is host-map-sized, never corpus-
+    # sized.
+    out = hosts.join(matched.hint("rebalance", host_col), host_col, "left").select(
         host_col,
         F.coalesce(
             F.col("_ps"),
@@ -255,15 +262,25 @@ def with_domain_psl(
 ) -> DataFrame:
     """PSL-rule twin of :func:`web.with_domain`: attach canonical
     ``host`` plus PSL registrable ``domain`` (and ``public_suffix``).
-    The host→domain map is built on the distinct-host frame and comes
-    back as a BROADCAST join, so the corpus-side pass is one map-side
-    projection + one broadcast probe — zero corpus shuffle."""
+    The host→domain map is built on the distinct-host frame; the
+    corpus-side join carries NO broadcast hint (round-13) — AQE
+    broadcasts it whenever the distinct-host map is actually small
+    (the common case: one map-side projection + one broadcast probe,
+    zero corpus shuffle) and planlessly degrades to a shuffle join on
+    a 10^8-host crawl where a forced broadcast would OOM the driver.
+    Only the ≤~200-row RULES table keeps its explicit broadcast (in
+    :func:`host_psl_map`)."""
     from .web import host_expr
 
     tagged = df.withColumn(host_out, host_expr(url_col))
     hosts = tagged.select(host_out).distinct()
     mapping = host_psl_map(hosts, rules, host_col=host_out)
+    # same REBALANCE stage boundary as host_psl_map's internal join:
+    # AQE reads the finished map's runtime size and broadcasts it onto
+    # the corpus when small, degrades to a shuffle join when not
     return tagged.join(
-        F.broadcast(mapping.withColumnRenamed("psl_domain", domain_out)),
+        mapping.withColumnRenamed("psl_domain", domain_out).hint(
+            "rebalance", host_out
+        ),
         host_out,
     )

@@ -174,6 +174,38 @@ def test_shuffle_shards_layout_properties(spark):
     assert again == {(r.doc_id, r.shard, r.pos) for r in out}
 
 
+def test_two_phase_rank_windows_partition_bounded(spark):
+    """Round-13 skew contract: shuffle_shards and
+    stratified_percent_rank must never sort a whole shard/stratum in
+    one task — every full-row row_number window in their executed
+    plans partitions by the physical partition id (_tp_p), so sorts
+    are partition-local and a mega-group spans many range partitions
+    (flat-wall harness: tools/shard_rank_scale.py)."""
+    import re
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        shuffle_shards,
+        stratified_percent_rank,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    for out in (
+        shuffle_shards(df, n_shards=4),
+        stratified_percent_rank(df, "source", "score", "doc_id"),
+    ):
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(
+            r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan
+        )
+        assert specs, plan[:1500]
+        assert all("_tp_p" in s for s in specs), specs
+
+
 def test_nb_empty_training_corpus_fails_loudly(spark):
     """The sampled-corpus trap (round-9 fix): a train split whose
     modulus divides the harness's corpus-sampling modulus produces an

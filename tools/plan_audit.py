@@ -145,6 +145,22 @@ CHECKS = {
     # keep-first must be the min-key aggregation + equi join shape —
     # never a per-unit window (the skew-safe keep-first rule)
     "dedup_paragraphs_corpus": ["HashAggregate"],
+    # round-13: the PSL host->domain map is NOT force-broadcast any
+    # more — a REBALANCE stage boundary above the map lets AQE measure
+    # its real size and broadcast when small / planlessly degrade to a
+    # shuffle join on a 10^8-host crawl.  The final plan at audit SF
+    # must show the runtime-converted broadcast and zero surviving
+    # sort-merge joins (pinned via the section counters + this boundary
+    # fragment).
+    "domain_extract_psl": ["REBALANCE_PARTITIONS_BY_COL"],
+    # round-13 two-phase rank rewrites: every full-row row_number
+    # window must partition by the physical partition id (_tp_p) —
+    # partition-local sorts, no per-shard/per-stratum funnel task.
+    # quality_importance_sample's _tp_p fragment sits beyond this
+    # audit's first-'== Initial Plan ==' truncation (the dsir_weights
+    # caveat above); its window-boundedness is pinned in
+    # tests/test_classify.py + tools/shard_rank_scale.py instead.
+    "shuffle_shards": ["_tp_p"],
 }
 
 
@@ -567,6 +583,8 @@ def main() -> None:
         "dedup_paragraphs_corpus",
         "mojibake_repair",
         "script_profile",
+        "shuffle_shards",
+        "quality_importance_sample",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",

@@ -1,0 +1,150 @@
+"""Single-task-funnel scaling check for the round-13 two-phase rank
+rewrites (operators/sampling.py shuffle_shards +
+stratified_percent_rank) — the last two window funnels the round-12
+verdict flagged.
+
+Regimes (the operators' own TARGET workloads):
+- shuffle_shards with FEW shards (8): every shard holds ~rows/8 — the
+  old per-shard ``row_number`` window sorted each shard in ONE task
+  (100 GB+/task at corpus scale); the two-phase rank spreads a shard's
+  rank work across every range partition it spans.
+- stratified_percent_rank with a 90%-hot stratum (per-SOURCE
+  percentile normalization has FEW, HUGE strata): same funnel, same
+  fix.
+
+What must hold for the 100 TB claim:
+- results are BIT-IDENTICAL to the single-window shape (checked per
+  multiplier, not assumed — the rank key ends in a unique id, so
+  offset + partition-local rank equals the global rank exactly);
+- every full-row ``row_number`` window in the new plans partitions by
+  the physical partition id (``_tp_p``) — partition-bounded sorts, no
+  per-group funnel (the only group-wide window left runs on the tiny
+  counts frame, input rows = n_groups + n_partitions);
+- wall grows ~linearly with rows (the work is the scan + narrow
+  shuffles), never with the hot group's size; the PRE-rewrite window
+  shape is timed at each multiplier so the gap is measured.
+
+Usage: python tools/shard_rank_scale.py [replications_csv]  (default 1,4,16)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+
+
+def _row_number_windows_partition_bounded(plan: str) -> bool:
+    """Every row_number window spec in the plan must carry _tp_p in its
+    partition clause (partition-local sort), or belong to no window at
+    all."""
+    for spec in re.findall(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        if "_tp_p" not in spec:
+            return False
+    return True
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from applications_analytics_midas_hbase_metrics_spark.operators import sampling as S
+    from applications_analytics_midas_hbase_metrics_spark.session import get_spark
+
+    reps = [
+        int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,4,16").split(",")
+    ]
+    spark = get_spark(
+        app_name="shard-rank-scale", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def corpus(mult: int):
+        """90% of rows land in ONE stratum; deterministic score."""
+        r = spark.range(mult).select(F.col("id").alias("rep"))
+        d = base.crossJoin(F.broadcast(r)).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
+        )
+        hot = F.col("doc_id") % 10 < 9
+        return d.select(
+            "doc_id",
+            "text",
+            F.when(hot, F.lit("megasource"))
+            .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")))
+            .alias("source"),
+            F.round((F.col("doc_id") * 2654435761 % 1000003) / 1000003.0, 9).alias(
+                "score"
+            ),
+        )
+
+    def old_shards(df, n_shards: int):  # pre-round-13 funnel shape
+        h = F.pmod(
+            F.pmod(F.col("doc_id").cast("bigint"), F.lit(S._MIX_DOMAIN))
+            * F.lit(S._SHARD_PRIME),
+            F.lit(S._MIX_DOMAIN),
+        )
+        with_h = df.withColumn("_h", h).withColumn(
+            "shard",
+            F.floor(F.col("_h") * n_shards / F.lit(S._MIX_DOMAIN)).cast("int"),
+        )
+        w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+        return with_h.withColumn(
+            "pos", F.row_number().over(w).cast("bigint")
+        ).drop("_h")
+
+    def old_pct(df):  # pre-round-13 funnel shape
+        w = Window.partitionBy("source").orderBy("score", "doc_id")
+        return df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+
+    def checksum(df, cols):
+        return df.select(
+            F.bit_xor(F.xxhash64(*cols)).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    for mult in reps:
+        docs = corpus(mult).repartition(64).localCheckpoint(eager=True)
+        rows_in = docs.count()
+
+        t0 = time.monotonic()
+        sh = S.shuffle_shards(docs, n_shards=8)
+        cs_new = checksum(sh, ["doc_id", "shard", "pos"])
+        t_sh = time.monotonic() - t0
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert _row_number_windows_partition_bounded(plan), plan[:2000]
+
+        t0 = time.monotonic()
+        cs_old = checksum(old_shards(docs, 8), ["doc_id", "shard", "pos"])
+        t_sh_old = time.monotonic() - t0
+        assert tuple(cs_new) == tuple(cs_old), (cs_new, cs_old)
+
+        t0 = time.monotonic()
+        pr = S.stratified_percent_rank(docs, "source", "score", "doc_id")
+        cs_pnew = checksum(pr, ["doc_id", "pct_rank"])
+        t_pr = time.monotonic() - t0
+        pplan = pr._jdf.queryExecution().executedPlan().toString()
+        assert _row_number_windows_partition_bounded(pplan), pplan[:2000]
+
+        t0 = time.monotonic()
+        cs_pold = checksum(old_pct(docs), ["doc_id", "pct_rank"])
+        t_pr_old = time.monotonic() - t0
+        assert tuple(cs_pnew) == tuple(cs_pold), (cs_pnew, cs_pold)
+
+        print(
+            f"mult={mult:>3} rows={rows_in:>9} | "
+            f"shards two-phase {t_sh:6.2f}s vs window {t_sh_old:6.2f}s | "
+            f"pct_rank two-phase {t_pr:6.2f}s vs window {t_pr_old:6.2f}s",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
