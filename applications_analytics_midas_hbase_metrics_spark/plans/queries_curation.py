@@ -3457,8 +3457,21 @@ _GQ_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 #: Decomposed punctuated line (NFC-changed, c4-kept: 4 words + '.').
 _GQ_NFC_LINE = "cafe\u0301 se\u0301ance verite\u0301 arrive\u0301e."
 
+#: Published-thresholds fixture line: 12 words carrying THREE distinct
+#: Gopher stop words (the, and, with), punctuated so C4 keeps it; no
+#: internal n-gram repeats, appears once per doc, so every repetition
+#: signal is untouched \u2014 it exists solely to push two thirds of the
+#: corpus over the published 2-distinct-stop-word floor (the synthetic
+#: word salad itself carries at most one).
+_GQ_STOP_LINE = (
+    "the method holds and the results improve with careful replication"
+    " across runs."
+)
 
-def _gq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _gq_fixture(
+    spark: SparkSession, sf_dir: str, published: bool = False
+) -> DataFrame:
     """C4 fixture text + three per-doc-id injections, each targeting one
     pipeline stage and all computed from the BASE text so the oracle can
     replay them in one CTE:
@@ -3472,7 +3485,13 @@ def _gq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       line, so the line battery ignores it, but its internal phrase loop
       lights the dup-5..10-gram signals);
     - doc_id%4==0 appends a decomposed punctuated line (the NFC-changed
-      trigger)."""
+      trigger).
+
+    With ``published=True`` (the 50-word/2-stop-hit Table A1 floors) a
+    fourth injection appends :data:`_GQ_STOP_LINE` to every doc with
+    doc_id%3!=0, so at the PUBLISHED thresholds both verdict classes
+    are populated: %3==0 docs stay under the 2-distinct-stop floor
+    (quality_rules), long %3!=0 docs clear all eight bounds (kept)."""
     base = _c4_fixture(spark, sf_dir)
     d = F.col("doc_id")
     first = F.substring_index("text", "\n", 1)
@@ -3489,8 +3508,18 @@ def _gq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfc_tail = F.when(
         d % 4 == 0, F.concat(F.lit("\n"), F.lit(_GQ_NFC_LINE))
     ).otherwise(F.lit(""))
+    stop_tail = (
+        F.when(
+            d % 3 != 0, F.concat(F.lit("\n"), F.lit(_GQ_STOP_LINE))
+        ).otherwise(F.lit(""))
+        if published
+        else F.lit("")
+    )
     return base.select(
-        "doc_id", F.concat("text", dup_tail, ngram_tail, nfc_tail).alias("text")
+        "doc_id",
+        F.concat("text", dup_tail, ngram_tail, nfc_tail, stop_tail).alias(
+            "text"
+        ),
     )
 
 
@@ -3504,7 +3533,10 @@ _GQ_RULES_MIN_STOP_HITS = 1
 
 
 def q_gopher_quality_pipeline(
-    spark: SparkSession, sf_dir: str, pin=persist_deferred
+    spark: SparkSession,
+    sf_dir: str,
+    pin=persist_deferred,
+    published: bool = False,
 ) -> DataFrame:
     """The round-12 ops COMPOSED: normalize_unicode feeds
     c4_line_filters, line_repetition_features,
@@ -3520,8 +3552,17 @@ def q_gopher_quality_pipeline(
     ``pin`` is the multi-consumer materialization hook (the
     curation_pipeline_full contract): default deferred memory persist;
     pass ``text.disk_persist_pin`` at 100 TB where SCALE.md's flip
-    criteria apply (storage-memory eviction, executor-loss lineage)."""
-    docs = _gq_fixture(spark, sf_dir)
+    criteria apply (storage-memory eviction, executor-loss lineage).
+
+    ``published=True`` runs the quality-rules stage at the PUBLISHED
+    Table A1 floors (50 words / 2 distinct stop hits) over the
+    stop-line-augmented fixture — the round-13 end-to-end exercise of
+    the production constants under the same manifest oracle (the gated
+    row keeps the fixture-scaled 20/1 floors so every stage class
+    stays populated at gate SF)."""
+    docs = _gq_fixture(spark, sf_dir, published=published)
+    min_words = 50 if published else _GQ_RULES_MIN_WORDS
+    min_stops = 2 if published else _GQ_RULES_MIN_STOP_HITS
     nrm = NZ.normalize_unicode(docs)
     # five consumers read the normalized frame (c4, line battery, n-gram
     # battery, quality rules, manifest spine): pin it so the Arrow
@@ -3540,8 +3581,8 @@ def q_gopher_quality_pipeline(
     nb = T.ngram_repetition_battery(txt)
     qr = T.gopher_quality_rules(
         txt,
-        min_words=_GQ_RULES_MIN_WORDS,
-        min_stop_hits=_GQ_RULES_MIN_STOP_HITS,
+        min_words=min_words,
+        min_stop_hits=min_stops,
     ).select("id", F.col("keep").alias("qr_keep"), "n_words")
     line_fail = None
     for col, thr in _GQ_LINE_THRESHOLDS.items():
@@ -3578,7 +3619,7 @@ def q_gopher_quality_pipeline(
     )
 
 
-def _gq_oracle() -> str:
+def _gq_oracle(published: bool = False) -> str:
     """One DuckDB chain replaying the whole composed pipeline: rebuild
     the fixture (c4 text + dup-line + decomposed-NFC injections), NFC
     normalize, replay the C4 line/page rules, the line/paragraph
@@ -3626,6 +3667,9 @@ def _gq_oracle() -> str:
                        ELSE '' END
                || CASE WHEN doc_id % 4 = 0
                        THEN chr(10) || '{_GQ_NFC_LINE}'
+                       ELSE '' END
+               || CASE WHEN {str(published).lower()} AND doc_id % 3 <> 0
+                       THEN chr(10) || '{_GQ_STOP_LINE}'
                        ELSE '' END AS text
         FROM (SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '\\s+'),
@@ -3744,7 +3788,8 @@ def _gq_oracle() -> str:
     {_gqr_sig_ctes("nz", "qw", "qs")},
     qr AS (
         SELECT doc_id, n_words,
-               {_gqr_keep_sql(_GQ_RULES_MIN_WORDS, _GQ_RULES_MIN_STOP_HITS)}
+               {_gqr_keep_sql(50 if published else _GQ_RULES_MIN_WORDS,
+                              2 if published else _GQ_RULES_MIN_STOP_HITS)}
                    AS qr_keep
         FROM qs
     )
@@ -3773,6 +3818,19 @@ def _gq_oracle() -> str:
 # the quality rules and the stage-attribution math
 register("gopher_quality_pipeline", oracle=_gq_oracle())(
     q_gopher_quality_pipeline
+)
+
+
+# round 13: the SAME composed pipeline at the PUBLISHED Table A1
+# constants (50-word / 2-distinct-stop floors) over the stop-line
+# fixture — the production-threshold path exercised end-to-end under
+# the manifest oracle, with both 'kept' and 'quality_rules' populated
+register_extra(
+    "gopher_quality_pipeline_published", oracle=_gq_oracle(published=True)
+)(
+    lambda spark, sf_dir: q_gopher_quality_pipeline(
+        spark, sf_dir, published=True
+    )
 )
 
 
