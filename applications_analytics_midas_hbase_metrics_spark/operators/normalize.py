@@ -114,6 +114,24 @@ _UTF8_VALID_RE = (
 #: string is trivially valid UTF-8 but has nothing to repair).
 _MOJIBAKE_SIG_RE = f"[{_chr_range(0xC2, 0xF4)}]{_CONT}"
 
+#: cp1252's displaced C1 range: byte 0x80-0x9F decoded as Windows-1252
+#: yields punctuation/letters (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • –
+#: — ˜ ™ š › œ ž Ÿ) instead of the C1 controls Latin-1 keeps.  The
+#: 27 defined mappings below undo that displacement; the five
+#: undefined bytes (81 8D 8F 90 9D) pass through as literal C1 chars
+#: in lenient decoders and need no remap.
+_CP1252_BYTE_TO_CHAR = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E,
+    0x85: 0x2026, 0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6,
+    0x89: 0x2030, 0x8A: 0x0160, 0x8B: 0x2039, 0x8C: 0x0152,
+    0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A,
+    0x9C: 0x0153, 0x9E: 0x017E, 0x9F: 0x0178,
+}
+_CP1252_FROM = "".join(chr(u) for u in _CP1252_BYTE_TO_CHAR.values())
+_CP1252_TO = "".join(chr(b) for b in _CP1252_BYTE_TO_CHAR)
+
 
 def fix_mojibake(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -134,21 +152,34 @@ def fix_mojibake(
     Characters above U+00FF make (a)'s byte reading impossible and the
     row passes through.
 
+    cp1252-FLAVORED mojibake (round 13) — UTF-8 bytes decoded as
+    Windows-1252, the ``â€™``-for-``'`` corruption, the second-most
+    common real-crawl variant — is repaired by the same round trip
+    after a :func:`~pyspark.sql.functions.translate` that undoes
+    cp1252's C1 displacement (the 27 defined punctuation/letter
+    mappings back to U+0080-U+009F; the five undefined bytes pass
+    through as literal C1 chars in lenient decoders and are already in
+    place).  The SAME validity guard runs on the remapped string, so
+    GENUINE Windows-1252 text — a bare curly quote is a lone
+    continuation byte after remap — fails it and passes through
+    untouched.
+
     One documented limitation: a single pass undoes ONE round of
     double-encoding; doubly-mojibaked text (rare but real) would need
-    the pass applied twice.  cp1252-flavored mojibake (where the C1
-    range was further displaced to ``â€™``-style punctuation) is out of
-    scope — that variant is not expressible as a charset round trip
-    because cp1252 has unmapped code points.
+    the pass applied twice.
 
-    Scale shape: ZERO shuffles, no UDF — two regexes and a conditional
-    charset round trip fused into the scan; the common all-ASCII row
-    short-circuits on the signature probe."""
+    Scale shape: ZERO shuffles, no UDF — a translate, four regex
+    probes and a conditional charset round trip fused into the scan;
+    the common all-ASCII row short-circuits on the signature probe."""
     text = F.col(text_col)
     cand = text.rlike(_UTF8_VALID_RE) & text.rlike(_MOJIBAKE_SIG_RE)
-    fixed = F.when(
-        cand, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8")
-    ).otherwise(text)
+    remap = F.translate(text, _CP1252_FROM, _CP1252_TO)
+    cand_cp = remap.rlike(_UTF8_VALID_RE) & remap.rlike(_MOJIBAKE_SIG_RE)
+    fixed = (
+        F.when(cand, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"))
+        .when(cand_cp, F.decode(F.encode(remap, "ISO-8859-1"), "UTF-8"))
+        .otherwise(text)
+    )
     return df.select(
         F.col(id_col).cast("bigint").alias("id"),
         fixed.alias("text_fixed"),

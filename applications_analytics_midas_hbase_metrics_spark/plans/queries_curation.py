@@ -3855,6 +3855,15 @@ _MJ_LONE = " x" + chr(0xC3)
 #: U+1F600 double-encoded (the 4-byte path).
 _MJ_IN_EMOJI = " " + chr(0xF0) + chr(0x9F) + chr(0x98) + chr(0x80)
 _MJ_OUT_EMOJI = " \U0001F600"
+#: cp1252-flavored mojibake (round 13): " it's — €5" with curly
+#: apostrophe/em-dash/euro, UTF-8 bytes read back as Windows-1252 —
+#: the ``â€™``-class corruption.  Derived, not hand-typed.
+_MJ_OUT_CP = " it’s — €5"
+_MJ_IN_CP = _MJ_OUT_CP.encode("utf-8").decode("cp1252")
+#: GENUINE Windows-1252-style text — bare curly quotes, must NOT
+#: change (after the C1 remap they are lone continuation bytes, so the
+#: validity guard rejects the repair).
+_MJ_CURLY = " “quoted” text"
 
 
 def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3864,6 +3873,8 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 5 == 0, F.lit(_MJ_LATIN))
         .when(d % 7 == 0, F.lit(_MJ_LONE))
         .when(d % 11 == 0, F.lit(_MJ_IN_EMOJI))
+        .when(d % 13 == 0, F.lit(_MJ_IN_CP))
+        .when(d % 17 == 0, F.lit(_MJ_CURLY))
         .otherwise(F.lit(""))
     )
     return _spread(spark, t(spark, sf_dir, "documents")).select(
@@ -3880,6 +3891,8 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN doc_id % 5 = 0 THEN 5
                     WHEN doc_id % 7 = 0 THEN 7
                     WHEN doc_id % 11 = 0 THEN 11
+                    WHEN doc_id % 13 = 0 THEN 13
+                    WHEN doc_id % 17 = 0 THEN 17
                     ELSE 0 END AS b
         FROM documents
     )
@@ -3888,19 +3901,26 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 5 THEN '{_MJ_LATIN}'
                           WHEN 7 THEN '{_MJ_LONE}'
                           WHEN 11 THEN '{_MJ_OUT_EMOJI}'
+                          WHEN 13 THEN '{_MJ_OUT_CP}'
+                          WHEN 17 THEN '{_MJ_CURLY}'
                           ELSE '' END AS text_fixed,
-           CAST(CASE WHEN b IN (3, 11) THEN 1 ELSE 0 END AS INT) AS changed,
-           CAST(CASE b WHEN 3 THEN 2 WHEN 11 THEN 3 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN b IN (3, 11, 13) THEN 1 ELSE 0 END AS INT)
+               AS changed,
+           CAST(CASE b WHEN 3 THEN 2 WHEN 11 THEN 3
+                       WHEN 13 THEN {len(_MJ_IN_CP) - len(_MJ_OUT_CP)}
+                       ELSE 0 END AS BIGINT)
                AS n_chars_saved
     FROM br
     """,
 )
 def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """operators.normalize.fix_mojibake over the four-branch fixture:
-    repaired 2-byte and 4-byte double-encodings, untouched genuine
-    Latin-1 and truncated-lead text — the oracle knows every answer
-    from the id arithmetic, so the Spark side's charset round trip is
-    checked against independently constructed expected strings."""
+    """operators.normalize.fix_mojibake over the six-branch fixture:
+    repaired 2-byte and 4-byte double-encodings, the cp1252-flavored
+    ``â€™`` variant (round 13), untouched genuine Latin-1,
+    truncated-lead text and genuine curly-quote Windows-1252 text —
+    the oracle knows every answer from the id arithmetic, so the Spark
+    side's charset round trips are checked against independently
+    constructed expected strings."""
     return NZ.fix_mojibake(_mj_fixture(spark, sf_dir))
 
 

@@ -109,6 +109,29 @@ def test_fix_mojibake_hand_cases(spark):
     assert out[7].n_chars_saved == 0
 
 
+def test_fix_mojibake_cp1252_variant(spark):
+    """Round-13: the Windows-1252 flavor — UTF-8 bytes decoded as
+    cp1252, so curly punctuation lands as ``â€™``-style clusters —
+    repairs through the C1 remap + the same round trip; GENUINE text
+    that merely uses curly quotes or € stays untouched (a lone
+    remapped quote is an invalid continuation byte)."""
+    fixed1 = "it’s fine"
+    fixed2 = "price €99 — deal"
+    rows = [
+        (1, fixed1.encode("utf-8").decode("cp1252")),   # itâ€™s fine
+        (2, fixed2.encode("utf-8").decode("cp1252")),
+        (3, "genuine “quotes” and €"),   # must not change
+        (4, "a dash – only"),                      # must not change
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in NZ.fix_mojibake(df).collect()}
+    assert out[1].text_fixed == fixed1 and out[1].changed == 1
+    assert out[1].n_chars_saved == 2
+    assert out[2].text_fixed == fixed2 and out[2].changed == 1
+    assert out[3].text_fixed == rows[2][1] and out[3].changed == 0
+    assert out[4].text_fixed == rows[3][1] and out[4].changed == 0
+
+
 def test_fix_mojibake_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     plan = NZ.fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
