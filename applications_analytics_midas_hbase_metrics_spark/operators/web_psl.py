@@ -47,6 +47,8 @@ algorithm follows the public publicsuffix.org specification.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,12 +156,59 @@ def psl_rules_df(
     )
 
 
+#: The vendored canonical list (round 13) — publicsuffix.org's
+#: public_suffix_list.dat (MPL 2.0, ~9.5k rules incl. the PRIVATE
+#: DOMAINS section), shipped as package data so the production path
+#: needs no network.
+PSL_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+
+def _rule_to_ascii(rule: str) -> str | None:
+    """A-label (punycode) twin of a PSL rule, or None when a label
+    refuses IDNA encoding.  The canonical file lists IDN rules in
+    U-label (unicode) form; a crawl whose hosts were punycoded (the
+    :func:`web.punycode_host` path) joins on the ASCII form, so the
+    loader ships BOTH."""
+    exc = rule.startswith("!")
+    body = rule[1:] if exc else rule
+    out = []
+    for lab in body.split("."):
+        if lab == "*" or lab.isascii():
+            out.append(lab)
+        else:
+            try:
+                out.append(lab.encode("idna").decode("ascii"))
+            except UnicodeError:
+                return None
+    return ("!" if exc else "") + ".".join(out)
+
+
 def load_psl_rules(spark: SparkSession, path: str) -> DataFrame:
     """Production path: the full public_suffix_list.dat →
-    :func:`psl_rules_df`.  ~9k rules ≈ 200 KB — driver-side read,
-    broadcast join table."""
+    :func:`psl_rules_df`.  ~9.5k rules ≈ 240 KB — driver-side read,
+    broadcast join table.  Every unicode (IDN) rule is additionally
+    expanded to its punycoded A-label twin so both raw-unicode and
+    punycoded host columns match; the operator shape is rule-count-
+    invariant (the join key cardinality grows, nothing else)."""
     with open(path, encoding="utf-8") as fh:
-        return psl_rules_df(spark, parse_psl_lines(fh.readlines()))
+        rules = parse_psl_lines(fh.readlines())
+    ascii_twins = [
+        a
+        for r in rules
+        if not r.isascii()
+        if (a := _rule_to_ascii(r)) is not None and a != r
+    ]
+    return psl_rules_df(spark, rules + ascii_twins)
+
+
+def load_vendored_psl_rules(spark: SparkSession) -> DataFrame:
+    """:func:`load_psl_rules` over the package's vendored canonical
+    list (:data:`PSL_DATA_PATH`)."""
+    return load_psl_rules(spark, PSL_DATA_PATH)
 
 
 def _opaque_host(h: Column) -> Column:

@@ -1899,6 +1899,90 @@ def q_domain_extract_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "psl_domain", "public_suffix")
 
 
+@register_extra(
+    "domain_extract_psl_full",
+    # known-answer oracle: every class's host/suffix/domain follows
+    # from the id arithmetic and the PUBLISHED semantics of a real rule
+    # the curated snapshot does NOT carry (classes 5-8)
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(doc_id % 23 AS VARCHAR) AS k,
+               doc_id % 9 AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE c WHEN 0 THEN 'site' || k || '.com'
+                  WHEN 1 THEN 'a.b.site' || k || '.co.uk'
+                  WHEN 2 THEN 'sub' || k || '.github.io'
+                  WHEN 3 THEN 'w3.site' || k || '.ck'
+                  WHEN 4 THEN 'foo.www.ck'
+                  WHEN 5 THEN 'x.site' || k || '.devcdnaccesso.com'
+                  WHEN 6 THEN 'a' || k || '.pvt.k12.ma.us'
+                  WHEN 7 THEN 'host' || k || '.xn--q9jyb4c'
+                  ELSE 'x' || k || '.y.compute.amazonaws.com.cn'
+           END AS host,
+           CASE c WHEN 0 THEN 'site' || k || '.com'
+                  WHEN 1 THEN 'site' || k || '.co.uk'
+                  WHEN 2 THEN 'sub' || k || '.github.io'
+                  WHEN 3 THEN 'w3.site' || k || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  WHEN 5 THEN 'x.site' || k || '.devcdnaccesso.com'
+                  WHEN 6 THEN 'a' || k || '.pvt.k12.ma.us'
+                  WHEN 7 THEN 'host' || k || '.xn--q9jyb4c'
+                  ELSE 'x' || k || '.y.compute.amazonaws.com.cn'
+           END AS psl_domain,
+           CASE c WHEN 0 THEN 'com'
+                  WHEN 1 THEN 'co.uk'
+                  WHEN 2 THEN 'github.io'
+                  WHEN 3 THEN 'site' || k || '.ck'
+                  WHEN 4 THEN 'ck'
+                  WHEN 5 THEN 'site' || k || '.devcdnaccesso.com'
+                  WHEN 6 THEN 'pvt.k12.ma.us'
+                  WHEN 7 THEN 'xn--q9jyb4c'
+                  ELSE 'y.compute.amazonaws.com.cn'
+           END AS public_suffix
+    FROM b
+    """,
+)
+def q_domain_extract_psl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable domains under the VENDORED canonical
+    public_suffix_list.dat (round 13 — operators.web_psl
+    .load_vendored_psl_rules, ~9.5k rules + punycoded IDN twins).
+    Classes 0-4 are the snapshot fixture's own rule classes, so the
+    full list must reproduce the snapshot's behavior on the snapshot's
+    domain; classes 5-8 exist ONLY in the real list — a PRIVATE-section
+    wildcard (*.devcdnaccesso.com), a 4-label ICANN rule
+    (pvt.k12.ma.us), a unicode rule matched through its A-label twin
+    (みんな → xn--q9jyb4c), and a 5-label wildcard at the probe's
+    depth ceiling (*.compute.amazonaws.com.cn)."""
+    from ..operators import web_psl as WP
+
+    d = F.col("doc_id")
+    k = (d % 23).cast("string")
+    host = F.element_at(
+        F.array(
+            F.concat(F.lit("site"), k, F.lit(".com")),
+            F.concat(F.lit("a.b.site"), k, F.lit(".co.uk")),
+            F.concat(F.lit("sub"), k, F.lit(".github.io")),
+            F.concat(F.lit("w3.site"), k, F.lit(".ck")),
+            F.lit("foo.www.ck"),
+            F.concat(F.lit("x.site"), k, F.lit(".devcdnaccesso.com")),
+            F.concat(F.lit("a"), k, F.lit(".pvt.k12.ma.us")),
+            F.concat(F.lit("host"), k, F.lit(".xn--q9jyb4c")),
+            F.concat(F.lit("x"), k, F.lit(".y.compute.amazonaws.com.cn")),
+        ),
+        (d % 9 + 1).cast("int"),
+    )
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat(F.lit("https://"), host, F.lit("/p")).alias("url")
+    )
+    out = WP.with_domain_psl(
+        docs, WP.load_vendored_psl_rules(spark), domain_out="psl_domain"
+    )
+    return out.select("doc_id", "host", "psl_domain", "public_suffix")
+
+
 @register(
     "domain_extract_idn",
     oracle="""

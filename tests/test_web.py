@@ -285,6 +285,61 @@ def test_psl_file_loader(spark, tmp_path):
     }
 
 
+def test_vendored_psl_matches_snapshot_and_extends(spark):
+    """The vendored canonical public_suffix_list.dat (round 13) must
+    (a) reproduce the curated snapshot's verdicts on every host class
+    the snapshot covers, and (b) resolve rule classes that exist ONLY
+    in the real list: a PRIVATE-section wildcard, a 4-label ICANN
+    rule, a unicode rule via its punycoded A-label twin, and a 5-label
+    wildcard at the candidate-depth ceiling."""
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        web_psl as WP,
+    )
+
+    full = WP.load_vendored_psl_rules(spark)
+    assert full.count() > 9000  # the real list, not a snapshot
+
+    snapshot_hosts = [
+        "site1.com", "blog.site1.com", "a.b.site2.co.uk",
+        "sub3.github.io", "w3.site4.ck", "foo.www.ck", "bare",
+        "192.168.0.1",
+    ]
+    hosts = spark.createDataFrame([(h,) for h in snapshot_hosts], "host string")
+    snap = {
+        r.host: (r.psl_domain, r.public_suffix)
+        for r in WP.host_psl_map(hosts, WP.psl_rules_df(spark)).collect()
+    }
+    fullv = {
+        r.host: (r.psl_domain, r.public_suffix)
+        for r in WP.host_psl_map(hosts, full).collect()
+    }
+    assert fullv == snap
+
+    beyond = spark.createDataFrame(
+        [
+            ("x.site5.devcdnaccesso.com",),
+            ("a.pvt.k12.ma.us",),
+            ("host6.xn--q9jyb4c",),
+            ("x.y.compute.amazonaws.com.cn",),
+        ],
+        "host string",
+    )
+    got = {
+        r.host: (r.psl_domain, r.public_suffix)
+        for r in WP.host_psl_map(beyond, full).collect()
+    }
+    assert got == {
+        "x.site5.devcdnaccesso.com": (
+            "x.site5.devcdnaccesso.com", "site5.devcdnaccesso.com",
+        ),
+        "a.pvt.k12.ma.us": ("a.pvt.k12.ma.us", "pvt.k12.ma.us"),
+        "host6.xn--q9jyb4c": ("host6.xn--q9jyb4c", "xn--q9jyb4c"),
+        "x.y.compute.amazonaws.com.cn": (
+            "x.y.compute.amazonaws.com.cn", "y.compute.amazonaws.com.cn",
+        ),
+    }
+
+
 def test_punycode_host_and_ip_opaque(spark):
     """IDN normalization: Unicode and xn-- spellings of one host agree
     after with_domain(idn=True); ASCII hosts short-circuit untouched;
