@@ -116,7 +116,17 @@ def punycode_host(host_col: str | Column) -> Column:
     whitespace) fall back to their raw form rather than erroring a
     100 TB pass.  The one Python boundary in the web family — a
     vectorized pandas UDF, applied to the host projection, never to
-    payloads."""
+    payloads.
+
+    Codec nuance (documented round 13): this is Python's legacy
+    ``idna`` codec — IDNA 2003, not UTS-46 — so a handful of mapped
+    codepoints differ from modern browser behavior (most famously
+    ``ß`` folds to ``ss`` instead of ``xn--zca``).  Every spelling of
+    a host maps to ONE canonical form WITHIN the engine, so dedup/cap
+    correctness is unaffected; only cross-SYSTEM host parity with a
+    UTS-46 resolver could see the difference, and that needs a
+    vendored UTS-46 mapping table (no stdlib support), tracked as a
+    known limitation rather than silently approximated."""
 
     @pandas_udf("string")
     def _puny(s: pd.Series) -> pd.Series:

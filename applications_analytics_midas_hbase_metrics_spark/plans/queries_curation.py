@@ -1983,7 +1983,10 @@ def q_domain_extract_psl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "psl_domain", "public_suffix")
 
 
-@register(
+@register_extra(
+    # gated r12 (punycode boundary's first round); rotated OUT round
+    # 13: the IDN path is additionally covered by the vendored-PSL row
+    # (A-label rule twins) and domain_extract_psl stays gated
     "domain_extract_idn",
     oracle="""
     WITH b AS (
@@ -2087,7 +2090,10 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "host", "domain")
 
 
-@register(
+@register_extra(
+    # gated r12 (its first round); rotated OUT round 13: composed of
+    # the still-gated domain_cap's two-phase top-K and the
+    # mixture_sample map-side filter (sweep keeps the composition)
     "domain_mixture",
     oracle=f"""
     WITH dom AS (SELECT doc_id, {_DOM_DOMAIN_SQL} AS domain FROM documents),
@@ -2525,7 +2531,10 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # gated r11-r12 to pin the min_by keep-first rewrite; rotated OUT
+    # round 13: two driver-green rounds done, the shape is shared with
+    # the still-gated dedup_exact and the skew harness pins it flat
     "url_dedup",
     oracle="""
     WITH c AS (
@@ -2978,10 +2987,11 @@ _NFC_SFX_D = " cafe\u0301 u\u0308ber A\u030a \u1100\u1161"
 _NFC_SFX_C = " caf\u00e9 \u00fcber \u00c5 \uac00"
 
 
-register(
-    # driver-gated from birth (round 12, in for pagerank_coview): the
-    # repo's one unicodedata Python boundary gets a driver-hard row
-    # against DuckDB's independent normalizer
+register_extra(
+    # driver-gated from birth (round 12, in for pagerank_coview);
+    # rotated OUT round 13: the normalizer is the gated
+    # gopher_quality_pipeline's first stage (manifest-oracled there),
+    # and this independent-nfc row stays sweep-checked every round
     "unicode_nfc",
     oracle=f"""
     WITH fx AS (
@@ -3365,7 +3375,11 @@ def _gqr_oracle() -> str:
     """
 
 
-register_extra("gopher_quality_rules", oracle=_gqr_oracle())(
+# rotated INTO the driver gate round 13 (judge's rotate-in list): the
+# standalone battery at the PUBLISHED 50/2 floors, now with the
+# per-symbol hash/ellipsis ratio split — driver-hard while the
+# composed pipeline keeps its fixture-scaled floors
+register("gopher_quality_rules", oracle=_gqr_oracle())(
     lambda spark, sf_dir: T.gopher_quality_rules(_gqr_fixture(spark, sf_dir))
 )
 
@@ -3390,7 +3404,11 @@ def _cdup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.alias("text"))
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate round 13 (judge's rotate-in list;
+    # sweep-green since r12): the CCNet corpus-wide keep-first pass is
+    # the highest-leverage never-gated dedup row, and r13 added the
+    # packed-key guard worth a driver-hard check
     "dedup_paragraphs_corpus",
     oracle="""
     WITH fx AS (
@@ -3502,7 +3520,12 @@ def _dsir_oracle() -> str:
     """
 
 
-@register_extra("dsir_weights", oracle=_dsir_oracle())
+# rotated INTO the driver gate round 13 (judge's rotate-in list;
+# sweep-green since r12): the heaviest never-gated composed row — the
+# micro-quantized integer dot product and the TakeOrderedAndProject
+# selection get a driver-hard differential for a round (9.7 s at
+# bench sf0.1, measured before rotation)
+@register("dsir_weights", oracle=_dsir_oracle())
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection against the doc_id%5==0 target slice: the hashed
     uni+bigram bag models, the micro-quantized per-bucket log ratios,
@@ -3966,7 +3989,11 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate round 13 (judge's rotate-in list;
+    # sweep-green since r12): r13 extended the operator with the
+    # cp1252 variant, so the six-branch known-answer row goes
+    # driver-hard for a round
     "mojibake_repair",
     oracle=f"""
     WITH br AS (
@@ -4103,7 +4130,11 @@ def _sc_oracle() -> str:
     """
 
 
-@register_extra("script_profile", oracle=_sc_oracle())
+# rotated INTO the driver gate round 13 (judge's rotate-in list;
+# sweep-green since r12): the writing-system router's RE2-vs-Java
+# regex range parity is exactly the cross-engine class the gate exists
+# to hold
+@register("script_profile", oracle=_sc_oracle())
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.text.script_profile over the eight-script fixture:
     replaced Hangul/CJK pages flip dominant_script, appended samples

@@ -2343,7 +2343,10 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver gate round 13 (judge's rotate-in list;
+    # sweep-green since r11): the frame-sampling multimodal path gets
+    # its driver-hard round
     "video_scene_cuts",
     oracle="""
     WITH m AS (
@@ -2665,7 +2668,10 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-@register(
+@register_extra(
+    # gated r12 (its first round, in for topk_orders); rotated OUT
+    # round 13: the from_xml parse is format-scan class like the
+    # still-gated mupr/mucr rows, sweep keeps it green
     "xml_scan",
     oracle=f"""
     SELECT doc_id,
@@ -2708,7 +2714,10 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # gated r12 (its first round); rotated OUT round 13: the quoted/
+    # multiline CSV surface shares the reader options with the
+    # still-gated meta_enrich trigger-CSV path, sweep keeps it green
     "csv_quoted_scan",
     oracle=f"""
     SELECT doc_id,
