@@ -193,15 +193,20 @@ def quality_representatives(
     from ``components``) form singleton clusters and always survive.
 
     Returns every document as (id, cluster_id, <score_col>, keep) with
-    keep = 1 for the chosen representative.  One shuffle on cluster_id;
-    the ranking window is PARTITIONED by cluster (near-dup clusters are
-    small and numerous, so per-cluster sorts are partition-local — the
-    same many-groups argument as sampling.stratified_percent_rank).
-    The (score desc, id) order is TOTAL (ids unique), so the winner is
-    deterministic and oracle-comparable even under widespread score
-    ties."""
-    from pyspark.sql.window import Window
-
+    keep = 1 for the chosen representative.  The winner is a
+    ``groupBy(cluster).agg(max(struct(score, -id)))`` + equi join-back
+    (round 13) — NOT a per-cluster ranking window: near-dup clusters
+    are usually small, but the one that matters at 100 TB is the viral
+    boilerplate cluster holding a double-digit percent of the corpus,
+    and a window funnels all of it through one task's sort while the
+    max-struct aggregation pre-reduces map-side to one candidate per
+    cluster per partition (the round-12 keep-first rule, argmax form).
+    The (score desc, id) order is TOTAL (ids unique) and the struct
+    max reproduces it exactly — max score wins, ties fall to min id
+    via the negated-id field, an all-NULL-score cluster falls entirely
+    to min id (struct ordering puts NULL below any value) — so the
+    winner is deterministic and oracle-comparable even under
+    widespread score ties."""
     labeled = (
         scored.select(
             F.col(id_col).cast("bigint").alias("id"), score_col
@@ -209,14 +214,23 @@ def quality_representatives(
         .join(components, "id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("id")))
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col("id")
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col("id")).alias("nid")
+            )
+        ).alias("_w")
     )
-    return labeled.select(
+    return labeled.join(winners, "cluster_id").select(
         "id",
         "cluster_id",
         score_col,
-        (F.row_number().over(w) == 1).cast("bigint").alias("keep"),
+        (
+            F.col(score_col).eqNullSafe(F.col("_w.s"))
+            & (F.col("id") == -F.col("_w.nid"))
+        )
+        .cast("bigint")
+        .alias("keep"),
     )
 
 

@@ -46,7 +46,19 @@ def global_prefix_sum(
     ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
         order_col
     )
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # LAZY localCheckpoint before the totals/join fan-out — correctness,
+    # not caching: each rangepartitioning exchange samples boundaries
+    # with a per-RDD seed, and if the planner fails to reuse one
+    # exchange across the two branches (it silently does whenever
+    # column pruning makes the subtrees canonically differ —
+    # sampling._two_phase_rank documents the measured failure), the
+    # _pid totals and the probe rows come from DIFFERENT partitionings
+    # and the prefix sums corrupt nondeterministically.  One
+    # materialization of the (order, value) projection pins both
+    # branches to the same RDD.
+    ranged = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     # one row per partition; cumulative offset = sum of all PRIOR
     # partitions' totals.  |partitions| rows (hundreds at cluster
     # scale), not the data — the whole point of the two-phase sum is

@@ -88,7 +88,7 @@ _SHARD_PRIME = 2654435761
 def _two_phase_rank(
     df: DataFrame,
     part_cols: list[str],
-    order_cols: list[str],
+    order_cols: list,
     out: str = "_rank",
     total_col: str | None = None,
 ) -> DataFrame:
@@ -113,19 +113,43 @@ def _two_phase_rank(
        ``rank = offset + local_rank``.
 
     Exactness: ``order_cols`` must end in a unique key (every caller
-    orders by (..., id)), so the range partitioner's contiguous-range
-    contract makes offset + local rank equal the single-window global
-    rank bit-for-bit — same oracle, flat wall under a 90%-hot group
+    orders by (..., id)); entries may be strings or Column sort
+    expressions (``F.col(x).desc_nulls_last()`` — both
+    ``repartitionByRange`` and the local window honor the direction),
+    and the range partitioner's contiguous-range contract makes
+    offset + local rank equal the single-window global rank
+    bit-for-bit — same oracle, flat wall under a 90%-hot group
     (tools/shard_rank_scale.py).  The ranked frame is the range
     exchange's OUTPUT on both sides of the offsets join, so Spark's
     ReuseExchange computes it once and both branches see identical
     partition ids.
 
+    The ranged frame is pinned with a LAZY localCheckpoint before it
+    fans out to the counts branch and the join branch — this is a
+    CORRECTNESS requirement, not a cache: a rangepartitioning exchange
+    samples its boundaries with a per-RDD seed, and the two branches
+    only see the same boundaries if the planner reuses one exchange.
+    That reuse silently fails whenever column pruning makes the two
+    subtrees canonically different (measured: the counts branch prunes
+    a column the probe branch keeps, each branch samples its own
+    boundaries, ``spark_partition_id()`` disagrees between them, and
+    offsets key to the wrong partitions — nondeterministic results,
+    caught by tools/shard_rank_scale.py's token-budget section).  The
+    checkpoint materializes the NARROW projection once (every caller
+    passes (id, group, order, value) columns only — bounded bytes per
+    row, spillable MEMORY_AND_DISK) and both branches read the same
+    RDD, so the partition ids are the stable range-bucket indexes in
+    every consumer.  The explicit partition count additionally keeps
+    AQE from coalescing the two reads differently.
+
     ``total_col`` additionally attaches each group's TOTAL row count —
     free, from the same tiny counts frame (percent_rank's denominator
     without a second pass over the rows)."""
-    rep = df.repartitionByRange(*part_cols, *order_cols).withColumn(
-        "_tp_p", F.spark_partition_id()
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rep = (
+        df.repartitionByRange(n_parts, *part_cols, *order_cols)
+        .withColumn("_tp_p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = rep.groupBy(*part_cols, "_tp_p").agg(
         F.count(F.lit(1)).alias("_tp_cnt")
@@ -145,6 +169,52 @@ def _two_phase_rank(
             out,
             (F.col("_tp_off") + F.row_number().over(wl)).cast("bigint"),
         )
+        .drop("_tp_p", "_tp_off")
+    )
+
+
+def _two_phase_cumsum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    out: str = "_cum",
+) -> DataFrame:
+    """EXACT inclusive running sum of ``value_col`` (bigint) in
+    ``order_cols`` order within each ``part_cols`` group — the
+    prefix-sum sibling of :func:`_two_phase_rank`, same shape and same
+    exactness argument: range exchange, per-(group, partition) partial
+    SUMS (tiny), running-sum offsets over that counts frame, then a
+    partition-LOCAL running window; ``cum = offset + local running
+    sum``.  No per-group window anywhere, so one group holding most of
+    the corpus costs its shuffle share, never one task.  The lazy
+    localCheckpoint + explicit partition count carry
+    :func:`_two_phase_rank`'s exchange-reuse correctness guard (see
+    there — this helper is where the fragility was first caught)."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rep = (
+        df.repartitionByRange(n_parts, *part_cols, *order_cols)
+        .withColumn("_tp_p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    val = F.col(value_col).cast("bigint")
+    sums = rep.groupBy(*part_cols, "_tp_p").agg(
+        F.sum(val).alias("_tp_s")
+    )
+    wo = Window.partitionBy(*part_cols).orderBy("_tp_p")
+    offsets = sums.select(
+        *part_cols,
+        "_tp_p",
+        (F.sum("_tp_s").over(wo) - F.col("_tp_s")).alias("_tp_off"),
+    )
+    wl = (
+        Window.partitionBy(*part_cols, "_tp_p")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rep.join(offsets, [*part_cols, "_tp_p"])
+        .withColumn(out, F.col("_tp_off") + F.sum(val).over(wl))
         .drop("_tp_p", "_tp_off")
     )
 
@@ -419,11 +489,13 @@ def token_budget_mixture(
     absent from ``budgets`` are dropped (budgets are the explicit
     mixture spec).
 
-    The running total is a per-source window over the hash order — the
-    sort is partitioned per source, never global; a single source too
-    large for one reducer's sort spills (external sort) or graduates to
-    the two-phase distributed prefix sum in operators/packing.py, which
-    is this exact computation factored for that regime.
+    The running total is a window-free two-phase prefix sum
+    (:func:`_two_phase_cumsum`, round 13) over the NARROW (id, source,
+    weight) projection, joined back by id: the mixture spec names FEW
+    sources ("web", "code", ...), each corpus-sized, so a per-source
+    running window is exactly the mega-stratum single-task funnel; the
+    two-phase form spreads each source across every range partition it
+    spans and the payload crosses the wire once, in the join-back.
 
     Returns the kept rows plus ``cum_tokens`` (the source's running
     total through this doc)."""
@@ -437,22 +509,24 @@ def token_budget_mixture(
         * F.lit(_BUDGET_PRIME),
         F.lit(_MIX_DOMAIN),
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy("_h", key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        df.withColumn("_b", b[F.col(source_col)])
+    narrow = (
+        df.select(key_col, source_col, weight_col)
+        .withColumn("_b", b[F.col(source_col)])
         .filter(F.col("_b").isNotNull())
         .withColumn("_h", h)
-        .withColumn(
-            "cum_tokens",
-            F.sum(F.col(weight_col).cast("bigint")).over(w),
+    )
+    kept = (
+        _two_phase_cumsum(
+            narrow,
+            [source_col],
+            ["_h", key_col],
+            weight_col,
+            out="cum_tokens",
         )
         .filter(F.col("cum_tokens") <= F.col("_b"))
-        .drop("_h", "_b")
+        .select(key_col, "cum_tokens")
     )
+    return df.join(kept, key_col).select(*df.columns, "cum_tokens")
 
 
 #: Distinct multiplier for the weighted-sample key (must differ from

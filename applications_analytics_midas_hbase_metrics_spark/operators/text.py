@@ -802,14 +802,18 @@ def perplexity_buckets(
     — decorrelated from modular id sampling like every other sampler
     here.
 
-    Scale shape: scoring is the LM's gram-keyed joins; the split adds
-    ONE window over (lang) — a per-language sort, the unavoidable cost
-    of exact quantile thirds.  At 100 TB one would swap the window for
-    approx-percentile score cutoffs (two scans, no sort); the rank
-    form is the oracle-exact gate for the identical keep semantics.
+    Scale shape: scoring is the LM's gram-keyed joins; the split's
+    per-language rank is a window-free two-phase global rank
+    (sampling._two_phase_rank, round 13) — languages are FEW and HUGE
+    at crawl scale, the exact mega-stratum regime where a per-lang
+    ranking window funnels one language through one task's sort; the
+    two-phase form spreads it across every range partition and stays
+    bit-equal to the window rank (total order).  A corpus that can
+    tolerate approximate thirds can still swap in approx-percentile
+    score cutoffs (two scans, no rank at all).
 
     Returns (id, lang, bucket, kept)."""
-    from .sampling import fibonacci_bucket
+    from .sampling import _two_phase_rank, fibonacci_bucket
 
     scored = ngram_lm_score(
         df, text_col=text_col, id_col=id_col, materialize=materialize
@@ -818,12 +822,15 @@ def perplexity_buckets(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(lang_col).alias("lang"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("lm_score").desc_nulls_last(), F.col("id")
+    ranked = _two_phase_rank(
+        scored.join(lang, "id"),
+        ["lang"],
+        [F.col("lm_score").desc_nulls_last(), F.col("id")],
+        out="_rk",
+        total_col="_n",
     )
-    wn = Window.partitionBy("lang")
-    r3 = (F.row_number().over(w) - 1) * 3
-    n = F.count(F.lit(1)).over(wn)
+    r3 = (F.col("_rk") - 1) * 3
+    n = F.col("_n")
     bucket = (
         F.when(r3 < n, F.lit("head"))
         .when(r3 < 2 * n, F.lit("middle"))
@@ -831,7 +838,7 @@ def perplexity_buckets(
     )
     fib = fibonacci_bucket("id")
     return (
-        scored.join(lang, "id")
+        ranked
         .select("id", "lang", bucket.alias("bucket"))
         .select(
             "id",

@@ -103,6 +103,29 @@ def main() -> None:
         w = Window.partitionBy("source").orderBy("score", "doc_id")
         return df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
 
+    def old_budget(df, budgets):  # pre-round-13 funnel shape
+        b = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        h = F.pmod(
+            F.pmod(F.col("doc_id").cast("bigint"), F.lit(S._MIX_DOMAIN))
+            * F.lit(S._BUDGET_PRIME),
+            F.lit(S._MIX_DOMAIN),
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("_h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("_b", b[F.col("source")])
+            .filter(F.col("_b").isNotNull())
+            .withColumn("_h", h)
+            .withColumn(
+                "cum_tokens", F.sum(F.col("n_tokens").cast("bigint")).over(w)
+            )
+            .filter(F.col("cum_tokens") <= F.col("_b"))
+            .drop("_h", "_b")
+        )
+
     def checksum(df, cols):
         return df.select(
             F.bit_xor(F.xxhash64(*cols)).alias("c"),
@@ -137,10 +160,31 @@ def main() -> None:
         t_pr_old = time.monotonic() - t0
         assert tuple(cs_pnew) == tuple(cs_pold), (cs_pnew, cs_pold)
 
+        # token-budget prefix sum under the same mega-source regime:
+        # ~90% of rows (and tokens) belong to ONE budgeted source
+        bdocs = docs.withColumn(
+            "n_tokens", (F.col("doc_id") % 37 + 1).cast("bigint")
+        )
+        budgets = {"megasource": rows_in * 2, "s1": rows_in, "s3": 50}
+        t0 = time.monotonic()
+        tb = S.token_budget_mixture(bdocs, budgets, weight_col="n_tokens")
+        cs_bnew = checksum(tb, ["doc_id", "cum_tokens"])
+        t_tb = time.monotonic() - t0
+        bplan = tb._jdf.queryExecution().executedPlan().toString()
+        assert _row_number_windows_partition_bounded(bplan), bplan[:2000]
+
+        t0 = time.monotonic()
+        cs_bold = checksum(
+            old_budget(bdocs, budgets), ["doc_id", "cum_tokens"]
+        )
+        t_tb_old = time.monotonic() - t0
+        assert tuple(cs_bnew) == tuple(cs_bold), (cs_bnew, cs_bold)
+
         print(
             f"mult={mult:>3} rows={rows_in:>9} | "
             f"shards two-phase {t_sh:6.2f}s vs window {t_sh_old:6.2f}s | "
-            f"pct_rank two-phase {t_pr:6.2f}s vs window {t_pr_old:6.2f}s",
+            f"pct_rank two-phase {t_pr:6.2f}s vs window {t_pr_old:6.2f}s | "
+            f"token_budget two-phase {t_tb:6.2f}s vs window {t_tb_old:6.2f}s",
             flush=True,
         )
     spark.stop()
