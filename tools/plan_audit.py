@@ -603,6 +603,15 @@ def main() -> None:
         "BFS frontier loop (bfs_reach) checkpoint unconditionally per",
         "superstep and are not plan-audited here.",
         "",
+        "domain_extract_psl / domain_extract_psl_full (round 13): the",
+        "host->domain map carries NO forced broadcast — a REBALANCE stage",
+        "boundary above the map exposes its runtime size, so AQE converts",
+        "the corpus join to broadcast at audit SF (the section below shows",
+        "0 sort-merge joins in the final plan) and planlessly degrades to",
+        "a shuffle join when the distinct-host map exceeds the broadcast",
+        "threshold (a 10^8-host crawl) instead of OOMing the driver. Only",
+        "the <=~200-row rules table keeps an explicit broadcast hint.",
+        "",
         "The gated ANN rows (ann_ivf, ann_pq) are recall-verification",
         "COMPOSITES (search + brute-force truth + centroid/codebook build",
         "in one lineage since the round-9 registry pins keep it lazy), so",
