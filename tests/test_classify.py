@@ -323,6 +323,40 @@ def test_token_budget_mixture_properties(spark, sf_dir):
     assert again == sorted((r.doc_id, r.cum_tokens) for r in rows)
 
 
+def test_two_phase_shapes_are_run_deterministic(spark):
+    """Regression for the round-13 exchange-reuse trap: a
+    rangepartitioning exchange samples boundaries with a per-RDD seed,
+    and before the lazy-localCheckpoint pin the two consumers of the
+    ranged frame could sample DIFFERENT boundaries (planner reuse
+    breaks when column pruning desynchronizes the subtrees), making
+    token_budget_mixture's kept-row count vary RUN TO RUN on identical
+    input.  Three invocations must agree exactly."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = spark.range(120_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("megasource"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
+        .alias("source"),
+        (F.col("id") % 37 + 1).cast("bigint").alias("n_tokens"),
+    )
+    budgets = {"megasource": 240_000, "s1": 120_000, "s3": 50}
+    runs = []
+    for _ in range(3):
+        out = token_budget_mixture(docs, budgets, weight_col="n_tokens")
+        runs.append(
+            tuple(
+                out.select(
+                    F.bit_xor(F.xxhash64("doc_id", "cum_tokens")).alias("c"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            )
+        )
+    assert runs[0] == runs[1] == runs[2], runs
+
+
 def test_token_budget_mixture_empty_budgets_rejected(spark, sf_dir):
     import pytest as _pytest
     from pyspark.sql import functions as F

@@ -161,6 +161,13 @@ CHECKS = {
     # caveat above); its window-boundedness is pinned in
     # tests/test_classify.py + tools/shard_rank_scale.py instead.
     "shuffle_shards": ["_tp_p"],
+    "token_budget_mixture": ["_tp_p"],
+    "perplexity_buckets": ["_tp_p"],
+    # keep-first argmax must be the max-struct aggregation + equi join,
+    # never a per-cluster window (round-13 rewrite; struct buffers
+    # compile to SortAggregate with a map-side partial_max — the sorts
+    # are partition-local and spillable)
+    "dedup_best_quality": ["partial_max(struct"],
 }
 
 
@@ -585,6 +592,10 @@ def main() -> None:
         "script_profile",
         "shuffle_shards",
         "quality_importance_sample",
+        "domain_extract_psl_full",
+        "gopher_quality_pipeline_published",
+        "token_budget_mixture",
+        "dedup_best_quality",
     }
     lines = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
