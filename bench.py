@@ -170,6 +170,20 @@ def run_trial() -> dict:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the queries, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # also absorb session-generic first-query machinery (whole-stage
+    # codegen framework, exchange/shuffle infra, broadcast relation
+    # build) with two throwaway shapes: without this, the FIRST real
+    # query in registration order absorbed ~8 s of JVM warm-up in
+    # every fresh trial (cell_build read 7.7-15.8 s vs its own ~1 s),
+    # polluting per-query attribution while leaving the total honest
+    spark.sql(
+        "select count(*) from (select id % 7 k, count(*) c "
+        "from range(100000) group by 1)"
+    ).collect()
+    spark.sql(
+        "select /*+ broadcast(b) */ count(*) from range(10000) a "
+        "join range(10) b on a.id % 10 = b.id"
+    ).collect()
 
     queries = E.queries()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -11,6 +11,14 @@ Regimes (the operators' own TARGET workloads):
 - stratified_percent_rank with a 90%-hot stratum (per-SOURCE
   percentile normalization has FEW, HUGE strata): same funnel, same
   fix.
+- token_budget_mixture with a 90%-hot budgeted source: the per-source
+  running-token window → _two_phase_cumsum.  This section is ALSO the
+  regression harness for the exchange-reuse determinism trap (SCALE.md
+  round-13 addendum): before the lazy-localCheckpoint pin the kept-row
+  count varied run to run.
+- quality_representatives with a 90%-hot cluster (the viral
+  boilerplate near-dup class): per-cluster argmax window →
+  max-struct aggregation + equi join, plan asserted Window-free.
 
 What must hold for the 100 TB claim:
 - results are BIT-IDENTICAL to the single-window shape (checked per
@@ -180,11 +188,54 @@ def main() -> None:
         t_tb_old = time.monotonic() - t0
         assert tuple(cs_bnew) == tuple(cs_bold), (cs_bnew, cs_bold)
 
+        # quality_representatives under a 90%-hot CLUSTER (the viral
+        # boilerplate near-dup class): argmax by max-struct agg + join
+        # vs the pre-round-13 per-cluster window
+        from applications_analytics_midas_hbase_metrics_spark.operators import (
+            graph as G,
+        )
+
+        comps = docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("source") == "megasource", F.lit(1))
+            .otherwise(F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+        scored = docs.select(
+            F.col("doc_id").alias("id"), F.col("score").alias("q")
+        )
+        t0 = time.monotonic()
+        qr = G.quality_representatives(scored, comps, score_col="q")
+        cs_qnew = checksum(qr, ["id", "cluster_id", "keep"])
+        t_qr = time.monotonic() - t0
+        qplan = qr._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in qplan, qplan[:2000]
+
+        wq = Window.partitionBy("cluster_id").orderBy(
+            F.col("q").desc(), F.col("id")
+        )
+        old_qr = (
+            scored.join(comps, "id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col("id")))
+            .select(
+                "id",
+                "cluster_id",
+                "q",
+                (F.row_number().over(wq) == 1).cast("bigint").alias("keep"),
+            )
+        )
+        t0 = time.monotonic()
+        cs_qold = checksum(old_qr, ["id", "cluster_id", "keep"])
+        t_qr_old = time.monotonic() - t0
+        assert tuple(cs_qnew) == tuple(cs_qold), (cs_qnew, cs_qold)
+
         print(
             f"mult={mult:>3} rows={rows_in:>9} | "
             f"shards two-phase {t_sh:6.2f}s vs window {t_sh_old:6.2f}s | "
             f"pct_rank two-phase {t_pr:6.2f}s vs window {t_pr_old:6.2f}s | "
-            f"token_budget two-phase {t_tb:6.2f}s vs window {t_tb_old:6.2f}s",
+            f"token_budget two-phase {t_tb:6.2f}s vs window {t_tb_old:6.2f}s | "
+            f"representatives agg {t_qr:6.2f}s vs window {t_qr_old:6.2f}s",
             flush=True,
         )
     spark.stop()
