@@ -203,10 +203,13 @@ def quality_representatives(
     cluster per partition (the round-12 keep-first rule, argmax form).
     The (score desc, id) order is TOTAL (ids unique) and the struct
     max reproduces it exactly — max score wins, ties fall to min id
-    via the negated-id field, an all-NULL-score cluster falls entirely
-    to min id (struct ordering puts NULL below any value) — so the
-    winner is deterministic and oracle-comparable even under
-    widespread score ties."""
+    via the BITWISE-NOT id field (``~id`` is monotone decreasing and,
+    unlike ``-id``, cannot overflow at ``Long.MIN_VALUE`` under
+    non-ANSI arithmetic — the java-hash-abs lesson applied to
+    negation), an all-NULL-score cluster falls entirely to min id
+    (struct ordering puts NULL below any value) — so the winner is
+    deterministic and oracle-comparable even under widespread score
+    ties."""
     labeled = (
         scored.select(
             F.col(id_col).cast("bigint").alias("id"), score_col
@@ -217,7 +220,8 @@ def quality_representatives(
     winners = labeled.groupBy("cluster_id").agg(
         F.max(
             F.struct(
-                F.col(score_col).alias("s"), (-F.col("id")).alias("nid")
+                F.col(score_col).alias("s"),
+                F.bitwise_not(F.col("id")).alias("nid"),
             )
         ).alias("_w")
     )
@@ -227,7 +231,7 @@ def quality_representatives(
         score_col,
         (
             F.col(score_col).eqNullSafe(F.col("_w.s"))
-            & (F.col("id") == -F.col("_w.nid"))
+            & (F.col("id") == F.bitwise_not(F.col("_w.nid")))
         )
         .cast("bigint")
         .alias("keep"),

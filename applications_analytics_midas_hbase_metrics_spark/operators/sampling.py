@@ -112,8 +112,10 @@ def _two_phase_rank(
        join instead of an OOM) and add a PARTITION-LOCAL row_number:
        ``rank = offset + local_rank``.
 
-    Exactness: ``order_cols`` must end in a unique key (every caller
-    orders by (..., id)); entries may be strings or Column sort
+    Exactness: ``order_cols`` must end in a unique NON-NULL key —
+    every caller orders by (..., id) and joins the result back to the
+    payload by that id, so a NULL id would both break the total order
+    and drop out of the equi join-back; entries may be strings or Column sort
     expressions (``F.col(x).desc_nulls_last()`` — both
     ``repartitionByRange`` and the local window honor the direction),
     and the range partitioner's contiguous-range contract makes

@@ -59,6 +59,36 @@ def test_quality_representatives(spark):
         11: (10, 0),
         50: (50, 1),
     }
+    # plan contract (round 13): argmax is the max-struct aggregation +
+    # equi join, never a per-cluster window funnel
+    plan = (
+        G.quality_representatives(scored, comps)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_quality_representatives_extreme_ids_and_null_scores(spark):
+    """Edge hardening (round 13): the tie-break field is ~id (bitwise
+    NOT), which unlike -id cannot overflow at Long.MIN_VALUE; an
+    all-NULL-score cluster still keeps exactly its min id (null-safe
+    winner equality)."""
+    lo = -(2**63)
+    scored = spark.createDataFrame(
+        [(lo, 0.5), (7, 0.5), (20, None), (21, None)],
+        "id long, quality_score double",
+    )
+    comps = spark.createDataFrame(
+        [(lo, 1), (7, 1), (20, 2), (21, 2)], "id long, cluster_id long"
+    )
+    out = {
+        r.id: r.keep
+        for r in G.quality_representatives(scored, comps).collect()
+    }
+    # score tie in cluster 1 -> min id wins, even at Long.MIN_VALUE
+    assert out == {lo: 1, 7: 0, 20: 1, 21: 0}
 
 
 def _pr_ref(edges, n_iter=5, d=0.85):
