@@ -398,9 +398,15 @@ def dedup_units_across_corpus(
         "id",
         "pos",
         "u",
+        # explicit two-sided range check, NOT abs(): non-ANSI
+        # abs(Long.MIN_VALUE) overflows back negative, so id = -2^63
+        # would pass an abs guard and okey = id*1e6+pos would then
+        # overflow silently — the same abs-overflow class fixed in
+        # importance.py (round-13 advice item, closed round 14)
         F.when(
             (F.col("pos") >= F.lit(_POS_DOMAIN))
-            | (F.abs(F.col("id")) > F.lit(_MAX_PACK_ID)),
+            | (F.col("id") > F.lit(_MAX_PACK_ID))
+            | (F.col("id") < F.lit(-_MAX_PACK_ID)),
             F.raise_error(
                 F.format_string(
                     "dedup_units_across_corpus packed-key contract: "

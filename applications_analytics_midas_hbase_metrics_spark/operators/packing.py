@@ -7,15 +7,16 @@ The core primitive is a DISTRIBUTED PREFIX SUM.  The naive formulation —
 funnel every row through ONE task to evaluate it, which is the same
 scale trap as an unpartitioned ranking window.  Instead:
 
-  1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` — rows
-     are now range-ordered ACROSS partitions and sorted within them;
-  2. per-partition totals (one tiny aggregate, |partitions| rows) are
-     collected into cumulative OFFSETS and broadcast back as a join on
-     partition id — the only driver-size state is one number per
-     partition;
-  3. within-partition running sum (a window PARTITIONED by partition id,
-     so it parallelizes) + the partition's offset = the exact global
-     prefix sum.
+  1. each row gets a DETERMINISTIC range bucket on ``order_col``
+     (sampling._det_range_bucket — broadcast boundary literals from one
+     bounded sample pass, pure map-side comparison expression), so rows
+     are order-contiguous ACROSS buckets;
+  2. per-bucket totals (one tiny aggregate, |buckets| rows) are folded
+     into cumulative OFFSETS and broadcast back as a join on bucket
+     id — the only driver-size state is one number per bucket;
+  3. within-bucket running sum (a window PARTITIONED by bucket id, so
+     it parallelizes) + the bucket's offset = the exact global prefix
+     sum.
 
 Everything downstream (pack assignment, pack summaries) is plain
 arithmetic on the prefix sum, so the whole operator survives a corpus
@@ -41,26 +42,24 @@ def global_prefix_sum(
     a single-task global window.  ``order_col`` values must be unique;
     ``value_col`` must be integral (token counts — the per-partition
     totals are carried as bigint)."""
+    from .sampling import _det_range_bucket
+
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
-        order_col
-    )
-    # LAZY localCheckpoint before the totals/join fan-out — correctness,
-    # not caching: each rangepartitioning exchange samples boundaries
-    # with a per-RDD seed, and if the planner fails to reuse one
-    # exchange across the two branches (it silently does whenever
-    # column pruning makes the subtrees canonically differ —
-    # sampling._two_phase_rank documents the measured failure), the
-    # _pid totals and the probe rows come from DIFFERENT partitionings
-    # and the prefix sums corrupt nondeterministically.  One
-    # materialization of the (order, value) projection pins both
-    # branches to the same RDD.
-    ranged = ranged.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
-    # one row per partition; cumulative offset = sum of all PRIOR
-    # partitions' totals.  |partitions| rows (hundreds at cluster
+    # Deterministic range bucket on the order key (round 14): a pure
+    # expression of the row against broadcast boundary literals, so
+    # the totals branch and the probe branch agree BY CONSTRUCTION —
+    # the round-13 exchange-reuse trap (each rangepartitioning
+    # exchange samples boundaries with a per-RDD seed; planner reuse
+    # silently breaks when column pruning desynchronizes the subtrees,
+    # corrupting the prefix sums nondeterministically) has no root to
+    # grow from, and the lazy localCheckpoint that pinned it — whose
+    # replication-1, lineage-truncated blocks made any executor loss
+    # fatal — is gone.  The input stays persisted WITH lineage as a
+    # cache only.
+    ranged = _det_range_bucket(df, [(order_col, False)], n, out="_pid")
+    # one row per bucket; cumulative offset = sum of all PRIOR
+    # buckets' totals.  |buckets| rows (hundreds at cluster
     # scale), not the data — the whole point of the two-phase sum is
     # that only this tiny frame is ever globally ordered.  Computed
     # WINDOW-FREE: one collect_list aggregate folds the per-partition

@@ -26,7 +26,10 @@ snapshot needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -85,6 +88,181 @@ _MIX_DOMAIN = 2**31
 _SHARD_PRIME = 2654435761
 
 
+#: Boundary-sample oversampling: ~20 deterministic key samples per
+#: bucket (Spark's own RangePartitioner uses the same factor).  The
+#: driver pull is bounded at ``n_buckets * 20`` narrow key tuples.
+_BOUND_SAMPLES_PER_BUCKET = 20
+
+
+def _norm_order(order_cols) -> list[tuple[str, bool]]:
+    """Normalize an order spec to ``[(column_name, descending)]``.
+    Entries are plain strings (ascending, Spark's default NULLS FIRST)
+    or ``(name, True)`` tuples (descending NULLS LAST — the only
+    descending flavor any caller uses)."""
+    spec = []
+    for e in order_cols:
+        if isinstance(e, str):
+            spec.append((e, False))
+        else:
+            name, desc = e
+            spec.append((name, bool(desc)))
+    return spec
+
+
+def _sort_exprs(spec: list[tuple[str, bool]]) -> list[Column]:
+    return [
+        F.col(n).desc_nulls_last() if d else F.col(n).asc() for n, d in spec
+    ]
+
+
+def _key_cmp(spec: list[tuple[str, bool]]):
+    """Driver-side comparator matching Spark's sort order for the
+    spec: asc = NULLS FIRST, desc = NULLS LAST, NaN greater than every
+    number and equal to itself (Spark's ordering semantics).  String
+    comparison agrees byte-for-byte: Python compares code points and
+    UTF-8 byte order preserves code-point order."""
+
+    def _nan(v):
+        return isinstance(v, float) and math.isnan(v)
+
+    def cmp(a, b):
+        for i, (_, desc) in enumerate(spec):
+            x, y = a[i], b[i]
+            if x is None and y is None:
+                continue
+            if x is None:
+                return 1 if desc else -1
+            if y is None:
+                return -1 if desc else 1
+            if _nan(x) or _nan(y):
+                if _nan(x) and _nan(y):
+                    continue
+                lt = not _nan(x)  # non-NaN < NaN
+            elif x == y:
+                continue
+            else:
+                lt = x < y
+            if lt:
+                return 1 if desc else -1
+            return -1 if desc else 1
+        return 0
+
+    return cmp
+
+
+def _sample_bounds(
+    df: DataFrame, spec: list[tuple[str, bool]], n_buckets: int
+) -> list[tuple]:
+    """``n_buckets - 1`` DETERMINISTIC range-boundary key tuples for
+    the sort ``spec`` over ``df`` — the replacement for
+    ``repartitionByRange``'s per-RDD-seed reservoir sample.  One
+    aggregation pass: rows hash (xxhash64, fixed seed — run-stable) into
+    ``n_buckets * 20`` slots and each slot keeps its min-hash row's key
+    tuple (the hash is independent of the sort key, so slot winners are
+    an unbiased key sample); the ≤ slot-count winners are collected
+    (bounded driver pull by construction), sorted under the spec's
+    comparator, and evenly spaced quantiles become the boundaries.
+
+    Boundary QUALITY only affects balance, never results: the bucket
+    expression built from these is a pure deterministic function of the
+    row, so every recomputation — the counts branch, the probe branch,
+    a lost-partition replay — agrees by construction.  That removes the
+    round-13 exchange-reuse trap at the root (no shared physical
+    partitioning to pin) and with it the lazy-localCheckpoint guard
+    whose executor-local replication-1 blocks made any executor loss
+    fatal at cluster scale."""
+    cols = [n for n, _ in spec]
+    m = max(n_buckets * _BOUND_SAMPLES_PER_BUCKET, 1)
+    h = F.xxhash64(*cols)
+    winner = F.min(
+        F.struct(
+            F.xxhash64(F.lit("tp-bound"), *cols).alias("_r"),
+            *[F.col(c) for c in cols],
+        )
+    ).alias("_s")
+    rows = (
+        df.groupBy(F.pmod(h, F.lit(m)).alias("_slot"))
+        .agg(winner)
+        .select("_s.*")
+        .drop("_r")
+        .collect()  # driver-ok: <= n_buckets * 20 narrow key tuples
+    )
+    cmp = _key_cmp(spec)
+    vals = sorted((tuple(r) for r in rows), key=functools.cmp_to_key(cmp))
+    bounds: list[tuple] = []
+    for i in range(1, n_buckets):
+        b = vals[(i * len(vals)) // n_buckets] if vals else None
+        if b is not None and (not bounds or cmp(bounds[-1], b) != 0):
+            bounds.append(b)
+    return bounds
+
+
+def _bound_le_expr(
+    bound: tuple, spec: list[tuple[str, bool]]
+) -> Column:
+    """True iff the boundary tuple sorts at-or-before the row's key
+    under the spec's lexicographic order, never NULL — NULL key cells
+    compare per the per-column null placement (asc NULLS FIRST / desc
+    NULLS LAST), exactly like the sort itself."""
+    expr = F.lit(True)
+    for (name, desc), bv in reversed(list(zip(spec, bound))):
+        c = F.col(name)
+        if bv is None:
+            if desc:  # NULL sorts last: boundary <= c only at equality
+                lt, eq = F.lit(False), c.isNull()
+            else:  # NULL sorts first: strictly before any non-NULL
+                lt, eq = c.isNotNull(), c.isNull()
+        else:
+            lit = F.lit(bv)
+            if desc:  # b before c iff b > c; NULL c sorts last
+                lt = F.coalesce(lit > c, F.lit(True))
+            else:  # asc: NULL c sorts first, so never after b
+                lt = F.coalesce(lit < c, F.lit(False))
+            eq = c.eqNullSafe(lit)
+        expr = lt | (eq & expr)
+    return expr
+
+
+def _bucket_tree(
+    bounds: list[tuple], spec: list[tuple[str, bool]], lo: int, hi: int
+) -> Column:
+    """Balanced binary-search CASE tree: bucket(key) = number of
+    boundaries sorting at-or-before the key.  O(d·log B) comparisons
+    per row in whole-stage codegen — cheap enough to run map-side on
+    the full scan even at thousands of buckets."""
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        _bound_le_expr(bounds[mid], spec), _bucket_tree(bounds, spec, mid + 1, hi)
+    ).otherwise(_bucket_tree(bounds, spec, lo, mid))
+
+
+def _det_range_bucket(
+    df: DataFrame,
+    spec: list[tuple[str, bool]],
+    n_buckets: int,
+    out: str = "_tp_b",
+) -> DataFrame:
+    """``df`` plus a deterministic range-bucket column ``out`` —
+    monotone (weakly) in the spec's sort order, 0..n_buckets-1, a PURE
+    EXPRESSION of the row against broadcast boundary literals.  The
+    input is persisted MEMORY_AND_DISK (lineage INTACT — a lost block
+    recomputes to the identical rows, unlike the former localCheckpoint
+    whose truncated-lineage replication-1 blocks turned any executor
+    loss into job failure); the boundary-sample aggregation doubles as
+    the cache-filling pass, so downstream consumers read the cache."""
+    from pyspark import StorageLevel
+
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = _sample_bounds(pinned, spec, n_buckets)
+    if not bounds:
+        return pinned.withColumn(out, F.lit(0))
+    return pinned.withColumn(
+        out, _bucket_tree(bounds, spec, 0, len(bounds))
+    )
+
+
 def _two_phase_rank(
     df: DataFrame,
     part_cols: list[str],
@@ -98,80 +276,77 @@ def _two_phase_rank(
     when one group can be corpus-sized (a single funnel task at 100 TB,
     the round-12 verdict's last two flagged shapes):
 
-    1. ``repartitionByRange(part_cols + order_cols)``: range exchange,
-       so partitions are globally ordered on the full rank key and a
-       mega-group spans MANY partitions instead of collapsing into one
-       reducer;
-    2. per-(group, partition) row counts — a partial-aggregating
-       groupBy whose result is tiny (ranges are contiguous, so it has
-       at most n_groups + n_partitions rows);
+    1. assign each row a DETERMINISTIC range bucket on the full
+       (group, order) key (:func:`_det_range_bucket` — broadcast
+       boundary literals from one bounded sample pass, binary-search
+       comparison expression, map-side), so a mega-group spans MANY
+       buckets instead of collapsing into one reducer;
+    2. per-(group, bucket) row counts — a partial-aggregating groupBy
+       whose result is tiny (buckets are order-contiguous, so it has
+       at most n_groups + n_buckets rows);
     3. running-sum offsets over that tiny frame (the only window left
        runs on counts, not rows);
     4. join the offsets back (AQE picks broadcast when small — not
        forced, so a many-strata offsets frame degrades to a shuffle
-       join instead of an OOM) and add a PARTITION-LOCAL row_number:
+       join instead of an OOM) and add a BUCKET-LOCAL row_number:
        ``rank = offset + local_rank``.
 
     Exactness: ``order_cols`` must end in a unique NON-NULL key —
     every caller orders by (..., id) and joins the result back to the
     payload by that id, so a NULL id would both break the total order
-    and drop out of the equi join-back; entries may be strings or Column sort
-    expressions (``F.col(x).desc_nulls_last()`` — both
-    ``repartitionByRange`` and the local window honor the direction),
-    and the range partitioner's contiguous-range contract makes
+    and drop out of the caller's equi join-back; entries are strings
+    (ascending) or ``(name, True)`` for descending NULLS LAST, and the
+    bucket expression's weak monotonicity in the sort order makes
     offset + local rank equal the single-window global rank
     bit-for-bit — same oracle, flat wall under a 90%-hot group
-    (tools/shard_rank_scale.py).  The ranked frame is the range
-    exchange's OUTPUT on both sides of the offsets join, so Spark's
-    ReuseExchange computes it once and both branches see identical
-    partition ids.
+    (tools/shard_rank_scale.py).
 
-    The ranged frame is pinned with a LAZY localCheckpoint before it
-    fans out to the counts branch and the join branch — this is a
-    CORRECTNESS requirement, not a cache: a rangepartitioning exchange
-    samples its boundaries with a per-RDD seed, and the two branches
-    only see the same boundaries if the planner reuses one exchange.
-    That reuse silently fails whenever column pruning makes the two
-    subtrees canonically different (measured: the counts branch prunes
-    a column the probe branch keeps, each branch samples its own
-    boundaries, ``spark_partition_id()`` disagrees between them, and
-    offsets key to the wrong partitions — nondeterministic results,
-    caught by tools/shard_rank_scale.py's token-budget section).  The
-    checkpoint materializes the NARROW projection once (every caller
-    passes (id, group, order, value) columns only — bounded bytes per
-    row, spillable MEMORY_AND_DISK) and both branches read the same
-    RDD, so the partition ids are the stable range-bucket indexes in
-    every consumer.  The explicit partition count additionally keeps
-    AQE from coalescing the two reads differently.
+    NULL GROUP VALUES are preserved as their own group, matching the
+    window form this replaces: the offsets come back through a
+    NULL-SAFE equi join (round-14 fix — a plain inner join silently
+    dropped NULL-group rows).
+
+    Determinism and fault tolerance (round 14): because the bucket is
+    a pure function of the row, the counts branch, the probe branch,
+    and any recomputation after executor loss agree by construction —
+    no shared physical partitioning exists to desynchronize, so the
+    round-13 lazy-localCheckpoint pin (executor-local, replication-1,
+    lineage-truncated: any executor loss failed the job) is gone.  The
+    narrow input is persisted WITH lineage purely as a cache.
 
     ``total_col`` additionally attaches each group's TOTAL row count —
     free, from the same tiny counts frame (percent_rank's denominator
     without a second pass over the rows)."""
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    rep = (
-        df.repartitionByRange(n_parts, *part_cols, *order_cols)
-        .withColumn("_tp_p", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = rep.groupBy(*part_cols, "_tp_p").agg(
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ospec = _norm_order(order_cols)
+    spec = [(c, False) for c in part_cols] + ospec
+    rep = _det_range_bucket(df, spec, n_buckets)
+    counts = rep.groupBy(*part_cols, "_tp_b").agg(
         F.count(F.lit(1)).alias("_tp_cnt")
     )
-    wo = Window.partitionBy(*part_cols).orderBy("_tp_p")
+    wo = Window.partitionBy(*part_cols).orderBy("_tp_b")
     off_cols = [
         (F.sum("_tp_cnt").over(wo) - F.col("_tp_cnt")).alias("_tp_off")
     ]
     if total_col:
         wt = Window.partitionBy(*part_cols)
         off_cols.append(F.sum("_tp_cnt").over(wt).alias(total_col))
-    offsets = counts.select(*part_cols, "_tp_p", *off_cols)
-    wl = Window.partitionBy(*part_cols, "_tp_p").orderBy(*order_cols)
+    offsets = counts.select(
+        *[F.col(c).alias(f"_tpo_{c}") for c in part_cols],
+        F.col("_tp_b").alias("_tpo_b"),
+        *off_cols,
+    )
+    cond = F.col("_tp_b") == F.col("_tpo_b")
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_tpo_{c}"))
+    wl = Window.partitionBy(*part_cols, "_tp_b").orderBy(*_sort_exprs(ospec))
     return (
-        rep.join(offsets, [*part_cols, "_tp_p"])
+        rep.join(offsets, cond)
         .withColumn(
             out,
             (F.col("_tp_off") + F.row_number().over(wl)).cast("bigint"),
         )
-        .drop("_tp_p", "_tp_off")
+        .drop("_tp_b", "_tp_off", "_tpo_b", *[f"_tpo_{c}" for c in part_cols])
     )
 
 
@@ -185,39 +360,41 @@ def _two_phase_cumsum(
     """EXACT inclusive running sum of ``value_col`` (bigint) in
     ``order_cols`` order within each ``part_cols`` group — the
     prefix-sum sibling of :func:`_two_phase_rank`, same shape and same
-    exactness argument: range exchange, per-(group, partition) partial
-    SUMS (tiny), running-sum offsets over that counts frame, then a
-    partition-LOCAL running window; ``cum = offset + local running
-    sum``.  No per-group window anywhere, so one group holding most of
-    the corpus costs its shuffle share, never one task.  The lazy
-    localCheckpoint + explicit partition count carry
-    :func:`_two_phase_rank`'s exchange-reuse correctness guard (see
-    there — this helper is where the fragility was first caught)."""
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    rep = (
-        df.repartitionByRange(n_parts, *part_cols, *order_cols)
-        .withColumn("_tp_p", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    exactness argument: deterministic range bucket, per-(group, bucket)
+    partial SUMS (tiny), running-sum offsets over that counts frame
+    through a NULL-SAFE join, then a bucket-LOCAL running window;
+    ``cum = offset + local running sum``.  No per-group window
+    anywhere, so one group holding most of the corpus costs its shuffle
+    share, never one task.  The pure-expression bucket carries
+    :func:`_two_phase_rank`'s determinism-by-construction argument (see
+    there — the round-13 checkpoint pin this replaces was first needed
+    here)."""
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ospec = _norm_order(order_cols)
+    spec = [(c, False) for c in part_cols] + ospec
+    rep = _det_range_bucket(df, spec, n_buckets)
     val = F.col(value_col).cast("bigint")
-    sums = rep.groupBy(*part_cols, "_tp_p").agg(
+    sums = rep.groupBy(*part_cols, "_tp_b").agg(
         F.sum(val).alias("_tp_s")
     )
-    wo = Window.partitionBy(*part_cols).orderBy("_tp_p")
+    wo = Window.partitionBy(*part_cols).orderBy("_tp_b")
     offsets = sums.select(
-        *part_cols,
-        "_tp_p",
+        *[F.col(c).alias(f"_tpo_{c}") for c in part_cols],
+        F.col("_tp_b").alias("_tpo_b"),
         (F.sum("_tp_s").over(wo) - F.col("_tp_s")).alias("_tp_off"),
     )
+    cond = F.col("_tp_b") == F.col("_tpo_b")
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_tpo_{c}"))
     wl = (
-        Window.partitionBy(*part_cols, "_tp_p")
-        .orderBy(*order_cols)
+        Window.partitionBy(*part_cols, "_tp_b")
+        .orderBy(*_sort_exprs(ospec))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        rep.join(offsets, [*part_cols, "_tp_p"])
+        rep.join(offsets, cond)
         .withColumn(out, F.col("_tp_off") + F.sum(val).over(wl))
-        .drop("_tp_p", "_tp_off")
+        .drop("_tp_b", "_tp_off", "_tpo_b", *[f"_tpo_{c}" for c in part_cols])
     )
 
 

@@ -825,7 +825,7 @@ def perplexity_buckets(
     ranked = _two_phase_rank(
         scored.join(lang, "id"),
         ["lang"],
-        [F.col("lm_score").desc_nulls_last(), F.col("id")],
+        [("lm_score", True), "id"],  # score desc NULLS LAST, id tiebreak
         out="_rk",
         total_col="_n",
     )

@@ -196,6 +196,18 @@ def load_psl_rules(spark: SparkSession, path: str) -> DataFrame:
     invariant (the join key cardinality grows, nothing else)."""
     with open(path, encoding="utf-8") as fh:
         rules = parse_psl_lines(fh.readlines())
+    # _MAX_RULE_LABELS is load-bearing: candidate generation in
+    # host_psl_map stops at that suffix depth, so a PSL refresh that
+    # introduced a deeper rule would silently never match and
+    # mis-resolve those domains.  Fail loudly instead (round-13 advice
+    # item): today's canonical file maxes out at exactly 5 labels.
+    deepest = max(r.lstrip("!").count(".") + 1 for r in rules)
+    if deepest > _MAX_RULE_LABELS:
+        raise ValueError(
+            f"PSL file {path} contains a {deepest}-label rule, beyond "
+            f"_MAX_RULE_LABELS={_MAX_RULE_LABELS} — raise the candidate "
+            "depth before using this snapshot"
+        )
     ascii_twins = [
         a
         for r in rules

@@ -920,7 +920,7 @@ _HTML_NB_SQL = (
 
 @register_extra(
     "html_extract",
-    oracle=f"""
+    oracle=rf"""
     WITH src AS (
         SELECT doc_id AS id, {_HTML_WRAP_SQL} AS html FROM documents
     ),
@@ -975,7 +975,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_extra(
     "curation_pipeline_web",
-    oracle=f"""
+    oracle=rf"""
     WITH src AS (
         SELECT doc_id AS id, {_HTML_WRAP_SQL} AS html FROM documents
     ),
@@ -997,11 +997,11 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT id, txt FROM ex
         WHERE link_density <= 0.2
-          AND len(list_filter(string_split_regex(lower(txt), '\\s+'),
+          AND len(list_filter(string_split_regex(lower(txt), '\s+'),
                               tk -> tk != '')) >= 20
     ),
     ad AS (
-        SELECT id, trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) AS nm
+        SELECT id, trim(regexp_replace(lower(txt), '\s+', ' ', 'g')) AS nm
         FROM kept
     ),
     {_substr_shingle_ctes(20, "ad", "")},
@@ -2591,7 +2591,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_extra(
     "domain_quality",
-    oracle=f"""
+    oracle=rf"""
     WITH scored AS (
         SELECT doc_id,
                CAST(round(
@@ -2600,7 +2600,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       + least((CAST(len(list_filter(tks, tk -> tk IN
           ('the','a','of','and','to','in','is','that','it','for')))
           AS DOUBLE) / greatest(len(tks), 1)) * 5.0, 1.0) * 0.4
-      + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+      + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
           AS DOUBLE) / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2, 6)
  * 1000000) AS BIGINT) AS qi
         FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), tk -> tk != '') AS tks FROM documents) s

@@ -175,12 +175,16 @@ def test_shuffle_shards_layout_properties(spark):
 
 
 def test_two_phase_rank_windows_partition_bounded(spark):
-    """Round-13 skew contract: shuffle_shards and
-    stratified_percent_rank must never sort a whole shard/stratum in
-    one task — every full-row row_number window in their executed
-    plans partitions by the physical partition id (_tp_p), so sorts
-    are partition-local and a mega-group spans many range partitions
-    (flat-wall harness: tools/shard_rank_scale.py)."""
+    """Skew contract (round 13, re-pinned round 14): shuffle_shards
+    and stratified_percent_rank must never sort a whole shard/stratum
+    in one task — every full-row row_number window in their executed
+    plans partitions by the deterministic range bucket (_tp_b), so
+    sorts are bucket-local and a mega-group spans many buckets
+    (flat-wall harness: tools/shard_rank_scale.py).  Round 14 also
+    pins the fault-tolerance fix: no lineage-truncating checkpoint
+    scan (ExistingRDD / Scan ExistingRDD) may appear in the plan —
+    the determinism guard is the pure-expression bucket, not a
+    replication-1 localCheckpoint."""
     import re
 
     from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
@@ -203,7 +207,8 @@ def test_two_phase_rank_windows_partition_bounded(spark):
             r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan
         )
         assert specs, plan[:1500]
-        assert all("_tp_p" in s for s in specs), specs
+        assert all("_tp_b" in s for s in specs), specs
+        assert "ExistingRDD" not in plan, plan[:1500]
 
 
 def test_nb_empty_training_corpus_fails_loudly(spark):
@@ -321,6 +326,72 @@ def test_token_budget_mixture_properties(spark, sf_dir):
         ).collect()  # driver-ok: bounded
     )
     assert again == sorted((r.doc_id, r.cum_tokens) for r in rows)
+
+
+def test_two_phase_rank_keeps_null_groups(spark):
+    """Round-14 fix for the round-13 advice item: the two-phase rank's
+    offsets come back through an equi join on the group columns, and a
+    plain inner join silently DROPPED rows whose group value is NULL —
+    the window shape this replaces kept NULL groups as their own
+    partition (so does SQL's PARTITION BY).  The null-safe join must
+    rank the NULL stratum like any other, bit-equal to the window."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        _two_phase_rank,
+        stratified_percent_rank,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("source"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    out = _two_phase_rank(df, ["source"], ["score", "doc_id"], out="rk")
+    rows = out.collect()  # driver-ok: 300-row fixture
+    assert len(rows) == 300  # no NULL-group row lost
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy("score", "doc_id")
+    expected = {
+        (r.doc_id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert {(r.doc_id, r.rk) for r in rows} == expected
+    # the public wrapper inherits the fix end-to-end
+    pr = stratified_percent_rank(df, "source", "score", "doc_id")
+    assert pr.count() == 300
+
+
+def test_two_phase_rank_desc_nulls_last_order(spark):
+    """The (name, True) descending order spec must rank NULL order
+    values LAST (desc_nulls_last), matching the window it replaces —
+    the perplexity_buckets shape (lm_score desc, id tiebreak)."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.sampling import (
+        _two_phase_rank,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.when(F.col("id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("id") % 53).cast("double"))
+        .alias("lm_score"),
+    )
+    out = _two_phase_rank(
+        df, ["lang"], [("lm_score", True), "doc_id"], out="rk"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col("doc_id")
+    )
+    expected = {
+        (r.doc_id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {(r.doc_id, r.rk) for r in out.collect()}  # driver-ok: 200 rows
+    assert got == expected
 
 
 def test_two_phase_shapes_are_run_deterministic(spark):

@@ -364,3 +364,41 @@ def test_punycode_host_and_ip_opaque(spark):
     assert [(r.host, r.domain) for r in out] == [
         (h, d) for _, h, d in cases
     ]
+
+
+def test_vendored_psl_provenance():
+    """Staleness pin for the vendored snapshot (round-14 provenance
+    item, data/PSL_PROVENANCE.md): the canonical file must parse to
+    roughly the rule count recorded at vendoring (the list grows
+    slowly — ±15%), its deepest rule must not exceed the load-bearing
+    _MAX_RULE_LABELS candidate depth, and the MPL-2.0 header must be
+    intact."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.web_psl import (
+        _MAX_RULE_LABELS,
+        PSL_DATA_PATH,
+        parse_psl_lines,
+    )
+
+    with open(PSL_DATA_PATH, encoding="utf-8") as fh:
+        raw = fh.readlines()
+    assert "Mozilla Public" in raw[0], raw[0]
+    rules = parse_psl_lines(raw)
+    assert 9506 * 0.85 <= len(rules) <= 9506 * 1.15, len(rules)
+    deepest = max(r.lstrip("!").count(".") + 1 for r in rules)
+    assert deepest <= _MAX_RULE_LABELS, deepest
+
+
+def test_psl_loader_rejects_too_deep_rules(spark, tmp_path):
+    """load_psl_rules must fail loudly on a snapshot whose deepest rule
+    exceeds the candidate-generation depth — a silent never-match would
+    mis-resolve every domain under that rule (round-13 advice item)."""
+    import pytest as _pytest
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.web_psl import (
+        load_psl_rules,
+    )
+
+    p = tmp_path / "deep.dat"
+    p.write_text("com\na.b.c.d.e.f\n", encoding="utf-8")
+    with _pytest.raises(ValueError, match="6-label rule"):
+        load_psl_rules(spark, str(p))

@@ -153,16 +153,18 @@ CHECKS = {
     # sort-merge joins (pinned via the section counters + this boundary
     # fragment).
     "domain_extract_psl": ["REBALANCE_PARTITIONS_BY_COL"],
-    # round-13 two-phase rank rewrites: every full-row row_number
-    # window must partition by the physical partition id (_tp_p) —
-    # partition-local sorts, no per-shard/per-stratum funnel task.
-    # quality_importance_sample's _tp_p fragment sits beyond this
-    # audit's first-'== Initial Plan ==' truncation (the dsir_weights
-    # caveat above); its window-boundedness is pinned in
+    # two-phase rank rewrites (r13, re-pinned r14): every full-row
+    # row_number window must partition by the deterministic range
+    # bucket (_tp_b) — bucket-local sorts, no per-shard/per-stratum
+    # funnel task, and no lineage-truncating checkpoint scan since the
+    # bucket is a pure expression of the row (round-14 fault-tolerance
+    # fix).  quality_importance_sample's _tp_b fragment sits beyond
+    # this audit's first-'== Initial Plan ==' truncation (the
+    # dsir_weights caveat above); its window-boundedness is pinned in
     # tests/test_classify.py + tools/shard_rank_scale.py instead.
-    "shuffle_shards": ["_tp_p"],
-    "token_budget_mixture": ["_tp_p"],
-    "perplexity_buckets": ["_tp_p"],
+    "shuffle_shards": ["_tp_b"],
+    "token_budget_mixture": ["_tp_b"],
+    "perplexity_buckets": ["_tp_b"],
     # keep-first argmax must be the max-struct aggregation + equi join,
     # never a per-cluster window (round-13 rewrite; struct buffers
     # compile to SortAggregate with a map-side partial_max — the sorts
