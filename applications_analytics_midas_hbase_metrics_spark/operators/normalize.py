@@ -133,8 +133,27 @@ _CP1252_FROM = "".join(chr(u) for u in _CP1252_BYTE_TO_CHAR.values())
 _CP1252_TO = "".join(chr(b) for b in _CP1252_BYTE_TO_CHAR)
 
 
+def _repair_once(text: "F.Column") -> "F.Column":
+    """One guarded repair pass: the Latin-1 round trip when the whole
+    string spells well-formed multi-byte UTF-8, else the cp1252 C1
+    remap + round trip when the REMAPPED string does, else identity.
+    Pure expressions — the validity guard proves decodability before
+    ``decode`` runs, so the ANSI malformed-coding error can't fire."""
+    cand = text.rlike(_UTF8_VALID_RE) & text.rlike(_MOJIBAKE_SIG_RE)
+    remap = F.translate(text, _CP1252_FROM, _CP1252_TO)
+    cand_cp = remap.rlike(_UTF8_VALID_RE) & remap.rlike(_MOJIBAKE_SIG_RE)
+    return (
+        F.when(cand, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"))
+        .when(cand_cp, F.decode(F.encode(remap, "ISO-8859-1"), "UTF-8"))
+        .otherwise(text)
+    )
+
+
 def fix_mojibake(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passes: int = 2,
 ) -> DataFrame:
     """(id, text_fixed, changed, n_chars_saved): repair the classic
     double-encoding corruption — UTF-8 bytes decoded as Latin-1 and
@@ -164,27 +183,40 @@ def fix_mojibake(
     continuation byte after remap — fails it and passes through
     untouched.
 
-    One documented limitation: a single pass undoes ONE round of
-    double-encoding; doubly-mojibaked text (rare but real) would need
-    the pass applied twice.
+    DOUBLE-mojibake (round 14, closing the round-13 gap): the repair
+    iterates to a FIXPOINT bounded at ``passes`` (default 2) — a
+    doubly-encoded string (``Ã¢â‚¬â„¢``-class: two rounds of
+    UTF-8-as-Latin-1/cp1252, mixed flavors included) repairs one layer
+    per pass, while any string the first pass fully repaired fails the
+    validity guard on the second (a bare ``é`` or curly quote is a
+    lone continuation byte) and passes through byte-identical — so
+    raising ``passes`` never perturbs already-clean output.  Triple
+    encodings are out of the default bound by the same argument that
+    bounded the original at one: each extra layer is ~the square of
+    the previous layer's rarity.
 
-    Scale shape: ZERO shuffles, no UDF — a translate, four regex
-    probes and a conditional charset round trip fused into the scan;
-    the common all-ASCII row short-circuits on the signature probe."""
-    text = F.col(text_col)
-    cand = text.rlike(_UTF8_VALID_RE) & text.rlike(_MOJIBAKE_SIG_RE)
-    remap = F.translate(text, _CP1252_FROM, _CP1252_TO)
-    cand_cp = remap.rlike(_UTF8_VALID_RE) & remap.rlike(_MOJIBAKE_SIG_RE)
-    fixed = (
-        F.when(cand, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"))
-        .when(cand_cp, F.decode(F.encode(remap, "ISO-8859-1"), "UTF-8"))
-        .otherwise(text)
-    )
-    return df.select(
+    Scale shape: ZERO shuffles, no UDF — per pass a translate, four
+    regex probes and a conditional charset round trip, all fused into
+    the scan via chained projections; the common all-ASCII row
+    short-circuits on the signature probe."""
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    out = df.select(
         F.col(id_col).cast("bigint").alias("id"),
+        F.col(text_col).alias("_mj_raw"),
+        F.col(text_col).alias("_mj_t"),
+    )
+    for _ in range(passes):
+        # chained projections, not nested expressions: each pass reads
+        # the previous pass's column once (no exponential expression
+        # blow-up); Catalyst collapses the projections into one stage
+        out = out.withColumn("_mj_t", _repair_once(F.col("_mj_t")))
+    raw, fixed = F.col("_mj_raw"), F.col("_mj_t")
+    return out.select(
+        "id",
         fixed.alias("text_fixed"),
-        F.coalesce((fixed != text).cast("int"), F.lit(0)).alias("changed"),
+        F.coalesce((fixed != raw).cast("int"), F.lit(0)).alias("changed"),
         F.coalesce(
-            (F.length(text) - F.length(fixed)).cast("bigint"), F.lit(0)
+            (F.length(raw) - F.length(fixed)).cast("bigint"), F.lit(0)
         ).alias("n_chars_saved"),
     )

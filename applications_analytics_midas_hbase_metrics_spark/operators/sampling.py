@@ -246,19 +246,24 @@ def _det_range_bucket(
 ) -> DataFrame:
     """``df`` plus a deterministic range-bucket column ``out`` —
     monotone (weakly) in the spec's sort order, 0..n_buckets-1, a PURE
-    EXPRESSION of the row against broadcast boundary literals.  The
-    input is persisted MEMORY_AND_DISK (lineage INTACT — a lost block
-    recomputes to the identical rows, unlike the former localCheckpoint
-    whose truncated-lineage replication-1 blocks turned any executor
-    loss into job failure); the boundary-sample aggregation doubles as
-    the cache-filling pass, so downstream consumers read the cache."""
-    from pyspark import StorageLevel
+    EXPRESSION of the row against broadcast boundary literals.
 
-    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
-    bounds = _sample_bounds(pinned, spec, n_buckets)
+    No pin, by design: because the bucket is a pure function of the
+    row, the boundary-sample pass, the counts branch, the probe
+    branch, and any lost-partition replay all agree WITHOUT sharing a
+    materialization — full lineage, fault-tolerant (the former
+    localCheckpoint's truncated-lineage replication-1 blocks turned
+    any executor loss into job failure), and no cache boundary hiding
+    the upstream plan from AQE or the plan audit.  The trade is that
+    the input lineage runs up to 3x (sample + counts + probe); every
+    caller passes a NARROW projection, and callers with expensive
+    upstreams pin them per the repo convention (the composed pipeline
+    checkpoints each stage; perplexity's LM scores materialize) — so
+    the recompute is a cheap scan, never the heavy stage."""
+    bounds = _sample_bounds(df, spec, n_buckets)
     if not bounds:
-        return pinned.withColumn(out, F.lit(0))
-    return pinned.withColumn(
+        return df.withColumn(out, F.lit(0))
+    return df.withColumn(
         out, _bucket_tree(bounds, spec, 0, len(bounds))
     )
 
@@ -527,7 +532,7 @@ def shuffle_shards(
     old per-shard ``row_number`` window sorted ALL of a shard's rows in
     ONE task (100 GB+ per task at 8-1024 shards over 100 TB, the same
     single-funnel class hunted everywhere else); now a shard's rank
-    work spreads across every range partition it spans and the payload
+    work spreads across every range bucket it spans and the payload
     still crosses the wire exactly once (the join-back replaces the
     window exchange).  A writer then partitions by ``shard`` and orders
     by ``pos``.
@@ -673,7 +678,7 @@ def token_budget_mixture(
     weight) projection, joined back by id: the mixture spec names FEW
     sources ("web", "code", ...), each corpus-sized, so a per-source
     running window is exactly the mega-stratum single-task funnel; the
-    two-phase form spreads each source across every range partition it
+    two-phase form spreads each source across every range bucket it
     spans and the payload crosses the wire once, in the join-back.
 
     Returns the kept rows plus ``cum_tokens`` (the source's running

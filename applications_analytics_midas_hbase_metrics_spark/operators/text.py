@@ -807,7 +807,7 @@ def perplexity_buckets(
     (sampling._two_phase_rank, round 13) — languages are FEW and HUGE
     at crawl scale, the exact mega-stratum regime where a per-lang
     ranking window funnels one language through one task's sort; the
-    two-phase form spreads it across every range partition and stays
+    two-phase form spreads it across every range bucket and stays
     bit-equal to the window rank (total order).  A corpus that can
     tolerate approximate thirds can still swap in approx-percentile
     score cutoffs (two scans, no rank at all).

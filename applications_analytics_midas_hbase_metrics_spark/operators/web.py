@@ -105,35 +105,45 @@ def registrable_domain_expr(host_col: str | Column) -> Column:
     )
 
 
-def punycode_host(host_col: str | Column) -> Column:
+def punycode_host(
+    host_col: str | Column, mode: str = "uts46"
+) -> Column:
     """IDN normalization of a canonical host: Unicode labels →
-    punycode (``xn--``) via IDNA ToASCII, so ``münchen.de`` and
+    punycode (``xn--``) via ToASCII, so ``münchen.de`` and
     ``xn--mnchen-3ya.de`` — two crawls' spellings of the SAME host —
     dedup and cap as one domain.  Already-ASCII hosts (the vast
     majority of any crawl) short-circuit inside the Arrow batch with a
     single ``isascii()`` check, so the Python cost is paid only on the
-    IDN slice; hosts the codec rejects (over-long labels, stray
+    IDN slice; hosts the encoder rejects (over-long labels, stray
     whitespace) fall back to their raw form rather than erroring a
     100 TB pass.  The one Python boundary in the web family — a
     vectorized pandas UDF, applied to the host projection, never to
     payloads.
 
-    Codec nuance (documented round 13): this is Python's legacy
-    ``idna`` codec — IDNA 2003, not UTS-46 — so a handful of mapped
-    codepoints differ from modern browser behavior (most famously
-    ``ß`` folds to ``ss`` instead of ``xn--zca``).  Every spelling of
-    a host maps to ONE canonical form WITHIN the engine, so dedup/cap
-    correctness is unaffected; only cross-SYSTEM host parity with a
-    UTS-46 resolver could see the difference, and that needs a
-    vendored UTS-46 mapping table (no stdlib support), tracked as a
-    known limitation rather than silently approximated."""
+    ``mode`` (round 14 — closes the round-13 UTS-46 gap):
+
+    * ``"uts46"`` (default): UTS #46 non-transitional-style mapping
+      (functions.idna46) — matches modern browser/resolver A-labels,
+      including the deviation codepoints the legacy codec mangles
+      (``ß`` → ``xn--zca…`` not ``ss``, final sigma kept, ZWNJ/ZWJ
+      kept).  Cross-SYSTEM host parity with a UTS-46 resolver holds.
+    * ``"idna2003"``: Python's legacy ``idna`` codec, kept for
+      reproducing pre-round-14 host keys; the per-codepoint delta is
+      tabulated in functions/idna46.py's module docstring."""
+    if mode not in ("uts46", "idna2003"):
+        raise ValueError(f"unknown IDN mode {mode!r}")
+    use_uts46 = mode == "uts46"
 
     @pandas_udf("string")
     def _puny(s: pd.Series) -> pd.Series:
+        from ..functions.idna46 import uts46_host_to_ascii
+
         def enc(h):
             if h is None or h.isascii():
                 return h
             try:
+                if use_uts46:
+                    return uts46_host_to_ascii(h)
                 return h.encode("idna").decode("ascii")
             except (UnicodeError, ValueError):
                 return h

@@ -169,10 +169,15 @@ PSL_DATA_PATH = os.path.join(
 
 def _rule_to_ascii(rule: str) -> str | None:
     """A-label (punycode) twin of a PSL rule, or None when a label
-    refuses IDNA encoding.  The canonical file lists IDN rules in
-    U-label (unicode) form; a crawl whose hosts were punycoded (the
+    refuses encoding.  The canonical file lists IDN rules in U-label
+    (unicode) form; a crawl whose hosts were punycoded (the
     :func:`web.punycode_host` path) joins on the ASCII form, so the
-    loader ships BOTH."""
+    loader ships BOTH.  Round 14: encodes via the UTS-46-style mapper
+    (functions.idna46) — the same encoder punycode_host uses, so rule
+    twins and host keys can never disagree on a deviation codepoint
+    (publicsuffix.org itself specifies UTS-46/IDNA2008 conversions)."""
+    from ..functions.idna46 import uts46_host_to_ascii
+
     exc = rule.startswith("!")
     body = rule[1:] if exc else rule
     out = []
@@ -181,8 +186,9 @@ def _rule_to_ascii(rule: str) -> str | None:
             out.append(lab)
         else:
             try:
-                out.append(lab.encode("idna").decode("ascii"))
-            except UnicodeError:
+                # mapping + encode in one step (a label has no dots)
+                out.append(uts46_host_to_ascii(lab))
+            except (UnicodeError, ValueError):
                 return None
     return ("!" if exc else "") + ".".join(out)
 

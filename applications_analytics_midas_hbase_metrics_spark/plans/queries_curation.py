@@ -3971,6 +3971,22 @@ _MJ_IN_CP = _MJ_OUT_CP.encode("utf-8").decode("cp1252")
 #: change (after the C1 remap they are lone continuation bytes, so the
 #: validity guard rejects the repair).
 _MJ_CURLY = " “quoted” text"
+#: DOUBLE-encoded Latin-1 flavor (round 14): two rounds of
+#: UTF-8-as-Latin-1 — pass 1 peels the outer layer, pass 2 the inner.
+#: Derived, not hand-typed.
+_MJ_IN_CAFE2 = (
+    _MJ_OUT_CAFE.encode("utf-8").decode("latin-1")
+    .encode("utf-8").decode("latin-1")
+)
+#: DOUBLE-encoded mixed flavor (round 14): UTF-8 read as cp1252, the
+#: result re-encoded and read as Latin-1 — the ``Ã¢â‚¬â„¢`` class
+#: (strict cp1252 can't even decode the second round's 0x9D byte, so
+#: real-world double corruption is exactly this mixed form).  Pass 1
+#: is the plain Latin-1 branch, pass 2 the cp1252-remap branch.
+_MJ_IN_CP2 = (
+    _MJ_OUT_CP.encode("utf-8").decode("cp1252")
+    .encode("utf-8").decode("latin-1")
+)
 
 
 def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3982,6 +3998,8 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 11 == 0, F.lit(_MJ_IN_EMOJI))
         .when(d % 13 == 0, F.lit(_MJ_IN_CP))
         .when(d % 17 == 0, F.lit(_MJ_CURLY))
+        .when(d % 19 == 0, F.lit(_MJ_IN_CAFE2))
+        .when(d % 23 == 0, F.lit(_MJ_IN_CP2))
         .otherwise(F.lit(""))
     )
     return _spread(spark, t(spark, sf_dir, "documents")).select(
@@ -4004,6 +4022,8 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN doc_id % 11 = 0 THEN 11
                     WHEN doc_id % 13 = 0 THEN 13
                     WHEN doc_id % 17 = 0 THEN 17
+                    WHEN doc_id % 19 = 0 THEN 19
+                    WHEN doc_id % 23 = 0 THEN 23
                     ELSE 0 END AS b
         FROM documents
     )
@@ -4014,24 +4034,30 @@ def _mj_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 11 THEN '{_MJ_OUT_EMOJI}'
                           WHEN 13 THEN '{_MJ_OUT_CP}'
                           WHEN 17 THEN '{_MJ_CURLY}'
+                          WHEN 19 THEN '{_MJ_OUT_CAFE}'
+                          WHEN 23 THEN '{_MJ_OUT_CP}'
                           ELSE '' END AS text_fixed,
-           CAST(CASE WHEN b IN (3, 11, 13) THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN b IN (3, 11, 13, 19, 23) THEN 1 ELSE 0 END AS INT)
                AS changed,
            CAST(CASE b WHEN 3 THEN 2 WHEN 11 THEN 3
                        WHEN 13 THEN {len(_MJ_IN_CP) - len(_MJ_OUT_CP)}
+                       WHEN 19 THEN {len(_MJ_IN_CAFE2) - len(_MJ_OUT_CAFE)}
+                       WHEN 23 THEN {len(_MJ_IN_CP2) - len(_MJ_OUT_CP)}
                        ELSE 0 END AS BIGINT)
                AS n_chars_saved
     FROM br
     """,
 )
 def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """operators.normalize.fix_mojibake over the six-branch fixture:
+    """operators.normalize.fix_mojibake over the eight-branch fixture:
     repaired 2-byte and 4-byte double-encodings, the cp1252-flavored
-    ``â€™`` variant (round 13), untouched genuine Latin-1,
-    truncated-lead text and genuine curly-quote Windows-1252 text —
-    the oracle knows every answer from the id arithmetic, so the Spark
-    side's charset round trips are checked against independently
-    constructed expected strings."""
+    ``â€™`` variant (round 13), DOUBLE-encoded Latin-1 and mixed
+    cp1252/Latin-1 corruption repaired to fixpoint in two bounded
+    passes (round 14), untouched genuine Latin-1, truncated-lead text
+    and genuine curly-quote Windows-1252 text — the oracle knows every
+    answer from the id arithmetic, so the Spark side's charset round
+    trips are checked against independently constructed expected
+    strings."""
     return NZ.fix_mojibake(_mj_fixture(spark, sf_dir))
 
 
@@ -4205,3 +4231,82 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return read_quality_stats(spark, stats)
+
+
+@register_extra(
+    "punycode_uts46",
+    # known-answer oracle: each class's A-label is a CONSTANT (the
+    # variable part of the host sits in an ASCII label), so the
+    # UTS-46 non-transitional expectations — including the deviation
+    # codepoints the legacy IDNA-2003 codec mangles — are spelled out
+    # literally.  The idna2003 column documents the per-class delta.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               's' || CAST(doc_id % 17 AS VARCHAR) AS sn,
+               doc_id % 7 AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE c WHEN 0 THEN sn || '.plain.com'
+                  WHEN 1 THEN 'xn--strae-oqa.' || sn || '.de'
+                  WHEN 2 THEN 'xn--mxady3ada9e.' || sn || '.gr'
+                  WHEN 3 THEN 'xn--mnchen-3ya.' || sn || '.de'
+                  WHEN 4 THEN 'example.' || sn || '.com'
+                  WHEN 5 THEN 'xn--zca.' || sn || '.de'
+                  ELSE 'xn--xy-j1t.' || sn || '.ai'
+           END AS host_uts46,
+           CASE c WHEN 0 THEN sn || '.plain.com'
+                  WHEN 1 THEN 'strasse.' || sn || '.de'
+                  WHEN 2 THEN 'xn--mxady6aab7e.' || sn || '.gr'
+                  WHEN 3 THEN 'xn--mnchen-3ya.' || sn || '.de'
+                  WHEN 4 THEN 'example.' || sn || '.com'
+                  WHEN 5 THEN 'ss.' || sn || '.de'
+                  ELSE 'xy.' || sn || '.ai'
+           END AS host_idna2003,
+           CAST(c IN (1, 2, 5, 6) AS BIGINT) AS differs
+    FROM b
+    """,
+)
+def q_punycode_uts46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTS-46 non-transitional host encoding vs the legacy IDNA-2003
+    codec (round 14 — operators.web.punycode_host mode switch +
+    functions.idna46): seven host classes cover the published
+    deviation table — ``ß`` kept as ``xn--zca`` (2003 folds to
+    ``ss``), final sigma ``ς`` kept (2003 folds to ``σ``, a DIFFERENT
+    A-label), ZWNJ kept as CONTEXTJ (2003 deletes it) — plus the
+    classes both agree on (plain ASCII, case folding ``MÜNCHEN``,
+    NFKC fullwidth compatibility).  The ``differs`` flag pins exactly
+    which classes the migration changes, so a corpus re-keyed from
+    idna2003 to uts46 host keys knows its blast radius."""
+    from ..operators import web as W
+
+    d = F.col("doc_id")
+    sn = F.concat(F.lit("s"), (d % 17).cast("string"))
+    host = F.element_at(
+        F.array(
+            F.concat(sn, F.lit(".plain.com")),
+            F.concat(F.lit("straße."), sn, F.lit(".de")),
+            F.concat(F.lit("γλώσσας."), sn, F.lit(".gr")),
+            F.concat(F.lit("MÜNCHEN."), sn, F.lit(".de")),
+            F.concat(
+                F.lit("ｅｘａｍｐｌｅ."),
+                sn,
+                F.lit(".com"),
+            ),
+            F.concat(F.lit("ß."), sn, F.lit(".de")),
+            F.concat(F.lit("x‌y."), sn, F.lit(".ai")),
+        ),
+        (d % 7 + 1).cast("int"),
+    )
+    docs = _spread(spark, t(spark, sf_dir, "documents")).select(
+        "doc_id", host.alias("host")
+    )
+    return docs.select(
+        "doc_id",
+        W.punycode_host("host").alias("host_uts46"),
+        W.punycode_host("host", mode="idna2003").alias("host_idna2003"),
+    ).withColumn(
+        "differs",
+        (F.col("host_uts46") != F.col("host_idna2003")).cast("bigint"),
+    )

@@ -100,11 +100,12 @@ def test_fix_mojibake_hand_cases(spark):
     assert out[3].text_fixed == "x" + C(0xC3) and out[3].changed == 0
     assert out[4].text_fixed == "\U0001F600" and out[4].n_chars_saved == 3
     assert out[5].changed == 0
-    # one pass peels ONE layer: twice-encoded comes back once-encoded,
-    # and a second application finishes the job (documented contract)
-    assert out[6].text_fixed == moji
-    df2 = spark.createDataFrame([(6, out[6].text_fixed)], "doc_id long, text string")
-    assert NZ.fix_mojibake(df2).first().text_fixed == "café"
+    # each pass peels ONE layer; the default bounded fixpoint (2
+    # passes, round 14) repairs twice-encoded text fully, while
+    # passes=1 reproduces the old single-peel contract
+    assert out[6].text_fixed == "café" and out[6].n_chars_saved == 3
+    df2 = spark.createDataFrame([(6, double)], "doc_id long, text string")
+    assert NZ.fix_mojibake(df2, passes=1).first().text_fixed == moji
     assert out[7].text_fixed is None and out[7].changed == 0
     assert out[7].n_chars_saved == 0
 

@@ -402,3 +402,45 @@ def test_psl_loader_rejects_too_deep_rules(spark, tmp_path):
     p.write_text("com\na.b.c.d.e.f\n", encoding="utf-8")
     with _pytest.raises(ValueError, match="6-label rule"):
         load_psl_rules(spark, str(p))
+
+
+def test_uts46_rule_twins_match_uts46_host_keys(spark):
+    """Round-14 UTS-46 closure: the PSL loader's A-label rule twins and
+    punycode_host now share one encoder, so a deviation-codepoint rule
+    (ß) and a crawl host spelled with that codepoint land on the SAME
+    key — under the legacy IDNA-2003 codec the rule twin would carry
+    'ss' while a UTS-46 resolver keys 'xn--zca', silently never
+    matching."""
+    from applications_analytics_midas_hbase_metrics_spark.functions.idna46 import (
+        uts46_host_to_ascii,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.operators.web_psl import (
+        _rule_to_ascii,
+    )
+
+    # deviation codepoints survive non-transitional processing
+    assert uts46_host_to_ascii("straße.de") == "xn--strae-oqa.de"
+    assert uts46_host_to_ascii("γλώσσας.gr") == "xn--mxady3ada9e.gr"
+    assert uts46_host_to_ascii("x‌y.ai") == "xn--xy-j1t.ai"
+    # mapping: casefold + NFKC compatibility + capital sharp S
+    assert uts46_host_to_ascii("MÜNCHEN.de") == "xn--mnchen-3ya.de"
+    assert uts46_host_to_ascii("ｅｘａｍｐｌｅ.com") == "example.com"
+    assert uts46_host_to_ascii("ẞ.example") == "xn--zca.example"
+    # rule twin and host key agree on the deviation codepoint
+    assert _rule_to_ascii("ß.example") == "xn--zca.example"
+    assert _rule_to_ascii("!city.みんな") == "!city.xn--q9jyb4c"
+    # the Spark column path routes through the same encoder; legacy
+    # mode preserves pre-round-14 keys
+    df = spark.createDataFrame(
+        [(1, "straße.de"), (2, "plain.com")], "doc_id bigint, host string"
+    )
+    out = {
+        r.doc_id: (r.u, r.l)
+        for r in df.select(
+            "doc_id",
+            W.punycode_host("host").alias("u"),
+            W.punycode_host("host", mode="idna2003").alias("l"),
+        ).collect()
+    }
+    assert out[1] == ("xn--strae-oqa.de", "strasse.de")
+    assert out[2] == ("plain.com", "plain.com")

@@ -14,8 +14,10 @@ Regimes (the operators' own TARGET workloads):
 - token_budget_mixture with a 90%-hot budgeted source: the per-source
   running-token window → _two_phase_cumsum.  This section is ALSO the
   regression harness for the exchange-reuse determinism trap (SCALE.md
-  round-13 addendum): before the lazy-localCheckpoint pin the kept-row
-  count varied run to run.
+  round-13 addendum): with per-RDD-seed range boundaries the kept-row
+  count varied run to run; round 14 removes the trap at the root — the
+  bucket is a pure expression over DETERMINISTIC broadcast boundaries
+  (sampling._det_range_bucket), so no pin is needed at all.
 - quality_representatives with a 90%-hot cluster (the viral
   boilerplate near-dup class): per-cluster argmax window →
   max-struct aggregation + equi join, plan asserted Window-free.
@@ -25,9 +27,9 @@ What must hold for the 100 TB claim:
   multiplier, not assumed — the rank key ends in a unique id, so
   offset + partition-local rank equals the global rank exactly);
 - every full-row ``row_number`` window in the new plans partitions by
-  the physical partition id (``_tp_p``) — partition-bounded sorts, no
+  the deterministic range bucket (``_tp_b``) — bucket-bounded sorts, no
   per-group funnel (the only group-wide window left runs on the tiny
-  counts frame, input rows = n_groups + n_partitions);
+  counts frame, input rows = n_groups + n_buckets);
 - wall grows ~linearly with rows (the work is the scan + narrow
   shuffles), never with the hot group's size; the PRE-rewrite window
   shape is timed at each multiplier so the gap is measured.
@@ -48,11 +50,11 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 
 
 def _row_number_windows_partition_bounded(plan: str) -> bool:
-    """Every row_number window spec in the plan must carry _tp_p in its
-    partition clause (partition-local sort), or belong to no window at
+    """Every row_number window spec in the plan must carry _tp_b in its
+    partition clause (bucket-local sort), or belong to no window at
     all."""
     for spec in re.findall(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
-        if "_tp_p" not in spec:
+        if "_tp_b" not in spec:
             return False
     return True
 
