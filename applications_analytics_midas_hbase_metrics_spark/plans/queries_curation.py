@@ -1436,7 +1436,10 @@ _TB_BUDGETS = {"src0": 700, "src1": 400, "src2": 50}
 _TB_VALUES = ", ".join(f"('{s}', {b})" for s, b in _TB_BUDGETS.items())
 
 
-@register_extra(
+# rotated INTO the driver gate round 14 (verdict rotate-in list;
+# sweep-green since r12): the two-phase cumsum shape rebuilt this
+# round on deterministic broadcast boundaries goes driver-hard
+@register(
     "token_budget_mixture",
     oracle=f"""
     WITH d AS (
@@ -1899,7 +1902,10 @@ def q_domain_extract_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "psl_domain", "public_suffix")
 
 
-@register_extra(
+# rotated INTO the driver gate round 14 (verdict rotate-in list;
+# sweep-green since r13): the vendored-full-PSL known-answer row,
+# now also exercising the UTS-46 rule twins
+@register(
     "domain_extract_psl_full",
     # known-answer oracle: every class's host/suffix/domain follows
     # from the id arithmetic and the PUBLISHED semantics of a real rule
@@ -2335,7 +2341,7 @@ def _curation_full_oracle() -> str:
 
 @register("curation_pipeline_full", oracle=_curation_full_oracle())
 def q_curation_pipeline_full(
-    spark: SparkSession, sf_dir: str, pin=None
+    spark: SparkSession, sf_dir: str, pin=None, plant_offset: int = 100000
 ) -> DataFrame:
     """The COMPLETE pretraining-data build, one manifest row per input
     document: wrap the fixture corpus (plus planted exact copies of
@@ -2387,15 +2393,31 @@ def q_curation_pipeline_full(
     prefix = F.array_join(
         F.slice(toks, 1, F.ceil(F.size(toks) * 0.95).cast("int")), " "
     )
+    # planted-copy ids live at +plant_offset/+2*plant_offset above the
+    # corpus ids; a corpus whose ids reach the offset would silently
+    # collide planted ids with genuine ones, so the guard is fused into
+    # the planted projection (callers at bigger-id corpora — the
+    # round-14 on-disk rung — pass a larger plant_offset)
+    guarded = F.when(
+        F.col("doc_id") >= F.lit(plant_offset),
+        F.raise_error(
+            F.format_string(
+                "curation_pipeline_full plant_offset contract: doc_id=%s"
+                f" >= plant_offset={plant_offset} — planted-copy ids"
+                " would collide; pass a larger plant_offset",
+                F.col("doc_id"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("doc_id"))
     corpus = (
         docs.unionByName(
             docs.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"),
+                (guarded + plant_offset).alias("doc_id"),
                 "text", "lang", "source",
             )
         ).unionByName(
             docs.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
+                (guarded + 2 * plant_offset).alias("doc_id"),
                 prefix.alias("text"), "lang", "source",
             )
         )
@@ -2438,8 +2460,9 @@ def q_curation_pipeline_full(
     )
     cut = _pin(cut)  # consumed by 3 stages
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
+    # (id < plant_offset excludes the planted copies from the slice)
     bench = ex.filter(
-        (F.col("id") < 100000) & (F.col("id") % 11 == 0)
+        (F.col("id") < plant_offset) & (F.col("id") % 11 == 0)
     ).select("id", "text")
     flags = T.ngram_decontaminate(
         cut.select("id", F.col("text_cut").alias("text")),
@@ -3379,7 +3402,10 @@ def _gqr_oracle() -> str:
 # standalone battery at the PUBLISHED 50/2 floors, now with the
 # per-symbol hash/ellipsis ratio split — driver-hard while the
 # composed pipeline keeps its fixture-scaled floors
-register("gopher_quality_rules", oracle=_gqr_oracle())(
+# rotated OUT round 14: SUBSUMED by gopher_quality_pipeline_published
+# (now gated), which composes this battery at the published floors;
+# identical differential check continues in the sweep tier
+register_extra("gopher_quality_rules", oracle=_gqr_oracle())(
     lambda spark, sf_dir: T.gopher_quality_rules(_gqr_fixture(spark, sf_dir))
 )
 
@@ -3525,7 +3551,10 @@ def _dsir_oracle() -> str:
 # micro-quantized integer dot product and the TakeOrderedAndProject
 # selection get a driver-hard differential for a round (9.7 s at
 # bench sf0.1, measured before rotation)
-@register("dsir_weights", oracle=_dsir_oracle())
+# rotated OUT round 14 (gated r13 green; operator unchanged since the
+# long-widened-abs fix): the most expensive gated row (~6.5s — it
+# builds a target bag model per run) returns to the sweep tier
+@register_extra("dsir_weights", oracle=_dsir_oracle())
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection against the doc_id%5==0 target slice: the hashed
     uni+bigram bag models, the micro-quantized per-bucket log ratios,
@@ -3932,7 +3961,9 @@ register("gopher_quality_pipeline", oracle=_gq_oracle())(
 # constants (50-word / 2-distinct-stop floors) over the stop-line
 # fixture — the production-threshold path exercised end-to-end under
 # the manifest oracle, with both 'kept' and 'quality_rules' populated
-register_extra(
+# rotated INTO the driver gate round 14 (verdict rotate-in list):
+# the composed pipeline at the published Table A1 thresholds
+register(
     "gopher_quality_pipeline_published", oracle=_gq_oracle(published=True)
 )(
     lambda spark, sf_dir: q_gopher_quality_pipeline(
@@ -4160,7 +4191,9 @@ def _sc_oracle() -> str:
 # sweep-green since r12): the writing-system router's RE2-vs-Java
 # regex range parity is exactly the cross-engine class the gate exists
 # to hold
-@register("script_profile", oracle=_sc_oracle())
+# rotated OUT round 14 (gated r13 green; operator unchanged):
+# identical differential check continues in the sweep tier
+@register_extra("script_profile", oracle=_sc_oracle())
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.text.script_profile over the eight-script fixture:
     replaced Hangul/CJK pages flip dominant_script, appended samples

@@ -1006,7 +1006,9 @@ _LM_SCORE_SQL = f"""
     """
 
 
-@register("ngram_lm_score", oracle=_LM_SCORE_SQL)
+# rotated OUT round 14: SUBSUMED by perplexity_buckets (now gated),
+# which composes this exact LM scoring before its bucket split
+@register_extra("ngram_lm_score", oracle=_LM_SCORE_SQL)
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram LM quality scoring
     (operators.text.ngram_lm_score — the CCNet/KenLM-style perplexity
@@ -1029,7 +1031,11 @@ def _fib_sql(col: str) -> str:
     )
 
 
-@register_extra(
+# rotated INTO the driver gate round 14 (verdict rotate-in list;
+# sweep-green since r11): the CCNet head/middle/tail split over the
+# rebuilt two-phase rank — subsumes ngram_lm_score (it composes the
+# same LM scoring), which rotates out
+@register(
     "perplexity_buckets",
     oracle=f"""
     WITH lm AS ({_LM_SCORE_SQL}),
@@ -2343,10 +2349,10 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    # rotated INTO the driver gate round 13 (judge's rotate-in list;
-    # sweep-green since r11): the frame-sampling multimodal path gets
-    # its driver-hard round
+@register_extra(
+    # rotated INTO the driver gate round 13 (judge's rotate-in list),
+    # OUT round 14 after its driver-hard green round (operator
+    # unchanged; identical differential check continues in the sweep)
     "video_scene_cuts",
     oracle="""
     WITH m AS (

@@ -133,7 +133,9 @@ _QUALITY_SQL = """
 """
 
 
-@register_extra(
+# rotated INTO the driver gate round 14 (verdict rotate-in list;
+# sweep-green since r13): the overflow-free argmax representatives
+@register(
     "dedup_best_quality",
     oracle=f"""
     WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),

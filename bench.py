@@ -102,6 +102,77 @@ def _tree_cpu_ticks() -> int:
     return total
 
 
+def _disk_bytes() -> int:
+    """Box-total bytes read+written across whole physical disks
+    (/proc/diskstats sectors × 512; partitions/loop/ram excluded so a
+    byte is counted once)."""
+    import re as _re
+
+    total = 0
+    with open("/proc/diskstats") as fh:
+        for ln in fh:
+            f = ln.split()
+            name = f[2]
+            if _re.fullmatch(r"(?:[svx]v?d[a-z]+|nvme\d+n\d+)", name):
+                total += (int(f[5]) + int(f[9])) * 512
+    return total
+
+
+def _tree_io_bytes() -> int:
+    """Storage-layer bytes (read_bytes+write_bytes from /proc/<pid>/io)
+    of THIS process tree — same tree walk as _tree_cpu_ticks, so
+    box-total disk traffic minus this is EXTERNAL I/O."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    io: dict[int, int] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                ppid[int(p)] = int(fh.read().rsplit(")", 1)[1].split()[1])
+            b = 0
+            with open(f"/proc/{p}/io") as fh:
+                for ln in fh:
+                    if ln.startswith(("read_bytes", "write_bytes")):
+                        b += int(ln.split()[1])
+            io[int(p)] = b
+        except OSError:
+            continue
+    total = 0
+    for pid in io:
+        q = pid
+        while q in ppid and q != me:
+            q = ppid[q]
+        if q == me:
+            total += io[pid]
+    return total
+
+
+def _meminfo_gb() -> tuple[float, float]:
+    """(MemAvailable, Cached) in GiB — page-cache state evidence for
+    the sidecar: a trial that starts with a cold or pressured cache is
+    visible instead of reading as unattributed drift."""
+    avail = cached = 0
+    with open("/proc/meminfo") as fh:
+        for ln in fh:
+            if ln.startswith("MemAvailable"):
+                avail = int(ln.split()[1])
+            elif ln.startswith("Cached"):
+                cached = int(ln.split()[1])
+    return round(avail / 2**20, 2), round(cached / 2**20, 2)
+
+
+def _ext_io_gb(disk0: int, tree0: int) -> float:
+    """External (non-this-tree) disk GiB moved since the paired
+    (_disk_bytes, _tree_io_bytes) sample — the I/O sibling of
+    _ext_cores, closing the round-13 'CPU telemetry cannot explain the
+    residual' gap: a tenant hammering the disk now shows in the
+    archived row even at zero CPU."""
+    ext = (_disk_bytes() - disk0) - (_tree_io_bytes() - tree0)
+    return max(round(ext / 2**30, 2), 0.0)
+
+
 def _ext_cores(t0: float, busy0: int, tree0: int) -> float:
     """Average EXTERNAL cores busy since the (t0, busy0, tree0) sample:
     (box busy CPU − this bench's own process-tree CPU) / wall.  Unlike
@@ -191,25 +262,35 @@ def run_trial() -> dict:
     load_before = os.getloadavg()
 
     ext_cores: list[float] = []
+    ext_io: list[float] = []
+    mem: list[tuple[float, float]] = [_meminfo_gb()]
     t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
+    disk0, treeio0 = _disk_bytes(), _tree_io_bytes()
     if not cold_only:
         warm, claims = _warm_sweep(spark, sf_dir, queries, Q)
         trial["value"] = round(sum(warm.values()), 3)
         trial["queries"] = warm
         trial["claims"] = claims
         ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
+        ext_io.append(_ext_io_gb(disk0, treeio0))
     load_mid = os.getloadavg()
+    mem.append(_meminfo_gb())
     t0, busy0, tree0 = time.monotonic(), _cpu_busy_ticks(), _tree_cpu_ticks()
+    disk0, treeio0 = _disk_bytes(), _tree_io_bytes()
     if not warm_only:
         cold = _cold_sweep(spark, sf_dir, queries, Q)
         trial["value_cold"] = round(sum(cold.values()), 3)
         trial["queries_cold"] = cold
         ext_cores.append(round(_ext_cores(t0, busy0, tree0), 2))
+        ext_io.append(_ext_io_gb(disk0, treeio0))
     if cold_only:
         trial["value"] = trial["value_cold"]
         trial["queries"] = trial["queries_cold"]
 
     trial["ext_cores"] = ext_cores
+    trial["ext_io_gb"] = ext_io
+    trial["mem_avail_gb"] = [m[0] for m in mem] + [_meminfo_gb()[0]]
+    trial["page_cache_gb"] = [m[1] for m in mem] + [_meminfo_gb()[1]]
     trial["load_1m"] = [
         round(x[0], 2) for x in (load_before, load_mid, os.getloadavg())
     ]
@@ -295,13 +376,30 @@ def main() -> None:
     # cores (2 on local[32]).
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     all_ext = [e for t in trials for e in t.get("ext_cores", [])]
+    all_io = [e for t in trials for e in t.get("ext_io_gb", [])]
     result["ext_cores"] = all_ext
-    result["load_flag"] = bool(all_ext and max(all_ext) > cpus / 16)
+    result["ext_io_gb"] = all_io
+    # the official row is clean only when EVERY sweep of EVERY trial is
+    # clean on BOTH telemetry channels (round-14: CPU alone could not
+    # explain round-13's residual drift): > n_cpus/16 external cores OR
+    # > 1 GiB external disk traffic during any sweep flags the row
+    result["load_flag"] = bool(
+        (all_ext and max(all_ext) > cpus / 16)
+        or (all_io and max(all_io) > 1.0)
+    )
     result["load_1m"] = trials[-1]["load_1m"]
     detail["trials"] = [
         {
             k: t.get(k)
-            for k in ("value", "value_cold", "ext_cores", "load_1m")
+            for k in (
+                "value",
+                "value_cold",
+                "ext_cores",
+                "ext_io_gb",
+                "mem_avail_gb",
+                "page_cache_gb",
+                "load_1m",
+            )
         }
         for t in trials
     ]

@@ -1,0 +1,314 @@
+"""On-disk scale rung (round 14, VERDICT missing #1): generate a
+multi-GB documents/embeddings corpus on DISK, then run the composed
+curation pipeline, the dedup family (exact / minhash / corpus-wide
+paragraph keep-first), and an ANN build end-to-end at it — converting
+the in-memory flat-wall extrapolations (tools/*_scale.py, ≤5.12M rows
+all-in-RAM) into measured wall / spill / peak-memory evidence over a
+real parquet scan.
+
+Corpus design (controlled duplicate structure, bounded pair counts):
+each sf0.1 base document (5,000 rows) is replicated ``mult`` times;
+``doc_id = base_id * mult + rep``; text =
+
+    rep == 1:      EXACT copy of the rep-0 text (5,000 exact-dup pairs)
+    rep == 2:      90%-token prefix of rep-0 (5,000 near-dup pairs,
+                   J ≈ 0.8)
+    rep 0, 3..18:  base_text + "\\n\\n" + tail — the base paragraph is
+                   HOT (19 copies per base: the corpus-wide paragraph
+                   keep-first regime) but the hot GROUP is bounded at
+                   19 docs, so even at the shared paragraph's residual
+                   Jaccard (~0.16) the LSH candidate pairs stay
+                   ~0.5M corpus-wide, linear in bases
+    rep >= 19:     tail only — every 3-shingle is unique per
+                   (base, rep, i) hex token, so cross-doc Jaccard is 0
+                   and the pair table cannot go quadratic
+
+``tail`` = ``tail_tokens`` hex tokens from xxhash64(base, rep, i).
+
+Embeddings: each base vector (2,000) replicated ``emb_mult`` times
+with a deterministic per-(vec, rep, dim) perturbation — distinct
+vectors, stable centroids.
+
+Usage: python tools/disk_rung_scale.py [mult] [emb_mult] [keep]
+  mult      documents replication (default 150 → 765k docs incl the
+            pipeline's planted copies, ~1.9 GB raw text)
+  emb_mult  embeddings replication (default 256 → 512k vectors)
+  keep      pass 'keep' to leave the rung directory on disk
+
+Evidence printed per step: wall seconds, output rows, result checksum
+(xxhash64 bit_xor — comparable across reruns: every operator here is
+deterministic by construction), then a Spark-metrics rollup (shuffle
+read/write, memory/disk spill) from the live REST API and the JVM's
+peak RSS from /proc.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+RUNG_DIR = os.environ.get("RUNG_DIR", "/tmp/midas_rung")
+
+
+def _rest(spark, path: str):
+    port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+    app = spark.sparkContext.applicationId
+    url = f"http://localhost:{port}/api/v1/applications/{app}/{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _metrics(spark) -> dict:
+    stages = _rest(spark, "stages?status=complete")
+    agg = {
+        "shuffle_read_gb": sum(s["shuffleReadBytes"] for s in stages) / 2**30,
+        "shuffle_write_gb": sum(s["shuffleWriteBytes"] for s in stages) / 2**30,
+        "mem_spill_gb": sum(s["memoryBytesSpilled"] for s in stages) / 2**30,
+        "disk_spill_gb": sum(s["diskBytesSpilled"] for s in stages) / 2**30,
+        "input_gb": sum(s["inputBytes"] for s in stages) / 2**30,
+        "n_stages": len(stages),
+    }
+    # peak RSS of this (local-mode) JVM = driver AND executor memory
+    try:
+        import subprocess
+
+        pids = subprocess.run(
+            ["pgrep", "-f", "disk-rung"], capture_output=True, text=True
+        ).stdout.split()
+        hwm = 0
+        for pid in pids:
+            try:
+                with open(f"/proc/{pid}/status") as fh:
+                    for ln in fh:
+                        if ln.startswith("VmHWM"):
+                            hwm = max(hwm, int(ln.split()[1]))
+            except OSError:
+                pass
+        agg["jvm_peak_rss_gb"] = hwm / 2**20
+    except Exception:  # noqa: BLE001
+        agg["jvm_peak_rss_gb"] = None
+    return agg
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    emb_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    keep = len(sys.argv) > 3 and sys.argv[3] == "keep"
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    from pyspark.sql import functions as F
+
+    from applications_analytics_midas_hbase_metrics_spark.session import get_spark
+
+    # own session: UI enabled for the REST metrics rollup (the factory
+    # disables it); everything else mirrors the factory's tuning
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("disk-rung")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.codegen.maxFields", "256")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    get_spark  # noqa: B018 — imported for the PYTHONPATH side effect
+
+    # ------------------------------------------------------------------
+    # 1. generate the rung
+    # ------------------------------------------------------------------
+    shutil.rmtree(RUNG_DIR, ignore_errors=True)
+    os.makedirs(RUNG_DIR)
+    t0 = time.monotonic()
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+    tail_tokens = 128
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(tail_tokens)),
+            lambda i: F.hex(
+                F.xxhash64(F.col("base_id"), F.col("tail_rep"), i)
+            ),
+        ),
+        " ",
+    )
+
+    spread = base.select(
+        F.col("doc_id").alias("base_id"),
+        F.col("text").alias("base_text"),
+        "lang",
+        "source",
+    ).crossJoin(F.broadcast(reps))
+    # rep 1 copies rep 0's text exactly; rep 2 takes rep 0's 90%-token
+    # prefix; reps 0 and 3..18 carry the hot base paragraph; rep >= 19
+    # is tail-only (see module docstring for the pair-count bounds)
+    eff_rep = F.when(F.col("rep").isin(1, 2), F.lit(0)).otherwise(
+        F.col("rep")
+    )
+    body = F.when(
+        F.col("tail_rep") < 19,
+        F.concat(F.col("base_text"), F.lit("\n\n"), tail),
+    ).otherwise(tail)
+    with_text = spread.withColumn("tail_rep", eff_rep).select(
+        (F.col("base_id") * mult + F.col("rep")).alias("doc_id"),
+        body.alias("text"),
+        "lang",
+        "source",
+        "rep",
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    prefix90 = F.array_join(
+        F.slice(toks, 1, F.ceil(F.size(toks) * 0.9).cast("int")), " "
+    )
+    docs = with_text.select(
+        "doc_id",
+        F.when(F.col("rep") == 2, prefix90).otherwise(F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    docs.repartition(32).write.parquet(f"{RUNG_DIR}/documents.parquet")
+
+    emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ereps = spark.range(emb_mult).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000))
+                / F.lit(100000.0)
+            ).cast("float")
+        ).cast("float"),
+    )
+    emb = emb_base.crossJoin(F.broadcast(ereps)).select(
+        (F.col("vec_id") * emb_mult + F.col("rep")).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+    )
+    emb.repartition(8).write.parquet(f"{RUNG_DIR}/embeddings.parquet")
+    gen_s = time.monotonic() - t0
+
+    n_docs = spark.read.parquet(f"{RUNG_DIR}/documents.parquet").count()
+    n_emb = spark.read.parquet(f"{RUNG_DIR}/embeddings.parquet").count()
+    raw_gb = (
+        spark.read.parquet(f"{RUNG_DIR}/documents.parquet")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+        / 2**30
+    )
+    disk_gb = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(RUNG_DIR)
+        for f in fs
+    ) / 2**30
+    print(
+        f"RUNG generated: {n_docs} docs / {n_emb} vecs, raw text"
+        f" {raw_gb:.2f} GiB, on-disk parquet {disk_gb:.2f} GiB,"
+        f" gen {gen_s:.1f}s",
+        flush=True,
+    )
+
+    # ------------------------------------------------------------------
+    # 2. the workloads
+    # ------------------------------------------------------------------
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        dedup as D,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        lines as LN,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.operators import (
+        similarity as SIM,
+    )
+
+    rd = lambda name: spark.read.parquet(f"{RUNG_DIR}/{name}.parquet")  # noqa: E731
+
+    def checksum(df):
+        cols = [F.col(c).cast("string") for c in df.columns]
+        return tuple(
+            df.select(
+                F.bit_xor(F.xxhash64(*cols)).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+        )
+
+    def step(name, df):
+        t = time.monotonic()
+        c, n = checksum(df)
+        print(
+            f"STEP {name}: rows={n} checksum={c & 0xFFFFFFFFFFFFFFFF:016x}"
+            f" wall={time.monotonic() - t:.1f}s",
+            flush=True,
+        )
+
+    # exact dedup over the full rung
+    step("dedup_exact", D.exact_duplicates(rd("documents")))
+
+    # corpus-wide paragraph keep-first over the full rung (the shared
+    # base paragraph appears `mult` times — the hot-unit regime)
+    step(
+        "dedup_paragraphs",
+        LN.dedup_units_across_corpus(rd("documents"), hash_units=True),
+    )
+
+    # minhash near-dup over the full rung: pair table is linear by
+    # corpus design (see module docstring)
+    step(
+        "dedup_minhash",
+        D.minhash_near_duplicates(
+            rd("documents"), num_hashes=64, threshold=0.5, materialize=False
+        ),
+    )
+
+    # ANN: IVF build + 10-query probe over the full vector rung
+    emb_df = rd("embeddings").select("vec_id", "embedding")
+    cents = SIM.build_ivf_centroids(emb_df, num_centroids=64).localCheckpoint(
+        eager=True
+    )
+    queries = emb_df.filter(F.col("vec_id") % emb_mult == 0).limit(10)
+    step(
+        "ann_ivf_build_probe",
+        SIM.ivf_topk(emb_df, queries, cents, k=10, nprobe=8),
+    )
+
+    # the composed ten-stage pipeline, full manifest, big-id plant offset
+    from applications_analytics_midas_hbase_metrics_spark.plans.queries_curation import (
+        q_curation_pipeline_full,
+    )
+
+    step(
+        "curation_pipeline_full",
+        q_curation_pipeline_full(spark, RUNG_DIR, plant_offset=10**9),
+    )
+
+    print("METRICS", json.dumps(_metrics(spark)), flush=True)
+    if not keep:
+        shutil.rmtree(RUNG_DIR, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
