@@ -35,6 +35,23 @@ Usage: python tools/disk_rung_scale.py [mult] [emb_mult] [keep]
   emb_mult  embeddings replication (default 256 → 512k vectors)
   keep      pass 'keep' to leave the rung directory on disk
 
+Env knobs (round-14 follow-ups):
+  RUNG_REUSE=1         reuse an existing RUNG_DIR instead of
+                       regenerating (mult/emb_mult must match it)
+  RUNG_STEPS=a,b,...   run only the named steps (default: all of
+                       dedup_exact dedup_paragraphs dedup_minhash
+                       ann curation)
+  RUNG_PIPELINE_PIN=disk  run the curation pipeline with
+                       text.disk_persist_pin (DISK_ONLY serialized,
+                       lineage kept) instead of the default eager
+                       localCheckpoint — the flip the FIRST rung run
+                       measured: at this rung the default pin's
+                       MEMORY_AND_DISK deserialized unroll serializes
+                       all 32 tasks on the UnifiedMemoryManager lock
+                       (jstack: reserveUnrollMemoryForThisTask
+                       convoy) and the pin stage alone ran > 1 h
+                       before being killed
+
 Evidence printed per step: wall seconds, output rows, result checksum
 (xxhash64 bit_xor — comparable across reruns: every operator here is
 deterministic by construction), then a Spark-metrics rollup (shuffle
@@ -137,80 +154,88 @@ def main() -> None:
     # ------------------------------------------------------------------
     # 1. generate the rung
     # ------------------------------------------------------------------
-    shutil.rmtree(RUNG_DIR, ignore_errors=True)
-    os.makedirs(RUNG_DIR)
+    reuse = os.environ.get("RUNG_REUSE") == "1" and os.path.isdir(
+        f"{RUNG_DIR}/documents.parquet"
+    )
+    if reuse:
+        print(f"RUNG reused from {RUNG_DIR}", flush=True)
+    if not reuse:
+        shutil.rmtree(RUNG_DIR, ignore_errors=True)
+        os.makedirs(RUNG_DIR)
     t0 = time.monotonic()
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
-    tail_tokens = 128
-    tail = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(tail_tokens)),
-            lambda i: F.hex(
-                F.xxhash64(F.col("base_id"), F.col("tail_rep"), i)
+    gen_s = 0.0
+    if not reuse:
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+        tail_tokens = 128
+        tail = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(tail_tokens)),
+                lambda i: F.hex(
+                    F.xxhash64(F.col("base_id"), F.col("tail_rep"), i)
+                ),
             ),
-        ),
-        " ",
-    )
+            " ",
+        )
 
-    spread = base.select(
-        F.col("doc_id").alias("base_id"),
-        F.col("text").alias("base_text"),
-        "lang",
-        "source",
-    ).crossJoin(F.broadcast(reps))
-    # rep 1 copies rep 0's text exactly; rep 2 takes rep 0's 90%-token
-    # prefix; reps 0 and 3..18 carry the hot base paragraph; rep >= 19
-    # is tail-only (see module docstring for the pair-count bounds)
-    eff_rep = F.when(F.col("rep").isin(1, 2), F.lit(0)).otherwise(
-        F.col("rep")
-    )
-    body = F.when(
-        F.col("tail_rep") < 19,
-        F.concat(F.col("base_text"), F.lit("\n\n"), tail),
-    ).otherwise(tail)
-    with_text = spread.withColumn("tail_rep", eff_rep).select(
-        (F.col("base_id") * mult + F.col("rep")).alias("doc_id"),
-        body.alias("text"),
-        "lang",
-        "source",
-        "rep",
-    )
-    toks = F.split(F.col("text"), r"\s+")
-    prefix90 = F.array_join(
-        F.slice(toks, 1, F.ceil(F.size(toks) * 0.9).cast("int")), " "
-    )
-    docs = with_text.select(
-        "doc_id",
-        F.when(F.col("rep") == 2, prefix90).otherwise(F.col("text")).alias(
-            "text"
-        ),
-        "lang",
-        "source",
-    ).withColumn("n_chars", F.length("text").cast("bigint"))
-    docs.repartition(32).write.parquet(f"{RUNG_DIR}/documents.parquet")
+        spread = base.select(
+            F.col("doc_id").alias("base_id"),
+            F.col("text").alias("base_text"),
+            "lang",
+            "source",
+        ).crossJoin(F.broadcast(reps))
+        # rep 1 copies rep 0's text exactly; rep 2 takes rep 0's 90%-token
+        # prefix; reps 0 and 3..18 carry the hot base paragraph; rep >= 19
+        # is tail-only (see module docstring for the pair-count bounds)
+        eff_rep = F.when(F.col("rep").isin(1, 2), F.lit(0)).otherwise(
+            F.col("rep")
+        )
+        body = F.when(
+            F.col("tail_rep") < 19,
+            F.concat(F.col("base_text"), F.lit("\n\n"), tail),
+        ).otherwise(tail)
+        with_text = spread.withColumn("tail_rep", eff_rep).select(
+            (F.col("base_id") * mult + F.col("rep")).alias("doc_id"),
+            body.alias("text"),
+            "lang",
+            "source",
+            "rep",
+        )
+        toks = F.split(F.col("text"), r"\s+")
+        prefix90 = F.array_join(
+            F.slice(toks, 1, F.ceil(F.size(toks) * 0.9).cast("int")), " "
+        )
+        docs = with_text.select(
+            "doc_id",
+            F.when(F.col("rep") == 2, prefix90).otherwise(F.col("text")).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+        docs.repartition(32).write.parquet(f"{RUNG_DIR}/documents.parquet")
 
-    emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    ereps = spark.range(emb_mult).select(
-        F.col("id").cast("int").alias("rep")
-    )
-    perturbed = F.transform(
-        F.col("embedding"),
-        lambda x, i: (
-            x
-            + (
-                F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000))
-                / F.lit(100000.0)
-            ).cast("float")
-        ).cast("float"),
-    )
-    emb = emb_base.crossJoin(F.broadcast(ereps)).select(
-        (F.col("vec_id") * emb_mult + F.col("rep")).alias("vec_id"),
-        perturbed.alias("embedding"),
-        "label",
-    )
-    emb.repartition(8).write.parquet(f"{RUNG_DIR}/embeddings.parquet")
-    gen_s = time.monotonic() - t0
+        emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ereps = spark.range(emb_mult).select(
+            F.col("id").cast("int").alias("rep")
+        )
+        perturbed = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                + (
+                    F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000))
+                    / F.lit(100000.0)
+                ).cast("float")
+            ).cast("float"),
+        )
+        emb = emb_base.crossJoin(F.broadcast(ereps)).select(
+            (F.col("vec_id") * emb_mult + F.col("rep")).alias("vec_id"),
+            perturbed.alias("embedding"),
+            "label",
+        )
+        emb.repartition(8).write.parquet(f"{RUNG_DIR}/embeddings.parquet")
+        gen_s = time.monotonic() - t0
 
     n_docs = spark.read.parquet(f"{RUNG_DIR}/documents.parquet").count()
     n_emb = spark.read.parquet(f"{RUNG_DIR}/embeddings.parquet").count()
@@ -226,9 +251,9 @@ def main() -> None:
         for f in fs
     ) / 2**30
     print(
-        f"RUNG generated: {n_docs} docs / {n_emb} vecs, raw text"
-        f" {raw_gb:.2f} GiB, on-disk parquet {disk_gb:.2f} GiB,"
-        f" gen {gen_s:.1f}s",
+        f"RUNG {'reused' if reuse else 'generated'}: {n_docs} docs /"
+        f" {n_emb} vecs, raw text {raw_gb:.2f} GiB, on-disk parquet"
+        f" {disk_gb:.2f} GiB, gen {gen_s:.1f}s",
         flush=True,
     )
 
@@ -256,8 +281,12 @@ def main() -> None:
             ).collect()[0]
         )
 
-    def step(name, df):
+    def step(name, df_thunk):
+        # thunk, not frame: eager pins (localCheckpoint / DISK_ONLY
+        # persist) materialize during query CONSTRUCTION, so timing
+        # must wrap the builder call, not just the checksum action
         t = time.monotonic()
+        df = df_thunk() if callable(df_thunk) else df_thunk
         c, n = checksum(df)
         print(
             f"STEP {name}: rows={n} checksum={c & 0xFFFFFFFFFFFFFFFF:016x}"
@@ -265,45 +294,80 @@ def main() -> None:
             flush=True,
         )
 
-    # exact dedup over the full rung
-    step("dedup_exact", D.exact_duplicates(rd("documents")))
-
-    # corpus-wide paragraph keep-first over the full rung (the shared
-    # base paragraph appears `mult` times — the hot-unit regime)
-    step(
-        "dedup_paragraphs",
-        LN.dedup_units_across_corpus(rd("documents"), hash_units=True),
+    steps = set(
+        os.environ.get(
+            "RUNG_STEPS",
+            "dedup_exact,dedup_paragraphs,dedup_minhash,ann,curation",
+        ).split(",")
     )
 
-    # minhash near-dup over the full rung: pair table is linear by
-    # corpus design (see module docstring)
-    step(
-        "dedup_minhash",
-        D.minhash_near_duplicates(
-            rd("documents"), num_hashes=64, threshold=0.5, materialize=False
-        ),
-    )
+    if "dedup_exact" in steps:
+        # exact dedup over the full rung
+        step("dedup_exact", D.exact_duplicates(rd("documents")))
 
-    # ANN: IVF build + 10-query probe over the full vector rung
-    emb_df = rd("embeddings").select("vec_id", "embedding")
-    cents = SIM.build_ivf_centroids(emb_df, num_centroids=64).localCheckpoint(
-        eager=True
-    )
-    queries = emb_df.filter(F.col("vec_id") % emb_mult == 0).limit(10)
-    step(
-        "ann_ivf_build_probe",
-        SIM.ivf_topk(emb_df, queries, cents, k=10, nprobe=8),
-    )
+    if "dedup_paragraphs" in steps:
+        # corpus-wide paragraph keep-first over the full rung (the
+        # shared base paragraph appears `mult` times — the hot-unit
+        # regime)
+        step(
+            "dedup_paragraphs",
+            LN.dedup_units_across_corpus(rd("documents"), hash_units=True),
+        )
 
-    # the composed ten-stage pipeline, full manifest, big-id plant offset
-    from applications_analytics_midas_hbase_metrics_spark.plans.queries_curation import (
-        q_curation_pipeline_full,
-    )
+    if "dedup_minhash" in steps:
+        # minhash near-dup over the full rung: pair table is linear by
+        # corpus design (see module docstring)
+        step(
+            "dedup_minhash",
+            D.minhash_near_duplicates(
+                rd("documents"),
+                num_hashes=64,
+                threshold=0.5,
+                materialize=False,
+            ),
+        )
 
-    step(
-        "curation_pipeline_full",
-        q_curation_pipeline_full(spark, RUNG_DIR, plant_offset=10**9),
-    )
+    if "ann" in steps:
+        # ANN: IVF build + 10-query probe over the full vector rung
+        def _ann():
+            emb_df = rd("embeddings").select("vec_id", "embedding")
+            cents = SIM.build_ivf_centroids(
+                emb_df, num_centroids=64
+            ).localCheckpoint(eager=True)
+            queries = emb_df.filter(
+                F.col("vec_id") % emb_mult == 0
+            ).limit(10)
+            return SIM.ivf_topk(emb_df, queries, cents, k=10, nprobe=8)
+
+        step("ann_ivf_build_probe", _ann)
+
+    if "curation" in steps:
+        # the composed ten-stage pipeline, full manifest, big-id plant
+        # offset; RUNG_PIPELINE_PIN=disk flips every pin site to
+        # DISK_ONLY serialized blocks (text.disk_persist_pin) — at this
+        # rung the default eager localCheckpoint's MEMORY_AND_DISK
+        # deserialized unroll convoys on the UnifiedMemoryManager lock
+        from applications_analytics_midas_hbase_metrics_spark.operators.text import (
+            disk_persist_pin,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_curation import (
+            q_curation_pipeline_full,
+        )
+
+        pin = (
+            disk_persist_pin
+            if os.environ.get("RUNG_PIPELINE_PIN") == "disk"
+            else None
+        )
+        label = "curation_pipeline_full" + (
+            "_diskpin" if pin is not None else ""
+        )
+        step(
+            label,
+            lambda: q_curation_pipeline_full(
+                spark, RUNG_DIR, pin=pin, plant_offset=10**9
+            ),
+        )
 
     print("METRICS", json.dumps(_metrics(spark)), flush=True)
     if not keep:
