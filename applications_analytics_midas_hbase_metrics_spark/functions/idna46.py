@@ -49,13 +49,21 @@ _MAX_LABEL_OCTETS = 63
 
 def uts46_map(s: str) -> str:
     """The UTS-46 mapping step (non-transitional): NFKC-compatibility
-    map + full case fold with deviation codepoints preserved."""
+    map + full case fold with deviation codepoints preserved, plus the
+    ideographic label separators mapped to ``.``.
+
+    NFKC alone folds U+FF0E fullwidth full stop to ``.`` and U+FF61
+    halfwidth ideographic full stop to U+3002 — but U+3002 IDEOGRAPHIC
+    FULL STOP itself is NFKC-stable, while the IdnaMappingTable maps it
+    to ``.``; the explicit replace after normalization closes exactly
+    that gap (and catches U+FF61 via its NFKC image), so
+    ``example。com`` splits into two labels like every browser does."""
     s = s.replace("ẞ", "ß")  # capital sharp S -> ß per table
     s = unicodedata.normalize("NFKC", s)
     folded = "".join(
         ch if ch in UTS46_DEVIATIONS else ch.casefold() for ch in s
     )
-    return unicodedata.normalize("NFKC", folded)
+    return unicodedata.normalize("NFKC", folded).replace("。", ".")
 
 
 def uts46_label_to_ascii(label: str) -> str:
@@ -73,8 +81,9 @@ def uts46_label_to_ascii(label: str) -> str:
 
 def uts46_host_to_ascii(host: str) -> str:
     """Whole host → ASCII form under the UTS-46-style mapping.  Label
-    separator is ``.`` (the canonical-host contract upstream already
-    folded the ideographic/fullwidth dots via NFKC).  Raises on
-    unencodable labels — callers fall back to the raw host."""
+    separator is ``.`` — by the time labels split, :func:`uts46_map`
+    has folded every ideographic/fullwidth dot variant (U+3002, U+FF0E,
+    U+FF61) to ASCII ``.``.  Raises on unencodable labels — callers
+    fall back to the raw host."""
     mapped = uts46_map(host)
     return ".".join(uts46_label_to_ascii(lab) for lab in mapped.split("."))

@@ -55,8 +55,9 @@ def global_prefix_sum(
     # corrupting the prefix sums nondeterministically) has no root to
     # grow from, and the lazy localCheckpoint that pinned it — whose
     # replication-1, lineage-truncated blocks made any executor loss
-    # fatal — is gone.  The input stays persisted WITH lineage as a
-    # cache only.
+    # fatal — is gone.  NO cache replaces it: the input's lineage
+    # re-executes per branch (bounded sample + totals + probe);
+    # callers with expensive upstream persist before calling.
     ranged = _det_range_bucket(df, [(order_col, False)], n, out="_pid")
     # one row per bucket; cumulative offset = sum of all PRIOR
     # buckets' totals.  |buckets| rows (hundreds at cluster

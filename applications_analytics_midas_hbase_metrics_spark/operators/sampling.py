@@ -316,8 +316,12 @@ def _two_phase_rank(
     and any recomputation after executor loss agree by construction —
     no shared physical partitioning exists to desynchronize, so the
     round-13 lazy-localCheckpoint pin (executor-local, replication-1,
-    lineage-truncated: any executor loss failed the job) is gone.  The
-    narrow input is persisted WITH lineage purely as a cache.
+    lineage-truncated: any executor loss failed the job) is gone.  NO
+    cache replaces it: the narrow input's lineage re-executes up to 3×
+    (one bounded key-column sample + the counts and probe branches) —
+    the measured ~2× wall vs the checkpointed form (SCALE.md round-14)
+    IS that recompute, the price of full replayability.  Callers whose
+    upstream is expensive can persist before calling.
 
     ``total_col`` additionally attaches each group's TOTAL row count —
     free, from the same tiny counts frame (percent_rank's denominator

@@ -2395,9 +2395,12 @@ def q_curation_pipeline_full(
     )
     # planted-copy ids live at +plant_offset/+2*plant_offset above the
     # corpus ids; a corpus whose ids reach the offset would silently
-    # collide planted ids with genuine ones, so the guard is fused into
-    # the planted projection (callers at bigger-id corpora — the
-    # round-14 on-disk rung — pass a larger plant_offset)
+    # collide planted ids with genuine ones.  The guard is fused into
+    # the BASE projection (round 15 — guarding only the %5/%7 planted
+    # slices let a genuine id >= plant_offset that is not ≡0 mod 5 or
+    # 7 slip past while a planted id collided with it), so EVERY
+    # corpus id fails loudly at or above the offset; callers at
+    # bigger-id corpora — the on-disk rung — pass a larger plant_offset
     guarded = F.when(
         F.col("doc_id") >= F.lit(plant_offset),
         F.raise_error(
@@ -2409,15 +2412,16 @@ def q_curation_pipeline_full(
             )
         ).cast("bigint"),
     ).otherwise(F.col("doc_id"))
+    docs = docs.select(guarded.alias("doc_id"), "text", "lang", "source")
     corpus = (
         docs.unionByName(
             docs.filter(F.col("doc_id") % 5 == 0).select(
-                (guarded + plant_offset).alias("doc_id"),
+                (F.col("doc_id") + plant_offset).alias("doc_id"),
                 "text", "lang", "source",
             )
         ).unionByName(
             docs.filter(F.col("doc_id") % 7 == 0).select(
-                (guarded + 2 * plant_offset).alias("doc_id"),
+                (F.col("doc_id") + 2 * plant_offset).alias("doc_id"),
                 prefix.alias("text"), "lang", "source",
             )
         )
@@ -4277,7 +4281,7 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT doc_id,
                's' || CAST(doc_id % 17 AS VARCHAR) AS sn,
-               doc_id % 7 AS c
+               doc_id % 8 AS c
         FROM documents
     )
     SELECT doc_id,
@@ -4287,7 +4291,8 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 3 THEN 'xn--mnchen-3ya.' || sn || '.de'
                   WHEN 4 THEN 'example.' || sn || '.com'
                   WHEN 5 THEN 'xn--zca.' || sn || '.de'
-                  ELSE 'xn--xy-j1t.' || sn || '.ai'
+                  WHEN 6 THEN 'xn--xy-j1t.' || sn || '.ai'
+                  ELSE 'xn--wgv71a.' || sn || '.jp'
            END AS host_uts46,
            CASE c WHEN 0 THEN sn || '.plain.com'
                   WHEN 1 THEN 'strasse.' || sn || '.de'
@@ -4295,7 +4300,8 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 3 THEN 'xn--mnchen-3ya.' || sn || '.de'
                   WHEN 4 THEN 'example.' || sn || '.com'
                   WHEN 5 THEN 'ss.' || sn || '.de'
-                  ELSE 'xy.' || sn || '.ai'
+                  WHEN 6 THEN 'xy.' || sn || '.ai'
+                  ELSE 'xn--wgv71a.' || sn || '.jp'
            END AS host_idna2003,
            CAST(c IN (1, 2, 5, 6) AS BIGINT) AS differs
     FROM b
@@ -4304,12 +4310,14 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_punycode_uts46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTS-46 non-transitional host encoding vs the legacy IDNA-2003
     codec (round 14 — operators.web.punycode_host mode switch +
-    functions.idna46): seven host classes cover the published
+    functions.idna46): eight host classes cover the published
     deviation table — ``ß`` kept as ``xn--zca`` (2003 folds to
     ``ss``), final sigma ``ς`` kept (2003 folds to ``σ``, a DIFFERENT
     A-label), ZWNJ kept as CONTEXTJ (2003 deletes it) — plus the
     classes both agree on (plain ASCII, case folding ``MÜNCHEN``,
-    NFKC fullwidth compatibility).  The ``differs`` flag pins exactly
+    NFKC fullwidth compatibility, and — round 15 — the U+3002
+    ideographic dot as a LABEL SEPARATOR, which pre-fix uts46 mashed
+    into one label).  The ``differs`` flag pins exactly
     which classes the migration changes, so a corpus re-keyed from
     idna2003 to uts46 host keys knows its blast radius."""
     from ..operators import web as W
@@ -4329,8 +4337,12 @@ def q_punycode_uts46(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.concat(F.lit("ß."), sn, F.lit(".de")),
             F.concat(F.lit("x‌y."), sn, F.lit(".ai")),
+            # ideographic-dot label separator (round 15): U+3002 must
+            # SPLIT labels under both codecs — pre-fix, uts46 mashed
+            # '日本。sN' into one xn-- label while idna2003 split it
+            F.concat(F.lit("日本。"), sn, F.lit(".jp")),
         ),
-        (d % 7 + 1).cast("int"),
+        (d % 8 + 1).cast("int"),
     )
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", host.alias("host")

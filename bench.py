@@ -118,19 +118,38 @@ def _disk_bytes() -> int:
     return total
 
 
+#: Last-seen /proc/<pid>/io totals of THIS tree's descendants, keyed by
+#: (pid, starttime) so a recycled pid never aliases an exited process.
+#: Unlike CPU (where cutime/cstime roll a dead child's ticks into its
+#: parent), /proc/<pid>/io has no reaped-child aggregation — a PySpark
+#: UDF worker that exits between the paired samples would simply
+#: vanish from a stateless tree sum and its bytes be misattributed to
+#: EXTERNAL I/O (round-15 ADVICE fix); retaining exited descendants'
+#: last-seen totals keeps the tree series monotonic.  Residual caveat:
+#: bytes a descendant writes between the last sample that saw it and
+#: its exit are still lost (sampling happens per sweep), so ext_io_gb
+#: remains an upper bound on external traffic.
+_TREE_IO_LAST: dict[tuple[int, int], int] = {}
+
+
 def _tree_io_bytes() -> int:
     """Storage-layer bytes (read_bytes+write_bytes from /proc/<pid>/io)
-    of THIS process tree — same tree walk as _tree_cpu_ticks, so
-    box-total disk traffic minus this is EXTERNAL I/O."""
+    of THIS process tree — same tree walk as _tree_cpu_ticks, PLUS the
+    retained last-seen totals of descendants that have since exited
+    (see :data:`_TREE_IO_LAST`) — so box-total disk traffic minus this
+    is EXTERNAL I/O even when short-lived workers churn."""
     me = os.getpid()
     ppid: dict[int, int] = {}
+    start: dict[int, int] = {}
     io: dict[int, int] = {}
     for p in os.listdir("/proc"):
         if not p.isdigit():
             continue
         try:
             with open(f"/proc/{p}/stat") as fh:
-                ppid[int(p)] = int(fh.read().rsplit(")", 1)[1].split()[1])
+                rest = fh.read().rsplit(")", 1)[1].split()
+            ppid[int(p)] = int(rest[1])
+            start[int(p)] = int(rest[19])  # starttime, field 22
             b = 0
             with open(f"/proc/{p}/io") as fh:
                 for ln in fh:
@@ -139,14 +158,13 @@ def _tree_io_bytes() -> int:
             io[int(p)] = b
         except OSError:
             continue
-    total = 0
-    for pid in io:
+    for pid, b in io.items():
         q = pid
         while q in ppid and q != me:
             q = ppid[q]
         if q == me:
-            total += io[pid]
-    return total
+            _TREE_IO_LAST[(pid, start[pid])] = b
+    return sum(_TREE_IO_LAST.values())
 
 
 def _meminfo_gb() -> tuple[float, float]:
@@ -382,7 +400,11 @@ def main() -> None:
     # the official row is clean only when EVERY sweep of EVERY trial is
     # clean on BOTH telemetry channels (round-14: CPU alone could not
     # explain round-13's residual drift): > n_cpus/16 external cores OR
-    # > 1 GiB external disk traffic during any sweep flags the row
+    # > 1 GiB external disk traffic during any sweep flags the row.
+    # Attribution caveat: ext_io_gb is an UPPER bound — bytes written
+    # by a tree descendant in its final moments before exit can still
+    # be misread as external (see _TREE_IO_LAST), so the 1 GiB
+    # threshold is deliberately far above any plausible residual
     result["load_flag"] = bool(
         (all_ext and max(all_ext) > cpus / 16)
         or (all_io and max(all_io) > 1.0)

@@ -426,6 +426,14 @@ def test_uts46_rule_twins_match_uts46_host_keys(spark):
     assert uts46_host_to_ascii("MÜNCHEN.de") == "xn--mnchen-3ya.de"
     assert uts46_host_to_ascii("ｅｘａｍｐｌｅ.com") == "example.com"
     assert uts46_host_to_ascii("ẞ.example") == "xn--zca.example"
+    # ideographic dot variants are LABEL SEPARATORS (UTS-46 maps
+    # U+3002 to '.'; NFKC maps U+FF0E to '.' and U+FF61 to U+3002) —
+    # the round-15 fix: 'example。com' is two labels, not one
+    # xn--examplecom-* mash
+    assert uts46_host_to_ascii("example。com") == "example.com"
+    assert uts46_host_to_ascii("example．com") == "example.com"
+    assert uts46_host_to_ascii("example｡com") == "example.com"
+    assert uts46_host_to_ascii("日本。jp") == "xn--wgv71a.jp"
     # rule twin and host key agree on the deviation codepoint
     assert _rule_to_ascii("ß.example") == "xn--zca.example"
     assert _rule_to_ascii("!city.みんな") == "!city.xn--q9jyb4c"
