@@ -1,0 +1,135 @@
+"""Footprint-aware pin selection — the round-14 on-disk rung's lesson
+turned into code.
+
+A multi-consumer frame in a composed pipeline needs a "pin" so its
+upstream executes once, not once per consumer.  The rung (SCALE.md
+round 14, 1.68 GiB input) measured BOTH naive flavors failing at GB
+inputs:
+
+* **eager ``localCheckpoint`` everywhere** — its MEMORY_AND_DISK
+  *deserialized* blocks serialize all tasks on the
+  UnifiedMemoryManager unroll-reservation lock once a pinned frame
+  stops fitting trivially (jstack'd convoy, >1 h, killed);
+* **``DISK_ONLY`` persist everywhere** — streams in parallel (convoy
+  gone) but materializes every frame, including PRE-reduction frames
+  like the exact-substring shingle keys at ~40× corpus bytes (60 GiB
+  on a 1.68 GiB input, killed at 84% disk).
+
+The operators were right; pin *selection* was the scale-killer.  The
+policy here encodes the rung's criterion:
+
+* **post-reduction frames** (survivor manifests, pair tables, capped
+  corpora — anything ≤ ~corpus-sized): pin, choosing the flavor by a
+  plan-time size estimate — eager ``localCheckpoint`` for demonstrably
+  small frames (its deserialized unroll is the fastest pin when the
+  frame trivially fits), eager ``DISK_ONLY`` *serialized* persist
+  above the threshold (out of executor memory, parallel write path,
+  lineage KEPT so a lost executor recomputes instead of failing);
+* **pre-reduction frames** (shingle keys, exploded positions —
+  anything ∝ corpus tokens or bigger): NEVER pin; their producing
+  projection is narrow, so each consumer recomputes it from the
+  nearest *pinned post-reduction ancestor* — two map-side scans beat
+  one 40×-input materialization at any scale.
+
+The size estimate is Catalyst's ``optimizedPlan().stats()`` — free
+(pure stat propagation, no execution), and self-correcting along a
+pinned chain: cache substitution runs before the optimizer, so a frame
+downstream of an already-materialized persist estimates from the REAL
+cached size, not the propagated guess.  Unknown or failed estimates
+pin to disk — the conservative direction (the convoy, not the disk
+write, is the failure mode the estimate guards).
+
+Disk pins register in :data:`operators.dedup._LAZY_PINS` so the
+existing ``release_lazy_pins()`` call sites (plan audit, scale
+harnesses) release them; within a query run they are also released by
+Spark's ContextCleaner when the driver references drop.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+from .dedup import _LAZY_PINS
+
+#: Flip threshold between eager localCheckpoint and DISK_ONLY persist,
+#: from SCALE.md's measured criterion ("above ~100 MB of corpus text
+#: per pinned frame, use disk").
+SMALL_FRAME_BYTES = 100 << 20
+
+
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's size-in-bytes estimate of ``df``'s optimized plan, or
+    ``None`` when the estimate is unavailable (Connect-style sessions
+    without ``_jdf``, analysis errors).  Pure stat propagation — no
+    job runs.  Estimates skew LARGE through joins (multiplicative
+    propagation) and unknown-width strings, which is the safe skew for
+    pin selection: an over-estimate costs a disk write, an
+    under-estimate would re-create the unroll convoy."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def recompute_pin(df: DataFrame) -> DataFrame:
+    """The explicit NO-pin: hand this as a ``pin=`` argument to mark a
+    pre-reduction frame as recompute-from-lineage (each consumer
+    re-runs the narrow producing projection from the nearest pinned
+    ancestor).  Identity on purpose — the name documents the choice at
+    the call site."""
+    return df
+
+
+class FootprintPin:
+    """Per-site pin policy for composed pipelines: call :meth:`post`
+    at post-reduction pin sites and pass :meth:`pre` (an alias of
+    :func:`recompute_pin`) into operators that would otherwise pin
+    pre-reduction frames.  Tracks its disk pins for :meth:`release`.
+
+    ``small_bytes`` flips the post-reduction flavor; ``None`` disables
+    the checkpoint fast path entirely (every post pin goes to disk —
+    the paranoid setting for rungs where even "small" estimates are
+    distrusted)."""
+
+    def __init__(self, small_bytes: int | None = SMALL_FRAME_BYTES):
+        self.small_bytes = small_bytes
+        self.disk_pins: list[DataFrame] = []
+        #: (site#, estimated bytes or None, flavor) — audit trail the
+        #: scale harness prints so a rung run shows WHICH sites went
+        #: to disk and what the estimator believed.
+        self.decisions: list[tuple[int, int | None, str]] = []
+
+    def post(self, df: DataFrame) -> DataFrame:
+        """Pin a post-reduction frame: eager localCheckpoint when the
+        plan-time estimate is demonstrably small, else eager DISK_ONLY
+        serialized persist with lineage kept."""
+        est = plan_size_estimate(df)
+        if (
+            self.small_bytes is not None
+            and est is not None
+            and est < self.small_bytes
+        ):
+            self.decisions.append((len(self.decisions), est, "checkpoint"))
+            return df.localCheckpoint(eager=True)
+        self.decisions.append((len(self.decisions), est, "disk"))
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()  # eager: every consumer reads the store
+        self.disk_pins.append(out)
+        _LAZY_PINS.append(out)
+        return out
+
+    #: Pre-reduction sites: never pin (see module docstring).
+    pre = staticmethod(recompute_pin)
+
+    def release(self) -> None:
+        """Unpersist this policy's disk pins (blocking).  Safe while
+        downstream results are still lazy — lineage was kept, so a
+        post-release action recomputes instead of failing."""
+        while self.disk_pins:
+            df = self.disk_pins.pop()
+            if df in _LAZY_PINS:
+                _LAZY_PINS.remove(df)
+            df.unpersist(blocking=True)

@@ -2371,20 +2371,35 @@ def q_curation_pipeline_full(
     output is total over the input corpus, a curation manifest, and
     the oracle replays all ten stages in one SQL chain.
 
-    ``pin=`` (default ``localCheckpoint(eager=True)``) threads the
-    100 TB escape hatch through ALL of the pipeline's multi-consumer
-    pin sites — pass ``text.disk_persist_pin`` for DISK_ONLY blocks
-    that stay out of executor memory AND keep lineage (a lost executor
-    recomputes instead of failing the job; localCheckpoint truncates
-    lineage).  Pinned verdict-identical in
-    tests/test_pipelines.py::test_curation_pipeline_full_pin_modes;
-    flip criteria in SCALE.md (round-11 ExactSubstr entry, extended to
-    the pipeline round 12)."""
+    ``pin=`` (default: the FOOTPRINT-AWARE policy,
+    operators.pinning.FootprintPin — round 15) selects per pin site:
+    post-reduction frames (survivor manifests, the capped corpus) pin
+    eager-localCheckpoint when Catalyst's plan-time estimate is
+    demonstrably small and eager DISK_ONLY persist (lineage kept)
+    above ~100 MB, while the PRE-reduction exact-substring shingle
+    frame is NEVER pinned — its narrow projection recomputes from the
+    pinned survivors frame added just upstream.  The round-14 rung
+    measured both naive flavors failing at 1.68 GiB input (the
+    blanket-localCheckpoint unroll convoy and the blanket-disk 40×
+    footprint; SCALE.md round 14) — the policy is that measurement as
+    code.  Passing an explicit callable (e.g.
+    ``text.disk_persist_pin``, or ``lambda df:
+    df.localCheckpoint(eager=True)`` for the pre-round-15 default)
+    applies it at EVERY site including the shingle frame, preserving
+    the comparison modes.  Pin-flavor equivalence pinned in
+    tests/test_pipelines.py::test_curation_pipeline_full_pin_modes."""
     from ..operators import web as W
+    from ..operators.pinning import FootprintPin
     from ..operators.sampling import mixture_sample, shuffle_shards
 
-    def _pin(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if pin is None else pin(df)
+    if pin is None or isinstance(pin, FootprintPin):
+        # a FootprintPin INSTANCE may be passed in place of a callable
+        # so harnesses (the on-disk rung) can read .decisions after
+        policy = pin if isinstance(pin, FootprintPin) else FootprintPin()
+        _pin = policy.post
+        _substr_pin = FootprintPin.pre  # shingle frame: recompute
+    else:
+        _pin, _substr_pin = pin, pin
 
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source"
@@ -2458,9 +2473,14 @@ def q_curation_pipeline_full(
     )
     ndrop = pairs.select(F.col("id_b").alias("id")).distinct()
     nd = ed.join(ndrop, "id", "left_anti")
-    # 5. exact substring dedup
+    # 5. exact substring dedup.  nd is pinned FIRST (post-reduction
+    # survivors, ~corpus-sized): under the default policy the shingle
+    # frame inside is never materialized (pin=recompute) — each of its
+    # two consumers re-runs the narrow shingling projection from THIS
+    # stored frame, instead of pinning a ~40×-corpus key frame
+    nd = _pin(nd)
     cut = T.exact_substring_dedup(
-        nd, k=20, text_col="txt", id_col="id", pin=pin
+        nd, k=20, text_col="txt", id_col="id", pin=_substr_pin
     )
     cut = _pin(cut)  # consumed by 3 stages
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus

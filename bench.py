@@ -20,9 +20,21 @@ shift.  The official row is therefore:
     sample is load-qualified.
   * Within a trial each query runs ONCE per sweep (a clean sequential
     production sweep); the cross-trial per-query MEDIAN is the
-    official number, with per-query min and spread (max-min) archived
+    headline, with per-query min and spread (max-min) archived
     alongside so a consumer can separate dispersion from level.
   * value = sum of per-query warm medians; value_cold likewise.
+
+QUIET-WINDOW GATE + OFFICIAL SERIES (round 15): rounds 12-14 each
+archived a contaminated row — the telemetry showed 1-2.3 external
+cores busy on every trial and the series drifted +40% with zero code
+change.  Two fixes: (a) a trial whose own telemetry shows
+> $SPARK_GRAFT_QUIET_CORES (default 0.5) external cores or > 1 GiB
+external disk I/O is rejected and re-run, bounded by
+$SPARK_GRAFT_QUIET_RETRIES (default 3) extra attempts — if retries
+exhaust, the dirty trial is kept and load_flag marks the row; (b) the
+official round-over-round TREND statistic is per-query MIN-of-trials
+("value_min" / "value_cold_min", "official_series": "min-of-trials")
+— the one statistic contamination can only worsen, never flatter.
 
 Two sweeps per trial, both reported so the keyed-pin registry's
 multi-query speedup is measured honestly instead of inferred:
@@ -343,13 +355,10 @@ def main() -> None:
     warm_only = os.environ.get("SPARK_GRAFT_WARM") == "1"
     here = os.path.dirname(os.path.abspath(__file__))
 
-    trials: list[dict] = []
-    for i in range(n_trials):
+    def _one_trial(i: int) -> dict:
         if n_trials == 1:
-            trials.append(run_trial())
-            break
+            return run_trial()
         out = os.path.join(here, f".bench_trial_{i}.json")
-        print(f"# trial {i + 1}/{n_trials} (fresh JVM)", file=sys.stderr)
         env = dict(os.environ, SPARK_GRAFT_TRIAL_OUT=out)
         subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -358,14 +367,70 @@ def main() -> None:
             stdout=sys.stderr,
         )
         with open(out) as fh:
-            trials.append(json.load(fh))
+            t = json.load(fh)
         os.remove(out)
+        return t
+
+    # QUIET-WINDOW GATE (round 15): a trial whose own telemetry shows
+    # another tenant busy (> quiet_cores external cores, a stricter bar
+    # than the archival load_flag's n_cpus/16) or external disk churn
+    # is REJECTED and re-run, bounded by quiet_retries — rounds 12-14
+    # each archived a contaminated official row because the protocol
+    # measured the contamination but still kept the trial.  If retries
+    # exhaust, the dirty trial is kept (the sweep must terminate) and
+    # load_flag still marks the row.
+    quiet_cores = float(os.environ.get("SPARK_GRAFT_QUIET_CORES", "0.5"))
+    quiet_retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
+    trials: list[dict] = []
+    rejected: list[dict] = []
+    attempt = 0
+    while len(trials) < n_trials:
+        print(
+            f"# trial {len(trials) + 1}/{n_trials}"
+            f" (fresh JVM, attempt {attempt + 1})",
+            file=sys.stderr,
+        )
+        t = _one_trial(attempt)
+        attempt += 1
+        dirty = bool(
+            (t.get("ext_cores") and max(t["ext_cores"]) > quiet_cores)
+            or (t.get("ext_io_gb") and max(t["ext_io_gb"]) > 1.0)
+        )
+        if dirty and quiet_retries > 0:
+            quiet_retries -= 1
+            rejected.append(
+                {
+                    "ext_cores": t.get("ext_cores"),
+                    "ext_io_gb": t.get("ext_io_gb"),
+                    "value": t.get("value"),
+                    "value_cold": t.get("value_cold"),
+                }
+            )
+            print(
+                f"# REJECTED (ext_cores={t.get('ext_cores')},"
+                f" ext_io_gb={t.get('ext_io_gb')}) — retrying",
+                file=sys.stderr,
+            )
+            continue
+        if dirty:
+            print(
+                "# retries exhausted — keeping dirty trial"
+                " (load_flag will mark the row)",
+                file=sys.stderr,
+            )
+        trials.append(t)
 
     result: dict = {
         "metric": "total_query_wall_sec",
         "unit": "sec",
         "sf": trials[0]["sf"],
         "protocol": f"median-of-{len(trials)}-fresh-jvm",
+        # the official TREND statistic: per-query min across kept
+        # trials (summed into value_min / value_cold_min) — the one
+        # statistic background contamination can only worsen, never
+        # flatter, so round-over-round comparisons use it; the median
+        # stays for dispersion context
+        "official_series": "min-of-trials",
     }
     detail: dict = dict(result)
     if not cold_only:
@@ -379,6 +444,7 @@ def main() -> None:
     if not warm_only:
         medc, mnc, spreadc = _agg([t["queries_cold"] for t in trials])
         result["value_cold"] = round(sum(medc.values()), 3)
+        result["value_cold_min"] = round(sum(mnc.values()), 3)
         detail["queries_cold"] = medc
         detail["queries_cold_min"] = mnc
         detail["queries_cold_spread"] = spreadc
@@ -386,6 +452,8 @@ def main() -> None:
         result["value"] = result["value_cold"]
         result["value_min"] = round(sum(mnc.values()), 3)
         detail["queries"] = detail["queries_cold"]
+    detail["rejected_trials"] = rejected
+    result["n_rejected_trials"] = len(rejected)
 
     # Load accounting: every trial's own ext_cores + loadavg endpoints,
     # so the archived row is self-describing per SAMPLE, not per round —

@@ -118,11 +118,13 @@ def test_job_status_report(spark, tmp_path):
 
 def test_curation_pipeline_full_pin_modes(spark):
     """The 10-stage pretraining build must produce an IDENTICAL
-    manifest under both pin modes: the default eager localCheckpoint
-    and the 100 TB DISK_ONLY escape hatch (text.disk_persist_pin,
-    lineage kept) threaded through all seven multi-consumer pin sites
-    plus the internal ExactSubstr shingle pin (round-11 VERDICT ask
-    #4 — the flip criteria in SCALE.md apply to every one of them)."""
+    manifest under all three pin modes: the footprint-aware default
+    (round 15 — operators.pinning.FootprintPin: post-reduction sites
+    checkpoint-or-disk by plan-time estimate, the ExactSubstr shingle
+    frame NEVER pinned), the pre-round-15 blanket eager
+    localCheckpoint, and the blanket DISK_ONLY escape hatch
+    (text.disk_persist_pin, lineage kept) — pins are semantics-neutral
+    by contract, and this is the contract's test."""
     from applications_analytics_midas_hbase_metrics_spark.operators import (
         text as T,
     )
@@ -135,6 +137,14 @@ def test_curation_pipeline_full_pin_modes(spark):
         tuple(r)
         for r in QC.q_curation_pipeline_full(spark, SF_SMOKE).collect()
     )
+
+    ckpt = sorted(
+        tuple(r)
+        for r in QC.q_curation_pipeline_full(
+            spark, SF_SMOKE, pin=lambda d: d.localCheckpoint(eager=True)
+        ).collect()
+    )
+    assert base == ckpt
 
     pinned = []
 
@@ -154,8 +164,47 @@ def test_curation_pipeline_full_pin_modes(spark):
         for f in pinned:
             f.unpersist(blocking=True)
 
-    assert len(pinned) >= 7, len(pinned)  # every pin site took the hatch
+    assert len(pinned) >= 8, len(pinned)  # every pin site took the hatch
     assert base == alt
+
+
+def test_footprint_pin_policy(spark):
+    """FootprintPin unit contract: small frames checkpoint, frames
+    above the threshold persist DISK_ONLY with lineage kept and
+    release() unpersists them; pre() never pins."""
+    from pyspark import StorageLevel
+
+    from applications_analytics_midas_hbase_metrics_spark.operators.pinning import (
+        FootprintPin,
+        plan_size_estimate,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 as v")
+    assert plan_size_estimate(df) is not None
+
+    pol = FootprintPin(small_bytes=1 << 30)
+    small = pol.post(df)
+    assert pol.decisions[-1][2] == "checkpoint"
+    assert small.count() == 1000
+
+    pol2 = FootprintPin(small_bytes=1)  # force the disk path
+    big = pol2.post(df)
+    assert pol2.decisions[-1][2] == "disk"
+    assert big.storageLevel == StorageLevel.DISK_ONLY
+    assert big.count() == 1000
+    # pre() is identity — the frame is NOT pinned
+    assert pol2.pre(df) is df
+    pol2.release()
+    assert big.storageLevel == StorageLevel.NONE
+    # lineage survived the release: the frame still evaluates
+    assert big.count() == 1000
+
+    # small_bytes=None: every post pin goes to disk regardless
+    pol3 = FootprintPin(small_bytes=None)
+    forced = pol3.post(df)
+    assert pol3.decisions[-1][2] == "disk"
+    assert forced.count() == 1000
+    pol3.release()
 
 
 def test_gopher_quality_pipeline_stages(spark):

@@ -328,25 +328,60 @@ def main() -> None:
         )
 
     if "ann" in steps:
-        # ANN: IVF build + 10-query probe over the full vector rung
+        # ANN: IVF build + 10-query probe over the full vector rung.
+        # The timer wraps centroid CONSTRUCTION too (the round-14 run's
+        # 52.4 s excluded it — timer bug, fixed; this is the honest
+        # number the round-15 re-take records).
+        emb_df = rd("embeddings").select("vec_id", "embedding")
+        queries = emb_df.filter(
+            F.col("vec_id") % emb_mult == 0
+        ).limit(10).localCheckpoint(eager=True)
+        ivf_out = {}
+
         def _ann():
-            emb_df = rd("embeddings").select("vec_id", "embedding")
             cents = SIM.build_ivf_centroids(
                 emb_df, num_centroids=64
             ).localCheckpoint(eager=True)
-            queries = emb_df.filter(
-                F.col("vec_id") % emb_mult == 0
-            ).limit(10)
-            return SIM.ivf_topk(emb_df, queries, cents, k=10, nprobe=8)
+            out = SIM.ivf_topk(emb_df, queries, cents, k=10, nprobe=8)
+            ivf_out["df"] = out.localCheckpoint(eager=True)
+            return ivf_out["df"]
 
         step("ann_ivf_build_probe", _ann)
+        # recall@10 at the rung (round-15 VERDICT ask): brute-force
+        # ground truth over the SAME 10 queries — 10 × n_emb scored
+        # rows, minutes not hours, and the rung's quality number
+        truth = SIM.brute_force_topk(emb_df, queries, k=10)
+        hits = (
+            ivf_out["df"]
+            .select("query_id", "corpus_id")
+            .join(
+                truth.select("query_id", "corpus_id"),
+                ["query_id", "corpus_id"],
+            )
+            .count()
+        )
+        denom = truth.count()
+        print(
+            f"STEP ann_recall10: {hits}/{denom} ="
+            f" {hits / max(denom, 1):.4f}",
+            flush=True,
+        )
 
     if "curation" in steps:
         # the composed ten-stage pipeline, full manifest, big-id plant
-        # offset; RUNG_PIPELINE_PIN=disk flips every pin site to
-        # DISK_ONLY serialized blocks (text.disk_persist_pin) — at this
-        # rung the default eager localCheckpoint's MEMORY_AND_DISK
-        # deserialized unroll convoys on the UnifiedMemoryManager lock
+        # offset.  RUNG_PIPELINE_PIN selects the pin mode:
+        #   policy (default) — the round-15 footprint-aware FootprintPin
+        #     (post-reduction sites checkpoint-or-DISK_ONLY by plan-time
+        #     estimate; the shingle frame NEVER pinned) — the mode the
+        #     round-14 findings prescribed: the blanket-checkpoint
+        #     unroll convoyed >1 h and the blanket-disk footprint blew
+        #     40× input at mult=150
+        #   disk — blanket text.disk_persist_pin (the round-14 flavor)
+        #   ckpt — blanket eager localCheckpoint (the pre-round-15
+        #     default, kept reproducible)
+        from applications_analytics_midas_hbase_metrics_spark.operators.pinning import (
+            FootprintPin,
+        )
         from applications_analytics_midas_hbase_metrics_spark.operators.text import (
             disk_persist_pin,
         )
@@ -354,20 +389,27 @@ def main() -> None:
             q_curation_pipeline_full,
         )
 
-        pin = (
-            disk_persist_pin
-            if os.environ.get("RUNG_PIPELINE_PIN") == "disk"
-            else None
-        )
-        label = "curation_pipeline_full" + (
-            "_diskpin" if pin is not None else ""
-        )
+        mode = os.environ.get("RUNG_PIPELINE_PIN", "policy")
+        if mode == "disk":
+            pin = disk_persist_pin
+        elif mode == "ckpt":
+            pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        else:
+            pin = FootprintPin()
+        label = f"curation_pipeline_full_{mode}pin"
         step(
             label,
             lambda: q_curation_pipeline_full(
                 spark, RUNG_DIR, pin=pin, plant_offset=10**9
             ),
         )
+        if isinstance(pin, FootprintPin):
+            print(
+                "PIN decisions (site#, est bytes, flavor):",
+                pin.decisions,
+                flush=True,
+            )
+            pin.release()
 
     print("METRICS", json.dumps(_metrics(spark)), flush=True)
     if not keep:
