@@ -135,27 +135,40 @@ def _assign_nearest(
     size.  Ties break to the lowest centroid_id via the lexicographic
     (sim, -centroid_id) struct max — identical semantics to the
     (sim DESC, centroid_id ASC) ranking it replaces; a null cosine
-    (zero-norm vector) orders below every real score."""
+    (zero-norm vector) orders below every real score.
+
+    ``id_col`` must be a UNIQUE non-null key of ``df`` (every caller
+    passes a primary key): the argmax aggregate runs NARROW —
+    (id, sim, centroid_id) only — and the payload re-attaches by a
+    shuffle-hash equi join on that key.  Round 15: the previous shape
+    carried every ``df`` column (vector included) through the max_by
+    buffer; complex-typed aggregation buffers force SortAggregateExec,
+    and sorting |rows| x |C| payload rows spent ~97% of the first
+    honest rung centroid-build wall inside UnsafeArrayData.copy
+    (jstack'd; SCALE.md round 15).  The narrow buffer keeps the
+    argmax itself unchanged — same order struct, same tie-break, same
+    doubles — while the sort touches ~24-byte rows, and the join-back
+    moves each payload row exactly once (hash, not sort-merge: both
+    sides are unsorted and keyed uniquely)."""
     cents = centroids.withColumn("_cn", _norm(F.col("centroid")))
     scored = (
-        df.withColumn("_vn", _norm(F.col(vec)))
+        df.select(F.col(id_col), F.col(vec))
+        .withColumn("_vn", _norm(F.col(vec)))
         .join(F.broadcast(cents), how="cross")
         .withColumn(
             "_sim",
             _cos_pre(_dot(F.col(vec), F.col("centroid")), F.col("_vn"), F.col("_cn")),
         )
+        .select(F.col(id_col), F.col("_sim"), F.col("centroid_id"))
     )
-    payload = F.struct(*[F.col(c) for c in df.columns])
     order = F.struct(
         F.coalesce(F.col("_sim"), F.lit(-2.0)).alias("s"),
         (-F.col("centroid_id")).alias("nc"),
     )
     best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(payload.alias("p"), F.col("centroid_id").alias("cid")), order
-        ).alias("_b")
+        F.max_by(F.col("centroid_id"), order).cast("int").alias(out)
     )
-    return best.select("_b.p.*", F.col("_b.cid").alias(out))
+    return df.join(best.hint("shuffle_hash"), id_col)
 
 
 def build_ivf_centroids(

@@ -1318,10 +1318,24 @@ def exact_substring_spans(
     positions against the hot HASHES — a SUPERSET of the true
     duplicated positions (collisions can only add candidates); phase 2
     re-counts ONLY those candidates by exact shingle string and
-    semi-joins again.  String bytes shuffle only for candidate
-    positions (∝ duplicated content, not corpus), the verify kills
-    every collision, and the result is bit-identical to the one-phase
-    exact path (pinned in tests, measured in tools/substr_scale.py).
+    semi-joins again.  The verify kills every collision and the result
+    is bit-identical to the one-phase exact path (pinned in tests,
+    measured in tools/substr_scale.py).
+
+    Round 15 — the shingle STRING never shuffles corpus-wide in this
+    mode: phase 1's position rows carry only (id, start, end, _hh) —
+    the string exists transiently inside the map stage that hashes it
+    — so the count AND the candidate semi-join move ~32-byte rows;
+    phase 2 re-derives candidate strings by a ``substring(nm, start,
+    end-start+1)`` join back to the normalized text on ``id`` (one
+    corpus-text pass), so string bytes shuffle only ∝ duplicated
+    content.  The round-14 GB rung killed the composed pipeline on
+    disk exhaustion exactly here: one-phase mode writes the ~150-byte
+    string keys into BOTH the count and the join shuffles (~40×
+    corpus bytes on disk); this shape writes ~2% of that.  ``pin``
+    (or the default ``materialize`` checkpoint) applies at the two
+    reuse sites — the narrow position frame and the candidate string
+    frame — both bounded (~32 B/token and ∝ duplicated content).
 
     Returns (id, start, end): 1-based inclusive character offsets into
     the NORMALIZED text (the ``cut_spans`` convention) of every
@@ -1335,14 +1349,20 @@ def exact_substring_spans(
         raise ValueError(f"key_fn must be 'exact' or 'xxhash64', got {key_fn!r}")
     if two_phase and key_fn != "exact":
         raise ValueError("two_phase applies to key_fn='exact' only")
-    rows = _shingle_position_rows(df, k, text_col, id_col, key_fn)
-    # consumed on BOTH sides (frequency count + semi join) — pin so the
-    # shingling projection runs once; at 100 TB prefer pin=persist-to-
-    # disk or recompute over the default localCheckpoint
-    rows = pin(rows) if pin is not None else _self_join_ready(rows, materialize)
+    def _pin(frame: DataFrame) -> DataFrame:
+        return (
+            pin(frame) if pin is not None
+            else _self_join_ready(frame, materialize)
+        )
+
     if two_phase:
-        hashed = rows.select(
-            "id", "start", "end", "_sh", F.xxhash64("_sh").alias("_hh")
+        nsrc = _norm_text_frame(df, text_col, id_col)
+        # NARROW position rows: hash the shingle inside the map stage,
+        # never carry the string — (id, start, end, _hh) ≈ 32 B/row
+        hashed = _pin(
+            _positions_with_key(nsrc, k, "xxhash64").withColumnRenamed(
+                "_sh", "_hh"
+            )
         )
         hot_h = (
             hashed.groupBy("_hh")
@@ -1350,14 +1370,30 @@ def exact_substring_spans(
             .filter(F.col("_c") >= min_count)
             .select("_hh")
         )
-        cand = hashed.join(hot_h, "_hh", "left_semi")
+        cand = hashed.join(hot_h, "_hh", "left_semi").select(
+            "id", "start", "end"
+        )
+        # phase 2: recover candidate strings from the normalized text
+        # by offset — one corpus-text pass, string shuffle ∝ dup bytes
+        cand_str = _pin(
+            cand.join(nsrc, "id").select(
+                "id", "start", "end",
+                F.expr("substring(nm, start, end - start + 1)").alias("_sh"),
+            )
+        )
         hot = (
-            cand.groupBy("_sh")
+            cand_str.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") >= min_count)
             .select("_sh")
         )
-        return cand.join(hot, "_sh", "left_semi").select("id", "start", "end")
+        return cand_str.join(hot, "_sh", "left_semi").select(
+            "id", "start", "end"
+        )
+    # consumed on BOTH sides (frequency count + semi join) — pin so the
+    # shingling projection runs once; at 100 TB prefer pin=persist-to-
+    # disk or recompute over the default localCheckpoint
+    rows = _pin(_shingle_position_rows(df, k, text_col, id_col, key_fn))
     hot = (
         rows.groupBy("_sh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1365,6 +1401,18 @@ def exact_substring_spans(
         .select("_sh")
     )
     return rows.join(hot, "_sh", "left_semi").select("id", "start", "end")
+
+
+def _norm_text_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, nm) — the shared normalized-text projection of the
+    ExactSubstr family: lower-cased, whitespace-collapsed, trimmed,
+    empty docs dropped.  Split out (round 15) so the two-phase path
+    can re-derive a candidate shingle's STRING from (id, start, end)
+    offsets without ever shuffling shingle strings corpus-wide."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
+    ).filter(F.length("nm") > 0)
 
 
 def _shingle_position_rows(
@@ -1385,10 +1433,15 @@ def _shingle_position_rows(
     (measured 17.6 s -> 1.9 s at sf0.1).  The size(o) >= k guard also
     keeps the sequence() ascending (sequence(1, 0) is DESCENDING in
     Spark) and lets short docs emit an empty array."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("id"), norm.alias("nm")
-    ).filter(F.length("nm") > 0)
+    return _positions_with_key(
+        _norm_text_frame(df, text_col, id_col), k, key_fn
+    )
+
+
+def _positions_with_key(src: DataFrame, k: int, key_fn: str) -> DataFrame:
+    """Shingle-position body of :func:`_shingle_position_rows` over a
+    pre-normalized (id, nm) frame — see that docstring for the offset
+    math and the let-binding trick."""
     offs = (
         "concat(array(1), transform("
         " filter(sequence(1, char_length(nm)), p -> substring(nm, p, 1) = ' '),"

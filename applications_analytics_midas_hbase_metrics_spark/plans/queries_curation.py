@@ -361,7 +361,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-@register_extra("bpe_tokenize")  # rows-only twin of bpe_merges (same class)
+# rotated INTO the driver gate round 15 (judge's rotate-in list):
+# rows-only — greedy merge application over an iteratively-trained
+# merge table, non-SQL-expressible end-to-end (the sanctioned weaker
+# check; the merge TRAINING twin bpe_merges stays sweep-checked)
+@register("bpe_tokenize")
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode: the 20-merge table learned by bpe_merges
     applied back to the corpus (operators.bpe.apply_bpe) — real BPE
@@ -1818,7 +1822,12 @@ def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+# rotated OUT to the extra tier round 15 (gated r12-r14, three
+# driver-green rounds): subsumed by the gated domain_extract_psl_full,
+# which runs the SAME extraction keyed against the full vendored PSL —
+# a strict superset of this fixture's rule subset; the fixture-rule
+# path stays sweep-checked here
+@register_extra(
     "domain_extract_psl",
     oracle="""
     WITH h AS (
@@ -2373,20 +2382,22 @@ def q_curation_pipeline_full(
 
     ``pin=`` (default: the FOOTPRINT-AWARE policy,
     operators.pinning.FootprintPin — round 15) selects per pin site:
-    post-reduction frames (survivor manifests, the capped corpus) pin
-    eager-localCheckpoint when Catalyst's plan-time estimate is
-    demonstrably small and eager DISK_ONLY persist (lineage kept)
-    above ~100 MB, while the PRE-reduction exact-substring shingle
-    frame is NEVER pinned — its narrow projection recomputes from the
-    pinned survivors frame added just upstream.  The round-14 rung
-    measured both naive flavors failing at 1.68 GiB input (the
-    blanket-localCheckpoint unroll convoy and the blanket-disk 40×
-    footprint; SCALE.md round 14) — the policy is that measurement as
+    frames pin eager-localCheckpoint when Catalyst's plan-time
+    estimate is demonstrably small and eager DISK_ONLY persist
+    (lineage kept) above ~100 MB.  The exact-substring stage runs its
+    NARROW two-phase shape (round 15), so the ~40×-corpus shingle
+    STRING frame of the round-14 failure no longer exists anywhere —
+    its internal reuse frames are the 32-byte/row position-hash frame
+    and the ∝-duplicated-content candidate strings, pinned through
+    the same policy.  The round-14 rung measured both naive flavors
+    failing at 1.68 GiB input (the blanket-localCheckpoint unroll
+    convoy and the blanket-disk 40× footprint; SCALE.md round 14) —
+    the policy + the narrow substring shape are that measurement as
     code.  Passing an explicit callable (e.g.
     ``text.disk_persist_pin``, or ``lambda df:
     df.localCheckpoint(eager=True)`` for the pre-round-15 default)
-    applies it at EVERY site including the shingle frame, preserving
-    the comparison modes.  Pin-flavor equivalence pinned in
+    applies it at EVERY site, preserving the comparison modes.
+    Pin-flavor equivalence pinned in
     tests/test_pipelines.py::test_curation_pipeline_full_pin_modes."""
     from ..operators import web as W
     from ..operators.pinning import FootprintPin
@@ -2397,9 +2408,8 @@ def q_curation_pipeline_full(
         # so harnesses (the on-disk rung) can read .decisions after
         policy = pin if isinstance(pin, FootprintPin) else FootprintPin()
         _pin = policy.post
-        _substr_pin = FootprintPin.pre  # shingle frame: recompute
     else:
-        _pin, _substr_pin = pin, pin
+        _pin = pin
 
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source"
@@ -2473,14 +2483,19 @@ def q_curation_pipeline_full(
     )
     ndrop = pairs.select(F.col("id_b").alias("id")).distinct()
     nd = ed.join(ndrop, "id", "left_anti")
-    # 5. exact substring dedup.  nd is pinned FIRST (post-reduction
-    # survivors, ~corpus-sized): under the default policy the shingle
-    # frame inside is never materialized (pin=recompute) — each of its
-    # two consumers re-runs the narrow shingling projection from THIS
-    # stored frame, instead of pinning a ~40×-corpus key frame
+    # 5. exact substring dedup, NARROW two-phase (round 15): nd is
+    # pinned first (post-reduction survivors, ~corpus-sized), and the
+    # substring stage runs two_phase so the ~150-byte shingle STRINGS
+    # never shuffle corpus-wide — phase 1 moves 32-byte (id, start,
+    # end, hash) rows, phase 2 re-derives candidate strings from nd's
+    # text by offset.  The round-14 rung died on disk exhaustion in
+    # exactly this stage's one-phase string shuffles (~40× corpus
+    # bytes); the internal reuse frames (narrow positions, candidate
+    # strings) pin through the same footprint policy as every other
+    # site.
     nd = _pin(nd)
     cut = T.exact_substring_dedup(
-        nd, k=20, text_col="txt", id_col="id", pin=_substr_pin
+        nd, k=20, text_col="txt", id_col="id", two_phase=True, pin=_pin
     )
     cut = _pin(cut)  # consumed by 3 stages
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
@@ -3972,11 +3987,13 @@ def _gq_oracle(published: bool = False) -> str:
     """
 
 
-# driver-gated (late round 12, in for gopher_line_signals): the
-# composed five-stage filter is the strongest single row on the
-# round-12 surface — one hash covers NFC, C4, both Gopher batteries,
-# the quality rules and the stage-attribution math
-register("gopher_quality_pipeline", oracle=_gq_oracle())(
+# rotated OUT to the extra tier round 15 (driver-gated r12-r14, three
+# green rounds): subsumed by the gated gopher_quality_pipeline_published
+# — the IDENTICAL five-stage composition (NFC, C4, both Gopher
+# batteries, quality rules, stage attribution) under the published
+# Table-A1 thresholds; only the threshold parameterization differs,
+# and this variant stays sweep-checked
+register_extra("gopher_quality_pipeline", oracle=_gq_oracle())(
     q_gopher_quality_pipeline
 )
 
@@ -4290,7 +4307,10 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_quality_stats(spark, stats)
 
 
-@register_extra(
+# rotated INTO the driver gate round 15 (judge's rotate-in list;
+# sweep-green in r14): the known-answer UTS-46-vs-IDNA-2003 deviation
+# oracle, extended this round with the U+3002 label-separator class
+@register(
     "punycode_uts46",
     # known-answer oracle: each class's A-label is a CONSTANT (the
     # variable part of the host sits in an ASCII label), so the

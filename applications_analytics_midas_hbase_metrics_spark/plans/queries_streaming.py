@@ -850,7 +850,9 @@ def _cdc_batches(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-@register_extra(
+# rotated INTO the driver gate round 15 (judge's rotate-in list): the
+# CDC upsert/delete replay over the stored cell table goes driver-hard
+@register(
     "stream_cdc_apply",
     oracle=f"""
     WITH cells AS ({_CELLS_SQL}),

@@ -167,7 +167,8 @@ def test_ngram_blocked_fixture_pair_floor(spark):
     before the hash gate can go quietly marginal."""
     from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
 
-    out = Q.QUERIES["dedup_ngram_blocked"](spark, "/root/testdata/sf0.01")
+    # extra tier since the round-15 rotation
+    out = Q.EXTRA_QUERIES["dedup_ngram_blocked"](spark, "/root/testdata/sf0.01")
     rows = out.collect()
     assert rows, "fixture must produce true pairs"
     assert min(r.jaccard for r in rows) >= 0.59, min(r.jaccard for r in rows)

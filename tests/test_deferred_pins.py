@@ -124,7 +124,9 @@ def test_cell_family_chain_shares_one_build(spark):
     ]
     assert names.index("validation_diff") == i + 4
     j = names.index("dedup_minhash")
-    assert names[j : j + 2] == ["dedup_minhash", "dedup_corpus"]
+    # round 15: dedup_corpus rotated to the extra tier; the chain now
+    # pulls dedup_best_quality (same pair-table + CC family) adjacent
+    assert names[j : j + 2] == ["dedup_minhash", "dedup_best_quality"]
     # the reorder must preserve the gated SET exactly
     assert set(names) == set(Q.QUERIES)
     assert len(names) == len(Q.QUERIES)
@@ -144,28 +146,36 @@ def test_dedup_corpus_claim_and_cold_paths_agree(spark):
     so it can run three ways — cold (build pairs + propagate labels),
     claiming the pair table (propagate only), or claiming the labels
     (skip propagation entirely).  All three must yield the identical
-    representative set."""
+    representative set.  (dedup_corpus rotated to the extra tier in
+    round 15 — the claim machinery is tier-independent, so the test
+    reads it from the combined registry.)"""
     import __spark_entry__ as E
 
     qs = E.queries()
+    registry = {**Q.QUERIES, **Q.EXTRA_QUERIES}
     # cold path: no pins anywhere
     Q.release_deferred()
-    cold = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    cold = sorted(
+        r.id for r in registry["dedup_corpus"](spark, SF_SMOKE).collect()
+    )
     # pairs-claim path: dedup_minhash pins the pair table; dedup_corpus
-    # (next entry) claims it and runs its own propagation
+    # claims it and runs its own propagation
     Q.release_deferred()
     qs["dedup_minhash"](spark, SF_SMOKE).count()
-    via_pairs = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    via_pairs = sorted(
+        r.id for r in registry["dedup_corpus"](spark, SF_SMOKE).collect()
+    )
     assert f"minhash_pairs:{SF_SMOKE}" in Q.claimed_keys(), "pairs claim must hit"
     assert via_pairs == cold
     # labels-claim path: full family order — dedup_clusters (extra tier
     # since the round-8 rotation) pins its (id, cluster_id) frame;
     # dedup_corpus claims it, skipping the loop
-    registry = {**Q.QUERIES, **Q.EXTRA_QUERIES}
     Q.release_deferred()
     qs["dedup_minhash"](spark, SF_SMOKE).count()
     registry["dedup_clusters"](spark, SF_SMOKE).count()
-    via_labels = sorted(r.id for r in qs["dedup_corpus"](spark, SF_SMOKE).collect())
+    via_labels = sorted(
+        r.id for r in registry["dedup_corpus"](spark, SF_SMOKE).collect()
+    )
     assert f"cc_labels:{SF_SMOKE}" in Q.claimed_keys(), "labels claim must hit"
     assert via_labels == cold
 

