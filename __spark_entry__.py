@@ -106,19 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_topk extra-tier, ann_ivf rebuilds the brute-force truth
         # itself via the claim_deferred fallback —
         # see queries_ext._ann_brute10.)
-        # (Round 15 rotation: domain_extract_psl / gopher_quality_pipeline
-        # / dedup_corpus / dedup_ngram_blocked / kmeans_fixed left —
-        # each subsumed by a stronger gated sibling (domain_extract_
-        # psl_full, gopher_quality_pipeline_published, dedup_best_
-        # quality's pair-family+CC+argmax, dedup_minhash's exact-Jaccard
-        # verify, ann_ivf's Lloyd centroid build) — for the judge's
-        # rotate-in list: punycode_uts46, bpe_tokenize (rows-only,
-        # sanctioned), stream_cdc_apply, heavy_hitters_cms,
-        # orc_pushdown_scan.  The dedup_minhash chain now pulls
-        # dedup_best_quality so the CC family still claims the shared
-        # pair table adjacently.)
+        # (Round 15 is an OPTIMIZATION round: the gated set is frozen
+        # at the round-14 fifty — the driver diffs this set against
+        # CORRECTNESS_r14 and a disappeared row is a regression.)
         "cell_lookup": ["validation_diff"],
-        "dedup_minhash": ["dedup_best_quality"],
+        "dedup_minhash": ["dedup_corpus"],
     }
     pulled = {c for cs in chains.values() for c in cs}
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

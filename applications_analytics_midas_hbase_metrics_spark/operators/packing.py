@@ -42,7 +42,7 @@ def global_prefix_sum(
     a single-task global window.  ``order_col`` values must be unique;
     ``value_col`` must be integral (token counts — the per-partition
     totals are carried as bigint)."""
-    from .sampling import _det_range_bucket
+    from .sampling import _det_range_bucket, _pin_branch_input
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -55,9 +55,12 @@ def global_prefix_sum(
     # corrupting the prefix sums nondeterministically) has no root to
     # grow from, and the lazy localCheckpoint that pinned it — whose
     # replication-1, lineage-truncated blocks made any executor loss
-    # fatal — is gone.  NO cache replaces it: the input's lineage
-    # re-executes per branch (bounded sample + totals + probe);
-    # callers with expensive upstream persist before calling.
+    # fatal — is gone.  The input is persisted WITH lineage instead
+    # (sampling._pin_branch_input, round 15): the sample, totals, and
+    # probe branches read the cache on the healthy path, a lost block
+    # recomputes from lineage, and the pure-expression bucket keeps
+    # every recomputation agreeing by construction.
+    df = _pin_branch_input(df)
     ranged = _det_range_bucket(df, [(order_col, False)], n, out="_pid")
     # one row per bucket; cumulative offset = sum of all PRIOR
     # buckets' totals.  |buckets| rows (hundreds at cluster

@@ -29,11 +29,12 @@ from __future__ import annotations
 import functools
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import _self_join_ready
+from .dedup import _LAZY_PINS, _self_join_ready
 
 
 def top_k_per_group(
@@ -92,6 +93,64 @@ _SHARD_PRIME = 2654435761
 #: bucket (Spark's own RangePartitioner uses the same factor).  The
 #: driver pull is bounded at ``n_buckets * 20`` narrow key tuples.
 _BOUND_SAMPLES_PER_BUCKET = 20
+
+
+#: Optimized-plan node names that mark a two-phase narrow input as
+#: EXPENSIVE to recompute: anything that implies a shuffle (join,
+#: aggregate, window, sort, distinct) or a JVM↔Python boundary.  A
+#: map-only lineage (scan + project + filter) is cheaper to re-run
+#: than to cache — measured: persisting the trivially-recomputable
+#: inputs of sequence_packing / token_budget_mixture cost +0.4–0.6 s
+#: each at sf0.1, while persisting the join/window-bearing inputs of
+#: perplexity_buckets (−0.9 s) and the composed pipeline's
+#: shuffle_shards-over-assign_packs (−4.1 s, variance collapsed) won.
+_EXPENSIVE_NODES = (
+    "Join", "Aggregate", "Window", "Sort", "Deduplicate",
+    "ArrowEval", "BatchEval", "MapInArrow", "MapInPandas", "FlatMapGroups",
+)
+
+
+def _pin_branch_input(df: DataFrame) -> DataFrame:
+    """Persist (lineage KEPT) the narrow input of a two-phase shape —
+    IF recomputing it is demonstrably more expensive than caching it.
+
+    The two-phase rank/cumsum/prefix-sum family consumes its narrow
+    (key, group, value) input THREE times — the bounded boundary-sample
+    pass, the per-(group, bucket) counts branch, and the probe branch —
+    and round 14 removed the lazy ``localCheckpoint`` that used to
+    deduplicate those executions because its replication-1,
+    lineage-truncated blocks made any executor loss fatal.  The
+    measured price was ~2× wall on the two-phase queries (SCALE.md
+    round 14).  The round-15 fix is a plain ``persist(MEMORY_AND_DISK)``
+    — lineage is KEPT, so the round-14 fault-tolerance argument is
+    untouched (a lost block recomputes from lineage, and the
+    deterministic bucket expression guarantees every recomputation
+    agrees by construction); the cache merely stops the healthy path
+    from paying the upstream three times.
+
+    The pin is CONDITIONAL on the input's optimized plan containing a
+    shuffle-inducing or Python-boundary operator
+    (:data:`_EXPENSIVE_NODES`) — the same recompute-vs-materialize
+    criterion as operators/pinning.py, applied to lineage shape instead
+    of size: re-running a map-only projection of a columnar scan three
+    times is cheaper than building the columnar cache once (guide §5 —
+    persist only when recompute costs more than the memory pressure).
+    When the plan is unreadable (Connect-style sessions without
+    ``_jdf``) the pin is applied — the conservative direction for the
+    expensive-upstream case.
+
+    Pinned frames register in :data:`~.dedup._LAZY_PINS`, so the
+    registry's entry-hygiene wrapper (plans/queries.py) releases them
+    at the next query entry and sweeps never accumulate blocks."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if not any(n in plan for n in _EXPENSIVE_NODES):
+            return df
+    except Exception:
+        pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAZY_PINS.append(df)
+    return df
 
 
 def _norm_order(order_cols) -> list[tuple[str, bool]]:
@@ -316,12 +375,14 @@ def _two_phase_rank(
     and any recomputation after executor loss agree by construction —
     no shared physical partitioning exists to desynchronize, so the
     round-13 lazy-localCheckpoint pin (executor-local, replication-1,
-    lineage-truncated: any executor loss failed the job) is gone.  NO
-    cache replaces it: the narrow input's lineage re-executes up to 3×
-    (one bounded key-column sample + the counts and probe branches) —
-    the measured ~2× wall vs the checkpointed form (SCALE.md round-14)
-    IS that recompute, the price of full replayability.  Callers whose
-    upstream is expensive can persist before calling.
+    lineage-truncated: any executor loss failed the job) is gone.  The
+    narrow input is instead persisted WITH lineage
+    (:func:`_pin_branch_input`, round 15): the three consumers (one
+    bounded key-column sample + the counts and probe branches) read the
+    cache on the healthy path — recovering the ~2× wall the round-14
+    uncached form paid (SCALE.md) — while a lost block recomputes from
+    full lineage and, the bucket being a pure row expression, agrees by
+    construction.
 
     ``total_col`` additionally attaches each group's TOTAL row count —
     free, from the same tiny counts frame (percent_rank's denominator
@@ -329,6 +390,7 @@ def _two_phase_rank(
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ospec = _norm_order(order_cols)
     spec = [(c, False) for c in part_cols] + ospec
+    df = _pin_branch_input(df)
     rep = _det_range_bucket(df, spec, n_buckets)
     counts = rep.groupBy(*part_cols, "_tp_b").agg(
         F.count(F.lit(1)).alias("_tp_cnt")
@@ -381,6 +443,7 @@ def _two_phase_cumsum(
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ospec = _norm_order(order_cols)
     spec = [(c, False) for c in part_cols] + ospec
+    df = _pin_branch_input(df)
     rep = _det_range_bucket(df, spec, n_buckets)
     val = F.col(value_col).cast("bigint")
     sums = rep.groupBy(*part_cols, "_tp_b").agg(

@@ -361,11 +361,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-# rotated INTO the driver gate round 15 (judge's rotate-in list):
-# rows-only — greedy merge application over an iteratively-trained
-# merge table, non-SQL-expressible end-to-end (the sanctioned weaker
-# check; the merge TRAINING twin bpe_merges stays sweep-checked)
-@register("bpe_tokenize")
+@register_extra("bpe_tokenize")  # rows-only twin of bpe_merges (same class)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode: the 20-merge table learned by bpe_merges
     applied back to the corpus (operators.bpe.apply_bpe) — real BPE
@@ -1822,12 +1818,7 @@ def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rotated OUT to the extra tier round 15 (gated r12-r14, three
-# driver-green rounds): subsumed by the gated domain_extract_psl_full,
-# which runs the SAME extraction keyed against the full vendored PSL —
-# a strict superset of this fixture's rule subset; the fixture-rule
-# path stays sweep-checked here
-@register_extra(
+@register(
     "domain_extract_psl",
     oracle="""
     WITH h AS (
@@ -3987,13 +3978,11 @@ def _gq_oracle(published: bool = False) -> str:
     """
 
 
-# rotated OUT to the extra tier round 15 (driver-gated r12-r14, three
-# green rounds): subsumed by the gated gopher_quality_pipeline_published
-# — the IDENTICAL five-stage composition (NFC, C4, both Gopher
-# batteries, quality rules, stage attribution) under the published
-# Table-A1 thresholds; only the threshold parameterization differs,
-# and this variant stays sweep-checked
-register_extra("gopher_quality_pipeline", oracle=_gq_oracle())(
+# driver-gated (late round 12, in for gopher_line_signals): the
+# composed five-stage filter is the strongest single row on the
+# round-12 surface — one hash covers NFC, C4, both Gopher batteries,
+# the quality rules and the stage-attribution math
+register("gopher_quality_pipeline", oracle=_gq_oracle())(
     q_gopher_quality_pipeline
 )
 
@@ -4307,10 +4296,7 @@ def q_quality_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_quality_stats(spark, stats)
 
 
-# rotated INTO the driver gate round 15 (judge's rotate-in list;
-# sweep-green in r14): the known-answer UTS-46-vs-IDNA-2003 deviation
-# oracle, extended this round with the U+3002 label-separator class
-@register(
+@register_extra(
     "punycode_uts46",
     # known-answer oracle: each class's A-label is a CONSTANT (the
     # variable part of the host sits in an ASCII label), so the

@@ -301,12 +301,7 @@ _NGRAMS_SQL = """
 """
 
 
-# rotated OUT to the extra tier round 15 (gated since the early
-# rounds): the exact n-gram Jaccard it verifies runs INSIDE the gated
-# dedup_minhash row too (every banded candidate pair is re-scored by
-# exact shingle Jaccard before it survives); the length-blocked
-# candidate enumeration stays sweep-checked here
-@register_extra(
+@register(
     "dedup_ngram_blocked",
     oracle=f"""
     WITH corpus AS ({_neardup_docs_sql("doc_id % 10 = 0")}),
@@ -2063,9 +2058,7 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rotated INTO the driver gate round 15 (judge's rotate-in list): the
-# ORC storage boundary with pushed predicates goes driver-hard
-@register(
+@register_extra(
     "orc_pushdown_scan",
     oracle="""
     SELECT CAST(l_orderkey AS BIGINT) AS okey,

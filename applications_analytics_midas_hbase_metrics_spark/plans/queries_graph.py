@@ -69,12 +69,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return persist_deferred(G.connected_components(pairs), key=key_l)
 
 
-# rotated OUT to the extra tier round 15 (gated r1-era through r14):
-# subsumed by the gated dedup_best_quality — the same MINHASH_PAIRS
-# candidate family and Pregel min-label connected components, PLUS the
-# overflow-free max-struct representative argmax on top; the bare
-# cluster-id surface stays sweep-checked here
-@register_extra(
+@register(
     "dedup_corpus",
     oracle=f"""
     WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
@@ -373,12 +368,9 @@ def _km_oracle(k: int = 8, iters: int = 2, r: int = 6) -> str:
     )
 
 
-@register_extra(
-    # rotated INTO the driver gate late round 9; rotated OUT round 15
-    # (six driver-green rounds): subsumed by the gated ann_ivf, whose
-    # build_ivf_centroids runs the SAME deterministic Lloyd updates to
-    # build the probe codebook — the unrolled per-round differential
-    # stays sweep-checked here
+@register(
+    # rotated INTO the driver gate late round 9: the Lloyd-update
+    # differential (every round replayed in the unrolled oracle)
     "kmeans_fixed", oracle=_km_oracle())
 def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd's rounds over the embedding table

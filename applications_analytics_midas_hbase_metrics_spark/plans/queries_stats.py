@@ -210,8 +210,7 @@ def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rotated INTO the driver gate round 15 (judge's rotate-in list)
-@register(
+@register_extra(
     "heavy_hitters_cms",
     # Count-min sketch heavy hitters, the frequency twin of the KLL
     # quantile gates: the sketch estimate cannot hash-compare across

@@ -850,9 +850,7 @@ def _cdc_batches(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-# rotated INTO the driver gate round 15 (judge's rotate-in list): the
-# CDC upsert/delete replay over the stored cell table goes driver-hard
-@register(
+@register_extra(
     "stream_cdc_apply",
     oracle=f"""
     WITH cells AS ({_CELLS_SQL}),

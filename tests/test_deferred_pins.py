@@ -124,9 +124,9 @@ def test_cell_family_chain_shares_one_build(spark):
     ]
     assert names.index("validation_diff") == i + 4
     j = names.index("dedup_minhash")
-    # round 15: dedup_corpus rotated to the extra tier; the chain now
-    # pulls dedup_best_quality (same pair-table + CC family) adjacent
-    assert names[j : j + 2] == ["dedup_minhash", "dedup_best_quality"]
+    # round 15 is an optimization round: the gated set is frozen at the
+    # round-14 fifty, so the chain still pulls dedup_corpus adjacent
+    assert names[j : j + 2] == ["dedup_minhash", "dedup_corpus"]
     # the reorder must preserve the gated SET exactly
     assert set(names) == set(Q.QUERIES)
     assert len(names) == len(Q.QUERIES)
@@ -146,9 +146,8 @@ def test_dedup_corpus_claim_and_cold_paths_agree(spark):
     so it can run three ways — cold (build pairs + propagate labels),
     claiming the pair table (propagate only), or claiming the labels
     (skip propagation entirely).  All three must yield the identical
-    representative set.  (dedup_corpus rotated to the extra tier in
-    round 15 — the claim machinery is tier-independent, so the test
-    reads it from the combined registry.)"""
+    representative set.  (The claim machinery is tier-independent, so
+    the test reads dedup_corpus from the combined registry.)"""
     import __spark_entry__ as E
 
     qs = E.queries()

@@ -35,23 +35,20 @@ def test_registry_invariants():
     assert set(extra_oracles) <= set(extras)
     assert not (set(extras) & set(queries)), "a query lives in ONE tier"
     missing_oracles = set(queries) - set(oracles)
-    # every gated query carries an oracle, with ONE sanctioned
-    # rows-only exception since the round-15 rotation: bpe_tokenize
-    # (iterative-argmax BPE application, no SQL replay; differential
-    # verification in tests/test_bpe.py against an independent
-    # reference implementation) — the driver records its weaker
-    # rows-only check and the judge sees which.  This set must not
-    # grow silently.
-    assert missing_oracles == {"bpe_tokenize"}
+    # every gated query carries an oracle: even the approximate ann_ivf
+    # is hash-checked via its self-checking recall formulation
+    assert missing_oracles == set()
     # every extra-tier query is oracle-checked too: even the HLL-based
     # approx_distinct gates a deterministic error-bound verdict.  The
-    # ONLY sanctioned rows-only entries are bpe_merges (the BPE
-    # TRAINING twin, same iterative-argmax class) and
-    # compression_ratio (DEFLATE has no SQL replay;
-    # tests/test_text_multimodal.py pins exact byte parity against
-    # direct zlib) — this set must not grow silently.
+    # ONLY sanctioned rows-only entries are the iterative-argmax BPE
+    # pair (differential verification in tests/test_bpe.py against an
+    # independent reference implementation) and compression_ratio
+    # (DEFLATE has no SQL replay; tests/test_text_multimodal.py pins
+    # exact byte parity against direct zlib) — this set must not grow
+    # silently.
     assert set(extras) - set(extra_oracles) == {
         "bpe_merges",
+        "bpe_tokenize",
         "compression_ratio",
     }
     for name, fn in {**queries, **extras}.items():
@@ -93,8 +90,7 @@ def test_duplicate_registration_raises():
                 reg(name)(dummy)
     assert (Q.QUERIES, Q.EXTRA_QUERIES) == before
     # the resurrected round-11 shadow victim and its shadow both exist
-    # (the victim rotated INTO the driver gate round 15)
-    assert "orc_pushdown_scan" in Q.QUERIES
+    assert "orc_pushdown_scan" in Q.EXTRA_QUERIES
     assert "orc_scan" in Q.EXTRA_QUERIES
 
 
