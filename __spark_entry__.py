@@ -108,9 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # see queries_ext._ann_brute10.)
         # (Round 15 is an OPTIMIZATION round: the gated set is frozen
         # at the round-14 fifty — the driver diffs this set against
-        # CORRECTNESS_r14 and a disappeared row is a regression.)
+        # CORRECTNESS_r14 and a disappeared row is a regression.  The
+        # only reorder: dedup_best_quality is pulled adjacent to the
+        # graph family — it labels the SAME full-corpus pair graph, so
+        # it claims the cc_labels frame dedup_corpus now pins instead
+        # of rebuilding the whole pair family from scratch mid-sweep.)
         "cell_lookup": ["validation_diff"],
-        "dedup_minhash": ["dedup_corpus"],
+        "dedup_minhash": ["dedup_corpus", "dedup_best_quality"],
     }
     pulled = {c for cs in chains.values() for c in cs}
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

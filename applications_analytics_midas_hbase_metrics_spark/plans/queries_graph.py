@@ -112,7 +112,14 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _neardup_docs(spark, sf_dir), threshold=0.5, materialize=False
             )
             pairs = persist_deferred(pairs, key=f"minhash_pairs:{sf_dir}")
-        labels = G.connected_components(pairs)
+        # pin the computed labels for the NEXT family member (round 15):
+        # dedup_best_quality runs adjacently and labels the SAME
+        # full-corpus graph, so claiming this frame skips its pair
+        # build AND propagation — the same sound full-graph sharing
+        # dedup_clusters already does (a tiny (id, cluster_id) frame)
+        labels = persist_deferred(
+            G.connected_components(pairs), key=f"cc_labels:{sf_dir}"
+        )
     corpus = _neardup_docs(spark, sf_dir)
     return G.dedup_representatives(
         corpus, pairs=None, id_col="doc_id", components=labels

@@ -207,6 +207,35 @@ def test_dedup_clusters_claim_and_cold_paths_agree(spark):
     assert repeat == cold
 
 
+def test_dedup_best_quality_labels_claim_agrees(spark):
+    """Round 15: dedup_corpus pins the cc_labels frame it computes, and
+    dedup_best_quality — now pulled adjacent in the gated order — must
+    claim it (skipping the pair build AND propagation) and still return
+    exactly the cold result."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = list(qs)
+    j = names.index("dedup_minhash")
+    assert names[j : j + 3] == [
+        "dedup_minhash",
+        "dedup_corpus",
+        "dedup_best_quality",
+    ]
+    Q.release_deferred()
+    cold = sorted(tuple(r) for r in qs["dedup_best_quality"](spark, SF_SMOKE).collect())
+    # warm family order: minhash pins pairs, corpus claims them and
+    # pins labels, best_quality claims the labels
+    Q.release_deferred()
+    qs["dedup_minhash"](spark, SF_SMOKE).count()
+    qs["dedup_corpus"](spark, SF_SMOKE).count()
+    via_labels = sorted(
+        tuple(r) for r in qs["dedup_best_quality"](spark, SF_SMOKE).collect()
+    )
+    assert f"cc_labels:{SF_SMOKE}" in Q.claimed_keys(), "labels claim must hit"
+    assert via_labels == cold
+
+
 def test_blob_codec_claim_and_cold_paths_agree(spark):
     """blob_codec (extra tier since the round-6 rotation) claiming the
     lineitem cell build from a gated cell-family sibling must equal its
