@@ -167,8 +167,11 @@ def test_ngram_blocked_fixture_pair_floor(spark):
     before the hash gate can go quietly marginal."""
     from applications_analytics_midas_hbase_metrics_spark.plans import queries as Q
 
-    # extra tier since the round-15 rotation
-    out = Q.EXTRA_QUERIES["dedup_ngram_blocked"](spark, "/root/testdata/sf0.01")
+    # tier-agnostic lookup: the row is gated as of round 15 (the
+    # mid-build rotation that moved it to the extra tier was reverted),
+    # and this floor pin must hold wherever future rotations put it
+    fn = Q.QUERIES.get("dedup_ngram_blocked") or Q.EXTRA_QUERIES["dedup_ngram_blocked"]
+    out = fn(spark, "/root/testdata/sf0.01")
     rows = out.collect()
     assert rows, "fixture must produce true pairs"
     assert min(r.jaccard for r in rows) >= 0.59, min(r.jaccard for r in rows)
