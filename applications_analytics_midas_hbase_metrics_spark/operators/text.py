@@ -486,6 +486,7 @@ def ngram_decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_grams: int = 1_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share any
     token ``n``-gram with an evaluation/benchmark set — the standard
@@ -498,13 +499,24 @@ def ngram_decontaminate(
     tokens have no n-grams and are clean by definition.
 
     Scale shape (the part that matters at 100 TB): the benchmark side is
-    eval data — thousands of documents, not terabytes — so its distinct
-    gram set is **broadcast** and the corpus-side membership test is a
+    normally eval data — thousands of documents — so its distinct gram
+    set rides **broadcast** and the corpus-side membership test is a
     map-side left join on the exploded grams; no corpus bytes shuffle
-    for the join.  Both counts then come from ONE partial-aggregated
-    groupBy(id) (explode keeps a document's grams inside one partition,
-    so map-side combine collapses to ~1 row per document before the
-    only shuffle).  No join-back, no second pass over the text."""
+    for the join.  But the hint is MEASURED, not assumed (round 15):
+    the gram set is persisted (lineage kept, released on the next
+    registry entry) and counted, and above ``broadcast_max_grams``
+    (default 1M ≈ low-hundreds of MB built) the join falls back to a
+    plain gram-keyed shuffle join — the round-15 GB rung drove this
+    operator with a 68k-doc benchmark whose gram set serialized past
+    1 GiB, and the unconditional broadcast build died on
+    spark.driver.maxResultSize collecting it (guide §3.1: explicit
+    broadcast hints are for sides you KNOW are small; when the caller
+    can't know, measure first — the count is one cheap job over the
+    aggregate the plan needs anyway).  Both counts then come from ONE
+    partial-aggregated groupBy(id) (explode keeps a document's grams
+    inside one partition, so map-side combine collapses to ~1 row per
+    document before the only shuffle).  No join-back, no second pass
+    over the text."""
     # ONE lookahead-regex pass over the normalized text instead of a
     # transform(sequence)/slice/array_join HOF chain: higher-order
     # functions are CodegenFallback (interpreted, per-element object
@@ -528,7 +540,23 @@ def ngram_decontaminate(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    joined = corpus_g.join(F.broadcast(bench_g), "gram", "left")
+    # measure-then-choose (round 15, guide §3.1): pin the gram set
+    # (lineage kept; released by the registry's entry hygiene), count
+    # it, and only then hint broadcast — identical join semantics
+    # either way, only the strategy differs
+    from pyspark import StorageLevel
+
+    from .dedup import _LAZY_PINS
+
+    bench_g = bench_g.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAZY_PINS.append(bench_g)
+    n_bench_grams = bench_g.count()
+    right = (
+        F.broadcast(bench_g)
+        if n_bench_grams <= broadcast_max_grams
+        else bench_g
+    )
+    joined = corpus_g.join(right, "gram", "left")
     return joined.groupBy("id").agg(
         F.count("gram").cast("bigint").alias("n_grams"),
         F.count("hit").cast("bigint").alias("n_hits"),

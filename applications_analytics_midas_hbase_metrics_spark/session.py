@@ -106,6 +106,30 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # composed pipelines keep lineage under their pins (fault
+        # tolerance, round 14), so late-stage plans nest every upstream
+        # operator and the per-task result payload (SQL-metric
+        # accumulator updates) grows with plan size: the round-15 GB
+        # rung measured 32 tasks x ~32.5 MiB of pure metadata on the
+        # 6th pin's materializing count, tripping the 1g default.  4g
+        # is well inside the 8g driver heap; the results carry no rows.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "4g"),
+        )
+        # same lineage-kept-pin plan nesting, second symptom: the plan
+        # STRING is a tree expansion of the (modest) plan DAG —
+        # InMemoryRelation renders its cached child plan inline, so 8
+        # nested pins expand multiplicatively and the round-15 GB rung
+        # blew Java's 1 GiB string limit inside AQE's per-replan
+        # explainString render (StringUTF16.newBytesFor OOM on the
+        # final action).  Capping the render bounds both the memory and
+        # the driver CPU AQE burns re-rendering it on EVERY plan
+        # update; 32 MiB keeps every sf0.1 audit plan (<1 MiB) intact.
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_MAX_PLAN_STRING_LENGTH", str(32 * 2**20)),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -285,6 +285,27 @@ def run_trial() -> dict:
         "select /*+ broadcast(b) */ count(*) from range(10000) a "
         "join range(10) b on a.id % 10 = b.id"
     ).collect()
+    # ... and the Arrow/pandas Python worker pool (round 15): the first
+    # ArrowEvalPython stage in a fresh JVM forks one Python worker per
+    # core (~2.8 s wall at 32 cores) — session-generic startup in the
+    # same class as the codegen framework above, charged to whichever
+    # query happens to hit the Python boundary first (measured:
+    # cell_build first run 7.5 s -> 5.2 s with the pool pre-spawned,
+    # its steady-state being 3.5 s).  One tiny noop-sink pass over the
+    # real salt UDF spawns the full pool.
+    from pyspark.sql import functions as _F
+
+    from applications_analytics_midas_hbase_metrics_spark.functions.keys import (
+        salt_bucket_vec,
+    )
+
+    (
+        spark.range(0, 100_000, 1, spark.sparkContext.defaultParallelism)
+        .select(salt_bucket_vec(_F.col("id").cast("string")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     queries = E.queries()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -146,6 +146,15 @@ def main() -> None:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
         .config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+        # mirror the factory (round 15): lineage-kept pins nest the
+        # whole composed plan, so late-stage jobs ship large per-task
+        # SQL-metric payloads; the 1g default tripped at this rung
+        .config("spark.driver.maxResultSize", "4g")
+        # ... and the plan STRING tree-expands the pin DAG: AQE's
+        # per-replan explainString render blew Java's 1 GiB string
+        # limit on the pipeline's final action at this rung (see
+        # session.py) — cap it like the factory does
+        .config("spark.sql.maxPlanStringLength", str(32 * 2**20))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
