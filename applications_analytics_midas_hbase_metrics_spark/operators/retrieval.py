@@ -29,7 +29,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import _self_join_ready, tokens
 from .similarity import _topk_per_query
 
 __all__ = [
@@ -186,6 +186,7 @@ def bm25_scores(
     b: float = 0.75,
     doc_id: str = "doc_id",
     text: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-(query, doc) BM25 score for every doc matching >= 1 term.
 
@@ -213,6 +214,17 @@ def bm25_scores(
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.first("dl").alias("dl"),
     )
+    # tf feeds TWO consumers (the dft derivation below and the score
+    # join in _score_from_tables); without a pin the whole corpus
+    # scan → tokenize → explode → semi-filter → aggregate subtree
+    # executes once per consumer — the sf0.1 plan showed the parquet
+    # scan + explode duplicated, and at crawl scale that is a second
+    # full pass over the corpus text.  tf is post-reduction (one row
+    # per matching (doc, queried term) — O(q × df), nowhere near
+    # corpus-sized), so an eager pin is the guide-§2.4 move: share
+    # one materialization.  materialize=False keeps the lazy twin for
+    # plan inspection, same convention as ngram_lm_score.
+    tf = _self_join_ready(tf, materialize)
     # One row per (doc, tok) after the agg => count(*) IS the document
     # frequency.  Correct ONLY because tf is term-filtered upstream of
     # nothing that drops docs — each matching (doc, tok) survives.
@@ -238,6 +250,7 @@ def bm25_topk(
     b: float = 0.75,
     doc_id: str = "doc_id",
     text: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k docs per query by BM25, rank total-ordered by
     (round(score, 6) DESC, doc_id) so the output is engine-comparable:
@@ -248,7 +261,8 @@ def bm25_topk(
     top-k, then global top-k over <= k x n_partitions rows per
     query)."""
     scored = bm25_scores(
-        docs, queries, k1=k1, b=b, doc_id=doc_id, text=text
+        docs, queries, k1=k1, b=b, doc_id=doc_id, text=text,
+        materialize=materialize,
     )
     return _rank_topk(scored, k)
 

@@ -98,6 +98,28 @@ def test_bm25_topk_rank_invariants(spark, sf_dir):
         assert keys == sorted(keys), qid
 
 
+def test_bm25_topk_materialize_twins_agree(spark, sf_dir):
+    """The round-15 tf pin (one materialization shared by the dft
+    derivation and the score join) must not change a single output row:
+    the pinned form and the lazy twin emit identical (query, rank, doc,
+    score) sets."""
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERIES, "query_id long, term string")
+    key = lambda r: (r.query_id, r.rank, r.doc_id, r.score)  # noqa: E731
+    pinned = sorted(
+        map(key, bm25_topk(docs, queries, k=7).collect())  # driver-ok: k x 2
+    )
+    lazy = sorted(
+        map(
+            key,
+            bm25_topk(
+                docs, queries, k=7, materialize=False
+            ).collect(),  # driver-ok: k x 2
+        )
+    )
+    assert pinned == lazy and pinned
+
+
 def test_bm25_topk_two_phase_matches_single_window(spark, sf_dir):
     """The two-phase TakeOrderedAndProject reuse must emit exactly the
     single-window formulation's rows."""

@@ -236,6 +236,34 @@ def main() -> None:
 
     qs["ngram_lm_score"] = _ngram_lm_lazy
 
+    def _bm25_topk_lazy(s, d):
+        # lazy twin: the gated variant localCheckpoints the tf frame
+        # (it feeds the dft derivation AND the score join — round-15
+        # pin), which would truncate the audited plan at an
+        # ExistingRDD and hide the tokenize + explode + semi-filter
+        # exchanges
+        from applications_analytics_midas_hbase_metrics_spark.operators.retrieval import (
+            bm25_topk,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_features import (
+            _BM25_B,
+            _BM25_K,
+            _BM25_K1,
+            _bm25_query_frame,
+        )
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries import t
+        from applications_analytics_midas_hbase_metrics_spark.plans.queries_ext import (
+            _spread,
+        )
+
+        docs = _spread(s, t(s, d, "documents"))
+        return bm25_topk(
+            docs, _bm25_query_frame(s), k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+            materialize=False,
+        )
+
+    qs["bm25_topk"] = _bm25_topk_lazy
+
     def _winnow_pairs_lazy(s, d):
         # lazy twin: the gated variant materializes the fingerprint
         # frame (three consumers), truncating the audited plan there
