@@ -168,6 +168,27 @@ def test_curation_pipeline_full_pin_modes(spark):
     assert base == alt
 
 
+def test_curation_pipeline_full_manifest_anti_join_shape(spark):
+    """The drop-accounting branches must stay LEFT ANTI joins of
+    consecutive pinned frames (never a full-materialize-and-subtract):
+    pinned on the FULL executed-plan string because tools/plan_audit.py
+    slices its audited plan at the first '== Initial Plan ==' marker,
+    and the round-15 FootprintPin's disk persist at the `mixed` site
+    nests an AQE render early enough to push every anti join beyond
+    the audited slice (the dsir_weights caveat there)."""
+    from applications_analytics_midas_hbase_metrics_spark.plans import (
+        queries_curation as QC,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = QC.q_curation_pipeline_full(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one anti join per accounted drop stage: quality, exact_dup,
+    # near_dup, decontaminated, domain_cap, mixture
+    assert plan.count("LeftAnti") >= 6, plan.count("LeftAnti")
+
+
 def test_footprint_pin_policy(spark):
     """FootprintPin unit contract: small frames checkpoint, frames
     above the threshold persist DISK_ONLY with lineage kept and
