@@ -42,7 +42,15 @@ def test_duckdb_salt_matches_python(s):
     assert got == K.salt_py(s), s
 
 
-@given(st.lists(st.text(alphabet=ascii_text.example() or "ab", max_size=8), max_size=6))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=8,
+        ),
+        max_size=6,
+    )
+)
 @settings(max_examples=50, deadline=None)
 def test_join_split_roundtrip_py(parts):
     # python-level model of row_key/split_preserve: \x00-join then
