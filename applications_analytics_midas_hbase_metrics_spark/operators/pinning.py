@@ -133,3 +133,20 @@ class FootprintPin:
             if df in _LAZY_PINS:
                 _LAZY_PINS.remove(df)
             df.unpersist(blocking=True)
+
+    def release_one(self, df: DataFrame) -> None:
+        """Release a single disk pin EARLY — the caller asserts every
+        consumer of ``df`` has already materialized, so holding its
+        blocks only inflates the pipeline's peak pinned footprint.
+        No-op for checkpoint-flavored pins (nothing to unpersist) and
+        for frames this policy never pinned, so call sites stay
+        correct under any flavor mix.  Lineage was kept: a consumer
+        the caller missed recomputes instead of failing — the safe
+        failure mode."""
+        for i, p in enumerate(self.disk_pins):
+            if p is df:
+                self.disk_pins.pop(i)
+                if df in _LAZY_PINS:
+                    _LAZY_PINS.remove(df)
+                df.unpersist(blocking=False)
+                return

@@ -2399,8 +2399,12 @@ def q_curation_pipeline_full(
         # so harnesses (the on-disk rung) can read .decisions after
         policy = pin if isinstance(pin, FootprintPin) else FootprintPin()
         _pin = policy.post
+        _release = policy.release_one
     else:
+        policy = None
         _pin = pin
+        _release = lambda df: None  # noqa: E731 — explicit callables
+        # (blanket checkpoint / disk modes) manage their own lifetimes
 
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source"
@@ -2485,10 +2489,24 @@ def q_curation_pipeline_full(
     # strings) pin through the same footprint policy as every other
     # site.
     nd = _pin(nd)
+    _before_substr = list(policy.disk_pins) if policy is not None else []
     cut = T.exact_substring_dedup(
         nd, k=20, text_col="txt", id_col="id", two_phase=True, pin=_pin
     )
     cut = _pin(cut)  # consumed by 3 stages
+    # the substring stage's INTERNAL reuse pins (narrow positions,
+    # candidate strings) feed only that stage: once `cut` is
+    # materialized they are dead weight in the pipeline's pinned
+    # footprint (the rung measured ten simultaneous live pins peaking
+    # at 6.9x input) — release them now.  Lineage is kept, so this is
+    # a footprint decision, never a correctness one.
+    if policy is not None:
+        for p in [
+            p
+            for p in policy.disk_pins
+            if p is not cut and not any(p is q for q in _before_substr)
+        ]:
+            _release(p)
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
     # (id < plant_offset excludes the planted copies from the slice)
     bench = ex.filter(
@@ -2514,6 +2532,12 @@ def q_curation_pipeline_full(
         strat_col="lang", key_col="id",
     ).select("id", "n_spans", "cut_chars", "text_cut")
     mixed = _pin(mixed)
+    # `corpus` (the largest pinned frame — the full planted input) has
+    # no consumer past the lang_map join materialized into `mixed`:
+    # the drop-accounting branches below anti-join the STAGE frames
+    # (ex..mixed), never corpus itself.  Release it early for the same
+    # footprint reason as the substring internals above.
+    _release(corpus)
     # 9. pack (512-token budget, id order) + 10. shard (8 shards)
     ntf = mixed.select(
         "id", "n_spans", "cut_chars",
