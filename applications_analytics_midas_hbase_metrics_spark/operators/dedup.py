@@ -67,8 +67,26 @@ def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
     localCheckpoint is the cheap way to run the pipeline exactly once;
     in lazy mode (plan inspection) a persist marks the reuse point
     instead, recorded in :data:`_LAZY_PINS` so the caller can release
-    it via :func:`release_lazy_pins`."""
+    it via :func:`release_lazy_pins`.
+
+    Size-aware flavor (round 16, ADVICE r15): the default
+    localCheckpoint unrolls MEMORY_AND_DISK *deserialized*, the exact
+    flavor the round-14 rung measured convoying all tasks on the
+    UnifiedMemoryManager lock above ~100 MB — and some callers' frames
+    are NOT bounded-small (bm25_scores' tf is O(queries × doc-freq)).
+    When Catalyst's plan-time estimate crosses the same threshold
+    FootprintPin uses, the pin streams to DISK_ONLY serialized
+    instead; semantics identical either way."""
     if materialize:
+        from .pinning import SMALL_FRAME_BYTES, plan_size_estimate
+
+        est = plan_size_estimate(df)
+        if est is None or est >= SMALL_FRAME_BYTES:
+            from pyspark import StorageLevel
+
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         return df.localCheckpoint(eager=True)
     df = df.persist()
     _LAZY_PINS.append(df)

@@ -92,17 +92,73 @@ class FootprintPin:
     ``small_bytes`` flips the post-reduction flavor; ``None`` disables
     the checkpoint fast path entirely (every post pin goes to disk —
     the paranoid setting for rungs where even "small" estimates are
-    distrusted)."""
+    distrusted).
 
-    def __init__(self, small_bytes: int | None = SMALL_FRAME_BYTES):
+    ``lineage`` selects the large-frame flavor (round 16).  Default
+    ``False``: eager ``localCheckpoint(storageLevel=DISK_ONLY)`` —
+    the same streaming serialized disk-write path as the round-15
+    persist (no MEMORY_AND_DISK unroll convoy), but the logical plan
+    TRUNCATES at the pin.  With the lineage-kept persist, every
+    consumer's plan nests the producer's full cached plan once per
+    ``InMemoryTableScan`` reference (SparkPlanInfo.fromSparkPlan
+    recurses into ``relation.cachedPlan`` per occurrence, no
+    memoization), so plan-info node count multiplies down a pinned
+    chain — measured 209 s build + 276 s collect of pure DRIVER CPU
+    at sf0.001 in all-disk mode, a data-size-independent tax the
+    composed pipeline paid again at the rung (guide §7.3: planning/
+    render time as the bottleneck; §5 endorses localCheckpoint to cut
+    lineage when the intermediate's fault tolerance is not critical).
+    ``lineage=True`` restores the round-15 ``persist(DISK_ONLY)`` with
+    lineage kept — a lost executor recomputes instead of failing the
+    query — for deployments that want that trade; the rung A/Bs both.
+    NOTE with ``lineage=False`` a released pin CANNOT recompute: the
+    pipeline's release schedule must only drop frames whose every
+    consumer has materialized (the stage-incremental drop accounting
+    in queries_curation guarantees this ordering)."""
+
+    def __init__(
+        self,
+        small_bytes: int | None = SMALL_FRAME_BYTES,
+        lineage: bool = False,
+    ):
         self.small_bytes = small_bytes
+        self.lineage = lineage
         self.disk_pins: list[DataFrame] = []
-        #: (site#, estimated bytes or None, flavor) — audit trail the
-        #: scale harness prints so a rung run shows WHICH sites went
-        #: to disk and what the estimator believed.
-        self.decisions: list[tuple[int, int | None, str]] = []
+        #: (site#, estimated bytes or None, flavor, label) — audit
+        #: trail the scale harness prints so a rung run shows WHICH
+        #: sites went to disk and what the estimator believed.
+        self.decisions: list[tuple[int, int | None, str, str | None]] = []
+        #: label -> post-materialization executed-plan string for
+        #: labelled pin sites, captured only when ``capture_plans`` is
+        #: set (tests assert operator shapes — e.g. the manifest's
+        #: drop-accounting anti joins — that an eager pin removes from
+        #: the FINAL executed plan; capturing here keeps them
+        #: assertable).  Off by default: rung-scale plan strings are
+        #: MBs each.
+        self.capture_plans = False
+        self.plans: dict[str, str] = {}
+        #: id(frame) -> JVM RDD handle for ckpt_disk pins.
+        #: ``DataFrame.unpersist`` is a CacheManager lookup, which a
+        #: localCheckpoint'ed frame is NOT in — calling it is a silent
+        #: no-op and the checkpoint blocks survive until JVM GC +
+        #: ContextCleaner get around to them (measured: every block
+        #: still live after release() at sf0.001).  Deterministic
+        #: release needs the LogicalRDD's backing RDD unpersisted
+        #: directly; analyzed() of the frame localCheckpoint returned
+        #: IS that LogicalRDD.
+        self._ckpt_rdds: dict[int, object] = {}
 
-    def post(self, df: DataFrame) -> DataFrame:
+    def _capture(self, df: DataFrame, label: str | None) -> None:
+        if label is None or not self.capture_plans:
+            return
+        try:
+            self.plans[label] = (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:  # noqa: BLE001 — capture is best-effort
+            self.plans[label] = ""
+
+    def post(self, df: DataFrame, label: str | None = None) -> DataFrame:
         """Pin a post-reduction frame: eager localCheckpoint when the
         plan-time estimate is demonstrably small, else eager DISK_ONLY
         serialized persist with lineage kept."""
@@ -112,41 +168,86 @@ class FootprintPin:
             and est is not None
             and est < self.small_bytes
         ):
-            self.decisions.append((len(self.decisions), est, "checkpoint"))
-            return df.localCheckpoint(eager=True)
-        self.decisions.append((len(self.decisions), est, "disk"))
-        out = df.persist(StorageLevel.DISK_ONLY)
-        out.count()  # eager: every consumer reads the store
+            self.decisions.append(
+                (len(self.decisions), est, "checkpoint", label)
+            )
+            out = df.localCheckpoint(eager=True)
+            # capture AFTER the eager checkpoint: executing df's plan
+            # finalizes its AQE tree, so the string shows the join
+            # strategies that actually ran, not the pre-runtime guess
+            self._capture(df, label)
+            return out
+        if self.lineage:
+            self.decisions.append((len(self.decisions), est, "disk", label))
+            out = df.persist(StorageLevel.DISK_ONLY)
+            out.count()  # eager: every consumer reads the store
+            self._capture(df, label)
+            self.disk_pins.append(out)
+            _LAZY_PINS.append(out)
+            return out
+        # default large-frame flavor: eager DISK_ONLY local checkpoint
+        # — identical serialized streaming write, plan truncated at
+        # the pin (see class docstring for the measured render tax)
+        self.decisions.append((len(self.decisions), est, "ckpt_disk", label))
+        out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        self._capture(df, label)
         self.disk_pins.append(out)
-        _LAZY_PINS.append(out)
+        try:
+            self._ckpt_rdds[id(out)] = (
+                out._jdf.queryExecution().analyzed().rdd()
+            )
+        except Exception:  # noqa: BLE001 — release degrades to the
+            pass  # GC path; footprint accounting loses determinism only
         return out
+
+    def _unpersist(self, df: DataFrame, blocking: bool) -> None:
+        jr = self._ckpt_rdds.pop(id(df), None)
+        if jr is not None:
+            jr.unpersist(blocking)
+        else:
+            df.unpersist(blocking=blocking)
+
+    def is_disk(self, df: DataFrame) -> bool:
+        """True when ``df`` is one of this policy's LIVE disk pins
+        (either flavor: lineage-kept persist or DISK_ONLY local
+        checkpoint) — i.e. holding it costs real pinned footprint and
+        an early release (with the matching eager drop-frame pin)
+        pays.  False for small checkpoint-flavored pins and released
+        frames, where stage-incremental accounting would only add
+        eager jobs."""
+        return any(p is df for p in self.disk_pins)
 
     #: Pre-reduction sites: never pin (see module docstring).
     pre = staticmethod(recompute_pin)
 
     def release(self) -> None:
-        """Unpersist this policy's disk pins (blocking).  Safe while
-        downstream results are still lazy — lineage was kept, so a
-        post-release action recomputes instead of failing."""
+        """Unpersist this policy's disk pins (blocking).  Under
+        ``lineage=True`` this is safe while downstream results are
+        still lazy (a post-release action recomputes); under the
+        default ``ckpt_disk`` flavor the blocks are gone for good —
+        call only after every consumer has materialized."""
         while self.disk_pins:
             df = self.disk_pins.pop()
             if df in _LAZY_PINS:
                 _LAZY_PINS.remove(df)
-            df.unpersist(blocking=True)
+            self._unpersist(df, blocking=True)
 
     def release_one(self, df: DataFrame) -> None:
         """Release a single disk pin EARLY — the caller asserts every
         consumer of ``df`` has already materialized, so holding its
         blocks only inflates the pipeline's peak pinned footprint.
-        No-op for checkpoint-flavored pins (nothing to unpersist) and
-        for frames this policy never pinned, so call sites stay
-        correct under any flavor mix.  Lineage was kept: a consumer
-        the caller missed recomputes instead of failing — the safe
-        failure mode."""
+        No-op for small checkpoint-flavored pins (nothing to
+        unpersist) and for frames this policy never pinned, so call
+        sites stay correct under any flavor mix.  Under
+        ``lineage=True`` a consumer the caller missed recomputes
+        instead of failing; under the default ``ckpt_disk`` flavor it
+        would FAIL — the release schedule's consumers-first ordering
+        is load-bearing and is what the rung + pin-mode equivalence
+        tests prove."""
         for i, p in enumerate(self.disk_pins):
             if p is df:
                 self.disk_pins.pop(i)
                 if df in _LAZY_PINS:
                     _LAZY_PINS.remove(df)
-                df.unpersist(blocking=False)
+                self._unpersist(df, blocking=False)
                 return

@@ -2402,9 +2402,10 @@ def q_curation_pipeline_full(
         _release = policy.release_one
     else:
         policy = None
-        _pin = pin
-        _release = lambda df: None  # noqa: E731 — explicit callables
-        # (blanket checkpoint / disk modes) manage their own lifetimes
+        _pin = lambda df, label=None: pin(df)  # noqa: E731 — explicit
+        # callables (blanket checkpoint / disk modes) take no label
+        # and manage their own lifetimes
+        _release = lambda df: None  # noqa: E731
 
     docs = _spread(spark, t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source"
@@ -2446,7 +2447,55 @@ def q_curation_pipeline_full(
             )
         )
     )
-    corpus = _pin(corpus)  # consumed by 3 stages + lang map
+    corpus = _pin(corpus)  # consumed by the HTML wrap + lang map
+
+    # ---- stage-incremental drop accounting (round 16) -------------
+    # The manifest's six drop branches anti-join CONSECUTIVE stage
+    # frames; computed lazily in the final union they keep every
+    # stage frame live until the end (the round-15 rung measured the
+    # pinned peak at 6.5x input after the consumer-dead releases).
+    # Each drop frame is tiny — ids + constants — so when a stage
+    # frame is DISK-pinned we pin its drop frame eagerly the moment
+    # the successor stage lands and release the predecessor, capping
+    # the live set at ~3 corpus-sized frames.  When the frames are
+    # checkpoint-flavored (bench SFs: release is impossible and the
+    # footprint trivial) the drops stay lazy in the final plan — the
+    # executed manifest plan, its anti-join shape and the bench rows
+    # are bit-identical to round 15 there; the restructure only
+    # engages where pins actually go to disk.  Under the default
+    # ckpt_disk flavor a released pin CANNOT recompute (deterministic
+    # checkpoint-RDD release, no lineage) — the eager-drop-pin-before-
+    # predecessor-release ordering below is load-bearing, and
+    # tests/test_pipelines.py::test_curation_pipeline_full_footprint_disk_mode
+    # is its proof.
+    def dropped(ids: DataFrame, stage: str) -> DataFrame:
+        return ids.select(
+            "id", F.lit(stage).alias("stage"),
+            F.lit(0).cast("int").alias("n_spans"),
+            F.lit(0).cast("int").alias("cut_chars"),
+            F.lit(0).cast("bigint").alias("n_tokens_final"),
+            F.lit(-1).cast("bigint").alias("pack_id"),
+            F.lit(-1).cast("int").alias("shard"),
+        )
+
+    drops: list[DataFrame] = []
+
+    def account(
+        stage: str, prev: DataFrame, nxt: DataFrame, *watch: DataFrame
+    ) -> None:
+        """Append the ``prev``-anti-``nxt`` drop frame for ``stage``;
+        pin it eagerly when any frame its lineage reads (``prev``,
+        ``nxt``, or a ``watch`` ancestor ``prev`` derives from
+        narrowly) is one of the policy's LIVE disk pins — those are
+        exactly the frames a later ``_release`` may drop, and the
+        eager pin is what makes that release safe without recompute."""
+        dr = dropped(prev.join(nxt, "id", "left_anti"), stage)
+        if policy is not None and any(
+            policy.is_disk(f) for f in (prev, nxt, *watch)
+        ):
+            dr = _pin(dr, label=f"drop:{stage}")
+        drops.append(dr)
+
     wrapped = corpus.select(
         "doc_id",
         F.concat(
@@ -2471,6 +2520,12 @@ def q_curation_pipeline_full(
     # 3. exact dedup
     ed = D.drop_exact_duplicates(q, content_col="txt", id_col="id")
     ed = _pin(ed)  # consumed by near-dup + anti
+    # ed landed: the quality and exact-dup drop frames are computable
+    # from live pins (ex, ed; q is a narrow filter of ex) — account
+    # them now so `ex`/`ed` can release the moment their last heavy
+    # consumer materializes instead of surviving to the final union
+    account("quality", ex, q)
+    account("exact_dup", q, ed, ex)
     # 4. near dedup: drop the higher id of every jaccard>=0.8 pair
     pairs = D.minhash_near_duplicates(
         ed, text_col="txt", id_col="id", shingle_k=3,
@@ -2489,6 +2544,14 @@ def q_curation_pipeline_full(
     # strings) pin through the same footprint policy as every other
     # site.
     nd = _pin(nd)
+    # nd landed: account the near-dup drop, then release `ed` — its
+    # remaining consumers (the pair table into nd, both drop frames)
+    # are materialized.  Stage-incremental accounting (round 16): the
+    # predecessor stage frame releases as soon as its successor pin +
+    # tiny drop frame land, capping the live set at ~3 corpus-sized
+    # frames where round 15 held all six until the final union.
+    account("near_dup", ed, nd)
+    _release(ed)
     _before_substr = list(policy.disk_pins) if policy is not None else []
     cut = T.exact_substring_dedup(
         nd, k=20, text_col="txt", id_col="id", two_phase=True, pin=_pin
@@ -2507,6 +2570,9 @@ def q_curation_pipeline_full(
             if p is not cut and not any(p is q for q in _before_substr)
         ]:
             _release(p)
+    # cut landed: `nd` fed only the substring stage (its near-dup drop
+    # was accounted above) — release it with the stage internals
+    _release(nd)
     # 6. decontaminate vs the doc_id%11 bench slice of the BASE corpus
     # (id < plant_offset excludes the planted copies from the slice)
     bench = ex.filter(
@@ -2519,12 +2585,21 @@ def q_curation_pipeline_full(
     contaminated = flags.filter(F.col("contaminated") == 1).select("id")
     dec = cut.join(contaminated, "id", "left_anti")
     dec = _pin(dec)
+    # dec landed: its pin materialized the whole decontamination
+    # subtree, including the bench slice — `ex`'s last consumer.
+    # Account the decontaminated drop, then release `cut` and `ex`.
+    account("decontaminated", cut, dec)
+    _release(cut)
+    _release(ex)
     # 7. domain cap over synthesized URLs
     dm = W.with_domain(_add_synth_url(dec, id_col="id"))
     capped = W.domain_cap(dm, n=2, id_col="id").select(
         "id", "n_spans", "cut_chars", "text_cut"
     )
     capped = _pin(capped)
+    # capped landed: account the domain-cap drop, release `dec`
+    account("domain_cap", dec, capped)
+    _release(dec)
     # 8. language mixture
     lang_map = corpus.select(F.col("doc_id").alias("id"), "lang")
     mixed = mixture_sample(
@@ -2532,11 +2607,13 @@ def q_curation_pipeline_full(
         strat_col="lang", key_col="id",
     ).select("id", "n_spans", "cut_chars", "text_cut")
     mixed = _pin(mixed)
+    # mixed landed: account the mixture drop, release `capped`; and
     # `corpus` (the largest pinned frame — the full planted input) has
-    # no consumer past the lang_map join materialized into `mixed`:
-    # the drop-accounting branches below anti-join the STAGE frames
-    # (ex..mixed), never corpus itself.  Release it early for the same
-    # footprint reason as the substring internals above.
+    # no consumer past the lang_map join materialized into `mixed` —
+    # release it too.  Only the final stage frame (`mixed`) and the
+    # tiny drop pins remain live for the pack/shard/union tail.
+    account("mixture", capped, mixed)
+    _release(capped)
     _release(corpus)
     # 9. pack (512-token budget, id order) + 10. shard (8 shards)
     ntf = mixed.select(
@@ -2556,29 +2633,10 @@ def q_curation_pipeline_full(
         F.col("shard").cast("int").alias("shard"),
     )
 
-    def dropped(ids: DataFrame, stage: str) -> DataFrame:
-        return ids.select(
-            "id", F.lit(stage).alias("stage"),
-            F.lit(0).cast("int").alias("n_spans"),
-            F.lit(0).cast("int").alias("cut_chars"),
-            F.lit(0).cast("bigint").alias("n_tokens_final"),
-            F.lit(-1).cast("bigint").alias("pack_id"),
-            F.lit(-1).cast("int").alias("shard"),
-        )
-
-    return (
-        kept
-        .unionByName(dropped(ex.join(q, "id", "left_anti"), "quality"))
-        .unionByName(dropped(q.join(ed, "id", "left_anti"), "exact_dup"))
-        .unionByName(dropped(ed.join(nd, "id", "left_anti"), "near_dup"))
-        .unionByName(
-            dropped(cut.join(dec, "id", "left_anti"), "decontaminated")
-        )
-        .unionByName(
-            dropped(dec.join(capped, "id", "left_anti"), "domain_cap")
-        )
-        .unionByName(dropped(capped.join(mixed, "id", "left_anti"), "mixture"))
-    )
+    out = kept
+    for dr in drops:  # quality, exact_dup, near_dup, decontaminated,
+        out = out.unionByName(dr)  # domain_cap, mixture — r15's order
+    return out
 
 
 @register_extra(

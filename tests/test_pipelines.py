@@ -168,6 +168,56 @@ def test_curation_pipeline_full_pin_modes(spark):
     assert base == alt
 
 
+def test_curation_pipeline_full_footprint_disk_mode(spark):
+    """Round 16: the all-disk FootprintPin path — the rung's mode —
+    engages the stage-incremental drop accounting (eager drop-frame
+    pins, early predecessor releases) over plan-truncating ckpt_disk
+    pins.  The manifest must equal the default path's, every accounted
+    drop stage must appear in the decisions audit trail, and with the
+    deterministic checkpoint-RDD release a mis-scheduled early release
+    FAILS the query outright (the blocks are gone, no lineage to
+    recompute) — so this passing IS the consumers-first ordering
+    proof.  release() must then leave none of the policy's pins in the
+    block manager."""
+    from applications_analytics_midas_hbase_metrics_spark.operators.pinning import (
+        FootprintPin,
+    )
+    from applications_analytics_midas_hbase_metrics_spark.plans import (
+        queries_curation as QC,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(
+        tuple(r)
+        for r in QC.q_curation_pipeline_full(spark, SF_SMOKE).collect()
+    )
+
+    pol = FootprintPin(small_bytes=None)  # every pin site goes to disk
+    try:
+        alt = sorted(
+            tuple(r)
+            for r in QC.q_curation_pipeline_full(
+                spark, SF_SMOKE, pin=pol
+            ).collect()
+        )
+    finally:
+        tracked = [jr.id() for jr in pol._ckpt_rdds.values()]
+        pol.release()
+    assert base == alt
+    labels = {d[3] for d in pol.decisions if d[3]}
+    assert labels >= {
+        f"drop:{s}"
+        for s in (
+            "quality", "exact_dup", "near_dup",
+            "decontaminated", "domain_cap", "mixture",
+        )
+    }, labels
+    live = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert not (live & set(tracked)), live & set(tracked)
+
+
 def test_curation_pipeline_full_manifest_anti_join_shape(spark):
     """The drop-accounting branches must stay LEFT ANTI joins of
     consecutive pinned frames (never a full-materialize-and-subtract):
@@ -187,12 +237,22 @@ def test_curation_pipeline_full_manifest_anti_join_shape(spark):
     # one anti join per accounted drop stage: quality, exact_dup,
     # near_dup, decontaminated, domain_cap, mixture
     assert plan.count("LeftAnti") >= 6, plan.count("LeftAnti")
+    # ... and they must ride BROADCAST, never sort-merge: the drop
+    # frames join tiny id sets against stage frames, and a regression
+    # to SortMergeJoin LeftAnti would add a full-width sort + exchange
+    # per drop branch (ADVICE r15)
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), anti_lines
 
 
 def test_footprint_pin_policy(spark):
-    """FootprintPin unit contract: small frames checkpoint, frames
-    above the threshold persist DISK_ONLY with lineage kept and
-    release() unpersists them; pre() never pins."""
+    """FootprintPin unit contract: small frames checkpoint; large
+    frames take the round-16 default ckpt_disk flavor (eager DISK_ONLY
+    localCheckpoint — plan truncated at the pin, release deterministic
+    via the tracked checkpoint RDD) or, under ``lineage=True``, the
+    round-15 DISK_ONLY persist with lineage kept; pre() never pins."""
     from pyspark import StorageLevel
 
     from applications_analytics_midas_hbase_metrics_spark.operators.pinning import (
@@ -208,7 +268,8 @@ def test_footprint_pin_policy(spark):
     assert pol.decisions[-1][2] == "checkpoint"
     assert small.count() == 1000
 
-    pol2 = FootprintPin(small_bytes=1)  # force the disk path
+    # lineage=True: the round-15 flavor — persist, lineage survives
+    pol2 = FootprintPin(small_bytes=1, lineage=True)
     big = pol2.post(df)
     assert pol2.decisions[-1][2] == "disk"
     assert big.storageLevel == StorageLevel.DISK_ONLY
@@ -220,12 +281,28 @@ def test_footprint_pin_policy(spark):
     # lineage survived the release: the frame still evaluates
     assert big.count() == 1000
 
-    # small_bytes=None: every post pin goes to disk regardless
-    pol3 = FootprintPin(small_bytes=None)
-    forced = pol3.post(df)
-    assert pol3.decisions[-1][2] == "disk"
-    assert forced.count() == 1000
+    # default (round 16): plan-truncating DISK_ONLY localCheckpoint.
+    # DataFrame.unpersist is a CacheManager no-op for checkpointed
+    # frames, so release must go through the tracked RDD handle — the
+    # block must LEAVE the block manager, not wait for GC.
+    pol3 = FootprintPin(small_bytes=1)
+    big2 = pol3.post(df, label="unit")
+    assert pol3.decisions[-1][2:] == ("ckpt_disk", "unit")
+    assert big2.count() == 1000
+    assert pol3.is_disk(big2) and not pol3.is_disk(df)
+    jsc = spark.sparkContext._jsc.sc()
+    rid = pol3._ckpt_rdds[id(big2)].id()
+    assert rid in {i.id() for i in jsc.getRDDStorageInfo()}
     pol3.release()
+    assert rid not in {i.id() for i in jsc.getRDDStorageInfo()}
+    assert not pol3.is_disk(big2)
+
+    # small_bytes=None: every post pin goes to disk regardless
+    pol4 = FootprintPin(small_bytes=None)
+    forced = pol4.post(df)
+    assert pol4.decisions[-1][2] == "ckpt_disk"
+    assert forced.count() == 1000
+    pol4.release()
 
 
 def test_gopher_quality_pipeline_stages(spark):

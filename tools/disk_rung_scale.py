@@ -41,6 +41,12 @@ Env knobs (round-14 follow-ups):
   RUNG_STEPS=a,b,...   run only the named steps (default: all of
                        dedup_exact dedup_paragraphs dedup_minhash
                        ann curation)
+  RUNG_PIPELINE_PIN=policy_lineage  run the curation pipeline with
+                       the round-15 FootprintPin flavor (lineage-kept
+                       DISK_ONLY persists) for the A/B against the
+                       round-16 default (plan-truncating DISK_ONLY
+                       localCheckpoints + stage-incremental drop
+                       accounting)
   RUNG_PIPELINE_PIN=disk  run the curation pipeline with
                        text.disk_persist_pin (DISK_ONLY serialized,
                        lineage kept) instead of the default eager
@@ -410,26 +416,44 @@ def main() -> None:
             pin = disk_persist_pin
         elif mode == "ckpt":
             pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        elif mode == "policy_lineage":
+            # round-15 flavor A/B: lineage-kept DISK_ONLY persists
+            # (pays the nested plan-info render per pinned consumer)
+            pin = FootprintPin(lineage=True)
         else:
             pin = FootprintPin()
         label = f"curation_pipeline_full_{mode}pin"
-        peak_pinned = {"bytes": 0}
+        sampler = stop = series = None
         if isinstance(pin, FootprintPin):
-            # measure the ACTUAL pinned footprint (the verdict's
-            # "< ~5x input" criterion), not Catalyst's estimate: after
-            # each eager pin materializes, sum every live persisted /
-            # checkpointed block's disk+memory bytes from the block
-            # manager and track the peak across the build.
-            _policy_post = pin.post
+            # TIME-SAMPLED pinned-footprint probe (round 16): a daemon
+            # thread polls the block manager every 0.5 s for the whole
+            # step, so the series brackets BOTH edges of every pin's
+            # lifetime — the round-15 at-pin-site probe missed peaks
+            # between sites and the release edges (ADVICE r15), making
+            # its number a lower/mixed bound.  The sum is the block
+            # manager TOTAL (any non-policy internal pin counts too) —
+            # that is the number the "peak pinned <= ~3x input"
+            # criterion is about.
+            import threading
 
-            def _tracked_post(df):
-                out = _policy_post(df)
-                live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-                pinned = sum(i.diskSize() + i.memSize() for i in live)
-                peak_pinned["bytes"] = max(peak_pinned["bytes"], pinned)
-                return out
+            series = []
+            stop = threading.Event()
+            jsc = spark.sparkContext._jsc.sc()
 
-            pin.post = _tracked_post
+            def _sample():
+                while not stop.is_set():
+                    try:
+                        live = jsc.getRDDStorageInfo()
+                        series.append((
+                            time.time(),
+                            sum(i.diskSize() + i.memSize() for i in live),
+                        ))
+                    except Exception:  # noqa: BLE001 — probe only
+                        pass
+                    stop.wait(0.5)
+
+            sampler = threading.Thread(target=_sample, daemon=True)
+            sampler.start()
         step(
             label,
             lambda: q_curation_pipeline_full(
@@ -437,17 +461,34 @@ def main() -> None:
             ),
         )
         if isinstance(pin, FootprintPin):
+            pin.release()
+            time.sleep(1.5)  # one post-release sample closes the series
+            stop.set()
+            sampler.join(timeout=5)
             print(
-                "PIN decisions (site#, est bytes, flavor):",
+                "PIN decisions (site#, est bytes, flavor, label):",
                 pin.decisions,
                 flush=True,
             )
-            print(
-                f"PIN peak pinned bytes: {peak_pinned['bytes']}"
-                f" ({peak_pinned['bytes'] / 2**30:.2f} GiB)",
-                flush=True,
-            )
-            pin.release()
+            if series:
+                t0 = series[0][0]
+                peak_t, peak_b = max(series, key=lambda s: s[1])
+                print(
+                    f"PIN peak pinned bytes: {peak_b}"
+                    f" ({peak_b / 2**30:.2f} GiB) at t+{peak_t - t0:.0f}s"
+                    f" of {series[-1][0] - t0:.0f}s"
+                    f" ({len(series)} samples @0.5s)",
+                    flush=True,
+                )
+                stride = max(1, len(series) // 40)
+                print(
+                    "PIN footprint series (t_rel_s, GiB):",
+                    [
+                        (round(t - t0), round(b / 2**30, 2))
+                        for t, b in series[::stride]
+                    ],
+                    flush=True,
+                )
 
     print("METRICS", json.dumps(_metrics(spark)), flush=True)
     if not keep:
