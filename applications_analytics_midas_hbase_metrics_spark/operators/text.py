@@ -793,8 +793,13 @@ def ngram_lm_score(
             ),
         )
     )
+    # the left side needs ONLY ids — take them from the raw input (a
+    # column-pruned parquet scan of the id column) instead of reading
+    # the pinned (id, token-array) blocks just to project the arrays
+    # away (guide §6: let pruning reach the scan).  Same rows by
+    # construction: base is a narrow projection of df.
     return (
-        base.select("id")
+        df.select(F.col(id_col).cast("bigint").alias("id"))
         .join(scored, "id", "left")
         .select(
             "id",

@@ -1,8 +1,8 @@
-"""Dump ``explain("formatted")`` for named queries to plans/r15/.
+"""Dump ``explain("formatted")`` for named queries to plans/$PLANS_ROUND/.
 
-Usage: python tools/dump_plans.py <suffix> [query ...]
+Usage: PLANS_ROUND=r16 python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r15/<query>_<suffix>.txt for each query (suffix: "before"
+Writes plans/<round>/<query>_<suffix>.txt for each query (suffix: "before"
 or "after").  Queries are built at $SF_DIR (default /root/testdata/
 sf0.1) — building the frame runs any driver-side preparation the query
 does (bounded collects, index builds) but does NOT execute the final
@@ -20,7 +20,11 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r16"),
+)
 
 
 def main() -> int:

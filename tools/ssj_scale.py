@@ -16,6 +16,14 @@ Usage: python tools/ssj_scale.py [n_batches] [provider]
 store to RocksDBStateStoreProvider — the production choice once state
 outgrows executor heap: state lives off-heap/on-disk with changelog
 checkpointing instead of full-snapshot JVM maps)
+
+SSJ_MULT=m (round 16) replicates the events corpus m times into
+DISJOINT user universes (user_id + 1e9*rep) before splitting — input
+volume, per-key state and join output all scale exactly x m by
+construction, so the measured per-batch wall + numRowsTotal series
+answers the VOLUME-scaling question (is the operator linear in input
+at fixed batch count?) rather than the stream-length question the
+default answers.
 """
 
 from __future__ import annotations
@@ -48,6 +56,15 @@ def main() -> None:
 
     spark = get_spark(app_name="ssj-scale", cpus=32)
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mult = int(os.environ.get("SSJ_MULT", "1"))
+    if mult > 1:
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        ev = ev.crossJoin(reps).select(
+            (F.col("event_id") + F.col("rep") * 10**9).alias("event_id"),
+            (F.col("user_id") + F.col("rep") * 10**9).alias("user_id"),
+            "event_type",
+            "ts",
+        )
     lo, hi = ev.agg(
         F.min("ts").alias("a"), F.max("ts").alias("b")
     ).collect()[0]  # driver-ok: 1 row
@@ -132,6 +149,7 @@ def main() -> None:
             {
                 "provider": PROVIDER,
                 "n_batches": N,
+                "mult": mult,
                 "views": n_views,
                 "clicks": n_clicks,
                 "joined_rows": rows,
