@@ -342,6 +342,23 @@ def main() -> None:
             ),
         )
 
+    if "dedup_ngram" in steps:
+        # char-5-gram LSH near-dup over the full rung (round 16,
+        # VERDICT #4): the declared query's banded-join shape at GB
+        # scale — confirms the band join shuffles 8-byte band hashes
+        # (not gram strings) and the candidate pair table stays linear
+        # in bases at mult=150
+        step(
+            "dedup_ngram",
+            D.ngram_near_duplicates(
+                rd("documents"),
+                n=5,
+                num_hashes=64,
+                threshold=0.5,
+                materialize=False,
+            ),
+        )
+
     if "ann" in steps:
         # ANN: IVF build + 10-query probe over the full vector rung.
         # The timer wraps centroid CONSTRUCTION too (the round-14 run's
