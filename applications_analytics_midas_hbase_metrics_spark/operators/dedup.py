@@ -423,23 +423,30 @@ def lsh_near_duplicates(
         count per id IS the set size) — no extra join, and the final
         jaccard needs just ONE array_intersect.
 
-    With ``materialize=True`` (default) the signature frame is computed
-    eagerly (localCheckpoint) so callers can fan the pairs out (e.g.
-    the clustering self-union) without re-running the LSH DAG and a
-    long-lived session does not accumulate cached blocks; on a cluster
-    deployment a persisted signature table serves the same role.
-    ``materialize=False`` returns the lazy plan (for inspection /
-    custom caching) — the internal signature persist stays cached;
-    release it with :func:`release_lazy_pins`.
+    With ``materialize=True`` (default) the signature frames (hash
+    sets + minima, see :func:`_hset_frame`/:func:`_mins_frame`) are
+    computed eagerly (localCheckpoint) so callers can fan the pairs
+    out (e.g. the clustering self-union) without re-running the LSH
+    DAG and a long-lived session does not accumulate cached blocks; on
+    a cluster deployment a persisted signature table serves the same
+    role.  ``materialize=False`` returns the lazy plan (for inspection
+    / custom caching) — the internal signature persists stay cached;
+    release them with :func:`release_lazy_pins`.
 
     The whole pipeline is HOF-free by construction: shingling is one
     regex pass, element hashing happens AFTER the explode as a plain
     projection, the verification hash-sets fall out of the signature
     aggregate, and band hashes are explicit column expressions —
     nothing drops to the interpreted per-element path."""
-    # Materialize the signature frame ONCE: the band self-join reads it
-    # twice and the verify joins read it twice more.
-    sig = _self_join_ready(minhash_signature_frame(base, num_hashes), materialize)
+    # Two pinned frames instead of one (round 16): the element hash
+    # sets ride a map-side projection and the MinHash minima a purely
+    # declarative HashAggregate over exploded LONGS — see
+    # _hset_frame/_mins_frame for why the former single aggregate
+    # (collect_set + 64 mins in one ObjectHashAggregate) exhausted a
+    # 252 GB disk at the mult=150 rung.  hs feeds the mins build once
+    # and the verify joins twice; sig feeds the band self-join.
+    hs = _self_join_ready(_hset_frame(base), materialize)
+    sig = _self_join_ready(_mins_frame(hs, num_hashes), materialize)
     bands = _band_frame(sig, num_hashes, rows_per_band)
 
     a = bands.alias("a")
@@ -460,7 +467,7 @@ def lsh_near_duplicates(
         )
         .distinct()
     )
-    verified = _verify_pairs(cand, sig, sig, threshold)
+    verified = _verify_pairs(cand, hs, hs, threshold)
     return verified.localCheckpoint(eager=True) if materialize else verified
 
 
@@ -473,21 +480,71 @@ def minhash_signature_frame(base: DataFrame, num_hashes: int = 128) -> DataFrame
     band-joins each incoming batch's signatures against it
     (:func:`lsh_pairs_between`) — history texts are never re-shingled.
     """
-    # One pass carries everything: explode the shingle strings, hash
-    # each element once (h0 = set identity for the exact verify; h = h0
-    # folded into the Mersenne field for the permutations), then a
-    # single hash-aggregate builds set size, verify hash-set, AND all
-    # num_hashes signature minima map-side.  The shingle strings never
-    # shuffle — only 8-byte hashes do — and nothing upstream is
-    # consumed twice, so no persist of the (wide) shingle table at all.
-    hashed = base.select("id", F.explode("shingles").alias("s")).select(
+    # Built from the round-16 two-frame shape (_hset_frame +
+    # _mins_frame); the join restores the single-artifact schema this
+    # function has always returned.  The map-side hash pass runs twice
+    # here (once under the mins aggregate, once for the hset column) —
+    # the artifact consumers (the incremental/persisted path) write the
+    # result once and never rebuild, so the double pass is the price of
+    # keeping the on-disk contract; the hot all-pairs path
+    # (lsh_near_duplicates) uses the two frames directly and hashes
+    # once.
+    hs = _hset_frame(base)
+    return (
+        _mins_frame(hs, num_hashes)
+        .join(hs.select("id", "hset"), "id")
+        .select("id", "sz", "hset", *[f"m{j}" for j in range(num_hashes)])
+    )
+
+
+def _hset_frame(base: DataFrame) -> DataFrame:
+    """(id, sz, hset) — one MAP-SIDE projection per document: ``sz`` the
+    shingle-set size (the arrays are distinct-element by construction),
+    ``hset`` the distinct 64-bit element hashes for the exact verify.
+
+    This used to ride a ``collect_set`` inside the signature aggregate.
+    collect_set is a TypedImperativeAggregate, so the whole signature
+    build ran as ObjectHashAggregateExec — which falls back to
+    SORT-based aggregation once its hash map passes
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``
+    DISTINCT KEYS (default: 128!).  Every realistic partition crosses
+    128 documents, so both the partial and the final aggregate
+    externally sorted the entire exploded gram stream: at the mult=150
+    rung (750k docs × ~2.2k char-5-grams ≈ 1.6B exploded rows) the
+    concurrent per-task sort spills exhausted a 252 GB disk, and even
+    the in-memory fallback sort cost 4–9× the aggregate's useful work
+    at 50k docs (measured: 142 s shipped vs 15.7 s this shape).
+    Raising the threshold instead would keep unmetered per-key set
+    buffers on the heap (~2 GB/task at the rung — the exact unroll-OOM
+    shape pinning.py exists to prevent).  A per-row transform keeps
+    peak memory at ONE document's gram set and needs no aggregate at
+    all; the interpreted-lambda cost is ~30 ns/gram (3.3 s for 110M
+    grams), noise next to the sort it replaces."""
+    return base.select(
         "id",
-        F.xxhash64("s").alias("h0"),
+        F.expr("cast(size(shingles) as int)").alias("sz"),
+        F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))").alias(
+            "hset"
+        ),
+    )
+
+
+def _mins_frame(hs: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sz, m0..m{n-1}) — the MinHash minima from the exploded hash
+    sets: 8-byte longs explode (never the gram strings), and with the
+    set collection gone map-side (:func:`_hset_frame`) the aggregate is
+    purely declarative — fixed-width buffers, whole-stage codegen
+    HashAggregate, partial aggregation collapsing map-side, no
+    object-aggregate fallback path at any scale.  ``sz`` rides as a
+    grouping key (same cardinality as ``id``) so no second pass or
+    join is needed to carry it."""
+    hashed = hs.select("id", "sz", F.explode("hset").alias("h0")).select(
+        "id",
+        "sz",
         # fold into the Mersenne field ONCE here: the num_hashes
         # min-aggregates below all start from pmod(h0, p), and aggregate
-        # update expressions don't get subexpression elimination — inline
-        # it and the field reduction runs num_hashes times per element
-        F.expr(f"pmod(xxhash64(s), {_MH_PRIME})").alias("h"),
+        # update expressions don't get subexpression elimination
+        F.expr(f"pmod(h0, {_MH_PRIME})").alias("h"),
     )
     # The wide repetitive expression blocks (num_hashes min-aggregates,
     # n_bands band-hash structs) are built as SQL strings: one py4j
@@ -502,15 +559,7 @@ def minhash_signature_frame(base: DataFrame, num_hashes: int = 128) -> DataFrame
         )
         for j in range(num_hashes)
     ]
-    return hashed.groupBy("id").agg(
-        # count(*) == |shingles|: the arrays are distinct-element, one
-        # exploded row per element — set size comes out of the same
-        # aggregate, no extra pass or join
-        F.expr("cast(count(*) as int) AS sz"),
-        # the exact-verify sets ride the same shuffle for free
-        F.expr("collect_set(h0) AS hset"),
-        *mins,
-    )
+    return hashed.groupBy("id", "sz").agg(*mins)
 
 
 def _band_frame(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
