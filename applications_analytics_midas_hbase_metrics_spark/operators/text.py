@@ -728,6 +728,7 @@ def ngram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    copartition: bool | None = None,
 ) -> DataFrame:
     """Bigram language-model quality scoring (the CCNet/KenLM-style
     perplexity filter, self-trained): the corpus's own add-one-smoothed
@@ -767,6 +768,27 @@ def ngram_lm_score(
         .groupBy("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("c"))
     )
+    # Scale-adaptive gram co-partition (round 16): above the broadcast
+    # regime the pinned frame's two consumers each re-shuffle by gram
+    # keys — the `big` aggregate exchanges (a, b) partials and the SMJ
+    # score probe exchanges the FULL frame.  Hash-partitioning by
+    # (a, b) BEFORE the pin (LogicalRDD preserves the partitioning
+    # through checkpoint and persist alike) satisfies the aggregate's
+    # clustering, keeps `big` co-partitioned with its probe, and both
+    # joins run exchange-free off the one shared shuffle.  Below the
+    # threshold the joins ride BroadcastHashJoin and the extra
+    # exchange would be pure cost, so the trigger is the SAME
+    # plan-size policy that flips the pin to DISK_ONLY: a disk-pinned
+    # gram frame is also gram-partitioned.  Keyed on (a, b), not (a):
+    # a Zipfian head unigram would funnel every "the …" bigram into
+    # one partition; the pair key spreads the head.
+    if copartition is None:
+        from .pinning import SMALL_FRAME_BYTES, plan_size_estimate
+
+        est = plan_size_estimate(docpairs)
+        copartition = est is not None and est >= SMALL_FRAME_BYTES
+    if copartition:
+        docpairs = docpairs.repartition("a", "b")
     docpairs = _self_join_ready(docpairs, materialize)  # trains B AND scores
     uni = (
         base.select(F.explode("tks").alias("a"))

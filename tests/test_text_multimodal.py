@@ -396,6 +396,35 @@ def test_ngram_lm_score_semantics(spark):
     assert got[3].lm_score == round(sum(lps) / 3, 6)
 
 
+def test_ngram_lm_score_copartition_equivalence(spark):
+    """The scale-adaptive gram co-partition (docpairs hash-partitioned
+    by (a, b) before the pin so the `big` aggregate and the score join
+    share one exchange) must be a pure layout change: forced on, the
+    operator returns exactly the default branch's rows.  The default
+    trigger is the disk-pin size policy, which never fires at test
+    scale — forcing both branches here is the only coverage the
+    co-partitioned shape gets below the rung."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the quick brown fox"),
+            F.conv(F.col("id") % 17, 10, 16),
+            F.lit("jumps over the lazy dog"),
+            F.conv(F.col("id") % 5, 10, 16),
+        ).alias("text"),
+    )
+    base = sorted(
+        T.ngram_lm_score(docs, copartition=False).collect()
+    )
+    copart = sorted(
+        T.ngram_lm_score(docs, copartition=True).collect()
+    )
+    assert base == copart
+
+
 def test_image_ahash_groups_identical_payloads(spark):
     """aHash signatures: identical pixel content hashes identically
     across distinct doc ids; different geometries carry different
