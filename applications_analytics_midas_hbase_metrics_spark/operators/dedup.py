@@ -58,7 +58,9 @@ def release_lazy_pins() -> None:
         _LAZY_PINS.pop().unpersist(blocking=True)
 
 
-def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
+def _self_join_ready(
+    df: DataFrame, materialize: bool, keep_partitioning: bool = False
+) -> DataFrame:
     """Prepare a frame that is consumed on BOTH sides of a self-join:
     without materialization the entire upstream pipeline (signature
     build, fingerprinting, projections) executes once per side —
@@ -78,6 +80,21 @@ def _self_join_ready(df: DataFrame, materialize: bool) -> DataFrame:
     FootprintPin uses, the pin streams to DISK_ONLY serialized
     instead; semantics identical either way."""
     if materialize:
+        if keep_partitioning:
+            # A checkpointed frame reports UnknownPartitioning in
+            # Spark 4.1 (measured: LogicalRDD drops the child's
+            # outputPartitioning), which would erase the co-partition
+            # a caller just paid an exchange for.  InMemoryRelation
+            # preserves it, so a partitioning-bearing pin rides a
+            # lineage-kept DISK_ONLY persist instead; registered in
+            # _LAZY_PINS so callers/tests can release it — the branch
+            # only fires in the large-frame regime where the pin is a
+            # deliberate job-lifetime artifact.
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.DISK_ONLY)
+            _LAZY_PINS.append(df)
+            return df
         from .pinning import SMALL_FRAME_BYTES, plan_size_estimate
 
         est = plan_size_estimate(df)

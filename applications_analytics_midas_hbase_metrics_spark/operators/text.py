@@ -789,13 +789,21 @@ def ngram_lm_score(
         copartition = est is not None and est >= SMALL_FRAME_BYTES
     if copartition:
         docpairs = docpairs.repartition("a", "b")
-    docpairs = _self_join_ready(docpairs, materialize)  # trains B AND scores
+    # trains B AND scores; a co-partitioned pin must keep its
+    # partitioning visible (checkpoint would erase it — see
+    # _self_join_ready)
+    docpairs = _self_join_ready(
+        docpairs, materialize, keep_partitioning=copartition
+    )
     uni = (
         base.select(F.explode("tks").alias("a"))
         .groupBy("a")
         .agg(F.count("*").alias("u"))
     )
-    uni = _self_join_ready(uni, materialize)  # vocab size AND the score join
+    # vocab size AND the score join; in the co-partition regime the
+    # pin keeps the aggregate's existing (a) partitioning (already
+    # paid) so the unigram probe join needs no re-exchange either
+    uni = _self_join_ready(uni, materialize, keep_partitioning=copartition)
     vocab = uni.groupBy().agg(F.count("*").alias("v"))
     big = docpairs.groupBy("a", "b").agg(F.sum("c").alias("bc"))
     scored = (

@@ -416,12 +416,21 @@ def test_ngram_lm_score_copartition_equivalence(spark):
             F.conv(F.col("id") % 5, 10, 16),
         ).alias("text"),
     )
+    from applications_analytics_midas_hbase_metrics_spark.operators.dedup import (
+        release_lazy_pins,
+    )
+
     base = sorted(
         T.ngram_lm_score(docs, copartition=False).collect()
     )
-    copart = sorted(
-        T.ngram_lm_score(docs, copartition=True).collect()
-    )
+    try:
+        copart = sorted(
+            T.ngram_lm_score(docs, copartition=True).collect()
+        )
+    finally:
+        # the co-partitioned pin is a lineage-kept persist (it must
+        # carry its partitioning); don't leak it into later tests
+        release_lazy_pins()
     assert base == copart
 
 

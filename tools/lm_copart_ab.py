@@ -30,10 +30,8 @@ REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from applications_analytics_midas_hbase_metrics_spark import operators
+    from applications_analytics_midas_hbase_metrics_spark.operators import text as T
     from applications_analytics_midas_hbase_metrics_spark.session import get_spark
-
-    T = operators.text
     spark = get_spark(app_name="lm_copart_ab", cpus="32")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -52,9 +50,14 @@ def main() -> None:
     )
     print(f"# corpus: {corpus.count()} docs (factor {FACTOR})", flush=True)
 
+    from applications_analytics_midas_hbase_metrics_spark.operators.dedup import (
+        release_lazy_pins,
+    )
+
     for variant in (False, True):
         walls = []
         for i in range(REPEATS):
+            release_lazy_pins()  # each run rebuilds its own pins
             spark.sparkContext.setJobDescription(
                 f"lm_score copartition={variant} run{i}"
             )
