@@ -25,6 +25,8 @@ signature build is embarrassingly parallel and AQE handles bucket skew
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -484,8 +486,83 @@ def lsh_near_duplicates(
         )
         .distinct()
     )
+    if materialize:
+        chunked = _verify_chunked(cand, hs, threshold)
+        if chunked is not None:
+            return chunked
     verified = _verify_pairs(cand, hs, hs, threshold)
     return verified.localCheckpoint(eager=True) if materialize else verified
+
+
+#: Scratch budget per exact-verify pass, bytes.  The verify joins ship
+#: BOTH element-hash arrays per candidate pair through one shuffle; on
+#: a low-Jaccard-floor corpus the candidate count grows with the SQUARE
+#: of the corpus (measured on the rung's shared-hex-gram universe:
+#: 106k -> 419k -> 1.65M pairs at 50k/100k/200k docs, ~3e-5 of all
+#: pairs), so the single-shuffle payload is unbounded even though the
+#: verified OUTPUT is tiny.  Above the budget the verify runs in
+#: deterministic pair-hash chunks, each its own job, so peak scratch is
+#: budget-bounded instead of payload-bounded.  Env-tunable for cluster
+#: deployments with real shuffle capacity.
+VERIFY_CHUNK_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_VERIFY_CHUNK_GB", "24")) * (1 << 30)
+)
+
+
+def _verify_chunked(
+    cand: DataFrame, hs: DataFrame, threshold: float
+) -> DataFrame | None:
+    """Budget-bounded exact verification, engaged only in the large
+    regime: returns ``None`` when the projected verify payload fits
+    :data:`VERIFY_CHUNK_BYTES` (the caller then keeps the one-pass plan
+    — every test-SF plan is unchanged by construction).
+
+    Above the budget: pin the candidate table (narrow — 28 bytes/pair),
+    measure the EXACT payload from its carried set sizes, split the
+    pairs into ``K = ceil(payload / budget)`` deterministic chunks by
+    pair hash, and verify each chunk as its own job against a
+    partition-pinned hash-set frame (repartitioned by id once; the
+    lineage-kept persist preserves the partitioning, so no chunk
+    re-exchanges the 8+ byte/element set table — only the chunk's own
+    pair×array rows move).  Chunk results are tiny and checkpointed;
+    finished chunks drop their lineage so the ContextCleaner can
+    reclaim their shuffle files while later chunks run."""
+    from pyspark import StorageLevel
+
+    from .pinning import SMALL_FRAME_BYTES, plan_size_estimate
+
+    est = plan_size_estimate(hs)
+    if est is None or est < SMALL_FRAME_BYTES:
+        return None
+    cand = cand.localCheckpoint(eager=True)
+    payload = cand.agg(
+        F.sum((F.col("sz_a") + F.col("sz_b")).cast("bigint"))
+    ).first()[0]
+    payload = (payload or 0) * 8
+    k = -(-payload // VERIFY_CHUNK_BYTES)
+    if k <= 1:
+        out = _verify_pairs(cand, hs, hs, threshold)
+        return out.localCheckpoint(eager=True)
+    hs = hs.repartition("id").persist(StorageLevel.DISK_ONLY)
+    chunk_col = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(int(k)))
+    parts = []
+    jvm_gc = None
+    for i in range(int(k)):
+        piece = _verify_pairs(
+            cand.filter(chunk_col == i), hs, hs, threshold
+        ).localCheckpoint(eager=True)
+        parts.append(piece)
+        if jvm_gc is None:
+            jvm_gc = piece.sparkSession.sparkContext._jvm.System.gc
+        # nudge the driver GC so the finished chunk's shuffle
+        # dependencies hit the ContextCleaner before the next chunk
+        # starts writing — this is what keeps peak scratch at ~budget
+        jvm_gc()
+    hs.unpersist()
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionAll(piece)
+    return out
 
 
 def minhash_signature_frame(base: DataFrame, num_hashes: int = 128) -> DataFrame:
